@@ -1,38 +1,47 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` runs the flagship query (TPC-H Q3 shape: filtered star
+join → grouped revenue → top-k) on sf0.001. ``queries()`` /
+``oracle_sql()`` expose the full operator inventory from
+``sdc_mapreduce_spark.queries`` (SURVEY.md §2 + §2.2 + the training-data
+pipeline extensions).
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from sdc_mapreduce_spark import queries as qreg
+
+SMOKE_SF_DIR = "/root/testdata/sf0.001"
+
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    from sdc_mapreduce_spark.queries.relational_queries import q3_shipping_priority
+
+    return q3_shipping_priority(spark, SMOKE_SF_DIR)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    """One entry per implemented operator from SURVEY.md §2 / §2.2 plus the
+    training-data-pipeline extensions (dedup, simsearch, text analysis,
+    multimodal plumbing)."""
+    return qreg.queries()
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
+    """DuckDB-runnable ANSI-SQL twin for every SQL-expressible query.
+
+    Omitted (rows-only check) for: xxhash64-based signatures
+    (text_rolling_fingerprint, dedup_simhash — DuckDB lacks xxhash64) and
+    approximate ANN (simsearch_ann_srp — recall < 1 by design). Those are
+    unit-tested against Python reference implementations instead.
     """
-    return {}
+    return qreg.oracle_sql()

@@ -1,0 +1,72 @@
+"""Table catalog over the driver-materialized parquet fixtures (TESTDATA.md).
+
+One parquet file per table under ``<sf_dir>/<name>.parquet``. Readers go
+through ``spark.read.parquet`` so Catalyst gets predicate pushdown, column
+pruning and partition-split planning for free (the reference hand-rolled all
+three: byte-range sharding, reference src/master/sharding.h:27-83).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+TABLES: tuple[str, ...] = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def table_path(sf_dir: str, name: str) -> str:
+    return os.path.join(sf_dir, f"{name}.parquet")
+
+
+# Columns written as parquet TIMESTAMP(NANOS), which Spark has no native type
+# for. We read them as raw nanosecond longs (legacy conf below) and rebuild a
+# timestamp_ntz — NTZ specifically, so values are wall-clock identical across
+# engines and session timezones (the DuckDB oracle reads them as naive
+# timestamps).
+NANO_TS_COLUMNS: dict[str, tuple[str, ...]] = {"events": ("ts",)}
+
+
+def _nanos_to_ntz(col: str):
+    # epoch-micros fit a double exactly (< 2^53 until year ~2255), so the
+    # fractional-second interval below is lossless to microsecond precision.
+    return F.expr(
+        f"make_timestamp_ntz(1970,1,1,0,0,0)"
+        f" + make_dt_interval(0,0,0, ({col} div 1000) / 1000000.0)"
+    ).alias(col)
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    if name not in TABLES:
+        raise KeyError(f"unknown table {name!r}; known: {TABLES}")
+    if name in NANO_TS_COLUMNS:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(table_path(sf_dir, name))
+    for col in NANO_TS_COLUMNS.get(name, ()):
+        if dict(df.dtypes).get(col) == "bigint":
+            df = df.withColumn(col, _nanos_to_ntz(col))
+    return df
+
+
+def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    return {name: load_table(spark, sf_dir, name) for name in TABLES}
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> None:
+    """Register every table as a temp view for ``spark.sql`` queries."""
+    for name in TABLES:
+        load_table(spark, sf_dir, name).createOrReplaceTempView(name)

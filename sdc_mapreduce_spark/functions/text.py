@@ -1,0 +1,168 @@
+"""Text-analysis operators over document tables, all JVM-side.
+
+The reference's entire scalar-function surface is a whitespace split plus an
+``isalnum`` filter (reference src/app/mapper.py:6,16); this module provides
+the text layer a 100 TB training-data pipeline needs — token statistics,
+quality scoring, language ID, fingerprinting, n-grams — built exclusively
+from ``pyspark.sql.functions`` (split/regexp/higher-order lambdas), so every
+expression stays inside whole-stage codegen. No Python UDFs anywhere in this
+module.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+WHITESPACE = r"\s+"
+
+# GPT-style pre-tokenizer, simplified to RE2-compatible syntax (no lookahead)
+# so the same pattern runs on Spark (Java regex) and any RE2 engine: a token
+# is an optional-space letter run, digit run, or punctuation run.
+BPE_ISH_PATTERN = r" ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s]+"
+
+# Tiny deterministic marker-word sets for heuristic language ID. Real
+# pipelines use char-n-gram models (fastText et al.); the engine-side
+# contract — a per-language token score + argmax, computed distributed — is
+# identical, so this stays honest while remaining oracle-checkable.
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "de": ("der", "die", "das", "und", "ist", "nicht"),
+    "en": ("the", "a", "of", "and", "is", "to"),
+    "es": ("el", "los", "las", "y", "es", "que"),
+    "fr": ("le", "la", "les", "et", "est", "ne"),
+    "zh": ("的", "是", "了", "在", "不"),
+}
+
+STOPWORDS = tuple(sorted({w for ws in LANG_MARKERS.values() for w in ws}))
+
+
+def tokens(text_col: str | Column = "text") -> Column:
+    col = F.col(text_col) if isinstance(text_col, str) else text_col
+    return F.split(F.trim(col), WHITESPACE)
+
+
+def normalized_text(text_col: str | Column = "text") -> Column:
+    """Canonical form for fingerprinting/dedup: lowercase, collapse internal
+    whitespace, trim."""
+    col = F.col(text_col) if isinstance(text_col, str) else text_col
+    return F.trim(F.regexp_replace(F.lower(col), WHITESPACE, " "))
+
+
+def token_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-document token statistics: whitespace tokens, distinct tokens,
+    BPE-ish regex token count, character length."""
+    t = tokens(text_col)
+    return df.select(
+        "doc_id",
+        F.size(t).alias("n_tokens"),
+        F.size(F.array_distinct(t)).alias("n_unique_tokens"),
+        F.size(F.regexp_extract_all(F.col(text_col), F.lit(BPE_ISH_PATTERN), F.lit(0))).alias(
+            "n_bpe_tokens"
+        ),
+        F.length(text_col).alias("n_chars_actual"),
+    )
+
+
+def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Heuristic quality signals: mean token length, stopword ratio,
+    alphabetic character ratio, plus a composite score.
+
+    All arithmetic is exact-integer counts followed by double division —
+    bitwise deterministic across engines, so the composite double is
+    oracle-hashable.
+    """
+    t = tokens(text_col)
+    n_tok = F.size(t)
+    n_chars = F.length(F.col(text_col))
+    alpha_chars = F.length(F.regexp_replace(F.col(text_col), "[^A-Za-z]", ""))
+    stop_arr = F.array(*[F.lit(w) for w in STOPWORDS])
+    n_stop = F.size(F.filter(t, lambda x: F.array_contains(stop_arr, x)))
+    mean_tok_len = (n_chars - (n_tok - F.lit(1))) / n_tok  # chars net of separators
+
+    out = df.select(
+        "doc_id",
+        n_tok.alias("n_tokens"),
+        (n_stop / n_tok).alias("stopword_ratio"),
+        (alpha_chars / n_chars).alias("alpha_ratio"),
+        mean_tok_len.alias("mean_token_len"),
+    )
+    # Composite score in [0, ~1]: favor mid-length tokens, some stopwords,
+    # mostly-alphabetic text. Deterministic doubles only.
+    return out.withColumn(
+        "quality_score",
+        F.col("alpha_ratio") * 0.5
+        + F.least(F.col("stopword_ratio") * 4.0, F.lit(1.0)) * 0.3
+        + F.least(F.col("mean_token_len") / 8.0, F.lit(1.0)) * 0.2,
+    )
+
+
+def language_id(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Heuristic language ID: count marker-token hits per language, take the
+    argmax (ties broken by language code ascending — deterministic). One
+    narrow projection, no shuffle; at 100 TB this is a pure map stage."""
+    t = tokens(text_col)
+
+    # NB: strictly single-parameter lambdas — F.filter binds a second
+    # parameter (even a defaulted one) as the element index. The factory
+    # closes over each marker set without late binding.
+    def _in_markers(markers: tuple[str, ...]):
+        return lambda x: x.isin(*markers)
+
+    score_cols = [
+        F.size(F.filter(t, _in_markers(markers))).alias(f"score_{lang}")
+        for lang, markers in sorted(LANG_MARKERS.items())
+    ]
+    scored = df.select("doc_id", F.col("lang").alias("lang_declared"), *score_cols)
+    langs = sorted(LANG_MARKERS)
+    best = F.greatest(*[F.col(f"score_{lang}") for lang in langs])
+    pred = F.lit(None).cast("string")
+    # Reverse order so earlier languages win ties via later coalesce priority.
+    for lang in reversed(langs):
+        pred = F.when(F.col(f"score_{lang}") == best, F.lit(lang)).otherwise(pred)
+    return scored.withColumn("lang_pred", F.when(best > 0, pred).otherwise(F.lit("und")))
+
+
+def fingerprint_md5(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Content fingerprint: md5 of the normalized text — the exact-dedup key
+    for content-addressed pipelines. A 32-hex-char key shuffles/bucket-joins
+    cheaply at 100 TB (vs. shuffling full document bodies)."""
+    return df.select(
+        "doc_id", F.md5(normalized_text(text_col)).alias("fingerprint")
+    )
+
+
+def rolling_fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Order-sensitive polynomial rolling hash over the token stream
+    (Rabin-Karp style), folded JVM-side with ``aggregate``: detects
+    reorderings that a bag-of-words fingerprint misses."""
+    t = tokens(text_col)
+    # Fold modulo a Mersenne prime (2^31-1) so every intermediate stays well
+    # under 2^52 — ANSI mode would fail the job on silent long overflow.
+    m = F.lit(2147483647).cast("long")
+    p = F.lit(1000003).cast("long")
+    return df.select(
+        "doc_id",
+        F.aggregate(
+            t,
+            F.lit(0).cast("long"),
+            lambda acc, x: F.pmod(acc * p + F.pmod(F.xxhash64(x), m), m),
+        ).alias("rolling_fp"),
+    )
+
+
+def top_ngrams(df: DataFrame, n: int = 2, k: int = 20, text_col: str = "text") -> DataFrame:
+    """Global top-k token n-grams by frequency: build per-doc n-gram arrays
+    with a transform over token positions (no Python), explode, count, top-k.
+    Partial aggregation keeps the shuffle at distinct-n-gram cardinality."""
+    t = tokens(text_col)
+    grams = F.transform(
+        F.sequence(F.lit(0), F.size(t) - n),
+        lambda i: F.concat_ws(" ", *[F.element_at(t, i + j + 1) for j in range(n)]),
+    )
+    return (
+        df.select(F.explode(grams).alias("ngram"))
+        .groupBy("ngram")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.col("cnt").desc(), F.col("ngram").asc())
+        .limit(k)
+    )

@@ -1,0 +1,11 @@
+"""Relational operators the reference lacks (SURVEY.md §2.2), declared
+Spark-first so Catalyst picks the physical strategy."""
+
+from sdc_mapreduce_spark.operators.relational import (
+    asof_join,
+    range_join_time,
+    top_k,
+    top_k_per_group,
+)
+
+__all__ = ["asof_join", "range_join_time", "top_k", "top_k_per_group"]

@@ -1,0 +1,151 @@
+"""Composite relational operators built from DataFrame primitives.
+
+The reference framework has no joins, windows, or top-k at all — its only
+grouped operator is the hash-shuffle + reduce (SURVEY.md O10-O13, §2.2).
+These are the standard large-scale compositions for the operators Spark
+itself doesn't ship as single calls (as-of join, time-range join), plus thin
+top-k helpers. Everything shuffles on explicit keys and avoids
+driver-side collection, so the plans hold on a real cluster.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def top_k(df: DataFrame, order_cols: list, k: int) -> DataFrame:
+    """Global top-k: Catalyst plans ``orderBy().limit(k)`` as TakeOrdered —
+    per-partition heap + single driver merge of k rows per partition, never a
+    full global sort. The scalable idiom at any data size."""
+    return df.orderBy(*order_cols).limit(k)
+
+
+def top_k_per_group(
+    df: DataFrame,
+    partition_cols: list[str],
+    order_cols: list,
+    k: int,
+    rank_col: str = "rn",
+) -> DataFrame:
+    """Top-k within each group via ``row_number`` — one shuffle on the group
+    key; no driver involvement, skew handled by AQE."""
+    w = Window.partitionBy(*partition_cols).orderBy(*order_cols)
+    return (
+        df.withColumn(rank_col, F.row_number().over(w))
+        .filter(F.col(rank_col) <= k)
+    )
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    left_time: str,
+    right_time: str,
+    right_value_cols: list[str],
+    direction: str = "backward",
+) -> DataFrame:
+    """As-of join: for each left row, the most recent right row with
+    ``right_time <= left_time`` (backward) sharing the ``on`` key.
+
+    Implemented as the union-tag-window composition: tag both sides, union,
+    single window sorted by (key, time) carrying ``last(right_value, ignorenulls)``
+    forward, then keep left rows. One shuffle on the key, no non-equi join —
+    this is the pattern that scales (a naive ``left.ts >= right.ts`` join is
+    a broadcast-nested-loop and dies at size). The reference has no join
+    operator of any kind (SURVEY.md §2.2).
+    """
+    if direction not in ("backward", "forward"):
+        raise ValueError("direction must be 'backward' or 'forward'")
+
+    lcols = left.columns
+    tagged_left = left.select(
+        F.col(on).alias("__key"),
+        F.col(left_time).alias("__t"),
+        F.lit(1).alias("__is_left"),
+        F.struct(*lcols).alias("__left"),
+        *[F.lit(None).cast(dict(right.dtypes)[c]).alias(f"__r_{c}") for c in right_value_cols],
+    )
+    tagged_right = right.select(
+        F.col(on).alias("__key"),
+        F.col(right_time).alias("__t"),
+        F.lit(0).alias("__is_left"),
+        F.lit(None).cast(
+            tagged_left.schema["__left"].dataType.simpleString()
+        ).alias("__left"),
+        *[F.col(c).alias(f"__r_{c}") for c in right_value_cols],
+    )
+    unioned = tagged_left.unionByName(tagged_right)
+
+    if direction == "backward":
+        # Right rows sort before left rows at equal time => "at or before".
+        w = (
+            Window.partitionBy("__key")
+            .orderBy(F.col("__t").asc(), F.col("__is_left").asc())
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+    else:
+        w = (
+            Window.partitionBy("__key")
+            .orderBy(F.col("__t").desc(), F.col("__is_left").asc())
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+    filled = unioned.select(
+        "__is_left",
+        "__left",
+        *[
+            F.last(f"__r_{c}", ignorenulls=True).over(w).alias(f"__r_{c}")
+            for c in right_value_cols
+        ],
+    )
+    return filled.filter(F.col("__is_left") == 1).select(
+        *[F.col(f"__left.{c}").alias(c) for c in lcols],
+        *[F.col(f"__r_{c}").alias(c) for c in right_value_cols],
+    )
+
+
+def range_join_time(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    left_time: str,
+    right_time: str,
+    lower_seconds: int,
+    upper_seconds: int,
+) -> DataFrame:
+    """Time-range join: pairs with the same key and
+    ``right_time - left_time`` in ``[lower_seconds, upper_seconds]``.
+
+    Bucketize both sides to ``span``-sized epoch buckets and equi-join on
+    (key, bucket) with the left side exploded to the covering buckets, then
+    apply the exact range predicate. Turns a non-equi join (O(n*m)
+    nested-loop in Spark) into a hash join whose cost tracks bucket
+    co-membership — the standard interval-join strategy at scale.
+    """
+    span = max(upper_seconds - lower_seconds, 1)
+
+    # Bucket ids come from second-truncated epochs (unix_timestamp), which is
+    # fine for *routing* as long as the left side explodes to a covering
+    # bucket range (±1 absorbs the truncation); the *exact* predicate below
+    # is interval arithmetic on the native timestamps, full precision.
+    left_epoch = F.unix_timestamp(F.col(left_time))
+    lb = left.withColumn(
+        "__bucket",
+        F.explode(
+            F.sequence(
+                ((left_epoch + lower_seconds) / span).cast("long") - 1,
+                ((left_epoch + upper_seconds) / span).cast("long") + 1,
+            )
+        ),
+    )
+    rb = right.withColumn(
+        "__bucket", (F.unix_timestamp(F.col(right_time)) / span).cast("long")
+    )
+    joined = lb.join(rb, on=[on, "__bucket"]).drop("__bucket")
+    lo = F.expr(f"INTERVAL '{lower_seconds}' SECOND")
+    hi = F.expr(f"INTERVAL '{upper_seconds}' SECOND")
+    return joined.filter(
+        (F.col(right_time) >= F.col(left_time) + lo)
+        & (F.col(right_time) <= F.col(left_time) + hi)
+    )

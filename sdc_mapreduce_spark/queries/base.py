@@ -1,0 +1,54 @@
+"""Shared helpers for the query registry.
+
+Cross-engine float determinism: double sums depend on accumulation order,
+which Spark does not fix across partitions. Every money/measure aggregate
+therefore goes through an exact decimal sum (order-independent) and is cast
+back to double for a stable, engine-agnostic value:
+
+    spark:  cast(sum(cast(x as decimal(28,S))) as double)
+    duckdb: CAST(SUM(CAST(x AS DECIMAL(28,S))) AS DOUBLE)
+
+Averages are decimal-sum / count (one double division by an exact integer —
+bitwise deterministic). Per-row double arithmetic (products, differences)
+is IEEE-deterministic and safe as-is.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from dataclasses import dataclass
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+@dataclass(frozen=True)
+class QuerySpec:
+    fn: Callable[[SparkSession, str], DataFrame]
+    oracle: str | None
+    bench: bool = False
+    description: str = ""
+
+
+def dsum(expr: str, alias: str, scale: int = 2) -> Column:
+    """Order-independent double sum via exact decimal accumulation."""
+    return F.expr(
+        f"cast(sum(cast(({expr}) as decimal(28,{scale}))) as double)"
+    ).alias(alias)
+
+
+def davg(expr: str, alias: str, scale: int = 2) -> Column:
+    """Order-independent average: exact decimal sum / count."""
+    return F.expr(
+        f"cast(sum(cast(({expr}) as decimal(28,{scale}))) as double) / count(*)"
+    ).alias(alias)
+
+
+def sql_dsum(expr: str, alias: str, scale: int = 2) -> str:
+    return f"CAST(SUM(CAST(({expr}) AS DECIMAL(28,{scale}))) AS DOUBLE) AS {alias}"
+
+
+def sql_davg(expr: str, alias: str, scale: int = 2) -> str:
+    return (
+        f"CAST(SUM(CAST(({expr}) AS DECIMAL(28,{scale}))) AS DOUBLE) / COUNT(*) AS {alias}"
+    )

@@ -1,0 +1,124 @@
+"""Deduplication queries over documents/embeddings (functions.dedup,
+functions.simsearch).
+
+Oracle notes: exact/normalized/Jaccard dedup have direct SQL twins. The
+MinHash-LSH query shares the *exact* Jaccard oracle — with K=128 hashes in
+32 bands of 4, the probability of missing a true pair at the 0.8 threshold
+is (1-0.8^4)^32 ≈ 5e-8, so LSH-candidates + exact verification equals the
+exhaustive answer on any realistic dataset (verified empirically at sf0.01
+and sf0.1). SimHash has no SQL twin (xxhash64) — unit-tested instead.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from sdc_mapreduce_spark.catalog import load_table
+from sdc_mapreduce_spark.functions import dedup as D
+from sdc_mapreduce_spark.functions.simsearch import embedding_near_pairs
+from sdc_mapreduce_spark.queries.base import QuerySpec
+
+
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return D.exact_dedup(load_table(spark, sf_dir, "documents")).orderBy("doc_id")
+
+
+DEDUP_EXACT_SQL = """
+SELECT MIN(doc_id) AS doc_id, COUNT(*) AS n_copies
+FROM documents GROUP BY md5(text) ORDER BY doc_id
+"""
+
+
+def dedup_normalized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return D.normalized_dedup(load_table(spark, sf_dir, "documents")).orderBy("doc_id")
+
+
+DEDUP_NORMALIZED_SQL = """
+SELECT MIN(doc_id) AS doc_id, COUNT(*) AS n_copies
+FROM documents
+GROUP BY md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')))
+ORDER BY doc_id
+"""
+
+
+# Shared exact-Jaccard oracle (inverted-index formulation, so the oracle
+# itself is O(co-occurring pairs), not O(n^2)).
+_JACCARD_SQL = """
+WITH t AS (
+  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks FROM documents
+), sh AS (
+  SELECT doc_id,
+         list_distinct(CASE WHEN len(toks) >= 3
+           THEN [toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+                 FOR i IN range(1, len(toks) - 1)]
+           ELSE [array_to_string(toks, ' ')] END) AS shingles
+  FROM t
+), sz AS (
+  SELECT doc_id, len(shingles) AS sz FROM sh
+), inv AS (
+  SELECT doc_id, UNNEST(shingles) AS s FROM sh
+), common AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS c
+  FROM inv a JOIN inv b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT id_a, id_b, c / (za.sz + zb.sz - c) AS jaccard
+FROM common
+JOIN sz za ON za.doc_id = id_a
+JOIN sz zb ON zb.doc_id = id_b
+WHERE c / (za.sz + zb.sz - c) >= 0.8
+"""
+
+
+def dedup_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 3-gram shingle Jaccard pairs ≥ 0.8 (inverted-index self-join)."""
+    return D.jaccard_pairs(load_table(spark, sf_dir, "documents"), n=3, threshold=0.8)
+
+
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH banded candidates + exact verification ≥ 0.8 — the
+    100 TB near-dedup path; see module docstring for why the exhaustive
+    Jaccard oracle applies."""
+    return D.minhash_lsh_pairs(
+        load_table(spark, sf_dir, "documents"),
+        num_hashes=128,
+        bands=32,
+        n=3,
+        threshold=0.8,
+    )
+
+
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash Hamming-≤3 near-dup pairs (pigeonhole-blocked). xxhash64-based
+    → no SQL oracle; unit-tested against a Python reference implementation."""
+    return D.simhash_near_pairs(load_table(spark, sf_dir, "documents"), max_hamming=3)
+
+
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup pairs at cosine ≥ 0.4 (threshold chosen to be
+    non-trivial on the fixture corpus, whose max off-diagonal cosine ≈ 0.5)."""
+    return embedding_near_pairs(
+        load_table(spark, sf_dir, "embeddings"), threshold=0.4
+    ).orderBy("id_a", "id_b")
+
+
+DEDUP_EMBEDDING_SQL = """
+WITH u AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+)
+SELECT a.vec_id AS id_a, b.vec_id AS id_b
+FROM u a JOIN u b ON a.vec_id < b.vec_id
+WHERE list_cosine_similarity(a.v, b.v) >= 0.4
+ORDER BY id_a, id_b
+"""
+
+
+QUERIES: dict[str, QuerySpec] = {
+    "dedup_exact": QuerySpec(dedup_exact, DEDUP_EXACT_SQL),
+    "dedup_normalized": QuerySpec(dedup_normalized, DEDUP_NORMALIZED_SQL),
+    "dedup_jaccard_pairs": QuerySpec(dedup_jaccard_pairs, _JACCARD_SQL),
+    "dedup_minhash_lsh": QuerySpec(dedup_minhash_lsh, _JACCARD_SQL, bench=True),
+    "dedup_simhash": QuerySpec(dedup_simhash, None),
+    "dedup_embedding_cosine": QuerySpec(dedup_embedding_cosine, DEDUP_EMBEDDING_SQL),
+}

@@ -1,0 +1,206 @@
+"""Event-table queries: batch forms of the streaming operators (tumbling
+windows, sessionization), JSON extraction, as-of and time-range joins.
+
+The streaming twins of these plans live in ``sdc_mapreduce_spark.streaming``
+(same logical shapes under watermarks); the batch forms here are the
+oracle-checkable surface.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from sdc_mapreduce_spark.catalog import load_table
+from sdc_mapreduce_spark.operators.relational import asof_join, range_join_time
+from sdc_mapreduce_spark.queries.base import QuerySpec, dsum, sql_dsum
+
+
+def events_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """5-minute tumbling-window counts per event type (batch form of
+    streaming.tumbling_counts — identical logical plan minus the watermark)."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "5 minutes").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("cnt"), dsum("value", "sum_value"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "cnt",
+            "sum_value",
+        )
+    )
+
+
+EVENTS_TUMBLING_SQL = f"""
+SELECT time_bucket(INTERVAL '5 minutes', CAST(ts AS TIMESTAMP)) AS window_start,
+       event_type,
+       COUNT(*) AS cnt,
+       {sql_dsum('value', 'sum_value')}
+FROM events
+GROUP BY 1, 2
+"""
+
+
+def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch sessionization: a session breaks after 30 minutes of per-user
+    inactivity. lag → new-session flag → running count = session id; then
+    per-session aggregates. Two window passes over one shuffle key
+    (user_id) — Spark reuses the partitioning between them."""
+    ev = load_table(spark, sf_dir, "events")
+    w_order = Window.partitionBy("user_id").orderBy(
+        F.col("ts").asc(), F.col("event_id").asc()
+    )
+    prev_ts = F.lag("ts").over(w_order)
+    is_new = F.when(
+        prev_ts.isNull()
+        | (F.col("ts") > prev_ts + F.expr("INTERVAL '30' MINUTE")),
+        1,
+    ).otherwise(0)
+    w_cum = w_order.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    with_session = ev.withColumn("__new", is_new).withColumn(
+        "session_id", F.sum("__new").over(w_cum)
+    )
+    return (
+        with_session.groupBy("user_id", "session_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("session_end"),
+        )
+    )
+
+
+EVENTS_SESSIONIZE_SQL = """
+WITH flagged AS (
+  SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id,
+         CASE WHEN LAG(CAST(ts AS TIMESTAMP)) OVER w IS NULL
+                OR CAST(ts AS TIMESTAMP) >
+                   LAG(CAST(ts AS TIMESTAMP)) OVER w + INTERVAL '30 minutes'
+              THEN 1 ELSE 0 END AS is_new
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP) ASC, event_id ASC)
+), sessions AS (
+  SELECT user_id, ts,
+         SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS session_id
+  FROM flagged
+)
+SELECT user_id, session_id,
+       COUNT(*) AS n_events,
+       MIN(ts) AS session_start,
+       MAX(ts) AS session_end
+FROM sessions GROUP BY user_id, session_id
+"""
+
+
+def events_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON property extraction from the props column, then a grouped count
+    over the extracted value — the semi-structured path."""
+    ev = load_table(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("long")
+    return (
+        ev.select((k % 10).alias("k_mod"), "value")
+        .groupBy("k_mod")
+        .agg(F.count(F.lit(1)).alias("cnt"), dsum("value", "sum_value"))
+        .orderBy("k_mod")
+    )
+
+
+EVENTS_JSON_SQL = f"""
+SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) % 10 AS k_mod,
+       COUNT(*) AS cnt,
+       {sql_dsum('value', 'sum_value')}
+FROM events
+GROUP BY 1 ORDER BY 1
+"""
+
+
+def events_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: each error event matched to the same user's most recent
+    purchase at or before it (union+window composition — see
+    operators.relational.asof_join; DuckDB oracle uses native ASOF JOIN)."""
+    ev = load_table(spark, sf_dir, "events")
+    errors = ev.filter(F.col("event_type") == "error").select(
+        "event_id", "user_id", "ts"
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id"),
+        F.col("ts"),
+        F.col("event_id").alias("purchase_event_id"),
+        F.col("value").alias("purchase_value"),
+    )
+    joined = asof_join(
+        errors,
+        purchases,
+        on="user_id",
+        left_time="ts",
+        right_time="ts",
+        right_value_cols=["purchase_event_id", "purchase_value"],
+        direction="backward",
+    )
+    return joined.filter(F.col("purchase_event_id").isNotNull()).select(
+        "event_id", "user_id", "purchase_event_id", "purchase_value"
+    )
+
+
+EVENTS_ASOF_SQL = """
+WITH errors AS (
+  SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts
+  FROM events WHERE event_type = 'error'
+), purchases AS (
+  SELECT user_id, CAST(ts AS TIMESTAMP) AS ts,
+         event_id AS purchase_event_id, value AS purchase_value
+  FROM events WHERE event_type = 'purchase'
+)
+SELECT e.event_id, e.user_id, p.purchase_event_id, p.purchase_value
+FROM errors e ASOF JOIN purchases p
+  ON e.user_id = p.user_id AND e.ts >= p.ts
+"""
+
+
+def events_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-range join: (error, purchase) pairs of the same user with the
+    purchase in the hour after the error — bucketed equi-join, not a
+    nested-loop (operators.relational.range_join_time)."""
+    ev = load_table(spark, sf_dir, "events")
+    errors = ev.filter(F.col("event_type") == "error").select(
+        F.col("event_id").alias("error_event_id"), "user_id", F.col("ts")
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_event_id"),
+        "user_id",
+        F.col("ts").alias("purchase_ts"),
+    )
+    joined = range_join_time(
+        errors,
+        purchases,
+        on="user_id",
+        left_time="ts",
+        right_time="purchase_ts",
+        lower_seconds=0,
+        upper_seconds=3600,
+    )
+    return joined.select("error_event_id", "purchase_event_id", "user_id")
+
+
+EVENTS_RANGE_SQL = """
+SELECT e.event_id AS error_event_id, p.event_id AS purchase_event_id, e.user_id
+FROM (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts
+      FROM events WHERE event_type = 'error') e
+JOIN (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts
+      FROM events WHERE event_type = 'purchase') p
+  ON e.user_id = p.user_id
+ AND p.ts >= e.ts
+ AND p.ts <= e.ts + INTERVAL '1 hour'
+"""
+
+
+QUERIES: dict[str, QuerySpec] = {
+    "events_tumbling": QuerySpec(events_tumbling, EVENTS_TUMBLING_SQL, bench=True),
+    "events_sessionize": QuerySpec(events_sessionize, EVENTS_SESSIONIZE_SQL, bench=True),
+    "events_json_extract": QuerySpec(events_json_extract, EVENTS_JSON_SQL),
+    "events_asof_join": QuerySpec(events_asof_join, EVENTS_ASOF_SQL),
+    "events_range_join": QuerySpec(events_range_join, EVENTS_RANGE_SQL),
+}

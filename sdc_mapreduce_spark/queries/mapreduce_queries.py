@@ -1,0 +1,89 @@
+"""MapReduce-parity queries: the reference's own application surface
+(word count, KV-pair parse + grouped sum, subprocess user code) run over the
+documents corpus.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from sdc_mapreduce_spark import mapreduce as mr
+from sdc_mapreduce_spark.catalog import load_table
+from sdc_mapreduce_spark.queries.base import QuerySpec
+
+_USERCODE = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "usercode")
+
+# One tokenizer contract, two engines: Spark splits on \s+ and keeps
+# [A-Za-z0-9]+ tokens (the regex form of the reference's str.isalnum filter,
+# reference src/app/mapper.py:16); the oracle does the identical split+filter
+# in DuckDB.
+WORDCOUNT_SQL = """
+WITH toks AS (
+  SELECT UNNEST(string_split_regex(text, '\\s+')) AS word FROM documents
+)
+SELECT word, COUNT(*) AS cnt
+FROM toks
+WHERE word <> '' AND regexp_full_match(word, '[A-Za-z0-9]+')
+GROUP BY word
+"""
+
+
+def wordcount(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's flagship app (reference src/app/mapper.py +
+    reducer.py) on the declarative path: explode/split/filter/groupBy —
+    whole-stage codegen end-to-end, partial+final agg on the shuffle."""
+    docs = load_table(spark, sf_dir, "documents")
+    return mr.word_count(docs.select(F.col("text").alias("value")), text_col="value").select(
+        "word", "cnt"
+    )
+
+
+def wordcount_pipe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The same computation through the faithful subprocess contract
+    (``rdd.pipe`` running stdin→stdout user scripts — SURVEY.md O8/O13/O19).
+    Same oracle as ``wordcount``: the two paths must agree (quirk Q3's
+    associativity makes partial-aggregation granularity invisible)."""
+    docs = load_table(spark, sf_dir, "documents")
+    py = sys.executable
+    out = mr.map_reduce_pipe(
+        docs.select(F.col("text").alias("value")),
+        mapper_cmd=[py, os.path.join(_USERCODE, "wc_mapper.py")],
+        reducer_cmd=[py, os.path.join(_USERCODE, "wc_reducer.py")],
+        num_partitions=3,
+    )
+    return out.select(F.col("key").alias("word"), F.col("value").alias("cnt"))
+
+
+def kv_parse_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's universal ``"key value"`` text data model
+    (reference src/worker/worker.cpp:247): serialize typed rows to KV lines,
+    parse them back (malformed rows injected and dropped, reference
+    src/app/reducer.py:11-12,21-24), grouped sum per key."""
+    li = load_table(spark, sf_dir, "lineitem")
+    lines = li.select(
+        F.concat_ws(" ", F.col("l_returnflag"), F.col("l_linenumber")).alias("value")
+    )
+    malformed = spark.createDataFrame(
+        [("toofew",), ("way too many tokens here",), ("badint xyz",)], ["value"]
+    )
+    parsed = mr.parse_kv_lines(lines.unionByName(malformed))
+    return mr.group_reduce_sum(parsed).select(
+        F.col("key"), F.col("value").alias("total")
+    )
+
+
+KV_PARSE_SUM_SQL = """
+SELECT l_returnflag AS key, SUM(l_linenumber) AS total
+FROM lineitem GROUP BY l_returnflag
+"""
+
+
+QUERIES: dict[str, QuerySpec] = {
+    "wordcount": QuerySpec(wordcount, WORDCOUNT_SQL, bench=True),
+    "wordcount_pipe": QuerySpec(wordcount_pipe, WORDCOUNT_SQL),
+    "kv_parse_sum": QuerySpec(kv_parse_sum, KV_PARSE_SUM_SQL),
+}

@@ -1,0 +1,623 @@
+"""Relational operator inventory (SURVEY.md §2.2 — everything the reference
+lacks), each entry a DataFrame plan plus its DuckDB oracle.
+
+Plans are written for the physical strategy that survives 100 TB:
+dimension joins broadcast (region/nation/customer/supplier/part are small
+relative to the fact tables at any SF); fact-side filters sit directly on
+the scan so parquet pushdown prunes row groups; aggregates run
+partial-then-final on the shuffle keys; top-k is TakeOrdered, never a global
+sort.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from sdc_mapreduce_spark.catalog import load_table
+from sdc_mapreduce_spark.operators.relational import top_k, top_k_per_group
+from sdc_mapreduce_spark.queries.base import QuerySpec, davg, dsum, sql_davg, sql_dsum
+
+
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 shape: scan-filter-aggregate over the fact table — the
+    engine's flagship grouped aggregation (the typed upgrade of the
+    reference's word-count reduce, reference src/app/reducer.py:17-27)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp_ntz"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            dsum("l_quantity", "sum_qty"),
+            dsum("l_extendedprice", "sum_base_price"),
+            dsum("l_extendedprice * (1 - l_discount)", "sum_disc_price", scale=4),
+            dsum(
+                "l_extendedprice * (1 - l_discount) * (1 + l_tax)",
+                "sum_charge",
+                scale=6,
+            ),
+            davg("l_quantity", "avg_qty"),
+            davg("l_extendedprice", "avg_price"),
+            davg("l_discount", "avg_disc", scale=4),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+Q1_SQL = f"""
+SELECT l_returnflag, l_linestatus,
+       {sql_dsum('l_quantity', 'sum_qty')},
+       {sql_dsum('l_extendedprice', 'sum_base_price')},
+       {sql_dsum('l_extendedprice * (1 - l_discount)', 'sum_disc_price', 4)},
+       {sql_dsum('l_extendedprice * (1 - l_discount) * (1 + l_tax)', 'sum_charge', 6)},
+       {sql_davg('l_quantity', 'avg_qty')},
+       {sql_davg('l_extendedprice', 'avg_price')},
+       {sql_davg('l_discount', 'avg_disc', 4)},
+       COUNT(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape: selective dim filter → two fact joins → grouped
+    revenue → top-10. customer is broadcast against orders; the
+    orders⋈lineitem join shuffles on the join key only after both sides are
+    filtered (Catalyst pushes the date predicates into the scans)."""
+    cust = load_table(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1998-06-30").cast("timestamp_ntz")
+    )
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1998-06-30").cast("timestamp_ntz")
+    )
+    joined = (
+        li.join(
+            orders.join(
+                F.broadcast(cust.select("c_custkey")),
+                F.col("o_custkey") == F.col("c_custkey"),
+            ).select("o_orderkey", "o_orderdate"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+    )
+    revenue = joined.groupBy("o_orderkey", "o_orderdate").agg(
+        dsum("l_extendedprice * (1 - l_discount)", "revenue", scale=4)
+    )
+    return top_k(
+        revenue, [F.col("revenue").desc(), F.col("o_orderkey").asc()], 10
+    ).select("o_orderkey", "o_orderdate", "revenue")
+
+
+Q3_SQL = f"""
+SELECT o_orderkey, o_orderdate,
+       {sql_dsum('l_extendedprice * (1 - l_discount)', 'revenue', 4)}
+FROM customer
+JOIN orders   ON o_custkey = c_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1998-06-30'
+  AND l_shipdate  > TIMESTAMP '1998-06-30'
+GROUP BY o_orderkey, o_orderdate
+ORDER BY revenue DESC, o_orderkey ASC
+LIMIT 10
+"""
+
+
+def q5_local_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape: five-way star join, all dimensions broadcast, one
+    fact shuffle for the final aggregation."""
+    region = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    nation = load_table(spark, sf_dir, "nation")
+    cust = load_table(spark, sf_dir, "customer")
+    supp = load_table(spark, sf_dir, "supplier")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp_ntz"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp_ntz"))
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+
+    dims = (
+        cust.join(
+            F.broadcast(
+                nation.join(
+                    F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey")
+                )
+            ),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+        ).select("c_custkey", "c_nationkey", "n_name")
+    )
+    joined = (
+        li.join(
+            F.broadcast(orders.select("o_orderkey", "o_custkey")),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .join(
+            F.broadcast(dims), F.col("o_custkey") == F.col("c_custkey")
+        )
+        .join(
+            F.broadcast(supp.select("s_suppkey", "s_nationkey")),
+            (F.col("l_suppkey") == F.col("s_suppkey"))
+            & (F.col("s_nationkey") == F.col("c_nationkey")),
+        )
+    )
+    return (
+        joined.groupBy("n_name")
+        .agg(dsum("l_extendedprice * (1 - l_discount)", "revenue", scale=4))
+        .orderBy(F.col("revenue").desc(), F.col("n_name").asc())
+    )
+
+
+Q5_SQL = f"""
+SELECT n_name,
+       {sql_dsum('l_extendedprice * (1 - l_discount)', 'revenue', 4)}
+FROM customer
+JOIN nation   ON c_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+JOIN orders   ON o_custkey = c_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey = s_suppkey AND s_nationkey = c_nationkey
+WHERE r_name = 'ASIA'
+  AND o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o_orderdate <  TIMESTAMP '1998-01-01'
+GROUP BY n_name
+ORDER BY revenue DESC, n_name ASC
+"""
+
+
+def join_inner(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Plain inner equi-join, customer side broadcast."""
+    orders = load_table(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 400000)
+    cust = load_table(spark, sf_dir, "customer")
+    return orders.join(
+        F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey")
+    ).select("o_orderkey", "c_name", "o_totalprice")
+
+
+JOIN_INNER_SQL = """
+SELECT o_orderkey, c_name, o_totalprice
+FROM orders JOIN customer ON o_custkey = c_custkey
+WHERE o_totalprice > 400000
+"""
+
+
+def join_left_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left outer join preserving customers with zero orders."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        cust.join(orders, F.col("c_custkey") == F.col("o_custkey"), "left")
+        .groupBy("c_custkey", "c_mktsegment")
+        .agg(F.count("o_orderkey").alias("n_orders"))
+    )
+
+
+JOIN_LEFT_SQL = """
+SELECT c_custkey, c_mktsegment, COUNT(o_orderkey) AS n_orders
+FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+GROUP BY c_custkey, c_mktsegment
+"""
+
+
+def join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-semi join: customers with ≥1 urgent open order (EXISTS)."""
+    cust = load_table(spark, sf_dir, "customer")
+    urgent = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderpriority") == "1-URGENT") & (F.col("o_orderstatus") == "O")
+    )
+    return cust.join(
+        urgent, F.col("c_custkey") == F.col("o_custkey"), "left_semi"
+    ).select("c_custkey", "c_name")
+
+
+JOIN_SEMI_SQL = """
+SELECT c_custkey, c_name FROM customer
+WHERE EXISTS (SELECT 1 FROM orders
+              WHERE o_custkey = c_custkey
+                AND o_orderpriority = '1-URGENT' AND o_orderstatus = 'O')
+"""
+
+
+def join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-anti join: customers with no orders at all (NOT EXISTS)."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    return cust.join(
+        orders, F.col("c_custkey") == F.col("o_custkey"), "left_anti"
+    ).select("c_custkey", "c_acctbal")
+
+
+JOIN_ANTI_SQL = """
+SELECT c_custkey, c_acctbal FROM customer
+WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+"""
+
+
+def join_broadcast_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fact⋈dim broadcast join: revenue by part brand. At 100 TB the part
+    dim is still MBs — broadcasting it removes the fact-table shuffle
+    entirely; only the group-by shuffles (25 brands)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    return (
+        li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("p_brand")
+        .agg(
+            dsum("l_extendedprice * (1 - l_discount)", "brand_revenue", scale=4),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+        .orderBy(F.col("brand_revenue").desc(), F.col("p_brand").asc())
+    )
+
+
+JOIN_BROADCAST_SQL = f"""
+SELECT p_brand,
+       {sql_dsum('l_extendedprice * (1 - l_discount)', 'brand_revenue', 4)},
+       COUNT(*) AS n_items
+FROM lineitem JOIN part ON l_partkey = p_partkey
+GROUP BY p_brand
+ORDER BY brand_revenue DESC, p_brand ASC
+"""
+
+
+def agg_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COUNT(DISTINCT) + plain count + exact average per group."""
+    cust = load_table(spark, sf_dir, "customer")
+    return (
+        cust.groupBy("c_mktsegment")
+        .agg(
+            F.countDistinct("c_nationkey").alias("n_nations"),
+            F.count(F.lit(1)).alias("n_customers"),
+            davg("c_acctbal", "avg_acctbal"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
+AGG_DISTINCT_SQL = f"""
+SELECT c_mktsegment,
+       COUNT(DISTINCT c_nationkey) AS n_nations,
+       COUNT(*) AS n_customers,
+       {sql_davg('c_acctbal', 'avg_acctbal')}
+FROM customer GROUP BY c_mktsegment
+"""
+
+
+def agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP over (returnflag, linestatus): subtotals + grand total."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.rollup("l_returnflag", "l_linestatus").agg(
+        F.count(F.lit(1)).alias("n_rows"), dsum("l_quantity", "sum_qty")
+    )
+
+
+AGG_ROLLUP_SQL = f"""
+SELECT l_returnflag, l_linestatus,
+       COUNT(*) AS n_rows, {sql_dsum('l_quantity', 'sum_qty')}
+FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+"""
+
+
+def agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over (mktsegment, nationkey): all grouping combinations."""
+    cust = load_table(spark, sf_dir, "customer")
+    return cust.cube("c_mktsegment", "c_nationkey").agg(
+        F.count(F.lit(1)).alias("n_customers")
+    )
+
+
+AGG_CUBE_SQL = """
+SELECT c_mktsegment, c_nationkey, COUNT(*) AS n_customers
+FROM customer GROUP BY CUBE (c_mktsegment, c_nationkey)
+"""
+
+
+def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS via the SQL surface."""
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders_gs")
+    return spark.sql(
+        """
+        SELECT o_orderpriority, o_orderstatus, COUNT(*) AS n_orders
+        FROM orders_gs
+        GROUP BY GROUPING SETS ((o_orderpriority), (o_orderstatus), ())
+        """
+    )
+
+
+AGG_GROUPING_SETS_SQL = """
+SELECT o_orderpriority, o_orderstatus, COUNT(*) AS n_orders
+FROM orders
+GROUP BY GROUPING SETS ((o_orderpriority), (o_orderstatus), ())
+"""
+
+
+def window_rank_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 orders per customer by value — row_number window, one shuffle."""
+    orders = load_table(spark, sf_dir, "orders")
+    return top_k_per_group(
+        orders.select("o_custkey", "o_orderkey", "o_totalprice"),
+        ["o_custkey"],
+        [F.col("o_totalprice").desc(), F.col("o_orderkey").asc()],
+        3,
+        rank_col="rn",
+    )
+
+
+WINDOW_RANK_SQL = """
+SELECT o_custkey, o_orderkey, o_totalprice, rn FROM (
+  SELECT o_custkey, o_orderkey, o_totalprice,
+         ROW_NUMBER() OVER (PARTITION BY o_custkey
+                            ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn
+  FROM orders) t
+WHERE rn <= 3
+"""
+
+
+def window_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative per-customer spend in order-date order. The running sum
+    accumulates in exact decimal so the result is order-of-evaluation-proof,
+    then lands as double."""
+    orders = load_table(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy(F.col("o_orderdate").asc(), F.col("o_orderkey").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        "o_orderdate",
+        F.expr("cast(o_totalprice as decimal(28,2))").alias("__d"),
+    ).select(
+        "o_custkey",
+        "o_orderkey",
+        F.sum("__d").over(w).cast("double").alias("running_spend"),
+    )
+
+
+WINDOW_RUNNING_SQL = """
+SELECT o_custkey, o_orderkey,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(28,2)))
+            OVER (PARTITION BY o_custkey
+                  ORDER BY o_orderdate ASC, o_orderkey ASC
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+         AS running_spend
+FROM orders
+"""
+
+
+def window_lag_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LAG: change in order value vs the customer's previous order."""
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_orderdate").asc(), F.col("o_orderkey").asc()
+    )
+    prev = F.lag("o_totalprice").over(w)
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        (F.col("o_totalprice") - prev).alias("delta_vs_prev"),
+    )
+
+
+WINDOW_LAG_SQL = """
+SELECT o_custkey, o_orderkey,
+       o_totalprice - LAG(o_totalprice) OVER (PARTITION BY o_custkey
+                       ORDER BY o_orderdate ASC, o_orderkey ASC) AS delta_vs_prev
+FROM orders
+"""
+
+
+def sort_limit_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global top-20 line items by price — TakeOrdered, no full sort."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return top_k(
+        li.select("l_orderkey", "l_linenumber", "l_extendedprice"),
+        [
+            F.col("l_extendedprice").desc(),
+            F.col("l_orderkey").asc(),
+            F.col("l_linenumber").asc(),
+        ],
+        20,
+    )
+
+
+SORT_LIMIT_SQL = """
+SELECT l_orderkey, l_linenumber, l_extendedprice
+FROM lineitem
+ORDER BY l_extendedprice DESC, l_orderkey ASC, l_linenumber ASC
+LIMIT 20
+"""
+
+
+def set_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT: building-segment customers who have urgent orders."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    building = cust.filter(F.col("c_mktsegment") == "BUILDING").select(
+        F.col("c_custkey").alias("custkey")
+    )
+    urgent = orders.filter(F.col("o_orderpriority") == "1-URGENT").select(
+        F.col("o_custkey").alias("custkey")
+    )
+    return building.intersect(urgent)
+
+
+SET_INTERSECT_SQL = """
+SELECT c_custkey AS custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+INTERSECT
+SELECT o_custkey AS custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+"""
+
+
+def set_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXCEPT: machinery-segment customers minus those with open orders."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    machinery = cust.filter(F.col("c_mktsegment") == "MACHINERY").select(
+        F.col("c_custkey").alias("custkey")
+    )
+    open_orders = orders.filter(F.col("o_orderstatus") == "O").select(
+        F.col("o_custkey").alias("custkey")
+    )
+    return machinery.exceptAll(open_orders).distinct()
+
+
+SET_EXCEPT_SQL = """
+SELECT c_custkey AS custkey FROM customer WHERE c_mktsegment = 'MACHINERY'
+EXCEPT
+SELECT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'O'
+"""
+
+
+def set_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNION (distinct): customers that are high-balance or urgent-order."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    rich = cust.filter(F.col("c_acctbal") > 9000).select(
+        F.col("c_custkey").alias("custkey")
+    )
+    urgent = orders.filter(F.col("o_orderpriority") == "1-URGENT").select(
+        F.col("o_custkey").alias("custkey")
+    )
+    return rich.union(urgent).distinct()
+
+
+SET_UNION_SQL = """
+SELECT c_custkey AS custkey FROM customer WHERE c_acctbal > 9000
+UNION
+SELECT o_custkey AS custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+"""
+
+
+def scalar_string_fns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String function surface: upper/substr/length/concat/replace/lpad."""
+    part = load_table(spark, sf_dir, "part")
+    return part.select(
+        "p_partkey",
+        F.upper("p_name").alias("name_upper"),
+        F.substring("p_name", 1, 5).alias("name_prefix"),
+        F.length("p_name").alias("name_len"),
+        F.concat_ws("/", "p_brand", "p_type").alias("brand_type"),
+        F.regexp_replace(F.col("p_name"), "[aeiou]", "_").alias("name_devoweled"),
+        F.lpad(F.col("p_partkey").cast("string"), 10, "0").alias("key_padded"),
+    )
+
+
+SCALAR_STRING_SQL = """
+SELECT p_partkey,
+       UPPER(p_name) AS name_upper,
+       SUBSTRING(p_name, 1, 5) AS name_prefix,
+       LENGTH(p_name) AS name_len,
+       CONCAT_WS('/', p_brand, p_type) AS brand_type,
+       REGEXP_REPLACE(p_name, '[aeiou]', '_', 'g') AS name_devoweled,
+       LPAD(CAST(p_partkey AS VARCHAR), 10, '0') AS key_padded
+FROM part
+"""
+
+
+def scalar_datetime_fns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date/time function surface over order dates."""
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.select(
+        "o_orderkey",
+        F.year("o_orderdate").alias("order_year"),
+        F.month("o_orderdate").alias("order_month"),
+        F.dayofmonth("o_orderdate").alias("order_day"),
+        F.quarter("o_orderdate").alias("order_quarter"),
+        F.date_trunc("month", F.col("o_orderdate")).cast("date").alias("month_start"),
+        F.expr("datediff(cast(o_orderdate as date), date'1995-01-01')").alias(
+            "days_since_epoch_start"
+        ),
+    )
+
+
+SCALAR_DATETIME_SQL = """
+SELECT o_orderkey,
+       CAST(YEAR(o_orderdate) AS INT) AS order_year,
+       CAST(MONTH(o_orderdate) AS INT) AS order_month,
+       CAST(DAY(o_orderdate) AS INT) AS order_day,
+       CAST(QUARTER(o_orderdate) AS INT) AS order_quarter,
+       CAST(DATE_TRUNC('month', o_orderdate) AS DATE) AS month_start,
+       CAST(DATE_DIFF('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS INT)
+         AS days_since_epoch_start
+FROM orders
+"""
+
+
+def scalar_math_case(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Math + CASE surface. Only IEEE-exact functions (abs/round/floor/ceil/
+    sqrt) appear so results hash identically across engines."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.abs(F.col("l_discount") - 0.05).alias("disc_dev"),
+        F.round(F.col("l_extendedprice"), 0).alias("price_rounded"),
+        F.floor(F.col("l_quantity") / 10).cast("long").alias("qty_decile"),
+        F.ceil(F.col("l_tax") * 100).cast("long").alias("tax_pct_ceil"),
+        F.sqrt(F.col("l_extendedprice")).alias("price_sqrt"),
+        F.when(F.col("l_returnflag") == "R", "returned")
+        .when(F.col("l_linestatus") == "O", "open")
+        .otherwise("closed")
+        .alias("status_label"),
+    )
+
+
+SCALAR_MATH_SQL = """
+SELECT l_orderkey, l_linenumber,
+       ABS(l_discount - 0.05) AS disc_dev,
+       ROUND(l_extendedprice, 0) AS price_rounded,
+       CAST(FLOOR(l_quantity / 10) AS BIGINT) AS qty_decile,
+       CAST(CEIL(l_tax * 100) AS BIGINT) AS tax_pct_ceil,
+       SQRT(l_extendedprice) AS price_sqrt,
+       CASE WHEN l_returnflag = 'R' THEN 'returned'
+            WHEN l_linestatus = 'O' THEN 'open'
+            ELSE 'closed' END AS status_label
+FROM lineitem
+"""
+
+
+def filter_project_pushdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Narrow scan: filter + 2-column projection, both pushed to parquet
+    (.explain shows PushedFilters + pruned ReadSchema)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.filter(
+        (F.col("l_quantity") >= 45) & (F.col("l_returnflag") == "R")
+    ).select("l_orderkey", "l_quantity")
+
+
+FILTER_PROJECT_SQL = """
+SELECT l_orderkey, l_quantity FROM lineitem
+WHERE l_quantity >= 45 AND l_returnflag = 'R'
+"""
+
+
+QUERIES: dict[str, QuerySpec] = {
+    "q1_pricing_summary": QuerySpec(q1_pricing_summary, Q1_SQL, bench=True),
+    "q3_shipping_priority": QuerySpec(q3_shipping_priority, Q3_SQL, bench=True),
+    "q5_local_supplier": QuerySpec(q5_local_supplier, Q5_SQL, bench=True),
+    "join_inner": QuerySpec(join_inner, JOIN_INNER_SQL),
+    "join_left_agg": QuerySpec(join_left_agg, JOIN_LEFT_SQL),
+    "join_semi": QuerySpec(join_semi, JOIN_SEMI_SQL),
+    "join_anti": QuerySpec(join_anti, JOIN_ANTI_SQL),
+    "join_broadcast_dim": QuerySpec(join_broadcast_dim, JOIN_BROADCAST_SQL, bench=True),
+    "agg_distinct": QuerySpec(agg_distinct, AGG_DISTINCT_SQL),
+    "agg_rollup": QuerySpec(agg_rollup, AGG_ROLLUP_SQL),
+    "agg_cube": QuerySpec(agg_cube, AGG_CUBE_SQL),
+    "agg_grouping_sets": QuerySpec(agg_grouping_sets, AGG_GROUPING_SETS_SQL),
+    "window_rank_topn": QuerySpec(window_rank_topn, WINDOW_RANK_SQL, bench=True),
+    "window_running_sum": QuerySpec(window_running_sum, WINDOW_RUNNING_SQL),
+    "window_lag_delta": QuerySpec(window_lag_delta, WINDOW_LAG_SQL),
+    "sort_limit_topk": QuerySpec(sort_limit_topk, SORT_LIMIT_SQL),
+    "set_intersect": QuerySpec(set_intersect, SET_INTERSECT_SQL),
+    "set_except": QuerySpec(set_except, SET_EXCEPT_SQL),
+    "set_union": QuerySpec(set_union, SET_UNION_SQL),
+    "scalar_string_fns": QuerySpec(scalar_string_fns, SCALAR_STRING_SQL),
+    "scalar_datetime_fns": QuerySpec(scalar_datetime_fns, SCALAR_DATETIME_SQL),
+    "scalar_math_case": QuerySpec(scalar_math_case, SCALAR_MATH_SQL),
+    "filter_project_pushdown": QuerySpec(filter_project_pushdown, FILTER_PROJECT_SQL),
+}

@@ -1,0 +1,107 @@
+"""Similarity-search queries over the embeddings table
+(functions.simsearch)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from sdc_mapreduce_spark.catalog import load_table
+from sdc_mapreduce_spark.functions import simsearch as S
+from sdc_mapreduce_spark.queries.base import QuerySpec
+
+QUERY_IDS = list(range(10))
+TOP_K = 5
+
+
+def simsearch_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact brute-force cosine top-5 for query vectors 0..9 (JVM path)."""
+    return S.cosine_topk_bruteforce(
+        load_table(spark, sf_dir, "embeddings"), QUERY_IDS, k=TOP_K
+    ).orderBy("query_id", "rank")
+
+
+SIMSEARCH_TOPK_SQL = f"""
+WITH u AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+), q AS (
+  SELECT vec_id AS query_id, v AS qv FROM u WHERE vec_id < 10
+), scored AS (
+  SELECT q.query_id, u.vec_id AS neighbor_id,
+         list_cosine_similarity(q.qv, u.v) AS cosine
+  FROM q JOIN u ON u.vec_id <> q.query_id
+), ranked AS (
+  SELECT query_id, neighbor_id,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY cosine DESC, neighbor_id ASC) AS rank
+  FROM scored
+)
+SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank
+FROM ranked WHERE rank <= {TOP_K}
+ORDER BY query_id, rank
+"""
+
+
+def simsearch_topk_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Arrow/BLAS exact path (mapInPandas + broadcast query matrix +
+    per-batch partial top-k) — must produce the same answer as the JVM
+    brute-force path, so it shares that oracle."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = [
+        (r["vec_id"], list(r["embedding"]))
+        for r in emb.filter(emb.vec_id.isin(QUERY_IDS)).collect()
+    ]
+    return S.cosine_topk_pandas(emb, queries, k=TOP_K).orderBy("query_id", "rank")
+
+
+def simsearch_ann_srp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate top-k via sign-random-projection buckets — candidates
+    restricted to the query's bucket, so recall < 1 by design: rows-only
+    check (no oracle); recall is asserted in unit tests."""
+    return S.cosine_topk_srp(
+        load_table(spark, sf_dir, "embeddings"),
+        QUERY_IDS,
+        k=TOP_K,
+        n_planes=6,
+    ).orderBy("query_id", "rank")
+
+
+def embedding_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vector norms aggregated per label: norm is an exact left-fold +
+    IEEE sqrt; the group average goes through decimal accumulation."""
+    from pyspark.sql import functions as F
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    v = F.col("embedding").cast("array<double>")
+    norm = F.sqrt(S.dot(v, v))
+    return (
+        emb.select("label", norm.alias("__norm"))
+        .groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n_vectors"),
+            F.expr("cast(sum(cast(__norm as decimal(28,8))) as double) / count(*)").alias(
+                "avg_norm"
+            ),
+        )
+        .orderBy("label")
+    )
+
+
+EMBEDDING_STATS_SQL = """
+WITH n AS (
+  SELECT label,
+         sqrt(list_aggregate(list_transform(embedding::DOUBLE[], x -> x * x), 'sum'))
+           AS nrm
+  FROM embeddings
+)
+SELECT label, COUNT(*) AS n_vectors,
+       CAST(SUM(CAST(nrm AS DECIMAL(28,8))) AS DOUBLE) / COUNT(*) AS avg_norm
+FROM n GROUP BY label ORDER BY label
+"""
+
+
+QUERIES: dict[str, QuerySpec] = {
+    "simsearch_topk": QuerySpec(simsearch_topk, SIMSEARCH_TOPK_SQL, bench=True),
+    "simsearch_topk_arrow": QuerySpec(simsearch_topk_arrow, SIMSEARCH_TOPK_SQL),
+    "simsearch_ann_srp": QuerySpec(simsearch_ann_srp, None),
+    "embedding_stats": QuerySpec(embedding_stats, EMBEDDING_STATS_SQL),
+}

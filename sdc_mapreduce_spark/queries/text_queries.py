@@ -1,0 +1,166 @@
+"""Text-analysis queries over the documents table (functions.text)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from sdc_mapreduce_spark.catalog import load_table
+from sdc_mapreduce_spark.functions import text as T
+from sdc_mapreduce_spark.queries.base import QuerySpec
+
+
+def _stop_list_sql() -> str:
+    return ", ".join(f"'{w}'" for w in T.STOPWORDS)
+
+
+def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return T.token_stats(load_table(spark, sf_dir, "documents"))
+
+
+TEXT_TOKEN_STATS_SQL = f"""
+SELECT doc_id,
+       CAST(len(string_split_regex(trim(text), '\\s+')) AS INT) AS n_tokens,
+       CAST(len(list_distinct(string_split_regex(trim(text), '\\s+'))) AS INT)
+         AS n_unique_tokens,
+       CAST(len(regexp_extract_all(text, '{T.BPE_ISH_PATTERN}')) AS INT) AS n_bpe_tokens,
+       CAST(length(text) AS INT) AS n_chars_actual
+FROM documents
+"""
+
+
+def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return T.quality_features(load_table(spark, sf_dir, "documents"))
+
+
+TEXT_QUALITY_SQL = f"""
+WITH t AS (
+  SELECT doc_id,
+         string_split_regex(trim(text), '\\s+') AS toks,
+         length(text) AS n_chars,
+         length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS alpha_chars
+  FROM documents
+), feat AS (
+  SELECT doc_id,
+         CAST(len(toks) AS INT) AS n_tokens,
+         len(list_filter(toks, x -> x IN ({_stop_list_sql()}))) / len(toks)
+           AS stopword_ratio,
+         alpha_chars / n_chars AS alpha_ratio,
+         (n_chars - (len(toks) - 1)) / len(toks) AS mean_token_len
+  FROM t
+)
+SELECT doc_id, n_tokens, stopword_ratio, alpha_ratio, mean_token_len,
+       alpha_ratio * 0.5
+       + LEAST(stopword_ratio * 4.0, 1.0) * 0.3
+       + LEAST(mean_token_len / 8.0, 1.0) * 0.2 AS quality_score
+FROM feat
+"""
+
+
+def text_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return T.language_id(load_table(spark, sf_dir, "documents"))
+
+
+def _lang_scores_sql() -> tuple[str, str]:
+    score_exprs = []
+    langs = sorted(T.LANG_MARKERS)
+    for lang in langs:
+        markers = ", ".join(f"'{m}'" for m in T.LANG_MARKERS[lang])
+        score_exprs.append(
+            f"CAST(len(list_filter(toks, x -> x IN ({markers}))) AS INT) AS score_{lang}"
+        )
+    case = " ".join(
+        f"WHEN score_{lang} = best THEN '{lang}'" for lang in langs
+    )
+    return ",\n       ".join(score_exprs), case
+
+
+_SCORES, _CASE = _lang_scores_sql()
+
+TEXT_LANG_SQL = f"""
+WITH t AS (
+  SELECT doc_id, lang AS lang_declared,
+         string_split_regex(trim(text), '\\s+') AS toks
+  FROM documents
+), scored AS (
+  SELECT doc_id, lang_declared,
+       {_SCORES}
+  FROM t
+), best AS (
+  SELECT *, GREATEST(score_de, score_en, score_es, score_fr, score_zh) AS best
+  FROM scored
+)
+SELECT doc_id, lang_declared, score_de, score_en, score_es, score_fr, score_zh,
+       CASE WHEN best > 0 THEN CASE {_CASE} END ELSE 'und' END AS lang_pred
+FROM best
+"""
+
+
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return T.fingerprint_md5(load_table(spark, sf_dir, "documents"))
+
+
+TEXT_FINGERPRINT_SQL = """
+SELECT doc_id,
+       md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fingerprint
+FROM documents
+"""
+
+
+def text_rolling_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-sensitive rolling hash — xxhash64-based, so no SQL oracle
+    (DuckDB has no xxhash64); correctness covered by unit tests against a
+    reference Python implementation."""
+    return T.rolling_fingerprint(load_table(spark, sf_dir, "documents"))
+
+
+def text_top_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return T.top_ngrams(load_table(spark, sf_dir, "documents"), n=2, k=20)
+
+
+TEXT_BIGRAMS_SQL = """
+WITH t AS (
+  SELECT string_split_regex(trim(text), '\\s+') AS toks FROM documents
+), g AS (
+  SELECT UNNEST([toks[i] || ' ' || toks[i+1] FOR i IN range(1, len(toks))]) AS ngram
+  FROM t WHERE len(toks) >= 2
+)
+SELECT ngram, COUNT(*) AS cnt
+FROM g GROUP BY ngram
+ORDER BY cnt DESC, ngram ASC
+LIMIT 20
+"""
+
+
+def multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-column metadata surface: payload byte length + checksum over a
+    synthesized media table (multimodal.synthesize_media). The decode stubs
+    are exercised in tests; this checks the binary plumbing itself."""
+    from sdc_mapreduce_spark.multimodal import synthesize_media
+
+    media = synthesize_media(load_table(spark, sf_dir, "documents"))
+    return media.select(
+        "media_id",
+        "kind",
+        media["meta.n_bytes"].alias("n_bytes"),
+        media["meta.checksum"].alias("checksum"),
+    )
+
+
+MULTIMODAL_META_SQL = """
+SELECT doc_id AS media_id,
+       CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
+       CAST(strlen(text) AS BIGINT) AS n_bytes,
+       md5(text) AS checksum
+FROM documents
+"""
+
+
+QUERIES: dict[str, QuerySpec] = {
+    "text_token_stats": QuerySpec(text_token_stats, TEXT_TOKEN_STATS_SQL),
+    "text_quality": QuerySpec(text_quality, TEXT_QUALITY_SQL, bench=True),
+    "text_language_id": QuerySpec(text_language_id, TEXT_LANG_SQL),
+    "text_fingerprint": QuerySpec(text_fingerprint, TEXT_FINGERPRINT_SQL),
+    "text_rolling_fingerprint": QuerySpec(text_rolling_fingerprint, None),
+    "text_top_bigrams": QuerySpec(text_top_bigrams, TEXT_BIGRAMS_SQL),
+    "multimodal_meta": QuerySpec(multimodal_meta, MULTIMODAL_META_SQL),
+}

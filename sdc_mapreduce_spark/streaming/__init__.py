@@ -1,0 +1,20 @@
+"""Structured Streaming surface (the reference has none — SURVEY.md §2.2):
+event-time windows with watermarks, streaming dedup, stateful sessionization."""
+
+from sdc_mapreduce_spark.streaming.events import (
+    EVENTS_DDL,
+    read_events_stream,
+    session_aggregate,
+    sliding_counts,
+    streaming_dedup,
+    tumbling_counts,
+)
+
+__all__ = [
+    "EVENTS_DDL",
+    "read_events_stream",
+    "session_aggregate",
+    "sliding_counts",
+    "streaming_dedup",
+    "tumbling_counts",
+]

@@ -1,0 +1,103 @@
+"""Streaming operators over the events schema (FIXTURES.md Group B).
+
+Batch and stream share one logical plan in Structured Streaming, so each
+operator here takes whatever DataFrame it is given — the tests drive them
+both from a file stream (``availableNow`` trigger) and from batch frames.
+
+Watermark policy (ours to define — the reference has no streaming at all):
+event-time = ``ts``; late rows older than the watermark delay are dropped;
+windowed aggregates emit in append mode once the watermark passes window
+end. State stores stay bounded because every stateful operator below is
+keyed by (window | user) x watermark — the requirement for unbounded-input
+deployments.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+EVENTS_DDL = (
+    "event_id long, ts timestamp_ntz, user_id long, event_type string, "
+    "value double, props string"
+)
+
+
+def read_events_stream(
+    spark: SparkSession, source_dir: str, max_files_per_trigger: int | None = None
+) -> DataFrame:
+    """File-based stream over json event batches (the replayable analog of a
+    Kafka topic; swapping in ``format('kafka')`` changes only this reader)."""
+    reader = (
+        spark.readStream.schema(EVENTS_DDL)
+        .format("json")
+    )
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    return reader.load(source_dir)
+
+
+def tumbling_counts(
+    events: DataFrame, window: str = "5 minutes", watermark: str = "10 minutes"
+) -> DataFrame:
+    """Tumbling event-time window: count + value sum per (window, type)."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("cnt"), F.sum("value").alias("sum_value"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "event_type",
+            "cnt",
+            "sum_value",
+        )
+    )
+
+
+def sliding_counts(
+    events: DataFrame,
+    window: str = "10 minutes",
+    slide: str = "5 minutes",
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Sliding event-time window (overlapping assignment)."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window, slide).alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .select(F.col("w.start").alias("window_start"), "event_type", "cnt")
+    )
+
+
+def session_aggregate(
+    events: DataFrame, gap: str = "30 minutes", watermark: str = "30 minutes"
+) -> DataFrame:
+    """Session windows: dynamic-length windows that close after ``gap`` of
+    per-user inactivity (``F.session_window`` — state bounded by watermark)."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap).alias("w"), "user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("value").alias("session_value"),
+        )
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+            "session_value",
+        )
+    )
+
+
+def streaming_dedup(
+    events: DataFrame, keys: list[str] | None = None, watermark: str = "10 minutes"
+) -> DataFrame:
+    """Streaming exact dedup on event id within the watermark horizon —
+    ``dropDuplicatesWithinWatermark`` keeps state only for the watermark
+    window, the bounded-state form of streaming dedup."""
+    return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
+        keys or ["event_id"]
+    )

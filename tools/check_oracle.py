@@ -1,0 +1,132 @@
+"""Local replica of the driver's correctness gate.
+
+Runs every ``__spark_entry__.queries()`` entry on Spark and its
+``oracle_sql()`` twin on DuckDB (same parquet tables registered as views),
+then compares row count, sorted column names, and an order-insensitive
+value hash (columns sorted by name, rows sorted by stringified tuple).
+
+Usage:
+    python tools/check_oracle.py [--sf-dir /root/testdata/sf0.01] [name ...]
+"""
+
+from __future__ import annotations
+
+import argparse
+import hashlib
+import math
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import duckdb
+
+from sdc_mapreduce_spark.catalog import TABLES, table_path
+from sdc_mapreduce_spark.session import get_spark
+
+
+def normalize_cell(v) -> str:
+    if v is None:
+        return "NULL"
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        return repr(v)
+    if isinstance(v, bytes):
+        return v.hex()
+    return str(v)
+
+
+def value_hash(cols: list[str], rows: list[tuple]) -> str:
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    canon = sorted("|".join(normalize_cell(r[i]) for i in order) for r in rows)
+    h = hashlib.sha256()
+    for line in canon:
+        h.update(line.encode())
+        h.update(b"\n")
+    return h.hexdigest()
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--sf-dir", default="/root/testdata/sf0.01")
+    ap.add_argument("names", nargs="*")
+    args = ap.parse_args()
+
+    import __spark_entry__ as entrymod
+
+    queries = entrymod.queries()
+    oracles = entrymod.oracle_sql()
+    names = args.names or list(queries)
+
+    spark = get_spark("check-oracle")
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{table_path(args.sf_dir, t)}')"
+        )
+
+    failures = []
+    for name in names:
+        fn = queries[name]
+        t0 = time.time()
+        try:
+            sdf = fn(spark, args.sf_dir)
+            scols = list(sdf.columns)
+            srows = [tuple(r) for r in sdf.collect()]
+        except Exception as exc:
+            msg = str(exc).splitlines()[0][:200]
+            print(f"  {name:32s} SPARK ERROR: {msg}")
+            failures.append(name)
+            continue
+        t_spark = time.time() - t0
+        if name not in oracles:
+            print(f"  {name:32s} rows={len(srows):7d}  (rows-only, no oracle)  [{t_spark:.1f}s]")
+            continue
+        t0 = time.time()
+        try:
+            dres = con.execute(oracles[name])
+            dcols = [d[0] for d in dres.description]
+            drows = dres.fetchall()
+        except Exception as exc:
+            msg = str(exc).splitlines()[0][:200]
+            print(f"  {name:32s} DUCKDB ERROR: {msg}")
+            failures.append(name)
+            continue
+        t_duck = time.time() - t0
+
+        problems = []
+        if len(srows) != len(drows):
+            problems.append(f"rowcount spark={len(srows)} duck={len(drows)}")
+        if sorted(scols) != sorted(dcols):
+            problems.append(f"cols spark={sorted(scols)} duck={sorted(dcols)}")
+        if not problems:
+            hs, hd = value_hash(scols, srows), value_hash(dcols, drows)
+            if hs != hd:
+                problems.append("value-hash mismatch")
+                so = sorted(range(len(scols)), key=lambda i: scols[i])
+                do = sorted(range(len(dcols)), key=lambda i: dcols[i])
+                sset = sorted(tuple(normalize_cell(r[i]) for i in so) for r in srows)
+                dset = sorted(tuple(normalize_cell(r[i]) for i in do) for r in drows)
+                for a, b in zip(sset, dset):
+                    if a != b:
+                        problems.append(f"  first diff:\n    spark={a}\n    duck ={b}")
+                        break
+        status = "OK " if not problems else "FAIL"
+        print(
+            f"  {name:32s} rows={len(srows):7d}  {status}  [spark {t_spark:.1f}s duck {t_duck:.1f}s]"
+        )
+        for p in problems:
+            print(f"      {p}")
+        if problems:
+            failures.append(name)
+
+    print()
+    print(f"{len(names) - len(failures)}/{len(names)} queries match; failures: {failures}")
+    spark.stop()
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
