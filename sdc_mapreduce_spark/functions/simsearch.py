@@ -169,15 +169,18 @@ def cosine_topk_srp(
     query_ids: list[int],
     k: int = 5,
     n_planes: int = 8,
+    multi_probe_bits: int = 1,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     dim: int = 64,
 ) -> DataFrame:
-    """Approximate top-k: restrict the search to the query's SRP bucket,
-    then exact cosine within it. Candidates per query ≈ corpus / 2^planes —
-    the joins are equi-joins on the bucket id, so the plan is
-    shuffle-bounded, never all-pairs. Recall is tunable via n_planes
-    (fewer planes = bigger buckets = higher recall)."""
+    """Approximate top-k: restrict the search to the query's SRP bucket
+    (plus, with multi-probe, every bucket within ``multi_probe_bits`` bit
+    flips — near-boundary neighbors land one sign flip away), then exact
+    cosine within the probed buckets. Candidates per query ≈
+    corpus * (1 + planes) / 2^planes — equi-joins on the bucket id, so the
+    plan is shuffle-bounded, never all-pairs. Recall tunes via n_planes
+    (fewer planes = bigger buckets) and multi_probe_bits."""
     planes = _hyperplanes(dim, n_planes)
     v = _as_double(F.col(vec_col))
     n = l2_norm(v)
@@ -185,13 +188,24 @@ def cosine_topk_srp(
         F.col(id_col),
         F.transform(v, lambda x: x / n).alias("__unit"),
     ).withColumn("__bucket", srp_bucket(F.col("__unit"), planes))
-    queries = prepared.filter(F.col(id_col).isin(query_ids)).select(
-        F.col(id_col).alias("query_id"),
-        F.col("__unit").alias("__qunit"),
-        F.col("__bucket"),
+    probes = [F.col("__bucket")]
+    if multi_probe_bits >= 1:
+        probes += [
+            F.col("__bucket").bitwiseXOR(F.lit(1 << i).cast("long"))
+            for i in range(n_planes)
+        ]
+    queries = (
+        prepared.filter(F.col(id_col).isin(query_ids))
+        .select(
+            F.col(id_col).alias("query_id"),
+            F.col("__unit").alias("__qunit"),
+            F.explode(F.array(*probes)).alias("__bucket"),
+        )
     )
-    cands = prepared.join(F.broadcast(queries), "__bucket").filter(
-        F.col(id_col) != F.col("query_id")
+    cands = (
+        prepared.join(F.broadcast(queries), "__bucket")
+        .filter(F.col(id_col) != F.col("query_id"))
+        .dropDuplicates(["query_id", id_col])
     )
     scored = cands.select(
         "query_id",

@@ -155,10 +155,15 @@ def top_ngrams(df: DataFrame, n: int = 2, k: int = 20, text_col: str = "text") -
     with a transform over token positions (no Python), explode, count, top-k.
     Partial aggregation keeps the shuffle at distinct-n-gram cardinality."""
     t = tokens(text_col)
-    grams = F.transform(
-        F.sequence(F.lit(0), F.size(t) - n),
-        lambda i: F.concat_ws(" ", *[F.element_at(t, i + j + 1) for j in range(n)]),
-    )
+    # Guard short docs: sequence(0, size-n) runs *descending* when size < n,
+    # which would hit invalid element_at indexes under ANSI mode.
+    grams = F.when(
+        F.size(t) >= n,
+        F.transform(
+            F.sequence(F.lit(0), F.size(t) - n),
+            lambda i: F.concat_ws(" ", *[F.element_at(t, i + j + 1) for j in range(n)]),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
     return (
         df.select(F.explode(grams).alias("ngram"))
         .groupBy("ngram")

@@ -17,8 +17,11 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+# Watermarks require TIMESTAMP (with local time zone); the session pins
+# spark.sql.session.timeZone=UTC so wall-clock values agree with the
+# TIMESTAMP_NTZ batch twins read from parquet.
 EVENTS_DDL = (
-    "event_id long, ts timestamp_ntz, user_id long, event_type string, "
+    "event_id long, ts timestamp, user_id long, event_type string, "
     "value double, props string"
 )
 

@@ -1,0 +1,128 @@
+"""Dedup operators: exact Jaccard against a pure-Python reference, LSH
+against exhaustive, SimHash properties, rolling fingerprint fold."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from sdc_mapreduce_spark.catalog import load_table
+from sdc_mapreduce_spark.functions import dedup as D
+from sdc_mapreduce_spark.functions.text import rolling_fingerprint
+
+
+def _python_shingles(text: str, n: int = 3) -> set[str]:
+    toks = text.strip().split()
+    if len(toks) < n:
+        return {" ".join(toks)}
+    return {" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)}
+
+
+def _python_jaccard_pairs(rows, n=3, threshold=0.8):
+    sets = {r[0]: _python_shingles(r[1], n) for r in rows}
+    out = set()
+    ids = sorted(sets)
+    for i, a in enumerate(ids):
+        for b in ids[i + 1 :]:
+            inter = len(sets[a] & sets[b])
+            union = len(sets[a] | sets[b])
+            if union and inter / union >= threshold:
+                out.add((a, b))
+    return out
+
+
+def test_jaccard_pairs_vs_python(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents").limit(120).cache()
+    rows = [(r["doc_id"], r["text"]) for r in docs.collect()]
+    expected = _python_jaccard_pairs(rows, threshold=0.5)
+    got = {
+        (r["id_a"], r["id_b"])
+        for r in D.jaccard_pairs(docs, n=3, threshold=0.5).collect()
+    }
+    assert got == expected
+
+
+def test_minhash_lsh_equals_exhaustive(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    exact = {
+        (r["id_a"], r["id_b"])
+        for r in D.jaccard_pairs(docs, n=3, threshold=0.8).collect()
+    }
+    lsh = {
+        (r["id_a"], r["id_b"])
+        for r in D.minhash_lsh_pairs(
+            docs, num_hashes=128, bands=32, threshold=0.8
+        ).collect()
+    }
+    assert lsh == exact
+    assert len(exact) > 0  # fixture has planted near-dups
+
+
+def test_exact_dedup_counts(spark):
+    df = spark.createDataFrame(
+        [(1, "same text"), (2, "same text"), (3, "other"), (4, "same text")],
+        ["doc_id", "text"],
+    )
+    got = {r["doc_id"]: r["n_copies"] for r in D.exact_dedup(df).collect()}
+    assert got == {1: 3, 3: 1}
+
+
+def test_normalized_dedup(spark):
+    df = spark.createDataFrame(
+        [(1, "Hello   World"), (2, "hello world "), (3, "different")],
+        ["doc_id", "text"],
+    )
+    got = {r["doc_id"]: r["n_copies"] for r in D.normalized_dedup(df).collect()}
+    assert got == {1: 2, 3: 1}
+
+
+def test_simhash_properties(spark):
+    base = "spark is a unified analytics engine for large scale data processing"
+    near = base.replace("unified", "unified modern")  # small edit
+    far = "completely unrelated words about cooking pasta and tomato sauce recipes"
+    df = spark.createDataFrame(
+        [(1, base), (2, base), (3, near), (4, far)], ["doc_id", "text"]
+    )
+    sigs = {r["doc_id"]: r["simhash"] for r in D.simhash_signatures(df).collect()}
+    assert sigs[1] == sigs[2]  # determinism: identical text, identical sig
+
+    def hamming(a, b):
+        return bin((a ^ b) & (2**64 - 1)).count("1")
+
+    assert hamming(sigs[1], sigs[3]) < hamming(sigs[1], sigs[4])
+
+
+def test_simhash_near_pairs_finds_planted(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = D.simhash_near_pairs(docs, max_hamming=3)
+    got = {(r["id_a"], r["id_b"]) for r in pairs.collect()}
+    # SimHash(hamming<=3) and 3-gram Jaccard(>=0.8) are different similarity
+    # spaces; require overlap on the planted near-dups, not equality.
+    exact = {
+        (r["id_a"], r["id_b"])
+        for r in D.jaccard_pairs(docs, n=3, threshold=0.9).collect()
+    }
+    assert exact & got, "simhash found none of the high-jaccard planted pairs"
+
+
+def test_rolling_fingerprint_fold(spark):
+    """Spark-side fold == Python fold over the same xxhash64 token values."""
+    df = spark.createDataFrame(
+        [(1, "alpha beta gamma delta")], ["doc_id", "text"]
+    )
+    tok_hashes = [
+        r["h"]
+        for r in spark.createDataFrame(
+            [("alpha",), ("beta",), ("gamma",), ("delta",)], ["t"]
+        )
+        .select(F.xxhash64("t").alias("h"))
+        .collect()
+    ]
+    m, p, acc = 2147483647, 1000003, 0
+    for h in tok_hashes:
+        acc = (acc * p + (h % m)) % m
+    got = rolling_fingerprint(df).collect()[0]["rolling_fp"]
+    assert got == acc
+
+    # order sensitivity
+    df2 = spark.createDataFrame([(1, "delta gamma beta alpha")], ["doc_id", "text"])
+    assert rolling_fingerprint(df2).collect()[0]["rolling_fp"] != acc

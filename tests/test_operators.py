@@ -1,0 +1,98 @@
+"""Composite operators: as-of join and time-range join verified against
+hand-computed expectations and naive (non-equi) reference joins."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from pyspark.sql import functions as F
+
+from sdc_mapreduce_spark.operators.relational import (
+    asof_join,
+    range_join_time,
+    top_k,
+    top_k_per_group,
+)
+
+
+def ts(minute: int, second: int = 0):
+    return dt.datetime(2024, 1, 1, 10, minute, second)
+
+
+def test_asof_join_backward(spark):
+    left = spark.createDataFrame(
+        [(1, ts(10), "L1"), (1, ts(20), "L2"), (2, ts(15), "L3"), (3, ts(5), "L4")],
+        "k int, t timestamp_ntz, lv string",
+    )
+    right = spark.createDataFrame(
+        [(1, ts(8), "R1"), (1, ts(12), "R2"), (2, ts(15), "R3"), (2, ts(30), "R4")],
+        "k int, t timestamp_ntz, rv string",
+    )
+    out = asof_join(
+        left, right, on="k", left_time="t", right_time="t", right_value_cols=["rv"]
+    )
+    got = {(r["k"], r["lv"]): r["rv"] for r in out.collect()}
+    assert got == {
+        (1, "L1"): "R1",   # 10:10 -> latest right <= is R1@10:08
+        (1, "L2"): "R2",   # 10:20 -> R2@10:12
+        (2, "L3"): "R3",   # equal timestamps match (inclusive)
+        (3, "L4"): None,   # no right rows for key 3
+    }
+
+
+def test_asof_join_forward(spark):
+    left = spark.createDataFrame([(1, ts(10), "L1")], "k int, t timestamp_ntz, lv string")
+    right = spark.createDataFrame(
+        [(1, ts(9), "early"), (1, ts(11), "next"), (1, ts(12), "later")],
+        "k int, t timestamp_ntz, rv string",
+    )
+    out = asof_join(
+        left,
+        right,
+        on="k",
+        left_time="t",
+        right_time="t",
+        right_value_cols=["rv"],
+        direction="forward",
+    )
+    assert out.collect()[0]["rv"] == "next"
+
+
+def test_range_join_matches_naive(spark, sf_dir):
+    """Bucketed range join == naive non-equi join on the events fixture."""
+    from sdc_mapreduce_spark.catalog import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    a = ev.filter(F.col("event_type") == "error").select(
+        F.col("event_id").alias("aid"), "user_id", F.col("ts")
+    )
+    b = ev.filter(F.col("event_type") == "view").select(
+        F.col("event_id").alias("bid"), F.col("user_id").alias("user_id_b"),
+        F.col("ts").alias("bts"),
+    )
+    bucketed = range_join_time(
+        a, b.withColumnRenamed("user_id_b", "user_id"),
+        on="user_id", left_time="ts", right_time="bts",
+        lower_seconds=0, upper_seconds=1800,
+    ).select("aid", "bid")
+    naive = (
+        a.join(b, (F.col("user_id") == F.col("user_id_b")))
+        .filter(
+            (F.col("bts") >= F.col("ts"))
+            & (F.col("bts") <= F.col("ts") + F.expr("INTERVAL '1800' SECOND"))
+        )
+        .select("aid", "bid")
+    )
+    assert sorted(map(tuple, bucketed.collect())) == sorted(map(tuple, naive.collect()))
+    assert bucketed.count() > 0
+
+
+def test_top_k_and_per_group(spark):
+    df = spark.createDataFrame(
+        [(g, i, g * 100 + i) for g in range(3) for i in range(10)], "g int, i int, v int"
+    )
+    top = top_k(df, [F.col("v").desc()], 5)
+    assert [r["v"] for r in top.collect()] == [209, 208, 207, 206, 205]
+    per = top_k_per_group(df, ["g"], [F.col("v").desc()], 2)
+    got = sorted((r["g"], r["v"]) for r in per.collect())
+    assert got == [(0, 8), (0, 9), (1, 108), (1, 109), (2, 208), (2, 209)]

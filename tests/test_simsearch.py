@@ -1,0 +1,80 @@
+"""Similarity search: JVM brute force vs numpy reference, Arrow path parity,
+SRP ANN recall bound."""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import functions as F
+
+from sdc_mapreduce_spark.catalog import load_table
+from sdc_mapreduce_spark.functions import simsearch as S
+
+QUERY_IDS = [0, 1, 2, 3, 4]
+K = 5
+
+
+def _numpy_topk(rows, query_ids, k):
+    ids = np.array([r[0] for r in rows])
+    V = np.asarray([r[1] for r in rows], dtype=np.float64)
+    V = V / np.linalg.norm(V, axis=1, keepdims=True)
+    by_id = {int(i): V[n] for n, i in enumerate(ids)}
+    out = {}
+    for q in query_ids:
+        sims = V @ by_id[q]
+        order = sorted(
+            ((float(s), int(i)) for s, i in zip(sims, ids) if int(i) != q),
+            key=lambda t: (-t[0], t[1]),
+        )
+        out[q] = [i for _, i in order[:k]]
+    return out
+
+
+def test_bruteforce_matches_numpy(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings").cache()
+    rows = [(r["vec_id"], list(r["embedding"])) for r in emb.collect()]
+    expected = _numpy_topk(rows, QUERY_IDS, K)
+    got: dict[int, list[int]] = {q: [None] * K for q in QUERY_IDS}
+    for r in S.cosine_topk_bruteforce(emb, QUERY_IDS, k=K).collect():
+        got[r["query_id"]][r["rank"] - 1] = r["neighbor_id"]
+    assert got == expected
+
+
+def test_arrow_path_matches_jvm_path(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings").cache()
+    queries = [
+        (r["vec_id"], list(r["embedding"]))
+        for r in emb.filter(F.col("vec_id").isin(QUERY_IDS)).collect()
+    ]
+    jvm = sorted(map(tuple, S.cosine_topk_bruteforce(emb, QUERY_IDS, k=K).collect()))
+    arrow = sorted(map(tuple, S.cosine_topk_pandas(emb, queries, k=K).collect()))
+    assert jvm == arrow
+
+
+def test_srp_ann_recall(spark, sf_dir):
+    """Bucketed ANN with few planes must recover a reasonable fraction of
+    the true top-k (recall ≥ 0.2 on random vectors with 4 planes — loose
+    bound, the point is the plumbing returns real neighbors)."""
+    emb = load_table(spark, sf_dir, "embeddings").cache()
+    exact = {
+        (r["query_id"], r["neighbor_id"])
+        for r in S.cosine_topk_bruteforce(emb, QUERY_IDS, k=K).collect()
+    }
+    approx = {
+        (r["query_id"], r["neighbor_id"])
+        for r in S.cosine_topk_srp(emb, QUERY_IDS, k=K, n_planes=4).collect()
+    }
+    assert len(approx & exact) / len(exact) >= 0.2
+
+
+def test_embedding_near_pairs_symmetric_threshold(spark):
+    rows = [
+        (1, [1.0, 0.0, 0.0, 0.0]),
+        (2, [0.999, 0.04, 0.0, 0.0]),   # ~1.0 cosine with 1
+        (3, [0.0, 1.0, 0.0, 0.0]),      # orthogonal
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    got = {
+        (r["id_a"], r["id_b"])
+        for r in S.embedding_near_pairs(df, threshold=0.9).collect()
+    }
+    assert got == {(1, 2)}

@@ -1,0 +1,111 @@
+"""Structured Streaming: file-source streams driven with availableNow
+triggers into memory sinks; streaming results must match the batch twins."""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from sdc_mapreduce_spark.catalog import load_table
+from sdc_mapreduce_spark.streaming import (
+    read_events_stream,
+    session_aggregate,
+    streaming_dedup,
+    tumbling_counts,
+)
+
+
+@pytest.fixture(scope="module")
+def events_json_dir(spark, sf_dir, tmp_path_factory):
+    """Materialize the events fixture as json files (a replayable stream)."""
+    out = str(tmp_path_factory.mktemp("events_stream"))
+    ev = load_table(spark, sf_dir, "events")
+    ev.select(
+        "event_id",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("ts"),
+        "user_id",
+        "event_type",
+        "value",
+        "props",
+    ).repartition(4).write.mode("overwrite").json(out)
+    return out
+
+
+def _run_to_memory(df, name: str, output_mode: str = "append"):
+    q = (
+        df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    return q
+
+
+def test_tumbling_counts_match_batch(spark, sf_dir, events_json_dir):
+    stream = read_events_stream(spark, events_json_dir)
+    assert stream.isStreaming
+    _run_to_memory(tumbling_counts(stream), "tumbling_out", "append")
+    got = {
+        (r["window_start"], r["event_type"]): (r["cnt"], round(r["sum_value"], 6))
+        for r in spark.sql("select * from tumbling_out").collect()
+    }
+    ev = load_table(spark, sf_dir, "events")
+    batch = (
+        ev.groupBy(F.window("ts", "5 minutes").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("cnt"), F.sum("value").alias("sum_value"))
+        .select(F.col("w.start").alias("ws"), "event_type", "cnt", "sum_value")
+    )
+    expected = {
+        (r["ws"], r["event_type"]): (r["cnt"], round(r["sum_value"], 6))
+        for r in batch.collect()
+    }
+    # append mode only emits windows the watermark has passed; every emitted
+    # window must match the batch result, and most windows must be emitted
+    # (only the trailing watermark horizon may be withheld).
+    assert got
+    for key, val in got.items():
+        assert expected[key] == val
+    assert len(got) >= len(expected) * 0.9
+
+
+def test_streaming_dedup_drops_duplicates(spark, events_json_dir, tmp_path):
+    # double the stream: copy the json files so every event appears twice
+    dup_dir = str(tmp_path / "dup")
+    os.makedirs(dup_dir)
+    n = 0
+    for fname in os.listdir(events_json_dir):
+        if not fname.endswith(".json"):
+            continue
+        src = os.path.join(events_json_dir, fname)
+        for copy in ("a", "b"):
+            with open(src) as fh, open(
+                os.path.join(dup_dir, f"{copy}_{fname}"), "w"
+            ) as out:
+                out.write(fh.read())
+        n += 1
+    assert n > 0
+    stream = read_events_stream(spark, dup_dir)
+    _run_to_memory(streaming_dedup(stream), "dedup_out", "append")
+    rows = spark.sql("select event_id, count(*) c from dedup_out group by 1").collect()
+    assert rows, "dedup emitted nothing"
+    assert all(r["c"] == 1 for r in rows), "duplicates survived streaming dedup"
+
+
+def test_session_aggregate_runs(spark, events_json_dir):
+    stream = read_events_stream(spark, events_json_dir)
+    _run_to_memory(session_aggregate(stream), "sessions_out", "append")
+    rows = spark.sql("select * from sessions_out").collect()
+    assert rows
+    assert all(r["session_end"] >= r["session_start"] for r in rows)
+    assert all(r["n_events"] >= 1 for r in rows)
+
+
+def test_json_roundtrip_preserves_schema(spark, events_json_dir):
+    stream = read_events_stream(spark, events_json_dir)
+    assert dict(stream.dtypes)["ts"] == "timestamp"
+    assert dict(stream.dtypes)["value"] == "double"

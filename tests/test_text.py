@@ -1,0 +1,61 @@
+"""Text-analysis functions: targeted semantics checks (the bulk of coverage
+is the DuckDB oracle gate — tools/check_oracle.py)."""
+
+from __future__ import annotations
+
+from sdc_mapreduce_spark.functions import text as T
+
+
+def test_token_stats_counts(spark):
+    df = spark.createDataFrame([(1, "a b b c", "en", "s", 7)],
+                               ["doc_id", "text", "lang", "source", "n_chars"])
+    r = T.token_stats(df).collect()[0]
+    assert (r["n_tokens"], r["n_unique_tokens"], r["n_chars_actual"]) == (4, 3, 7)
+
+
+def test_bpe_ish_tokens(spark):
+    df = spark.createDataFrame([(1, "hello world42 x-y!", "en", "s", 0)],
+                               ["doc_id", "text", "lang", "source", "n_chars"])
+    r = T.token_stats(df).collect()[0]
+    # 'hello', ' world', '42', ' x', '-', 'y', '!'
+    assert r["n_bpe_tokens"] == 7
+
+
+def test_language_id_markers(spark):
+    rows = [
+        (1, "the cat and the dog is here", "en", "s", 0),
+        (2, "le chat et la maison est le", "fr", "s", 0),
+        (3, "der hund und die katze ist", "de", "s", 0),
+        (4, "qqq www eee", "xx", "s", 0),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text", "lang", "source", "n_chars"])
+    got = {r["doc_id"]: r["lang_pred"] for r in T.language_id(df).collect()}
+    assert got == {1: "en", 2: "fr", 3: "de", 4: "und"}
+
+
+def test_fingerprint_normalization(spark):
+    df = spark.createDataFrame(
+        [(1, "Hello   World", "en", "s", 0), (2, " hello world", "en", "s", 0)],
+        ["doc_id", "text", "lang", "source", "n_chars"],
+    )
+    fps = [r["fingerprint"] for r in T.fingerprint_md5(df).collect()]
+    assert fps[0] == fps[1]
+
+
+def test_quality_score_ranges(spark, sf_dir):
+    from sdc_mapreduce_spark.catalog import load_table
+
+    docs = load_table(spark, sf_dir, "documents").limit(50)
+    rows = T.quality_features(docs).collect()
+    assert all(0.0 <= r["quality_score"] <= 1.0001 for r in rows)
+    assert all(0.0 <= r["alpha_ratio"] <= 1.0 for r in rows)
+
+
+def test_top_ngrams_short_doc_guard(spark):
+    df = spark.createDataFrame(
+        [(1, "single", "en", "s", 0), (2, "two words two words", "en", "s", 0)],
+        ["doc_id", "text", "lang", "source", "n_chars"],
+    )
+    rows = T.top_ngrams(df, n=2, k=10).collect()
+    got = {r["ngram"]: r["cnt"] for r in rows}
+    assert got == {"two words": 2, "words two": 1}
