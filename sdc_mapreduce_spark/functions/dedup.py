@@ -119,17 +119,32 @@ def minhash_signatures(
     text_col: str = "text",
     id_col: str = "doc_id",
 ) -> DataFrame:
-    """MinHash signatures: K = num_hashes parallel ``min(xxhash64(seed_i ||
-    shingle))`` aggregates over exploded shingles — one shuffle keyed by doc
-    id, signature built entirely JVM-side."""
-    inv = shingle_sets(df, n=n, text_col=text_col, id_col=id_col).select(
-        id_col, F.explode("shingles").alias("__shingle")
+    """MinHash signatures: K = num_hashes values of ``min(xxhash64(seed_i ||
+    shingle))`` per document, computed as ``array_min(transform(shingles,
+    ...))`` over the per-doc shingle array — a narrow map-side projection
+    with ZERO shuffle (the explode + 64-way-min-aggregate formulation costs
+    a docs x shingles shuffle that this avoids entirely; at 100 TB the
+    signature stage is then pure scan throughput)."""
+    sets = shingle_sets(df, n=n, text_col=text_col, id_col=id_col)
+    return _signatures_from_sets(sets, num_hashes=num_hashes, id_col=id_col).drop(
+        "shingles"
     )
-    aggs = [
-        F.min(F.xxhash64(F.lit(i), F.col("__shingle"))).alias(f"mh_{i}")
-        for i in range(num_hashes)
-    ]
-    return inv.groupBy(id_col).agg(*aggs)
+
+
+def _signatures_from_sets(
+    sets: DataFrame, num_hashes: int = 64, id_col: str = "doc_id"
+) -> DataFrame:
+    """(id, shingles) → (id, shingles, mh_0..mh_{K-1}), map-side only."""
+
+    # NOTE: the lambda must take exactly ONE argument — a two-arg lambda is
+    # interpreted by F.transform as the (element, index) form, which would
+    # silently bind the seed to the array index instead.
+    def seeded_min(i: int):
+        return F.array_min(
+            F.transform("shingles", lambda s: F.xxhash64(F.lit(i), s))
+        ).alias(f"mh_{i}")
+
+    return sets.select(id_col, "shingles", *[seeded_min(i) for i in range(num_hashes)])
 
 
 def minhash_lsh_pairs(
@@ -151,9 +166,8 @@ def minhash_lsh_pairs(
     the two shingle sets). Returns (id_a, id_b, jaccard).
     """
     rows_per_band = num_hashes // bands
-    sigs = minhash_signatures(
-        df, num_hashes=num_hashes, n=n, text_col=text_col, id_col=id_col
-    )
+    sets = shingle_sets(df, n=n, text_col=text_col, id_col=id_col)
+    sigs = _signatures_from_sets(sets, num_hashes=num_hashes, id_col=id_col)
     band_rows = sigs.select(
         F.col(id_col).alias("__id"),
         F.explode(
@@ -179,9 +193,8 @@ def minhash_lsh_pairs(
         .distinct()
     )
 
-    sets = shingle_sets(df, n=n, text_col=text_col, id_col=id_col)
-    sa = sets.select(F.col(id_col).alias("id_a"), F.col("shingles").alias("__sh_a"))
-    sb = sets.select(F.col(id_col).alias("id_b"), F.col("shingles").alias("__sh_b"))
+    sa = sigs.select(F.col(id_col).alias("id_a"), F.col("shingles").alias("__sh_a"))
+    sb = sigs.select(F.col(id_col).alias("id_b"), F.col("shingles").alias("__sh_b"))
     verified = (
         cand.join(sa, "id_a")
         .join(sb, "id_b")
