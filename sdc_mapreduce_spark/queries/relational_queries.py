@@ -596,10 +596,161 @@ WHERE l_quantity >= 45 AND l_returnflag = 'R'
 """
 
 
+def q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape: EXISTS (left-semi against the fact table) feeding a
+    grouped count. The semi join shuffles both sides on orderkey; at scale
+    AQE converts it to a broadcast if the filtered lineitem side collapses."""
+    orders = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-07-01").cast("timestamp_ntz"))
+        & (F.col("o_orderdate") < F.lit("1996-10-01").cast("timestamp_ntz"))
+    )
+    # The synthetic lineitem has no commit/receipt dates; "late" is
+    # re-expressed as returned items (same EXISTS shape).
+    late = load_table(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    return (
+        orders.join(late, F.col("o_orderkey") == F.col("l_orderkey"), "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+        .orderBy("o_orderpriority")
+    )
+
+
+Q4_SQL = """
+SELECT o_orderpriority, COUNT(*) AS order_count
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '1996-07-01'
+  AND o_orderdate <  TIMESTAMP '1996-10-01'
+  AND EXISTS (SELECT 1 FROM lineitem
+              WHERE l_orderkey = o_orderkey AND l_returnflag = 'R')
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+"""
+
+
+def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 shape: pure scan-filter-aggregate, zero joins — the
+    pushdown showcase (all three predicates reach the parquet row-group
+    filter; ReadSchema is 4 columns)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp_ntz"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp_ntz"))
+            & (F.col("l_discount") >= 0.05)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(dsum("l_extendedprice * l_discount", "revenue", scale=4))
+    )
+
+
+Q6_SQL = f"""
+SELECT {sql_dsum('l_extendedprice * l_discount', 'revenue', 4)}
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+  AND l_shipdate <  TIMESTAMP '1997-01-01'
+  AND l_discount BETWEEN 0.05 AND 0.07
+  AND l_quantity < 24
+"""
+
+
+def q18_large_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape: HAVING over a fact aggregation, then joined back to
+    orders+customer. The heavy groupBy(orderkey) happens FIRST so the join
+    input is already reduced to the qualifying keys (tiny → broadcast)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(dsum("l_quantity", "sum_qty"))
+        .filter(F.col("sum_qty") > 250)
+    )
+    return (
+        orders.join(F.broadcast(big), F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .select("c_name", "c_custkey", "o_orderkey", "o_orderdate", "sum_qty")
+        .orderBy(F.col("sum_qty").desc(), F.col("o_orderkey").asc())
+    )
+
+
+Q18_SQL = f"""
+SELECT c_name, c_custkey, o_orderkey, o_orderdate, sum_qty
+FROM orders
+JOIN (SELECT l_orderkey, {sql_dsum('l_quantity', 'sum_qty')}
+      FROM lineitem GROUP BY l_orderkey
+      HAVING CAST(SUM(CAST(l_quantity AS DECIMAL(28,2))) AS DOUBLE) > 250) big
+  ON o_orderkey = big.l_orderkey
+JOIN customer ON o_custkey = c_custkey
+ORDER BY sum_qty DESC, o_orderkey ASC
+"""
+
+
+def agg_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact percentiles (continuous interpolation) of order value per
+    status — the sort-based exact form; at 100 TB swap to
+    ``approx_percentile`` (t-digest sketch, no global sort) and drop the
+    oracle to rows-only."""
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.groupBy("o_orderstatus")
+        .agg(
+            F.expr("round(percentile(o_totalprice, 0.25), 4)").alias("p25"),
+            F.expr("round(percentile(o_totalprice, 0.50), 4)").alias("p50"),
+            F.expr("round(percentile(o_totalprice, 0.75), 4)").alias("p75"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .orderBy("o_orderstatus")
+    )
+
+
+AGG_PERCENTILES_SQL = """
+SELECT o_orderstatus,
+       ROUND(QUANTILE_CONT(o_totalprice, 0.25), 4) AS p25,
+       ROUND(QUANTILE_CONT(o_totalprice, 0.50), 4) AS p50,
+       ROUND(QUANTILE_CONT(o_totalprice, 0.75), 4) AS p75,
+       COUNT(*) AS n
+FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus
+"""
+
+
+def subquery_above_nation_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated-subquery shape (customers above their nation's average
+    balance), decorrelated into a per-nation aggregate + broadcast join —
+    the plan Catalyst's RewriteCorrelatedScalarSubquery produces, written
+    explicitly so the 25-row aggregate side is guaranteed broadcast."""
+    cust = load_table(spark, sf_dir, "customer")
+    nation_avg = cust.groupBy(F.col("c_nationkey").alias("nk")).agg(
+        davg("c_acctbal", "nation_avg")
+    )
+    return (
+        cust.join(F.broadcast(nation_avg), F.col("c_nationkey") == F.col("nk"))
+        .filter(F.col("c_acctbal") > F.col("nation_avg"))
+        .select("c_custkey", "c_nationkey", "c_acctbal")
+    )
+
+
+SUBQUERY_NATION_AVG_SQL = f"""
+SELECT c_custkey, c_nationkey, c_acctbal
+FROM customer c
+JOIN (SELECT c_nationkey AS nk, {sql_davg('c_acctbal', 'nation_avg')}
+      FROM customer GROUP BY c_nationkey) na
+  ON c.c_nationkey = na.nk
+WHERE c_acctbal > nation_avg
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     "q1_pricing_summary": QuerySpec(q1_pricing_summary, Q1_SQL, bench=True),
     "q3_shipping_priority": QuerySpec(q3_shipping_priority, Q3_SQL, bench=True),
     "q5_local_supplier": QuerySpec(q5_local_supplier, Q5_SQL, bench=True),
+    "q4_order_priority": QuerySpec(q4_order_priority, Q4_SQL),
+    "q6_forecast_revenue": QuerySpec(q6_forecast_revenue, Q6_SQL, bench=True),
+    "q18_large_volume": QuerySpec(q18_large_volume, Q18_SQL, bench=True),
+    "agg_percentiles": QuerySpec(agg_percentiles, AGG_PERCENTILES_SQL),
+    "subquery_above_nation_avg": QuerySpec(
+        subquery_above_nation_avg, SUBQUERY_NATION_AVG_SQL
+    ),
     "join_inner": QuerySpec(join_inner, JOIN_INNER_SQL),
     "join_left_agg": QuerySpec(join_left_agg, JOIN_LEFT_SQL),
     "join_semi": QuerySpec(join_semi, JOIN_SEMI_SQL),

@@ -1,0 +1,60 @@
+"""Job control plane: FIFO ordering, status lifecycle, failure capture
+(SURVEY.md O17 / §3.1 — the reference's ZK job queue semantics)."""
+
+from __future__ import annotations
+
+import json
+
+from pyspark.sql import functions as F
+
+from sdc_mapreduce_spark import jobs as J
+
+
+def test_fifo_order_and_lifecycle(spark, tmp_path):
+    q = J.JobQueue(state_dir=str(tmp_path / "state"))
+    ran: list[int] = []
+
+    def plan(tag):
+        def _p(s):
+            ran.append(tag)
+            return s.range(3).select(F.col("id"))
+
+        return _p
+
+    j1 = q.submit(plan(1), name="first")
+    j2 = q.submit(plan(2), name="second")
+    assert q.status(j1) == J.CREATED and q.status(j2) == J.CREATED
+    # next_created scans in sequence order — the reference master's
+    # lowest-znode-first poll.
+    assert q.next_created().job_id == j1
+
+    n = J.JobRunner(spark, q).run_pending()
+    assert n == 2
+    assert ran == [1, 2]
+    assert q.status(j1) == J.COMPLETED and q.status(j2) == J.COMPLETED
+    assert q.job(j1).result_rows == 3
+    # Durable job-spec: one JSON per job, like the znode tree.
+    state = json.loads((tmp_path / "state" / "job_1.json").read_text())
+    assert state["status"] == "COMPLETED" and state["name"] == "first"
+
+
+def test_sink_and_failure(spark, tmp_path):
+    q = J.JobQueue()
+    out = tmp_path / "out"
+
+    def ok_plan(s):
+        return s.range(5).select(F.col("id").alias("key"), F.lit(1).alias("value"))
+
+    j_ok = q.submit(ok_plan, sink=lambda df: df.write.mode("overwrite").parquet(str(out)))
+
+    def bad_plan(s):
+        raise ValueError("boom")
+
+    j_bad = q.submit(bad_plan, name="bad")
+
+    J.JobRunner(spark, q).run_pending()
+    assert q.status(j_ok) == J.COMPLETED
+    assert spark.read.parquet(str(out)).count() == 5
+    # The reference stalls forever on failure (quirk Q7); we record FAILED.
+    assert q.status(j_bad) == J.FAILED
+    assert "boom" in q.job(j_bad).error
