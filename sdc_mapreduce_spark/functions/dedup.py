@@ -62,15 +62,20 @@ def shingle_sets(
     """Distinct token n-gram shingles per document: (id, shingles array).
     Documents shorter than n tokens get a single whole-text shingle so they
     still participate."""
-    t = tokens(text_col)
+    # Materialize the token array in its own projection first: higher-order
+    # lambdas are interpreted (not codegen'd), so referencing the split()
+    # expression inside the gram lambda would re-tokenize the document for
+    # every gram element. With a column reference the array is built once.
+    toked = df.select(F.col(id_col), tokens(text_col).alias("__t"))
+    t = F.col("__t")
     grams = F.when(
         F.size(t) >= n,
         F.transform(
-            F.sequence(F.lit(0), F.size(t) - n),
-            lambda i: F.concat_ws(" ", *[F.element_at(t, i + j + 1) for j in range(n)]),
+            F.sequence(F.lit(1), F.size(t) - n + 1),
+            lambda i: F.array_join(F.slice(t, i, n), " "),
         ),
-    ).otherwise(F.array(F.concat_ws(" ", t)))
-    return df.select(F.col(id_col), F.array_distinct(grams).alias("shingles"))
+    ).otherwise(F.array(F.array_join(t, " ")))
+    return toked.select(F.col(id_col), F.array_distinct(grams).alias("shingles"))
 
 
 def jaccard_pairs(
@@ -134,17 +139,30 @@ def minhash_signatures(
 def _signatures_from_sets(
     sets: DataFrame, num_hashes: int = 64, id_col: str = "doc_id"
 ) -> DataFrame:
-    """(id, shingles) → (id, shingles, mh_0..mh_{K-1}), map-side only."""
+    """(id, shingles) → (id, shingles, mh_0..mh_{K-1}), map-side only.
+
+    Each shingle string is hashed ONCE (xxhash64 of the text); the K seeded
+    hashes derive from that 8-byte base via xxhash64(seed, base) — fixed-
+    width rehashing is ~an order of magnitude cheaper than re-hashing the
+    string K times, and the family is still pairwise-independent enough for
+    MinHash collision estimates."""
+    based = sets.select(
+        id_col,
+        "shingles",
+        F.transform("shingles", lambda s: F.xxhash64(s)).alias("__base"),
+    )
 
     # NOTE: the lambda must take exactly ONE argument — a two-arg lambda is
     # interpreted by F.transform as the (element, index) form, which would
     # silently bind the seed to the array index instead.
     def seeded_min(i: int):
         return F.array_min(
-            F.transform("shingles", lambda s: F.xxhash64(F.lit(i), s))
+            F.transform("__base", lambda h: F.xxhash64(F.lit(i), h))
         ).alias(f"mh_{i}")
 
-    return sets.select(id_col, "shingles", *[seeded_min(i) for i in range(num_hashes)])
+    return based.select(
+        id_col, "shingles", *[seeded_min(i) for i in range(num_hashes)]
+    )
 
 
 def minhash_lsh_pairs(
@@ -166,7 +184,15 @@ def minhash_lsh_pairs(
     the two shingle sets). Returns (id_a, id_b, jaccard).
     """
     rows_per_band = num_hashes // bands
-    sets = shingle_sets(df, n=n, text_col=text_col, id_col=id_col)
+    # The shingle arrays feed three consumers (banding, and both sides of
+    # the verify join); persist so the tokenize+gram pass runs once. At
+    # scale this is the materialized "shingle table" stage of a dedup
+    # pipeline — MEMORY_AND_DISK spills gracefully.
+    from pyspark import StorageLevel
+
+    sets = shingle_sets(df, n=n, text_col=text_col, id_col=id_col).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
     sigs = _signatures_from_sets(sets, num_hashes=num_hashes, id_col=id_col)
     band_rows = sigs.select(
         F.col(id_col).alias("__id"),
@@ -193,10 +219,12 @@ def minhash_lsh_pairs(
         .distinct()
     )
 
-    sa = sigs.select(F.col(id_col).alias("id_a"), F.col("shingles").alias("__sh_a"))
-    sb = sigs.select(F.col(id_col).alias("id_b"), F.col("shingles").alias("__sh_b"))
+    sa = sets.select(F.col(id_col).alias("id_a"), F.col("shingles").alias("__sh_a"))
+    sb = sets.select(F.col(id_col).alias("id_b"), F.col("shingles").alias("__sh_b"))
+    # Candidates are a vanishing fraction of the corpus — broadcast them so
+    # the shingle table never shuffles for verification.
     verified = (
-        cand.join(sa, "id_a")
+        F.broadcast(cand).join(sa, "id_a")
         .join(sb, "id_b")
         .select(
             "id_a",

@@ -221,6 +221,91 @@ def cosine_topk_srp(
     ).select("query_id", "neighbor_id", "rank")
 
 
+def ivf_assignments(
+    corpus: DataFrame,
+    n_cells: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    fit_fraction: float = 1.0,
+) -> tuple[DataFrame, DataFrame]:
+    """IVF index build: KMeans centroids (fit on a sample at scale) + a cell
+    id per vector. Returns (assigned_corpus, centroids_df).
+
+    The centroid set is tiny (n_cells rows) and lives as a DataFrame so
+    probe selection stays a broadcast join — no driver-side vector math over
+    the corpus. At 100 TB: fit on ``fit_fraction`` ≪ 1, persist the model,
+    and write the assigned corpus bucketed by ``__cell`` so probes prune
+    files on read."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector, vector_to_array
+
+    prepared = with_unit_vectors(df=corpus, vec_col=vec_col, out_col="__unit")
+    feats = prepared.select(
+        F.col(id_col), array_to_vector(F.col("__unit")).alias("features"), "__unit"
+    )
+    fit_df = feats if fit_fraction >= 1.0 else feats.sample(fit_fraction, seed=RNG_SEED)
+    model = KMeans(k=n_cells, seed=RNG_SEED, maxIter=20).fit(fit_df)
+    assigned = model.transform(feats).select(
+        id_col, "__unit", F.col("prediction").alias("__cell")
+    )
+    spark = corpus.sparkSession
+    centroids = spark.createDataFrame(
+        [(i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())],
+        schema="__cell int, __centroid array<double>",
+    )
+    return assigned, centroids
+
+
+def cosine_topk_ivf(
+    corpus: DataFrame,
+    query_ids: list[int],
+    k: int = 5,
+    n_cells: int = 16,
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF approximate top-k: each query searches only its ``n_probe``
+    nearest cells. Probe selection is a (queries x n_cells) broadcast
+    cross-score + per-query top-n_probe — all distributed; the candidate
+    fetch is an equi-join on the cell id, so work scales with
+    |corpus| * n_probe / n_cells per query instead of |corpus|."""
+    assigned, centroids = ivf_assignments(
+        corpus, n_cells=n_cells, id_col=id_col, vec_col=vec_col
+    )
+    queries = assigned.filter(F.col(id_col).isin(query_ids)).select(
+        F.col(id_col).alias("query_id"), F.col("__unit").alias("__qunit")
+    )
+    probe_scores = queries.join(F.broadcast(centroids)).select(
+        "query_id",
+        "__qunit",
+        "__cell",
+        dot(F.col("__qunit"), F.col("__centroid")).alias("__cscore"),
+    )
+    probes = top_k_per_group(
+        probe_scores,
+        ["query_id"],
+        [F.col("__cscore").desc(), F.col("__cell").asc()],
+        n_probe,
+        rank_col="__prank",
+    ).select("query_id", "__qunit", "__cell")
+    cands = assigned.join(F.broadcast(probes), "__cell").filter(
+        F.col(id_col) != F.col("query_id")
+    )
+    scored = cands.select(
+        "query_id",
+        F.col(id_col).alias("neighbor_id"),
+        dot(F.col("__qunit"), F.col("__unit")).alias("cosine"),
+    )
+    return top_k_per_group(
+        scored,
+        ["query_id"],
+        [F.col("cosine").desc(), F.col("neighbor_id").asc()],
+        k,
+        rank_col="rank",
+    ).select("query_id", "neighbor_id", "rank")
+
+
 def embedding_near_pairs(
     corpus: DataFrame,
     threshold: float = 0.4,

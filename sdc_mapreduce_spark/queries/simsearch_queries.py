@@ -65,6 +65,20 @@ def simsearch_ann_srp(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("query_id", "rank")
 
 
+def simsearch_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate top-k via an IVF index (KMeans cells + multi-cell
+    probing) — the classic disk-oriented ANN layout: per-query work is
+    |corpus| * n_probe / n_cells. Approximate ⇒ rows-only check; recall
+    vs brute force is asserted in unit tests."""
+    return S.cosine_topk_ivf(
+        load_table(spark, sf_dir, "embeddings"),
+        QUERY_IDS,
+        k=TOP_K,
+        n_cells=8,
+        n_probe=4,
+    ).orderBy("query_id", "rank")
+
+
 def embedding_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Vector norms aggregated per label: norm is an exact left-fold +
     IEEE sqrt; the group average goes through decimal accumulation."""
@@ -103,5 +117,6 @@ QUERIES: dict[str, QuerySpec] = {
     "simsearch_topk": QuerySpec(simsearch_topk, SIMSEARCH_TOPK_SQL, bench=True),
     "simsearch_topk_arrow": QuerySpec(simsearch_topk_arrow, SIMSEARCH_TOPK_SQL),
     "simsearch_ann_srp": QuerySpec(simsearch_ann_srp, None),
+    "simsearch_ann_ivf": QuerySpec(simsearch_ann_ivf, None),
     "embedding_stats": QuerySpec(embedding_stats, EMBEDDING_STATS_SQL),
 }

@@ -66,6 +66,22 @@ def test_srp_ann_recall(spark, sf_dir):
     assert len(approx & exact) / len(exact) >= 0.2
 
 
+def test_ivf_ann_recall(spark, sf_dir):
+    """IVF with 4-of-16 cells probed must beat plain SRP recall: probing a
+    quarter of the space on clusterable data should recover most of the
+    true top-k. Loose bound (≥ 0.5) to stay robust across seeds."""
+    emb = load_table(spark, sf_dir, "embeddings").cache()
+    exact = {
+        (r["query_id"], r["neighbor_id"])
+        for r in S.cosine_topk_bruteforce(emb, QUERY_IDS, k=K).collect()
+    }
+    approx = {
+        (r["query_id"], r["neighbor_id"])
+        for r in S.cosine_topk_ivf(emb, QUERY_IDS, k=K, n_cells=8, n_probe=4).collect()
+    }
+    assert len(approx & exact) / len(exact) >= 0.5
+
+
 def test_embedding_near_pairs_symmetric_threshold(spark):
     rows = [
         (1, [1.0, 0.0, 0.0, 0.0]),
