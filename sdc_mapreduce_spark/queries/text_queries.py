@@ -131,6 +131,50 @@ LIMIT 20
 """
 
 
+def text_udtf_sentences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Python UDTF surface (SURVEY.md §2.2 — the reference has no UDTF; its
+    reducer subprocess is the closest analog): LATERAL-join a table function
+    that explodes each document into sentences, then re-aggregate per doc.
+    UDTFs are the right tool when one input row yields a variable number of
+    structured rows and the logic needs real Python."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="sent string, n_tokens int")
+    class SplitSentences:
+        def eval(self, text: str):
+            for raw in (text or "").split("."):
+                sent = raw.strip()
+                if sent:
+                    yield sent, len(sent.split())
+
+    spark.udtf.register("split_sentences", SplitSentences)
+    load_table(spark, sf_dir, "documents").createOrReplaceTempView("docs_udtf")
+    return spark.sql(
+        """
+        SELECT doc_id,
+               COUNT(*) AS n_sentences,
+               CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+               CAST(MAX(n_tokens) AS INT) AS longest_sentence
+        FROM docs_udtf, LATERAL split_sentences(text)
+        GROUP BY doc_id
+        """
+    )
+
+
+TEXT_UDTF_SENTENCES_SQL = """
+WITH s AS (
+  SELECT doc_id, trim(part) AS sent
+  FROM documents, UNNEST(string_split(text, '.')) AS t(part)
+)
+SELECT doc_id,
+       COUNT(*) AS n_sentences,
+       CAST(SUM(len(string_split_regex(sent, '\\s+'))) AS BIGINT) AS total_tokens,
+       CAST(MAX(len(string_split_regex(sent, '\\s+'))) AS INT) AS longest_sentence
+FROM s WHERE sent <> ''
+GROUP BY doc_id
+"""
+
+
 def multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Binary-column metadata surface: payload byte length + checksum over a
     synthesized media table (multimodal.synthesize_media). The decode stubs
@@ -162,5 +206,6 @@ QUERIES: dict[str, QuerySpec] = {
     "text_fingerprint": QuerySpec(text_fingerprint, TEXT_FINGERPRINT_SQL),
     "text_rolling_fingerprint": QuerySpec(text_rolling_fingerprint, None),
     "text_top_bigrams": QuerySpec(text_top_bigrams, TEXT_BIGRAMS_SQL),
+    "text_udtf_sentences": QuerySpec(text_udtf_sentences, TEXT_UDTF_SENTENCES_SQL),
     "multimodal_meta": QuerySpec(multimodal_meta, MULTIMODAL_META_SQL),
 }

@@ -6,6 +6,7 @@ from sdc_mapreduce_spark.streaming.events import (
     read_events_stream,
     session_aggregate,
     sliding_counts,
+    stateful_user_totals,
     streaming_dedup,
     tumbling_counts,
 )
@@ -15,6 +16,7 @@ __all__ = [
     "read_events_stream",
     "session_aggregate",
     "sliding_counts",
+    "stateful_user_totals",
     "streaming_dedup",
     "tumbling_counts",
 ]

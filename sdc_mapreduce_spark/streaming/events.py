@@ -95,6 +95,41 @@ def session_aggregate(
     )
 
 
+def stateful_user_totals(events: DataFrame, watermark: str = "10 minutes") -> DataFrame:
+    """Custom stateful operator via ``applyInPandasWithState``: per-user
+    lifetime totals (event count + value sum), re-emitted on every update.
+
+    This is the arbitrary-state escape hatch for operators the built-in
+    windowed aggregations can't express (per-key accumulators, custom
+    eviction, decaying counters). State is one tiny tuple per user — bounded
+    by cardinality, not stream length; the per-batch work is Arrow-batched
+    pandas, not row-at-a-time Python."""
+    import pandas as pd  # noqa: PLC0415 — executor-side import
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    def update(key, pdfs, state):
+        n, total = state.get if state.exists else (0, 0.0)
+        for pdf in pdfs:
+            n += len(pdf)
+            total += float(pdf["value"].sum())
+        state.update((n, total))
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "n_events": [n], "total_value": [total]}
+        )
+
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            update,
+            outputStructType="user_id long, n_events long, total_value double",
+            stateStructType="n long, total double",
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
 def streaming_dedup(
     events: DataFrame, keys: list[str] | None = None, watermark: str = "10 minutes"
 ) -> DataFrame:

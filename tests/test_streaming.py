@@ -13,6 +13,7 @@ from sdc_mapreduce_spark.catalog import load_table
 from sdc_mapreduce_spark.streaming import (
     read_events_stream,
     session_aggregate,
+    stateful_user_totals,
     streaming_dedup,
     tumbling_counts,
 )
@@ -103,6 +104,35 @@ def test_session_aggregate_runs(spark, events_json_dir):
     assert rows
     assert all(r["session_end"] >= r["session_start"] for r in rows)
     assert all(r["n_events"] >= 1 for r in rows)
+
+
+def test_stateful_user_totals_match_batch(spark, sf_dir, events_json_dir):
+    """The applyInPandasWithState accumulator's final emission per user must
+    equal the batch groupBy — state survives across micro-batches."""
+    stream = read_events_stream(spark, events_json_dir)
+    _run_to_memory(stateful_user_totals(stream), "user_totals_out", "update")
+    # update mode re-emits a row per state change; the LAST row per user is
+    # the lifetime total. Memory sink preserves emission order per batch, so
+    # take max(n_events) — the accumulator is monotone.
+    got = {
+        r["user_id"]: (r["n_events"], round(r["total_value"], 6))
+        for r in spark.sql(
+            """
+            select user_id, n_events, total_value from (
+              select *, row_number() over (partition by user_id
+                        order by n_events desc) rn from user_totals_out) t
+            where rn = 1
+            """
+        ).collect()
+    }
+    ev = load_table(spark, sf_dir, "events")
+    expected = {
+        r["user_id"]: (r["n"], round(r["total"], 6))
+        for r in ev.groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("total"))
+        .collect()
+    }
+    assert got == expected
 
 
 def test_json_roundtrip_preserves_schema(spark, events_json_dir):
