@@ -7,5 +7,16 @@ from sdc_mapreduce_spark.operators.relational import (
     top_k,
     top_k_per_group,
 )
+from sdc_mapreduce_spark.operators.skew import (
+    salted_distinct_count,
+    salted_join,
+)
 
-__all__ = ["asof_join", "range_join_time", "top_k", "top_k_per_group"]
+__all__ = [
+    "asof_join",
+    "range_join_time",
+    "salted_distinct_count",
+    "salted_join",
+    "top_k",
+    "top_k_per_group",
+]

@@ -714,6 +714,27 @@ FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus
 """
 
 
+def agg_approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch aggregates — the one-pass, bounded-memory forms for 100 TB:
+    HLL++ ``approx_count_distinct`` (no exact-distinct shuffle expansion)
+    and ``approx_percentile`` (mergeable digest, no global sort). These are
+    what agg_distinct/agg_percentiles degrade to at scale. Approximate ⇒
+    rows-only driver check; the error bound vs the exact aggregates is
+    asserted in unit tests (tests/test_operators.py)."""
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.groupBy("o_orderstatus")
+        .agg(
+            F.approx_count_distinct("o_custkey", rsd=0.02).alias("approx_customers"),
+            F.expr("approx_percentile(o_totalprice, 0.5, 10000)").alias(
+                "approx_median_price"
+            ),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .orderBy("o_orderstatus")
+    )
+
+
 def subquery_above_nation_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Correlated-subquery shape (customers above their nation's average
     balance), decorrelated into a per-nation aggregate + broadcast join —
@@ -748,6 +769,7 @@ QUERIES: dict[str, QuerySpec] = {
     "q6_forecast_revenue": QuerySpec(q6_forecast_revenue, Q6_SQL, bench=True),
     "q18_large_volume": QuerySpec(q18_large_volume, Q18_SQL, bench=True),
     "agg_percentiles": QuerySpec(agg_percentiles, AGG_PERCENTILES_SQL),
+    "agg_approx_sketches": QuerySpec(agg_approx_sketches, None),
     "subquery_above_nation_avg": QuerySpec(
         subquery_above_nation_avg, SUBQUERY_NATION_AVG_SQL
     ),

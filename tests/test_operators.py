@@ -87,6 +87,33 @@ def test_range_join_matches_naive(spark, sf_dir):
     assert bucketed.count() > 0
 
 
+def test_approx_sketches_within_tolerance(spark, sf_dir):
+    """HLL++ rsd=2% and a 10k-bucket percentile digest must land close to
+    the exact aggregates (5% / 10% tolerance — generous vs the configured
+    error, tight enough to catch wiring bugs)."""
+    from pyspark.sql import functions as F
+
+    from sdc_mapreduce_spark.catalog import load_table
+    from sdc_mapreduce_spark.queries.relational_queries import agg_approx_sketches
+
+    got = {r["o_orderstatus"]: r for r in agg_approx_sketches(spark, sf_dir).collect()}
+    orders = load_table(spark, sf_dir, "orders")
+    exact = {
+        r["o_orderstatus"]: r
+        for r in orders.groupBy("o_orderstatus")
+        .agg(
+            F.countDistinct("o_custkey").alias("nd"),
+            F.expr("percentile(o_totalprice, 0.5)").alias("med"),
+        )
+        .collect()
+    }
+    assert set(got) == set(exact)
+    for status, row in got.items():
+        nd, med = exact[status]["nd"], exact[status]["med"]
+        assert abs(row["approx_customers"] - nd) <= max(nd * 0.05, 2)
+        assert abs(row["approx_median_price"] - med) <= abs(med) * 0.10
+
+
 def test_top_k_and_per_group(spark):
     df = spark.createDataFrame(
         [(g, i, g * 100 + i) for g in range(3) for i in range(10)], "g int, i int, v int"
