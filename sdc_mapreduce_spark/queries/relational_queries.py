@@ -735,6 +735,44 @@ def agg_approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def udaf_geomean_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom UDAF surface via a GROUPED_AGG pandas UDF: geometric mean of
+    order value per priority. Arrow ships each group's column once; the
+    kernel is vectorized numpy. (The reference's only aggregation contract
+    is the reducer subprocess, SURVEY.md O13 — this is its typed, vectorized
+    descendant.) Computed as exp(mean(log x)) — also expressible in ANSI
+    SQL, which supplies the oracle."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    def _geomean(v):
+        return float(np.exp(np.log(v.to_numpy(dtype=np.float64)).mean()))
+
+    # Real (non-string) annotations mark this as a GROUPED_AGG pandas UDF —
+    # this module's `from __future__ import annotations` would stringify
+    # inline hints, which pandas_udf cannot interpret.
+    _geomean.__annotations__ = {"v": pd.Series, "return": float}
+    geomean = pandas_udf(_geomean, "double")
+
+    orders = load_table(spark, sf_dir, "orders")
+    # NOTE: a GROUPED_AGG pandas UDF cannot share one agg() with JVM
+    # aggregate functions (INVALID_PANDAS_UDF_PLACEMENT) — the aggregation
+    # is the UDF alone.
+    return (
+        orders.groupBy("o_orderpriority")
+        .agg(F.round(geomean("o_totalprice"), 4).alias("geomean_price"))
+        .orderBy("o_orderpriority")
+    )
+
+
+UDAF_GEOMEAN_SQL = """
+SELECT o_orderpriority,
+       ROUND(EXP(AVG(LN(o_totalprice))), 4) AS geomean_price
+FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority
+"""
+
+
 def subquery_above_nation_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Correlated-subquery shape (customers above their nation's average
     balance), decorrelated into a per-nation aggregate + broadcast join —
@@ -770,6 +808,7 @@ QUERIES: dict[str, QuerySpec] = {
     "q18_large_volume": QuerySpec(q18_large_volume, Q18_SQL, bench=True),
     "agg_percentiles": QuerySpec(agg_percentiles, AGG_PERCENTILES_SQL),
     "agg_approx_sketches": QuerySpec(agg_approx_sketches, None),
+    "udaf_geomean_pandas": QuerySpec(udaf_geomean_pandas, UDAF_GEOMEAN_SQL),
     "subquery_above_nation_avg": QuerySpec(
         subquery_above_nation_avg, SUBQUERY_NATION_AVG_SQL
     ),

@@ -1,0 +1,68 @@
+"""Golden parity with the reference's own shipped fixtures
+(/root/reference/src/app): the engine's word count over the reference input
+must reproduce final_output.txt under the reference's comparison semantics
+(SURVEY.md Q4: union of partitions, key -> count, order-free)."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from sdc_mapreduce_spark import mapreduce as mr
+
+REF_APP = "/root/reference/src/app"
+
+
+def _parse_counts(path: str) -> dict[str, int]:
+    counts: dict[str, int] = {}
+    with open(path) as fh:
+        for line in fh:
+            parts = line.split()
+            if len(parts) == 2:
+                counts[parts[0]] = counts.get(parts[0], 0) + int(parts[1])
+    return counts
+
+
+@pytest.mark.skipif(not os.path.isdir(REF_APP), reason="reference not mounted")
+def test_wordcount_matches_reference_final_output(spark):
+    """final_output.txt is the merged reduce over the two partial outputs in
+    output.txt — i.e. the input file counted twice (reference
+    src/app/{input,output,final_output}.txt). Feeding input.txt twice
+    through the engine must reproduce it exactly."""
+    golden = _parse_counts(os.path.join(REF_APP, "final_output.txt"))
+    partials = _parse_counts(os.path.join(REF_APP, "output.txt"))
+    assert golden == partials, "fixture self-consistency (final = merged partials)"
+
+    inp = os.path.join(REF_APP, "input.txt")
+    df = mr.read_text(spark, [inp, inp])
+    got = {r["word"]: r["cnt"] for r in mr.word_count(df).collect()}
+    assert got == golden
+
+
+@pytest.mark.skipif(not os.path.isdir(REF_APP), reason="reference not mounted")
+def test_reducer_input_fixture_sums(spark):
+    """reducer_input.txt is the reference's canonical reducer stdin fixture;
+    parse_kv_lines + group_reduce_sum must agree with a direct Python sum
+    honoring the malformed-line drop rules."""
+    path = os.path.join(REF_APP, "reducer_input.txt")
+    expected: dict[str, int] = {}
+    with open(path) as fh:
+        for line in fh:
+            # the fixture is tab-separated (it predates the reducer's
+            # space-separator default); split on any whitespace, like the
+            # engine's parse_kv_lines
+            parts = line.split()
+            if len(parts) != 2:
+                continue
+            try:
+                expected[parts[0]] = expected.get(parts[0], 0) + int(parts[1])
+            except ValueError:
+                continue
+    df = spark.read.text(path).select(F.col("value"))
+    got = {
+        r["key"]: r["value"]
+        for r in mr.group_reduce_sum(mr.parse_kv_lines(df)).collect()
+    }
+    assert got == expected
