@@ -40,8 +40,11 @@ def oracle_sql() -> dict[str, str]:
     """DuckDB-runnable ANSI-SQL twin for every SQL-expressible query.
 
     Omitted (rows-only check) for: xxhash64-based signatures
-    (text_rolling_fingerprint, dedup_simhash — DuckDB lacks xxhash64) and
-    approximate ANN (simsearch_ann_srp — recall < 1 by design). Those are
-    unit-tested against Python reference implementations instead.
+    (text_rolling_fingerprint, dedup_simhash — DuckDB lacks xxhash64),
+    approximate ANN (simsearch_ann_srp, simsearch_ann_ivf — recall < 1 by
+    design), and sketch aggregates (agg_approx_sketches — HLL++/digest
+    estimates). Each is unit-tested against an exact reference instead
+    (tests/test_text.py, test_dedup.py, test_simsearch.py,
+    test_operators.py).
     """
     return qreg.oracle_sql()

@@ -1,0 +1,76 @@
+"""Physical-plan assertions: the plans the engine promises at scale must
+actually be the plans Catalyst produces — parquet pushdown + pruning,
+broadcast joins on reduced sides, TakeOrdered top-k, shuffle-free map-side
+signature computation. A regression here is a silent 100 TB performance bug
+even when results stay correct."""
+
+from __future__ import annotations
+
+from sdc_mapreduce_spark.catalog import load_table
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def _optimized(df) -> str:
+    return df._jdf.queryExecution().optimizedPlan().toString()
+
+
+def test_filter_and_projection_reach_parquet_scan(spark, sf_dir):
+    from sdc_mapreduce_spark.queries.relational_queries import (
+        filter_project_pushdown,
+    )
+
+    df = filter_project_pushdown(spark, sf_dir)
+    plan = _plan(df)
+    # (the plan string truncates the PushedFilters list, so assert on the
+    # first pushed predicate plus the exact pruned ReadSchema)
+    assert "PushedFilters: [" in plan
+    assert "GreaterThanOrEqual(l_quantity,45.0)" in plan
+    assert (
+        "ReadSchema: struct<l_orderkey:bigint,l_quantity:double,l_returnflag:string>"
+        in plan
+    )
+
+
+def test_q3_uses_broadcast_joins_not_sort_merge(spark, sf_dir):
+    from sdc_mapreduce_spark.queries.relational_queries import q3_shipping_priority
+
+    plan = _plan(q3_shipping_priority(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "TakeOrderedAndProject" in plan  # top-10 is never a global sort
+
+
+def test_global_topk_is_take_ordered(spark, sf_dir):
+    from sdc_mapreduce_spark.queries.relational_queries import sort_limit_topk
+
+    plan = _plan(sort_limit_topk(spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan
+    assert "Exchange rangepartitioning" not in plan  # the global-sort shape
+
+
+def test_minhash_signatures_are_shuffle_free(spark, sf_dir):
+    from sdc_mapreduce_spark.functions.dedup import minhash_signatures
+
+    docs = load_table(spark, sf_dir, "documents")
+    plan = _plan(minhash_signatures(docs, num_hashes=16))
+    assert "Exchange" not in plan, f"signature stage shuffles:\n{plan}"
+
+
+def test_q1_aggregates_partial_then_final(spark, sf_dir):
+    from sdc_mapreduce_spark.queries.relational_queries import q1_pricing_summary
+
+    plan = _plan(q1_pricing_summary(spark, sf_dir))
+    assert "partial_sum" in plan  # map-side combine before the shuffle
+    assert plan.count("Exchange hashpartitioning") == 1  # one agg shuffle
+
+
+def test_wordcount_single_shuffle_with_partial_agg(spark):
+    from sdc_mapreduce_spark import mapreduce as mr
+
+    df = spark.createDataFrame([("a b a",)], ["value"])
+    plan = _plan(mr.word_count(df))
+    assert "partial_count" in plan
+    assert plan.count("Exchange hashpartitioning") == 1
