@@ -37,7 +37,10 @@ from pyspark.sql import functions as F
 # boundaries are aligned to these runs (reference src/worker/worker.cpp:
 # 156-169). After per-line reads, tokenizing with a whitespace split plus an
 # alnum filter reproduces the same record semantics with no custom splitter.
-ALNUM_TOKEN = "^[A-Za-z0-9]+$"
+# Python's str.isalnum is UNICODE-aware (letters ∪ numerics of any script),
+# so the filter uses the Unicode categories \p{L}\p{N}, not [A-Za-z0-9] —
+# the ASCII form silently drops every non-Latin word the reference keeps.
+ALNUM_TOKEN = r"^[\p{L}\p{N}]+$"
 WHITESPACE = r"\s+"
 
 

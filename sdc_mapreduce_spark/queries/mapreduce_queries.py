@@ -18,16 +18,17 @@ from sdc_mapreduce_spark.queries.base import QuerySpec
 _USERCODE = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "usercode")
 
 # One tokenizer contract, two engines: Spark splits on \s+ and keeps
-# [A-Za-z0-9]+ tokens (the regex form of the reference's str.isalnum filter,
-# reference src/app/mapper.py:16); the oracle does the identical split+filter
-# in DuckDB.
+# Unicode-alphanumeric tokens — \p{L}\p{N}, the regex form of the
+# reference's str.isalnum filter (reference src/app/mapper.py:16, which is
+# Unicode-aware) — and the oracle does the identical split+filter in DuckDB
+# (RE2 supports the same category classes).
 WORDCOUNT_SQL = """
 WITH toks AS (
   SELECT UNNEST(string_split_regex(text, '\\s+')) AS word FROM documents
 )
 SELECT word, COUNT(*) AS cnt
 FROM toks
-WHERE word <> '' AND regexp_full_match(word, '[A-Za-z0-9]+')
+WHERE word <> '' AND regexp_full_match(word, '[\\p{L}\\p{N}]+')
 GROUP BY word
 """
 

@@ -1,0 +1,110 @@
+"""Property-based tests (hypothesis) for the MapReduce semantic contracts:
+
+- word count == a trivial Python reference on arbitrary text (tokenize +
+  isalnum filter, SURVEY.md O8/O15);
+- KV-line parsing drops exactly the malformed lines the reference reducer
+  drops (wrong arity / non-integer values, reference
+  src/app/reducer.py:11-12,21-24);
+- partial+final aggregation invariance (quirk Q3): summing per key is
+  independent of how rows are partitioned — verified by comparing different
+  partition counts.
+
+Examples are kept small and few: each runs a real Spark job.
+"""
+
+from __future__ import annotations
+
+from collections import Counter
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from sdc_mapreduce_spark import mapreduce as mr
+
+SETTINGS = settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+# words over a tiny alphabet plus punctuation-bearing tokens that the
+# isalnum filter must drop
+token = st.one_of(
+    st.text(alphabet="ab1", min_size=1, max_size=3),
+    st.sampled_from(["x!", "a-b", ":", "..", "Ж"]),
+)
+line = st.lists(token, min_size=0, max_size=6).map(" ".join)
+
+
+def _ref_wordcount(lines: list[str]) -> dict[str, int]:
+    c: Counter[str] = Counter()
+    for ln in lines:
+        for tok in ln.split():
+            if tok.isalnum():
+                c[tok] += 1
+    return dict(c)
+
+
+@SETTINGS
+@given(lines=st.lists(line, min_size=1, max_size=8))
+def test_wordcount_matches_python_reference(spark, lines):
+    df = spark.createDataFrame([(ln,) for ln in lines], ["value"])
+    got = {r["word"]: r["cnt"] for r in mr.word_count(df).collect()}
+    assert got == _ref_wordcount(lines)
+
+
+kv_line = st.one_of(
+    st.tuples(
+        st.text(alphabet="kxy", min_size=1, max_size=3),
+        st.integers(min_value=-(2**31), max_value=2**31),
+    ).map(lambda t: f"{t[0]} {t[1]}"),
+    st.sampled_from(["only_key", "a b c", "k notanint", "", "  ", "k 1.5"]),
+)
+
+
+def _ref_parse(lines: list[str]) -> list[tuple[str, int]]:
+    out = []
+    for ln in lines:
+        parts = ln.split()
+        if len(parts) != 2:
+            continue
+        try:
+            out.append((parts[0], int(parts[1])))
+        except ValueError:
+            continue
+    return sorted(out)
+
+
+@SETTINGS
+@given(lines=st.lists(kv_line, min_size=1, max_size=10))
+def test_parse_kv_matches_reference_drop_rules(spark, lines):
+    df = spark.createDataFrame([(ln,) for ln in lines], ["value"])
+    got = sorted(
+        (r["key"], r["value"]) for r in mr.parse_kv_lines(df).collect()
+    )
+    assert got == _ref_parse(lines)
+
+
+@SETTINGS
+@given(
+    pairs=st.lists(
+        st.tuples(
+            st.sampled_from(["a", "b", "c"]),
+            st.integers(min_value=-1000, max_value=1000),
+        ),
+        min_size=1,
+        max_size=20,
+    ),
+    parts=st.sampled_from([1, 2, 5]),
+)
+def test_group_reduce_partition_invariance(spark, pairs, parts):
+    """Quirk Q3: the grouped sum must not depend on physical partitioning
+    (the reference's partial-per-file then final-merge contract)."""
+    df = spark.createDataFrame(pairs, "key string, value long").repartition(parts)
+    got = {
+        r["key"]: r["value"] for r in mr.group_reduce_sum(df).collect()
+    }
+    expected: dict[str, int] = {}
+    for k, v in pairs:
+        expected[k] = expected.get(k, 0) + v
+    assert got == expected
