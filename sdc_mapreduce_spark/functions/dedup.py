@@ -34,6 +34,8 @@ from pyspark.sql import functions as F
 
 from sdc_mapreduce_spark.functions.text import normalized_text, tokens
 
+RNG_SEED_MINHASH = 7
+
 
 def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Keep the lowest-id representative of each exact-content group,
@@ -165,6 +167,57 @@ def _signatures_from_sets(
     )
 
 
+def _signatures_from_sets_arrow(
+    sets: DataFrame, num_hashes: int = 64, id_col: str = "doc_id"
+) -> DataFrame:
+    """Arrow/numpy twin of ``_signatures_from_sets``: the per-shingle base
+    hash stays JVM-side (one xxhash64 pass), the K seeded minima are
+    computed as a vectorized universal-hash family
+    ``min((a_i * h + b_i) mod 2^61-1)`` per document in numpy.
+
+    The JVM path evaluates K x |shingles| interpreted higher-order-function
+    expressions per document (transform/array_min are not codegen'd); this
+    path does the same work as one numpy outer product per Arrow batch —
+    wall-clock is several times lower at bench scale. Signature VALUES
+    differ from the JVM family (different hash family, same collision
+    statistics), so pick one path per pipeline."""
+    import numpy as np
+    import pandas as pd
+
+    MERSENNE = (1 << 61) - 1
+    rng = np.random.RandomState(RNG_SEED_MINHASH)
+    a = rng.randint(1, MERSENNE, size=num_hashes, dtype=np.int64)
+    b = rng.randint(0, MERSENNE, size=num_hashes, dtype=np.int64)
+
+    based = sets.select(
+        id_col,
+        "shingles",
+        F.transform("shingles", lambda s: F.xxhash64(s)).alias("__base"),
+    )
+    out_schema = ", ".join(
+        [f"{id_col} long", "shingles array<string>"]
+        + [f"mh_{i} long" for i in range(num_hashes)]
+    )
+
+    def kernel(batches):
+        au = a.astype(np.uint64)
+        bu = b.astype(np.uint64)
+        for pdf in batches:
+            sig_rows = np.empty((len(pdf), num_hashes), dtype=np.int64)
+            for r, hs in enumerate(pdf["__base"]):
+                h = np.asarray(hs, dtype=np.int64).astype(np.uint64)
+                # (a*h + b) mod M in uint64 wraparound then fold to 61 bits;
+                # uniform enough for MinHash collision estimates
+                mixed = (au[:, None] * h[None, :] + bu[:, None]) % MERSENNE
+                sig_rows[r] = mixed.min(axis=1).astype(np.int64)
+            out = {id_col: pdf[id_col], "shingles": pdf["shingles"]}
+            for i in range(num_hashes):
+                out[f"mh_{i}"] = sig_rows[:, i]
+            yield pd.DataFrame(out)
+
+    return based.mapInPandas(kernel, schema=out_schema)
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     num_hashes: int = 64,
@@ -173,9 +226,11 @@ def minhash_lsh_pairs(
     threshold: float = 0.8,
     text_col: str = "text",
     id_col: str = "doc_id",
+    signature_impl: str = "arrow",
 ) -> DataFrame:
     """MinHash + LSH banding near-dup candidates, verified with exact
-    Jaccard.
+    Jaccard. ``signature_impl``: 'arrow' (vectorized numpy minima — the
+    fast path) or 'jvm' (pure higher-order functions, zero Python).
 
     With K=64, b=16 bands of r=4 rows the collision curve
     P(candidate) = 1-(1-j^r)^b puts ~0.99+ recall at j ≥ 0.8. Candidates
@@ -193,7 +248,10 @@ def minhash_lsh_pairs(
     sets = shingle_sets(df, n=n, text_col=text_col, id_col=id_col).persist(
         StorageLevel.MEMORY_AND_DISK
     )
-    sigs = _signatures_from_sets(sets, num_hashes=num_hashes, id_col=id_col)
+    make_sigs = (
+        _signatures_from_sets_arrow if signature_impl == "arrow" else _signatures_from_sets
+    )
+    sigs = make_sigs(sets, num_hashes=num_hashes, id_col=id_col)
     band_rows = sigs.select(
         F.col(id_col).alias("__id"),
         F.explode(
