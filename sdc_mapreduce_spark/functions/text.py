@@ -150,6 +150,51 @@ def rolling_fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def tfidf_top_terms(
+    df: DataFrame, k: int = 3, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Top-k terms per document by TF-IDF (tf x ln(N/df), the plain
+    log-idf variant).
+
+    Shape at scale: one explode + (doc, term) aggregation for term
+    frequencies, one term-keyed aggregation for document frequencies
+    (distinct-doc count collapses to the already-deduped (doc, term) pairs),
+    a broadcast of the tiny corpus-size scalar, and a per-doc top-k window.
+    Shuffle volume tracks distinct (doc, term) pairs — never corpus bytes.
+    TF-IDF values are rounded to 6 decimals so the double is stable across
+    engines' ln implementations (last-ulp differences vanish)."""
+    from sdc_mapreduce_spark.operators.relational import top_k_per_group
+
+    pairs = (
+        df.select(F.col(id_col), F.explode(tokens(text_col)).alias("term"))
+        .filter(F.col("term") != "")
+        .groupBy(id_col, "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    doc_freq = pairs.groupBy("term").agg(F.count(F.lit(1)).alias("df_t"))
+    n_docs = df.select(F.countDistinct(id_col).alias("n_docs"))
+    scored = (
+        pairs.join(doc_freq, "term")
+        .join(F.broadcast(n_docs))
+        .select(
+            id_col,
+            "term",
+            "tf",
+            "df_t",
+            F.round(
+                F.col("tf") * F.log(F.col("n_docs") / F.col("df_t")), 6
+            ).alias("tfidf"),
+        )
+    )
+    return top_k_per_group(
+        scored,
+        [id_col],
+        [F.col("tfidf").desc(), F.col("term").asc()],
+        k,
+        rank_col="rank",
+    ).select(id_col, "term", "tf", "df_t", "tfidf", "rank")
+
+
 def top_ngrams(df: DataFrame, n: int = 2, k: int = 20, text_col: str = "text") -> DataFrame:
     """Global top-k token n-grams by frequency: build per-doc n-gram arrays
     with a transform over token positions (no Python), explode, count, top-k.

@@ -131,6 +131,36 @@ LIMIT 20
 """
 
 
+def text_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 TF-IDF terms per document (functions.text.tfidf_top_terms)."""
+    return T.tfidf_top_terms(load_table(spark, sf_dir, "documents"), k=3)
+
+
+TEXT_TFIDF_SQL = """
+WITH pairs AS (
+  SELECT doc_id, term, COUNT(*) AS tf
+  FROM (SELECT doc_id, UNNEST(string_split_regex(trim(text), '\\s+')) AS term
+        FROM documents)
+  WHERE term <> ''
+  GROUP BY doc_id, term
+), dfreq AS (
+  SELECT term, COUNT(*) AS df_t FROM pairs GROUP BY term
+), n AS (
+  SELECT COUNT(DISTINCT doc_id) AS n_docs FROM documents
+), scored AS (
+  SELECT p.doc_id, p.term, p.tf, d.df_t,
+         ROUND(p.tf * LN(n.n_docs / d.df_t), 6) AS tfidf
+  FROM pairs p JOIN dfreq d USING (term) CROSS JOIN n
+), ranked AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+                               ORDER BY tfidf DESC, term ASC) AS rank
+  FROM scored
+)
+SELECT doc_id, term, tf, df_t, tfidf, CAST(rank AS INT) AS rank
+FROM ranked WHERE rank <= 3
+"""
+
+
 def text_udtf_sentences(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Python UDTF surface (SURVEY.md §2.2 — the reference has no UDTF; its
     reducer subprocess is the closest analog): LATERAL-join a table function
@@ -207,5 +237,6 @@ QUERIES: dict[str, QuerySpec] = {
     "text_rolling_fingerprint": QuerySpec(text_rolling_fingerprint, None),
     "text_top_bigrams": QuerySpec(text_top_bigrams, TEXT_BIGRAMS_SQL),
     "text_udtf_sentences": QuerySpec(text_udtf_sentences, TEXT_UDTF_SENTENCES_SQL),
+    "text_tfidf_top_terms": QuerySpec(text_tfidf_top_terms, TEXT_TFIDF_SQL),
     "multimodal_meta": QuerySpec(multimodal_meta, MULTIMODAL_META_SQL),
 }

@@ -51,6 +51,34 @@ def test_quality_score_ranges(spark, sf_dir):
     assert all(0.0 <= r["alpha_ratio"] <= 1.0 for r in rows)
 
 
+def test_tfidf_discriminative_term_wins(spark):
+    """The term unique to a doc must out-score corpus-wide terms; terms in
+    every doc have idf = ln(1) = 0."""
+    import math
+
+    from sdc_mapreduce_spark.functions.text import tfidf_top_terms
+
+    docs = spark.createDataFrame(
+        [
+            (1, "common apple apple"),
+            (2, "common banana"),
+            (3, "common cherry cherry cherry"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = {
+        (r["doc_id"], r["rank"]): (r["term"], r["tfidf"])
+        for r in tfidf_top_terms(docs, k=2).collect()
+    }
+    assert rows[(1, 1)][0] == "apple"
+    assert rows[(2, 1)][0] == "banana"
+    assert rows[(3, 1)][0] == "cherry"
+    # tf=3, df=1, N=3 → 3 * ln(3)
+    assert abs(rows[(3, 1)][1] - round(3 * math.log(3), 6)) < 1e-9
+    # 'common' appears in all docs → tfidf exactly 0, ranked below
+    assert rows[(1, 2)] == ("common", 0.0)
+
+
 def test_top_ngrams_short_doc_guard(spark):
     df = spark.createDataFrame(
         [(1, "single", "en", "s", 0), (2, "two words two words", "en", "s", 0)],
