@@ -7,14 +7,7 @@ even when results stay correct."""
 from __future__ import annotations
 
 from sdc_mapreduce_spark.catalog import load_table
-
-
-def _plan(df) -> str:
-    return df._jdf.queryExecution().executedPlan().toString()
-
-
-def _optimized(df) -> str:
-    return df._jdf.queryExecution().optimizedPlan().toString()
+from sdc_mapreduce_spark.plans import executed_plan as _plan
 
 
 def test_filter_and_projection_reach_parquet_scan(spark, sf_dir):
