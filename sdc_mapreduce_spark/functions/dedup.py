@@ -297,6 +297,78 @@ def minhash_lsh_pairs(
     return verified
 
 
+def near_dup_clusters(
+    df: DataFrame,
+    num_hashes: int = 128,
+    bands: int = 32,
+    n: int = 3,
+    threshold: float = 0.8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_iterations: int = 20,
+) -> DataFrame:
+    """Connected components over the near-dup pair graph → one
+    representative (min id) per cluster: the step that turns pairwise
+    near-dup detection into an actual dedup decision (keep rep, drop rest).
+    Returns (id, rep_id) for EVERY document (singletons map to themselves).
+
+    Min-label propagation: each node repeatedly takes the min label among
+    itself and its neighbors; converges in O(component diameter) rounds —
+    near-dup clusters are shallow (dupes of a common source), so this is
+    2-4 distributed joins in practice, each shuffling only (node, label)
+    pairs. Lineage is truncated per round with an eager localCheckpoint so
+    the plan does not grow with iterations. For adversarial long-chain
+    graphs swap in the large-star/small-star variant (Kiveris et al.,
+    "Connected Components in MapReduce and Beyond", SoCC'14) — same
+    per-round shuffle shape.
+    """
+    pairs = minhash_lsh_pairs(
+        df,
+        num_hashes=num_hashes,
+        bands=bands,
+        n=n,
+        threshold=threshold,
+        text_col=text_col,
+        id_col=id_col,
+    ).select("id_a", "id_b")
+    edges = (
+        pairs.union(pairs.select(F.col("id_b"), F.col("id_a")))
+        .toDF("src", "dst")
+        .persist()
+    )
+    labels = df.select(
+        F.col(id_col).alias("node"), F.col(id_col).alias("label")
+    ).localCheckpoint(eager=True)
+
+    for _ in range(max_iterations):
+        neighbor_min = (
+            edges.join(labels, edges.src == labels.node)
+            .groupBy(F.col("dst").alias("node"))
+            .agg(F.min("label").alias("nbr_label"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, "node", "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("label"), F.coalesce("nbr_label", "label")
+                ).alias("label"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_labels.withColumnRenamed("label", "new_label")
+            .join(labels.withColumnRenamed("label", "old_label"), "node")
+            .filter(F.col("new_label") != F.col("old_label"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    edges.unpersist()
+    return labels.select(F.col("node").alias(id_col), F.col("label").alias("rep_id"))
+
+
 def simhash_signatures(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """64-bit SimHash per document: per-bit majority vote over token hashes,
     weighted by token frequency — 64 conditional sums in one aggregation over

@@ -89,6 +89,56 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup clusters: LSH pairs → connected components → (doc, rep).
+    The oracle computes the same components with a recursive CTE over the
+    exact-Jaccard pair graph (valid for the same recall argument as the
+    pairwise oracle)."""
+    return D.near_dup_clusters(
+        load_table(spark, sf_dir, "documents"),
+        num_hashes=128,
+        bands=32,
+        n=3,
+        threshold=0.8,
+    ).orderBy("doc_id")
+
+
+DEDUP_CLUSTERS_SQL = """
+WITH RECURSIVE t AS (
+  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks FROM documents
+), sh AS (
+  SELECT doc_id,
+         list_distinct(CASE WHEN len(toks) >= 3
+           THEN [toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+                 FOR i IN range(1, len(toks) - 1)]
+           ELSE [array_to_string(toks, ' ')] END) AS shingles
+  FROM t
+), sz AS (
+  SELECT doc_id, len(shingles) AS sz FROM sh
+), inv AS (
+  SELECT doc_id, UNNEST(shingles) AS s FROM sh
+), common AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS c
+  FROM inv a JOIN inv b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+), pairs AS (
+  SELECT id_a, id_b FROM common
+  JOIN sz za ON za.doc_id = id_a
+  JOIN sz zb ON zb.doc_id = id_b
+  WHERE c / (za.sz + zb.sz - c) >= 0.8
+), edges AS (
+  SELECT id_a AS s, id_b AS t FROM pairs
+  UNION ALL
+  SELECT id_b, id_a FROM pairs
+), reach AS (
+  SELECT doc_id AS s, doc_id AS t FROM documents
+  UNION
+  SELECT r.s, e.t FROM reach r JOIN edges e ON r.t = e.s
+)
+SELECT s AS doc_id, MIN(t) AS rep_id FROM reach GROUP BY s ORDER BY doc_id
+"""
+
+
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash Hamming-≤3 near-dup pairs (pigeonhole-blocked). xxhash64-based
     → no SQL oracle; unit-tested against a Python reference implementation."""
@@ -120,5 +170,6 @@ QUERIES: dict[str, QuerySpec] = {
     "dedup_jaccard_pairs": QuerySpec(dedup_jaccard_pairs, _JACCARD_SQL),
     "dedup_minhash_lsh": QuerySpec(dedup_minhash_lsh, _JACCARD_SQL, bench=True),
     "dedup_simhash": QuerySpec(dedup_simhash, None),
+    "dedup_clusters": QuerySpec(dedup_clusters, DEDUP_CLUSTERS_SQL),
     "dedup_embedding_cosine": QuerySpec(dedup_embedding_cosine, DEDUP_EMBEDDING_SQL),
 }

@@ -41,6 +41,39 @@ def test_jaccard_pairs_vs_python(spark, sf_dir):
     assert got == expected
 
 
+def test_near_dup_clusters_match_union_find(spark, sf_dir):
+    """Label propagation must produce exactly the components a driver-side
+    union-find builds from the same pair set."""
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = [
+        (r["id_a"], r["id_b"])
+        for r in D.minhash_lsh_pairs(
+            docs, num_hashes=128, bands=32, threshold=0.8
+        ).collect()
+    ]
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in pairs:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    all_ids = [r["doc_id"] for r in docs.select("doc_id").collect()]
+    expected = {i: find(i) for i in all_ids}
+    got = {
+        r["doc_id"]: r["rep_id"]
+        for r in D.near_dup_clusters(docs, num_hashes=128, bands=32).collect()
+    }
+    assert got == expected
+    assert any(rep != i for i, rep in got.items()), "no non-trivial clusters found"
+
+
 def test_minhash_lsh_equals_exhaustive(spark, sf_dir):
     docs = load_table(spark, sf_dir, "documents")
     exact = {
