@@ -306,6 +306,56 @@ def cosine_topk_ivf(
     ).select("query_id", "neighbor_id", "rank")
 
 
+def embedding_near_pairs_blocked(
+    corpus: DataFrame,
+    threshold: float = 0.4,
+    n_planes: int = 4,
+    multi_probe_bits: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+) -> DataFrame:
+    """SRP-blocked approximate near-pair detection — the scale path that
+    replaces ``embedding_near_pairs``'s O(n²) self-join: vectors pair only
+    within the same (or, with multi-probe, 1-bit-adjacent) SRP bucket, then
+    exact cosine filters the candidates. Expected candidate volume is
+    n²·(collision probability) ≈ n²·(1 - θ/π)^planes — tune n_planes so
+    per-bucket populations fit a shuffle partition. Approximate by nature
+    (pairs crossing > multi_probe_bits sign flips are missed); recall vs
+    the exact operator is asserted in unit tests."""
+    v = _as_double(F.col(vec_col))
+    n = l2_norm(v)
+    prepared = corpus.select(
+        F.col(id_col), F.transform(v, lambda x: x / n).alias("__unit")
+    ).withColumn("__bucket", srp_bucket(F.col("__unit"), _hyperplanes(dim, n_planes)))
+    # multi-probe on ONE side only: each left row visits its own bucket plus
+    # every 1-bit flip, so adjacent-bucket pairs meet exactly once
+    probes = [F.col("__bucket")]
+    if multi_probe_bits >= 1:
+        probes += [
+            F.col("__bucket").bitwiseXOR(F.lit(1 << i).cast("long"))
+            for i in range(n_planes)
+        ]
+    left = prepared.select(
+        F.col(id_col).alias("id_a"),
+        F.col("__unit").alias("__ua"),
+        F.explode(F.array(*probes)).alias("__bucket"),
+    )
+    right = prepared.select(
+        F.col(id_col).alias("id_b"), F.col("__unit").alias("__ub"), "__bucket"
+    )
+    cands = (
+        left.join(right, "__bucket")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    return (
+        cands.select("id_a", "id_b", dot("__ua", "__ub").alias("cosine"))
+        .filter(F.col("cosine") >= threshold)
+        .select("id_a", "id_b")
+    )
+
+
 def embedding_near_pairs(
     corpus: DataFrame,
     threshold: float = 0.4,

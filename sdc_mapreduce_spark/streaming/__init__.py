@@ -7,6 +7,7 @@ from sdc_mapreduce_spark.streaming.events import (
     session_aggregate,
     sliding_counts,
     stateful_user_totals,
+    stream_stream_error_purchase_join,
     streaming_dedup,
     tumbling_counts,
 )
@@ -17,6 +18,7 @@ __all__ = [
     "session_aggregate",
     "sliding_counts",
     "stateful_user_totals",
+    "stream_stream_error_purchase_join",
     "streaming_dedup",
     "tumbling_counts",
 ]

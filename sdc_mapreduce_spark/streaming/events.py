@@ -95,6 +95,38 @@ def session_aggregate(
     )
 
 
+def stream_stream_error_purchase_join(
+    events: DataFrame,
+    horizon: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Stream-stream inner join: each error event paired with the same
+    user's purchases in the following ``horizon`` (the streaming twin of the
+    batch events_range_join query).
+
+    Both sides carry watermarks and the join condition time-bounds the match
+    window, so the state store retains each side only for
+    watermark + horizon — the requirements for bounded-state stream-stream
+    joins. One input stream, filtered two ways, joins against itself the
+    same way two topics would."""
+    errors = events.filter(F.col("event_type") == "error").select(
+        F.col("event_id").alias("error_event_id"),
+        F.col("user_id"),
+        F.col("ts").alias("error_ts"),
+    ).withWatermark("error_ts", watermark)
+    purchases = events.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_event_id"),
+        F.col("user_id").alias("p_user_id"),
+        F.col("ts").alias("purchase_ts"),
+    ).withWatermark("purchase_ts", watermark)
+    return errors.join(
+        purchases,
+        (F.col("user_id") == F.col("p_user_id"))
+        & (F.col("purchase_ts") >= F.col("error_ts"))
+        & (F.col("purchase_ts") <= F.col("error_ts") + F.expr(f"INTERVAL {horizon}")),
+    ).select("error_event_id", "purchase_event_id", "user_id")
+
+
 def stateful_user_totals(events: DataFrame, watermark: str = "10 minutes") -> DataFrame:
     """Custom stateful operator via ``applyInPandasWithState``: per-user
     lifetime totals (event count + value sum), re-emitted on every update.

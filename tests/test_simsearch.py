@@ -82,6 +82,27 @@ def test_ivf_ann_recall(spark, sf_dir):
     assert len(approx & exact) / len(exact) >= 0.5
 
 
+def test_blocked_near_pairs_subset_with_recall(spark, sf_dir):
+    """SRP-blocked pairs must be a strict SUBSET of the exact pairs (exact
+    cosine verifies every candidate — false positives impossible) with
+    recall matching the collision curve: ≥ 0.5 at 3 planes + 1-bit probe for
+    the 0.4-cosine threshold (~0.64 measured; near-dup thresholds ≥ 0.9
+    collide at far higher rates)."""
+    emb = load_table(spark, sf_dir, "embeddings").cache()
+    exact = {
+        (r["id_a"], r["id_b"])
+        for r in S.embedding_near_pairs(emb, threshold=0.4).collect()
+    }
+    approx = {
+        (r["id_a"], r["id_b"])
+        for r in S.embedding_near_pairs_blocked(
+            emb, threshold=0.4, n_planes=3
+        ).collect()
+    }
+    assert approx <= exact, f"false positives: {approx - exact}"
+    assert len(approx & exact) / len(exact) >= 0.5
+
+
 def test_embedding_near_pairs_symmetric_threshold(spark):
     rows = [
         (1, [1.0, 0.0, 0.0, 0.0]),

@@ -14,6 +14,7 @@ from sdc_mapreduce_spark.streaming import (
     read_events_stream,
     session_aggregate,
     stateful_user_totals,
+    stream_stream_error_purchase_join,
     streaming_dedup,
     tumbling_counts,
 )
@@ -133,6 +134,28 @@ def test_stateful_user_totals_match_batch(spark, sf_dir, events_json_dir):
         .collect()
     }
     assert got == expected
+
+
+def test_stream_stream_join_matches_batch(spark, sf_dir, events_json_dir):
+    """Every pair the stream-stream join emits must exist in the batch
+    range-join result, and it must emit the vast majority of them (pairs in
+    the trailing watermark horizon may be withheld at end-of-stream)."""
+    stream = read_events_stream(spark, events_json_dir)
+    _run_to_memory(
+        stream_stream_error_purchase_join(stream), "ss_join_out", "append"
+    )
+    got = {
+        (r["error_event_id"], r["purchase_event_id"])
+        for r in spark.sql("select * from ss_join_out").collect()
+    }
+    from sdc_mapreduce_spark.queries.events_queries import events_range_join
+
+    expected = {
+        (r["error_event_id"], r["purchase_event_id"])
+        for r in events_range_join(spark, sf_dir).collect()
+    }
+    assert got <= expected, f"stream emitted pairs batch lacks: {got - expected}"
+    assert len(got) >= 0.9 * len(expected), (len(got), len(expected))
 
 
 def test_json_roundtrip_preserves_schema(spark, events_json_dir):
