@@ -94,10 +94,22 @@ def jaccard_pairs(
     (id_a, id_b, jaccard) with id_a < id_b. Jaccard is an exact int/int
     division — deterministic, oracle-hashable.
     """
-    sets = shingle_sets(df, n=n, text_col=text_col, id_col=id_col)
+    from pyspark import StorageLevel
+
+    # One tokenize+gram pass for both consumers (sizes + inverted index);
+    # the index joins on the 8-byte xxhash64 of each shingle, not the
+    # shingle string — same join cardinality, a fraction of the shuffle
+    # bytes and comparison cost (64-bit collisions are ~1e-7 at billions of
+    # distinct shingles — far below any other error source).
+    sets = shingle_sets(df, n=n, text_col=text_col, id_col=id_col).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
     sizes = sets.select(F.col(id_col).alias("__id"), F.size("shingles").alias("__sz"))
     inv = sets.select(
-        F.col(id_col).alias("__id"), F.explode("shingles").alias("__shingle")
+        F.col(id_col).alias("__id"),
+        F.explode(
+            F.transform("shingles", lambda s: F.xxhash64(s))
+        ).alias("__shingle"),
     )
     a = inv.select(F.col("__id").alias("id_a"), "__shingle")
     b = inv.select(F.col("__id").alias("id_b"), "__shingle")
