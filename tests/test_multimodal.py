@@ -53,6 +53,24 @@ def test_sample_frames_expands_rows(media):
     assert all(r["count"] == 4 for r in per)
 
 
+def test_features_flow_into_similarity_search(media):
+    """End-to-end multimodal pipeline: binary payload → Arrow feature
+    kernel → cosine top-k over the extracted vectors. The feature column
+    must be directly consumable by the simsearch operators (schema
+    compatibility is the contract)."""
+    from sdc_mapreduce_spark.functions.simsearch import cosine_topk_bruteforce
+
+    feats = M.extract_features(media)
+    qids = [r["media_id"] for r in feats.select("media_id").limit(2).collect()]
+    top = cosine_topk_bruteforce(
+        feats, qids, k=3, id_col="media_id", vec_col="feature"
+    ).collect()
+    assert {r["query_id"] for r in top} == set(qids)
+    for r in top:
+        assert r["neighbor_id"] != r["query_id"]
+        assert 1 <= r["rank"] <= 3
+
+
 def test_resize_stub_raises(media):
     with pytest.raises(Exception, match="NotImplementedError|image codec"):
         M.resize_stub(media).collect()
