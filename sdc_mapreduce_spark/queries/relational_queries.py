@@ -581,6 +581,37 @@ FROM lineitem
 """
 
 
+def scalar_array_fns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array-function surface over the embedding column: size, indexing,
+    slice-fold, min/max — all higher-order/collection built-ins, no Python.
+    Both engines left-fold the slice sum over identical doubles, so the
+    values hash-match without decimal tricks (8 elements, one order)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    v = F.col("embedding").cast("array<double>")
+    return emb.select(
+        "vec_id",
+        F.size(v).alias("dim"),
+        F.round(F.element_at(v, 1), 6).alias("first_val"),
+        F.round(
+            F.aggregate(F.slice(v, 1, 8), F.lit(0.0), lambda a, x: a + x), 6
+        ).alias("head_sum"),
+        F.round(F.array_max(v), 6).alias("max_val"),
+        F.round(F.array_min(v), 6).alias("min_val"),
+    )
+
+
+SCALAR_ARRAY_SQL = """
+WITH u AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
+SELECT vec_id,
+       CAST(len(v) AS INT) AS dim,
+       ROUND(v[1], 6) AS first_val,
+       ROUND(list_aggregate(v[1:8], 'sum'), 6) AS head_sum,
+       ROUND(list_max(v), 6) AS max_val,
+       ROUND(list_min(v), 6) AS min_val
+FROM u
+"""
+
+
 def filter_project_pushdown(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Narrow scan: filter + 2-column projection, both pushed to parquet
     (.explain shows PushedFilters + pruned ReadSchema)."""
@@ -831,5 +862,6 @@ QUERIES: dict[str, QuerySpec] = {
     "scalar_string_fns": QuerySpec(scalar_string_fns, SCALAR_STRING_SQL),
     "scalar_datetime_fns": QuerySpec(scalar_datetime_fns, SCALAR_DATETIME_SQL),
     "scalar_math_case": QuerySpec(scalar_math_case, SCALAR_MATH_SQL),
+    "scalar_array_fns": QuerySpec(scalar_array_fns, SCALAR_ARRAY_SQL),
     "filter_project_pushdown": QuerySpec(filter_project_pushdown, FILTER_PROJECT_SQL),
 }
