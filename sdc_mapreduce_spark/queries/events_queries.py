@@ -42,6 +42,31 @@ GROUP BY 1, 2
 """
 
 
+def events_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding 10-minute windows every 5 minutes: each event lands in two
+    windows (batch form of streaming.sliding_counts). The oracle enumerates
+    the two covering window starts per event and groups on them."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "10 minutes", "5 minutes").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .select(F.col("w.start").alias("window_start"), "event_type", "cnt")
+    )
+
+
+EVENTS_SLIDING_SQL = """
+WITH covering AS (
+  SELECT event_type,
+         UNNEST([time_bucket(INTERVAL '5 minutes', CAST(ts AS TIMESTAMP)),
+                 time_bucket(INTERVAL '5 minutes', CAST(ts AS TIMESTAMP))
+                   - INTERVAL '5 minutes']) AS window_start
+  FROM events
+)
+SELECT window_start, event_type, COUNT(*) AS cnt
+FROM covering GROUP BY window_start, event_type
+"""
+
+
 def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Batch sessionization: a session breaks after 30 minutes of per-user
     inactivity. lag → new-session flag → running count = session id; then
@@ -199,6 +224,7 @@ JOIN (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts
 
 QUERIES: dict[str, QuerySpec] = {
     "events_tumbling": QuerySpec(events_tumbling, EVENTS_TUMBLING_SQL, bench=True),
+    "events_sliding": QuerySpec(events_sliding, EVENTS_SLIDING_SQL),
     "events_sessionize": QuerySpec(events_sessionize, EVENTS_SESSIONIZE_SQL, bench=True),
     "events_json_extract": QuerySpec(events_json_extract, EVENTS_JSON_SQL),
     "events_asof_join": QuerySpec(events_asof_join, EVENTS_ASOF_SQL),
