@@ -804,6 +804,48 @@ FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority
 """
 
 
+def grouped_zscore_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped-map transformation via ``applyInPandas``: z-score each
+    order's value within its priority group. The whole group arrives as one
+    Arrow-backed pandas frame; the kernel is vectorized numpy. This is the
+    per-group escape hatch when built-in window aggregates can't express
+    the transformation (model scoring, per-group fits); here the semantics
+    ARE window-expressible, which is what supplies the SQL oracle. Outputs
+    round to 4 decimals so float64 accumulation-order differences between
+    engines vanish."""
+    import pandas as pd
+
+    def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        v = pdf["o_totalprice"]
+        std = v.std(ddof=1)
+        z = (v - v.mean()) / std if std > 0 else v * 0.0
+        return pd.DataFrame(
+            {
+                "o_orderkey": pdf["o_orderkey"],
+                "o_orderpriority": pdf["o_orderpriority"],
+                "zscore": z.round(4),
+            }
+        )
+
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.select("o_orderkey", "o_orderpriority", "o_totalprice")
+        .groupBy("o_orderpriority")
+        .applyInPandas(
+            kernel, schema="o_orderkey long, o_orderpriority string, zscore double"
+        )
+    )
+
+
+GROUPED_ZSCORE_SQL = """
+SELECT o_orderkey, o_orderpriority,
+       ROUND((o_totalprice - AVG(o_totalprice) OVER w)
+             / STDDEV_SAMP(o_totalprice) OVER w, 4) AS zscore
+FROM orders
+WINDOW w AS (PARTITION BY o_orderpriority)
+"""
+
+
 def subquery_above_nation_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Correlated-subquery shape (customers above their nation's average
     balance), decorrelated into a per-nation aggregate + broadcast join —
@@ -840,6 +882,7 @@ QUERIES: dict[str, QuerySpec] = {
     "agg_percentiles": QuerySpec(agg_percentiles, AGG_PERCENTILES_SQL),
     "agg_approx_sketches": QuerySpec(agg_approx_sketches, None),
     "udaf_geomean_pandas": QuerySpec(udaf_geomean_pandas, UDAF_GEOMEAN_SQL),
+    "grouped_zscore_pandas": QuerySpec(grouped_zscore_pandas, GROUPED_ZSCORE_SQL),
     "subquery_above_nation_avg": QuerySpec(
         subquery_above_nation_avg, SUBQUERY_NATION_AVG_SQL
     ),
