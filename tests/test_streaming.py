@@ -158,6 +158,32 @@ def test_stream_stream_join_matches_batch(spark, sf_dir, events_json_dir):
     assert len(got) >= 0.9 * len(expected), (len(got), len(expected))
 
 
+def test_checkpoint_restart_is_exactly_once(spark, events_json_dir, tmp_path):
+    """Restarting a checkpointed query over an unchanged source must add
+    nothing: the checkpoint records consumed files, so the second run
+    commits zero new batches (file-sink exactly-once)."""
+    ckpt = str(tmp_path / "ckpt")
+    out = str(tmp_path / "out")
+
+    def run_once():
+        q = (
+            tumbling_counts(read_events_stream(spark, events_json_dir))
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    run_once()
+    first = spark.read.parquet(out).count()
+    assert first > 0
+    run_once()
+    assert spark.read.parquet(out).count() == first, "restart duplicated rows"
+
+
 def test_json_roundtrip_preserves_schema(spark, events_json_dir):
     stream = read_events_stream(spark, events_json_dir)
     assert dict(stream.dtypes)["ts"] == "timestamp"
