@@ -264,22 +264,32 @@ def minhash_lsh_pairs(
         _signatures_from_sets_arrow if signature_impl == "arrow" else _signatures_from_sets
     )
     sigs = make_sigs(sets, num_hashes=num_hashes, id_col=id_col)
-    band_rows = sigs.select(
-        F.col(id_col).alias("__id"),
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(bi).alias("band"),
-                        F.xxhash64(
-                            *[F.col(f"mh_{bi * rows_per_band + r}") for r in range(rows_per_band)]
-                        ).alias("bhash"),
-                    )
-                    for bi in range(bands)
-                ]
-            )
-        ).alias("b"),
-    ).select("__id", "b.band", "b.bhash")
+    band_rows = (
+        sigs.select(
+            F.col(id_col).alias("__id"),
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(bi).alias("band"),
+                            F.xxhash64(
+                                *[
+                                    F.col(f"mh_{bi * rows_per_band + r}")
+                                    for r in range(rows_per_band)
+                                ]
+                            ).alias("bhash"),
+                        )
+                        for bi in range(bands)
+                    ]
+                )
+            ).alias("b"),
+        )
+        .select("__id", "b.band", "b.bhash")
+        # persisted because the self-join below would otherwise run the
+        # whole signature stage once PER SIDE; band rows are 3 small
+        # columns x (docs x bands) — far cheaper to store than recompute
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
 
     cand = (
         band_rows.alias("x")
