@@ -30,6 +30,12 @@ def main() -> None:
     # Warm up the JVM/session so the first measured query doesn't pay
     # executor/codegen startup.
     next(iter(bench.values()))(spark, SF_DIR).limit(1).collect()
+    # ...and the Python/Arrow worker pool (mapInPandas/pandas-UDF queries
+    # would otherwise pay daemon fork + Arrow init inside their timing).
+    # A trivial kernel over unrelated data — no query-specific caches warm.
+    spark.range(32).repartition(32).mapInPandas(
+        lambda it: it, schema="id long"
+    ).write.format("noop").mode("overwrite").save()
 
     timings: dict[str, float] = {}
     for name, fn in bench.items():
