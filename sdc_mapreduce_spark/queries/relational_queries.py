@@ -389,6 +389,48 @@ FROM orders
 """
 
 
+def window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE-framed window (value range, not row count): each order's
+    trailing-30-day spend for its customer. The frame is keyed on an
+    epoch-day integer so the same RANGE semantics run on both engines;
+    orders on the same day all see the full day's total regardless of row
+    order — which is what makes range frames deterministic where row frames
+    on ties are not."""
+    orders = load_table(spark, sf_dir, "orders")
+    day = F.datediff(
+        F.col("o_orderdate").cast("date"), F.lit("1995-01-01").cast("date")
+    )
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy(F.col("__day"))
+        .rangeBetween(-30, 0)
+    )
+    return (
+        orders.select(
+            "o_custkey",
+            "o_orderkey",
+            day.alias("__day"),
+            F.expr("cast(o_totalprice as decimal(28,2))").alias("__p"),
+        )
+        .select(
+            "o_custkey",
+            "o_orderkey",
+            F.sum("__p").over(w).cast("double").alias("trailing_30d_spend"),
+        )
+    )
+
+
+WINDOW_RANGE_FRAME_SQL = """
+SELECT o_custkey, o_orderkey,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(28,2))) OVER (
+         PARTITION BY o_custkey
+         ORDER BY DATE_DIFF('day', DATE '1995-01-01', CAST(o_orderdate AS DATE))
+         RANGE BETWEEN 30 PRECEDING AND CURRENT ROW) AS DOUBLE)
+         AS trailing_30d_spend
+FROM orders
+"""
+
+
 def window_lag_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LAG: change in order value vs the customer's previous order."""
     orders = load_table(spark, sf_dir, "orders")
@@ -898,6 +940,7 @@ QUERIES: dict[str, QuerySpec] = {
     "window_rank_topn": QuerySpec(window_rank_topn, WINDOW_RANK_SQL, bench=True),
     "window_running_sum": QuerySpec(window_running_sum, WINDOW_RUNNING_SQL),
     "window_lag_delta": QuerySpec(window_lag_delta, WINDOW_LAG_SQL),
+    "window_range_frame": QuerySpec(window_range_frame, WINDOW_RANGE_FRAME_SQL),
     "sort_limit_topk": QuerySpec(sort_limit_topk, SORT_LIMIT_SQL),
     "set_intersect": QuerySpec(set_intersect, SET_INTERSECT_SQL),
     "set_except": QuerySpec(set_except, SET_EXCEPT_SQL),
