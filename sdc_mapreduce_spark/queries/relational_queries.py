@@ -759,6 +759,86 @@ ORDER BY sum_qty DESC, o_orderkey ASC
 """
 
 
+def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 shape: revenue lost to returns per customer, top 20.
+    Fact-side filter first, customer broadcast, aggregation on the customer
+    grain, TakeOrdered for the top-k."""
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp_ntz"))
+        & (F.col("o_orderdate") < F.lit("1996-07-01").cast("timestamp_ntz"))
+    )
+    cust = load_table(spark, sf_dir, "customer")
+    joined = (
+        li.join(
+            F.broadcast(orders.select("o_orderkey", "o_custkey")),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+    )
+    revenue = joined.groupBy("c_custkey", "c_name", "c_mktsegment").agg(
+        dsum("l_extendedprice * (1 - l_discount)", "lost_revenue", scale=4)
+    )
+    return top_k(
+        revenue, [F.col("lost_revenue").desc(), F.col("c_custkey").asc()], 20
+    )
+
+
+Q10_SQL = f"""
+SELECT c_custkey, c_name, c_mktsegment,
+       {sql_dsum('l_extendedprice * (1 - l_discount)', 'lost_revenue', 4)}
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+WHERE l_returnflag = 'R'
+  AND o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o_orderdate <  TIMESTAMP '1996-07-01'
+GROUP BY c_custkey, c_name, c_mktsegment
+ORDER BY lost_revenue DESC, c_custkey ASC
+LIMIT 20
+"""
+
+
+def q14_promo_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape: conditional-aggregate ratio in ONE pass — promo
+    revenue share of one ship-month. The CASE rides inside the decimal sum,
+    so there is a single scan, a single shuffle, and two aggregates."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-03-01").cast("timestamp_ntz"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp_ntz"))
+    )
+    part = load_table(spark, sf_dir, "part")
+    joined = li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+    promo = dsum(
+        "case when p_type = 'ECONOMY' then l_extendedprice * (1 - l_discount) "
+        "else 0.0 end",
+        "promo_revenue",
+        scale=4,
+    )
+    total = dsum("l_extendedprice * (1 - l_discount)", "total_revenue", scale=4)
+    return joined.agg(promo, total).select(
+        "promo_revenue",
+        "total_revenue",
+        F.round(
+            F.lit(100.0) * F.col("promo_revenue") / F.col("total_revenue"), 6
+        ).alias("promo_share_pct"),
+    )
+
+
+Q14_SQL = f"""
+SELECT promo_revenue, total_revenue,
+       ROUND(100.0 * promo_revenue / total_revenue, 6) AS promo_share_pct
+FROM (
+  SELECT
+    {sql_dsum("CASE WHEN p_type = 'ECONOMY' THEN l_extendedprice * (1 - l_discount) ELSE 0.0 END", 'promo_revenue', 4)},
+    {sql_dsum('l_extendedprice * (1 - l_discount)', 'total_revenue', 4)}
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+  WHERE l_shipdate >= TIMESTAMP '1996-03-01'
+    AND l_shipdate <  TIMESTAMP '1996-04-01'
+) t
+"""
+
+
 def agg_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact percentiles (continuous interpolation) of order value per
     status — the sort-based exact form; at 100 TB swap to
@@ -921,6 +1001,8 @@ QUERIES: dict[str, QuerySpec] = {
     "q4_order_priority": QuerySpec(q4_order_priority, Q4_SQL),
     "q6_forecast_revenue": QuerySpec(q6_forecast_revenue, Q6_SQL, bench=True),
     "q18_large_volume": QuerySpec(q18_large_volume, Q18_SQL, bench=True),
+    "q10_returned_items": QuerySpec(q10_returned_items, Q10_SQL),
+    "q14_promo_share": QuerySpec(q14_promo_share, Q14_SQL),
     "agg_percentiles": QuerySpec(agg_percentiles, AGG_PERCENTILES_SQL),
     "agg_approx_sketches": QuerySpec(agg_approx_sketches, None),
     "udaf_geomean_pandas": QuerySpec(udaf_geomean_pandas, UDAF_GEOMEAN_SQL),
