@@ -839,6 +839,64 @@ FROM (
 """
 
 
+def q19_disjunctive_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 shape: a join whose residual predicate is a disjunction of
+    conjunctions (brand/size/quantity combos). Catalyst extracts the common
+    join key as the hash condition and keeps the OR-of-ANDs as a residual
+    filter; the shared `l_quantity <= 30` bound is pushed to the scan."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    joined = li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+    cond = (
+        (F.col("p_brand") == "Brand#1")
+        & (F.col("p_size").between(1, 15))
+        & (F.col("l_quantity").between(1, 15))
+    ) | (
+        (F.col("p_brand") == "Brand#3")
+        & (F.col("p_size").between(1, 30))
+        & (F.col("l_quantity").between(10, 30))
+    )
+    return joined.filter(cond).agg(
+        dsum("l_extendedprice * (1 - l_discount)", "revenue", scale=4),
+        F.count(F.lit(1)).alias("n_items"),
+    )
+
+
+Q19_SQL = f"""
+SELECT {sql_dsum('l_extendedprice * (1 - l_discount)', 'revenue', 4)},
+       COUNT(*) AS n_items
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15
+       AND l_quantity BETWEEN 1 AND 15)
+   OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 30
+       AND l_quantity BETWEEN 10 AND 30)
+"""
+
+
+def agg_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PIVOT: line counts per returnflag, one column per linestatus — the
+    wide-format reshape. Spark's pivot plans as a single aggregation with
+    conditional aggregates (no extra shuffle vs the long form), which is
+    exactly how the oracle expresses it."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .pivot("l_linestatus", ["F", "O"])
+        .agg(F.count(F.lit(1)))
+        .withColumnsRenamed({"F": "cnt_f", "O": "cnt_o"})
+        .na.fill(0, ["cnt_f", "cnt_o"])
+        .orderBy("l_returnflag")
+    )
+
+
+AGG_PIVOT_SQL = """
+SELECT l_returnflag,
+       COALESCE(COUNT(*) FILTER (l_linestatus = 'F'), 0) AS cnt_f,
+       COALESCE(COUNT(*) FILTER (l_linestatus = 'O'), 0) AS cnt_o
+FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+"""
+
+
 def agg_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact percentiles (continuous interpolation) of order value per
     status — the sort-based exact form; at 100 TB swap to
@@ -1003,6 +1061,8 @@ QUERIES: dict[str, QuerySpec] = {
     "q18_large_volume": QuerySpec(q18_large_volume, Q18_SQL, bench=True),
     "q10_returned_items": QuerySpec(q10_returned_items, Q10_SQL),
     "q14_promo_share": QuerySpec(q14_promo_share, Q14_SQL),
+    "q19_disjunctive_filters": QuerySpec(q19_disjunctive_filters, Q19_SQL),
+    "agg_pivot": QuerySpec(agg_pivot, AGG_PIVOT_SQL),
     "agg_percentiles": QuerySpec(agg_percentiles, AGG_PERCENTILES_SQL),
     "agg_approx_sketches": QuerySpec(agg_approx_sketches, None),
     "udaf_geomean_pandas": QuerySpec(udaf_geomean_pandas, UDAF_GEOMEAN_SQL),
