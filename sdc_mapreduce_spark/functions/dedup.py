@@ -230,6 +230,57 @@ def _signatures_from_sets_arrow(
     return based.mapInPandas(kernel, schema=out_schema)
 
 
+def _band_rows_arrow(
+    sets: DataFrame, num_hashes: int, bands: int, id_col: str = "doc_id"
+) -> DataFrame:
+    """(id, shingles) → (id, band, bhash) long-format band rows, computed
+    entirely inside one Arrow kernel (minima AND band mixing in numpy).
+
+    Avoids materializing the K-column signature frame: the wide projection
+    costs a large whole-stage-codegen compile and K columns of Arrow
+    transfer, while banding only ever needs the per-band mix. Output is
+    bands rows per doc — the exact join-key shape LSH needs."""
+    import numpy as np
+    import pandas as pd
+
+    MERSENNE = (1 << 61) - 1
+    rows_per_band = num_hashes // bands
+    rng = np.random.RandomState(RNG_SEED_MINHASH)
+    a = rng.randint(1, MERSENNE, size=num_hashes, dtype=np.int64).astype(np.uint64)
+    b = rng.randint(0, MERSENNE, size=num_hashes, dtype=np.int64).astype(np.uint64)
+    # one odd multiplier per row-in-band for the band mix (any fixed mix
+    # works — banding only needs equality to be signature-equality)
+    mix = (
+        rng.randint(1, MERSENNE, size=rows_per_band, dtype=np.int64).astype(np.uint64)
+        | np.uint64(1)
+    )
+
+    based = sets.select(
+        id_col, F.transform("shingles", lambda s: F.xxhash64(s)).alias("__base")
+    )
+
+    def kernel(batches):
+        band_idx = np.tile(np.arange(bands, dtype=np.int32), 1)
+        for pdf in batches:
+            n = len(pdf)
+            ids = np.repeat(pdf[id_col].to_numpy(), bands)
+            bhash = np.empty((n, bands), dtype=np.int64)
+            for r, hs in enumerate(pdf["__base"]):
+                h = np.asarray(hs, dtype=np.int64).astype(np.uint64)
+                mins = ((a[:, None] * h[None, :] + b[:, None]) % MERSENNE).min(axis=1)
+                per_band = mins.reshape(bands, rows_per_band)
+                bhash[r] = (per_band * mix[None, :]).sum(axis=1).astype(np.int64)
+            yield pd.DataFrame(
+                {
+                    id_col: ids,
+                    "band": np.tile(band_idx, n),
+                    "bhash": bhash.reshape(-1),
+                }
+            )
+
+    return based.mapInPandas(kernel, schema=f"{id_col} long, band int, bhash long")
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     num_hashes: int = 64,
@@ -260,12 +311,15 @@ def minhash_lsh_pairs(
     sets = shingle_sets(df, n=n, text_col=text_col, id_col=id_col).persist(
         StorageLevel.MEMORY_AND_DISK
     )
-    make_sigs = (
-        _signatures_from_sets_arrow if signature_impl == "arrow" else _signatures_from_sets
-    )
-    sigs = make_sigs(sets, num_hashes=num_hashes, id_col=id_col)
-    band_rows = (
-        sigs.select(
+    if signature_impl == "arrow":
+        # minima AND band mixing fused in one Arrow kernel — no K-column
+        # signature frame, no wide codegen
+        raw_band_rows = _band_rows_arrow(
+            sets, num_hashes=num_hashes, bands=bands, id_col=id_col
+        ).withColumnRenamed(id_col, "__id")
+    else:
+        sigs = _signatures_from_sets(sets, num_hashes=num_hashes, id_col=id_col)
+        raw_band_rows = sigs.select(
             F.col(id_col).alias("__id"),
             F.explode(
                 F.array(
@@ -283,13 +337,11 @@ def minhash_lsh_pairs(
                     ]
                 )
             ).alias("b"),
-        )
-        .select("__id", "b.band", "b.bhash")
-        # persisted because the self-join below would otherwise run the
-        # whole signature stage once PER SIDE; band rows are 3 small
-        # columns x (docs x bands) — far cheaper to store than recompute
-        .persist(StorageLevel.MEMORY_AND_DISK)
-    )
+        ).select("__id", "b.band", "b.bhash")
+    # persisted because the self-join below would otherwise run the whole
+    # signature stage once PER SIDE; band rows are 3 small columns x
+    # (docs x bands) — far cheaper to store than recompute
+    band_rows = raw_band_rows.persist(StorageLevel.MEMORY_AND_DISK)
 
     cand = (
         band_rows.alias("x")
