@@ -41,6 +41,30 @@ def test_jaccard_pairs_vs_python(spark, sf_dir):
     assert got == expected
 
 
+def test_minhash_estimate_tracks_exact_jaccard(spark, sf_dir):
+    """The Arrow universal-hash family must be a valid MinHash estimator:
+    for true near-dup pairs, the fraction of agreeing minima estimates the
+    exact Jaccard within ~4 standard errors (sqrt(j(1-j)/K) ≈ 0.035 at
+    K=128) — catches any bias bug in the (a*h+b) mod M permutations."""
+    docs = load_table(spark, sf_dir, "documents")
+    exact = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in D.jaccard_pairs(docs, n=3, threshold=0.8).collect()
+    }
+    assert exact
+    K = 128
+    sets = D.shingle_sets(docs, n=3)
+    sigs = {
+        r["doc_id"]: [r[f"mh_{i}"] for i in range(K)]
+        for r in D._signatures_from_sets_arrow(sets, num_hashes=K)
+        .drop("shingles")
+        .collect()
+    }
+    for (a, b), j in exact.items():
+        est = sum(x == y for x, y in zip(sigs[a], sigs[b])) / K
+        assert abs(est - j) <= 0.15, (a, b, j, est)
+
+
 def test_near_dup_clusters_match_union_find(spark, sf_dir):
     """Label propagation must produce exactly the components a driver-side
     union-find builds from the same pair set."""
