@@ -112,7 +112,12 @@ def language_id(df: DataFrame, text_col: str = "text") -> DataFrame:
         F.size(F.filter(t, _in_markers(markers))).alias(f"score_{lang}")
         for lang, markers in sorted(LANG_MARKERS.items())
     ]
-    scored = df.select("doc_id", F.col("lang").alias("lang_declared"), *score_cols)
+    # the fixture corpus declares a lang column; carry it through when
+    # present so predictions can be scored against it, else omit
+    declared = (
+        [F.col("lang").alias("lang_declared")] if "lang" in df.columns else []
+    )
+    scored = df.select("doc_id", *declared, *score_cols)
     langs = sorted(LANG_MARKERS)
     best = F.greatest(*[F.col(f"score_{lang}") for lang in langs])
     pred = F.lit(None).cast("string")

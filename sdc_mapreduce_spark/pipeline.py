@@ -1,0 +1,82 @@
+"""End-to-end training-data curation pipeline.
+
+The composition a 100 TB corpus actually runs, as one operator:
+
+    ingest → quality score → language ID → exact dedup (fingerprint,
+    keep lowest id) → [optionally near-dup clustering] → curated table
+
+Each stage is one of this engine's tested operators (functions.text,
+functions.dedup); the composition stays fully declarative, so Catalyst
+plans the whole pipeline as one DAG: the three per-document feature stages
+are narrow projections fused into the scan, and the only shuffle before the
+near-dup stage is the fingerprint group-by, keyed on a 32-byte hash.
+
+The reference framework's analog is a chain of separate MapReduce jobs with
+blob round-trips between them (SURVEY.md §3.2 — one job per stage); here
+intermediate results never hit storage.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from sdc_mapreduce_spark.functions.dedup import near_dup_clusters
+from sdc_mapreduce_spark.functions.text import (
+    fingerprint_md5,
+    language_id,
+    quality_features,
+)
+
+
+def curate(
+    docs: DataFrame,
+    min_quality: float = 0.58,
+    langs: tuple[str, ...] | None = None,
+    near_dedup: bool = False,
+    jaccard_threshold: float = 0.8,
+) -> DataFrame:
+    """Curated corpus: per-doc quality + language features, thresholded,
+    exact-deduped (lowest doc id survives per fingerprint), optionally
+    near-deduped (cluster representative survives per LSH component).
+
+    Returns (doc_id, lang_pred, quality_score, n_tokens) of kept docs.
+    """
+    quality = quality_features(docs).select(
+        "doc_id", "n_tokens", "quality_score"
+    )
+    lang = language_id(docs).select("doc_id", "lang_pred")
+    fp = fingerprint_md5(docs)
+
+    featured = (
+        docs.select("doc_id")
+        .join(quality, "doc_id")
+        .join(lang, "doc_id")
+        .filter(F.col("quality_score") >= min_quality)
+    )
+    if langs:
+        featured = featured.filter(F.col("lang_pred").isin(*langs))
+
+    # exact dedup among survivors: keep the lowest doc id per fingerprint
+    kept_fp = (
+        featured.join(fp, "doc_id")
+        .groupBy("fingerprint")
+        .agg(F.min("doc_id").alias("doc_id"))
+        .select("doc_id")
+    )
+    curated = featured.join(kept_fp, "doc_id")
+
+    if near_dedup:
+        # near-dup clustering over the surviving docs only; keep each
+        # cluster's representative
+        survivors = docs.join(curated.select("doc_id"), "doc_id")
+        clusters = near_dup_clusters(survivors, threshold=jaccard_threshold)
+        reps = clusters.filter(F.col("doc_id") == F.col("rep_id")).select("doc_id")
+        curated = curated.join(reps, "doc_id")
+
+    return curated.select(
+        "doc_id",
+        "lang_pred",
+        F.round("quality_score", 6).alias("quality_score"),
+        "n_tokens",
+    )

@@ -229,6 +229,57 @@ FROM documents
 """
 
 
+def pipeline_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The end-to-end curation pipeline (pipeline.curate): quality
+    threshold + exact dedup, returning kept docs with features. The
+    near-dup stage is exercised separately (dedup_clusters) to keep this
+    oracle's SQL tractable."""
+    from sdc_mapreduce_spark.pipeline import curate
+
+    return curate(
+        load_table(spark, sf_dir, "documents"), min_quality=0.58, near_dedup=False
+    ).orderBy("doc_id")
+
+
+PIPELINE_CURATION_SQL = f"""
+WITH t AS (
+  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks,
+         length(text) AS n_chars,
+         length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS alpha_chars,
+         md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fingerprint
+  FROM documents
+), feat AS (
+  SELECT doc_id, fingerprint,
+         CAST(len(toks) AS INT) AS n_tokens,
+         len(list_filter(toks, x -> x IN ({_stop_list_sql()}))) / len(toks)
+           AS stopword_ratio,
+         alpha_chars / n_chars AS alpha_ratio,
+         (n_chars - (len(toks) - 1)) / len(toks) AS mean_token_len,
+         {_SCORES}
+  FROM t
+), scored AS (
+  SELECT doc_id, fingerprint, n_tokens,
+         alpha_ratio * 0.5
+         + LEAST(stopword_ratio * 4.0, 1.0) * 0.3
+         + LEAST(mean_token_len / 8.0, 1.0) * 0.2 AS quality_score,
+         GREATEST(score_de, score_en, score_es, score_fr, score_zh) AS best,
+         score_de, score_en, score_es, score_fr, score_zh
+  FROM feat
+), langd AS (
+  SELECT doc_id, fingerprint, n_tokens, quality_score,
+         CASE WHEN best > 0 THEN CASE {_CASE} END ELSE 'und' END AS lang_pred
+  FROM scored
+), kept AS (
+  SELECT * FROM langd WHERE quality_score >= 0.58
+), dedup AS (
+  SELECT MIN(doc_id) AS doc_id FROM kept GROUP BY fingerprint
+)
+SELECT k.doc_id, k.lang_pred, ROUND(k.quality_score, 6) AS quality_score, k.n_tokens
+FROM kept k JOIN dedup d ON k.doc_id = d.doc_id
+ORDER BY k.doc_id
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     "text_token_stats": QuerySpec(text_token_stats, TEXT_TOKEN_STATS_SQL),
     "text_quality": QuerySpec(text_quality, TEXT_QUALITY_SQL, bench=True),
@@ -238,5 +289,6 @@ QUERIES: dict[str, QuerySpec] = {
     "text_top_bigrams": QuerySpec(text_top_bigrams, TEXT_BIGRAMS_SQL),
     "text_udtf_sentences": QuerySpec(text_udtf_sentences, TEXT_UDTF_SENTENCES_SQL),
     "text_tfidf_top_terms": QuerySpec(text_tfidf_top_terms, TEXT_TFIDF_SQL),
+    "pipeline_curation": QuerySpec(pipeline_curation, PIPELINE_CURATION_SQL, bench=True),
     "multimodal_meta": QuerySpec(multimodal_meta, MULTIMODAL_META_SQL),
 }
