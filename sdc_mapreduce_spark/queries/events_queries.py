@@ -142,6 +142,30 @@ GROUP BY 1 ORDER BY 1
 """
 
 
+def events_map_fns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MapType surface: parse the JSON props column into map<string,long>
+    (``from_json``), then cardinality / key containment / value access —
+    the semi-structured column workflow beyond single-path extraction."""
+    ev = load_table(spark, sf_dir, "events")
+    m = F.from_json("props", "map<string,long>")
+    return ev.select(
+        "event_id",
+        F.size(m).alias("n_props"),
+        F.array_contains(F.map_keys(m), "k").cast("int").alias("has_k"),
+        F.element_at(m, "k").alias("k_value"),
+    )
+
+
+EVENTS_MAP_SQL = """
+SELECT event_id,
+       CAST(len(json_keys(props)) AS INT) AS n_props,
+       CAST(CASE WHEN json_extract(props, '$.k') IS NOT NULL
+                 THEN 1 ELSE 0 END AS INT) AS has_k,
+       CAST(json_extract(props, '$.k') AS BIGINT) AS k_value
+FROM events
+"""
+
+
 def events_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """As-of join: each error event matched to the same user's most recent
     purchase at or before it (union+window composition — see
@@ -227,6 +251,7 @@ QUERIES: dict[str, QuerySpec] = {
     "events_sliding": QuerySpec(events_sliding, EVENTS_SLIDING_SQL),
     "events_sessionize": QuerySpec(events_sessionize, EVENTS_SESSIONIZE_SQL, bench=True),
     "events_json_extract": QuerySpec(events_json_extract, EVENTS_JSON_SQL),
+    "events_map_fns": QuerySpec(events_map_fns, EVENTS_MAP_SQL),
     "events_asof_join": QuerySpec(events_asof_join, EVENTS_ASOF_SQL),
     "events_range_join": QuerySpec(events_range_join, EVENTS_RANGE_SQL),
 }

@@ -759,6 +759,58 @@ ORDER BY sum_qty DESC, o_orderkey ASC
 """
 
 
+def q7_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 shape: trade volume between customer-nation and
+    supplier-nation pairs. The two nation lookups broadcast independently
+    onto the two sides of the fact join; only the 25x25 group-by shuffles."""
+    nation = load_table(spark, sf_dir, "nation")
+    cust = load_table(spark, sf_dir, "customer")
+    supp = load_table(spark, sf_dir, "supplier")
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    cust_n = cust.join(
+        F.broadcast(nation.select(F.col("n_nationkey"), F.col("n_name").alias("cust_nation"))),
+        F.col("c_nationkey") == F.col("n_nationkey"),
+    ).select("c_custkey", "cust_nation")
+    supp_n = supp.join(
+        F.broadcast(
+            nation.select(
+                F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation")
+            )
+        ),
+        F.col("s_nationkey") == F.col("sn_key"),
+    ).select("s_suppkey", "supp_nation")
+    joined = (
+        li.join(
+            F.broadcast(orders.select("o_orderkey", "o_custkey")),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .join(F.broadcast(cust_n), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(supp_n), F.col("l_suppkey") == F.col("s_suppkey"))
+        .filter(F.col("cust_nation") != F.col("supp_nation"))
+    )
+    return (
+        joined.groupBy("cust_nation", "supp_nation")
+        .agg(dsum("l_extendedprice * (1 - l_discount)", "volume", scale=4))
+        .orderBy("cust_nation", "supp_nation")
+    )
+
+
+Q7_SQL = f"""
+SELECT cn.n_name AS cust_nation, sn.n_name AS supp_nation,
+       {sql_dsum('l_extendedprice * (1 - l_discount)', 'volume', 4)}
+FROM lineitem
+JOIN orders    ON l_orderkey = o_orderkey
+JOIN customer  ON o_custkey = c_custkey
+JOIN supplier  ON l_suppkey = s_suppkey
+JOIN nation cn ON c_nationkey = cn.n_nationkey
+JOIN nation sn ON s_nationkey = sn.n_nationkey
+WHERE cn.n_name <> sn.n_name
+GROUP BY cust_nation, supp_nation
+ORDER BY cust_nation, supp_nation
+"""
+
+
 def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q10 shape: revenue lost to returns per customer, top 20.
     Fact-side filter first, customer broadcast, aggregation on the customer
@@ -1059,6 +1111,7 @@ QUERIES: dict[str, QuerySpec] = {
     "q4_order_priority": QuerySpec(q4_order_priority, Q4_SQL),
     "q6_forecast_revenue": QuerySpec(q6_forecast_revenue, Q6_SQL, bench=True),
     "q18_large_volume": QuerySpec(q18_large_volume, Q18_SQL, bench=True),
+    "q7_nation_volume": QuerySpec(q7_nation_volume, Q7_SQL),
     "q10_returned_items": QuerySpec(q10_returned_items, Q10_SQL),
     "q14_promo_share": QuerySpec(q14_promo_share, Q14_SQL),
     "q19_disjunctive_filters": QuerySpec(q19_disjunctive_filters, Q19_SQL),
