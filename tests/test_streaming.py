@@ -184,6 +184,32 @@ def test_checkpoint_restart_is_exactly_once(spark, events_json_dir, tmp_path):
     assert spark.read.parquet(out).count() == first, "restart duplicated rows"
 
 
+def test_foreach_batch_custom_sink(spark, sf_dir, events_json_dir, tmp_path):
+    """foreachBatch: each micro-batch lands through arbitrary batch-writer
+    code (here: appended parquet) — the escape hatch for sinks Structured
+    Streaming lacks natively. Total delivered rows must equal the source."""
+    out = str(tmp_path / "fb_out")
+
+    def write_batch(batch_df, batch_id: int):
+        batch_df.withColumn("batch_id", F.lit(batch_id)).write.mode(
+            "append"
+        ).parquet(out)
+
+    q = (
+        read_events_stream(spark, events_json_dir, max_files_per_trigger=2)
+        .writeStream.foreachBatch(write_batch)
+        .option("checkpointLocation", str(tmp_path / "fb_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    delivered = spark.read.parquet(out)
+    expected = load_table(spark, sf_dir, "events").count()
+    assert delivered.count() == expected
+    # maxFilesPerTrigger=2 over 4 source files → at least 2 micro-batches
+    assert delivered.select("batch_id").distinct().count() >= 2
+
+
 def test_json_roundtrip_preserves_schema(spark, events_json_dir):
     stream = read_events_stream(spark, events_json_dir)
     assert dict(stream.dtypes)["ts"] == "timestamp"
