@@ -654,6 +654,34 @@ FROM u
 """
 
 
+def scalar_null_fns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NULL-semantics surface: NULLIF / COALESCE / null-safe equality.
+    NULLs are synthesized with NULLIF (the fixtures are dense), then
+    handled — the skeleton of every dirty-data normalization."""
+    cust = load_table(spark, sf_dir, "customer")
+    nullable_seg = F.nullif(F.col("c_mktsegment"), F.lit("BUILDING"))
+    return cust.select(
+        "c_custkey",
+        nullable_seg.alias("seg_or_null"),
+        F.coalesce(nullable_seg, F.lit("(redacted)")).alias("seg_filled"),
+        nullable_seg.eqNullSafe(F.lit(None).cast("string")).cast("int").alias(
+            "is_building"
+        ),
+        F.isnull(nullable_seg).cast("int").alias("is_null_flag"),
+    )
+
+
+SCALAR_NULL_SQL = """
+SELECT c_custkey,
+       NULLIF(c_mktsegment, 'BUILDING') AS seg_or_null,
+       COALESCE(NULLIF(c_mktsegment, 'BUILDING'), '(redacted)') AS seg_filled,
+       CAST(NULLIF(c_mktsegment, 'BUILDING') IS NOT DISTINCT FROM NULL AS INT)
+         AS is_building,
+       CAST(NULLIF(c_mktsegment, 'BUILDING') IS NULL AS INT) AS is_null_flag
+FROM customer
+"""
+
+
 def filter_project_pushdown(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Narrow scan: filter + 2-column projection, both pushed to parquet
     (.explain shows PushedFilters + pruned ReadSchema)."""
@@ -1144,5 +1172,6 @@ QUERIES: dict[str, QuerySpec] = {
     "scalar_datetime_fns": QuerySpec(scalar_datetime_fns, SCALAR_DATETIME_SQL),
     "scalar_math_case": QuerySpec(scalar_math_case, SCALAR_MATH_SQL),
     "scalar_array_fns": QuerySpec(scalar_array_fns, SCALAR_ARRAY_SQL),
+    "scalar_null_fns": QuerySpec(scalar_null_fns, SCALAR_NULL_SQL),
     "filter_project_pushdown": QuerySpec(filter_project_pushdown, FILTER_PROJECT_SQL),
 }

@@ -3,6 +3,7 @@
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from sdc_mapreduce_spark.catalog import load_table
 from sdc_mapreduce_spark.functions import text as T
@@ -205,6 +206,29 @@ GROUP BY doc_id
 """
 
 
+def text_posexplode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Generator-with-ordinality surface: ``posexplode`` emits (position,
+    token) rows — the order-preserving explode needed whenever downstream
+    logic is position-sensitive (n-gram building, span labeling)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id", F.posexplode(T.tokens("text")).alias("pos", "token")
+    ).filter(F.col("token") != "")
+
+
+TEXT_POSEXPLODE_SQL = """
+WITH t AS (
+  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks FROM documents
+), z AS (
+  SELECT doc_id,
+         CAST(UNNEST(generate_subscripts(toks, 1)) - 1 AS INT) AS pos,
+         UNNEST(toks) AS token
+  FROM t
+)
+SELECT doc_id, pos, token FROM z WHERE token <> ''
+"""
+
+
 def multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Binary-column metadata surface: payload byte length + checksum over a
     synthesized media table (multimodal.synthesize_media). The decode stubs
@@ -288,6 +312,7 @@ QUERIES: dict[str, QuerySpec] = {
     "text_rolling_fingerprint": QuerySpec(text_rolling_fingerprint, None),
     "text_top_bigrams": QuerySpec(text_top_bigrams, TEXT_BIGRAMS_SQL),
     "text_udtf_sentences": QuerySpec(text_udtf_sentences, TEXT_UDTF_SENTENCES_SQL),
+    "text_posexplode": QuerySpec(text_posexplode, TEXT_POSEXPLODE_SQL),
     "text_tfidf_top_terms": QuerySpec(text_tfidf_top_terms, TEXT_TFIDF_SQL),
     "pipeline_curation": QuerySpec(pipeline_curation, PIPELINE_CURATION_SQL, bench=True),
     "multimodal_meta": QuerySpec(multimodal_meta, MULTIMODAL_META_SQL),
