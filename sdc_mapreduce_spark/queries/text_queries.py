@@ -221,11 +221,11 @@ WITH t AS (
   SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks FROM documents
 ), z AS (
   SELECT doc_id,
-         CAST(UNNEST(generate_subscripts(toks, 1)) - 1 AS INT) AS pos,
-         UNNEST(toks) AS token
+         UNNEST([{'i': i, 't': toks[i]} FOR i IN range(1, len(toks) + 1)]) AS s
   FROM t
 )
-SELECT doc_id, pos, token FROM z WHERE token <> ''
+SELECT doc_id, CAST(s.i - 1 AS INT) AS pos, s.t AS token
+FROM z WHERE s.t <> ''
 """
 
 
