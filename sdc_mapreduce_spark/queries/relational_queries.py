@@ -977,6 +977,80 @@ FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
 """
 
 
+def q22_global_sales_opportunity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape: rich-but-inactive customers per nation — a global
+    scalar aggregate (average positive balance, broadcast as a one-row
+    frame) combined with an anti join against orders. Two fact passes, one
+    25-row group-by."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    avg_bal = cust.filter(F.col("c_acctbal") > 0).agg(
+        davg("c_acctbal", "avg_bal")
+    )
+    rich = cust.join(F.broadcast(avg_bal)).filter(
+        F.col("c_acctbal") > F.col("avg_bal")
+    )
+    # "inactive" = no urgent order (the fixture's dense orders table gives
+    # every customer SOME order, so plain no-orders would be empty)
+    urgent = orders.filter(F.col("o_orderpriority") == "1-URGENT")
+    inactive = rich.join(
+        urgent, F.col("c_custkey") == F.col("o_custkey"), "left_anti"
+    )
+    return (
+        inactive.groupBy("c_nationkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            dsum("c_acctbal", "total_balance"),
+        )
+        .orderBy("c_nationkey")
+    )
+
+
+Q22_SQL = f"""
+SELECT c_nationkey, COUNT(*) AS n_customers,
+       {sql_dsum('c_acctbal', 'total_balance')}
+FROM customer c
+WHERE c_acctbal > (SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(28,2))) AS DOUBLE)
+                          / COUNT(*)
+                   FROM customer WHERE c_acctbal > 0)
+  AND NOT EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c.c_custkey
+                    AND o_orderpriority = '1-URGENT')
+GROUP BY c_nationkey
+ORDER BY c_nationkey
+"""
+
+
+def sql_surface_correlated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SQL API surface itself: a correlated EXISTS plus a correlated
+    scalar subquery written as raw SQL against registered views — Catalyst
+    performs the decorrelation (RewriteCorrelatedScalarSubquery) that the
+    DataFrame twins in this module spell out by hand."""
+    for name in ("customer", "orders"):
+        load_table(spark, sf_dir, name).createOrReplaceTempView(f"{name}_sql")
+    return spark.sql(
+        """
+        SELECT c_custkey, c_mktsegment
+        FROM customer_sql c
+        WHERE EXISTS (SELECT 1 FROM orders_sql o
+                      WHERE o.o_custkey = c.c_custkey
+                        AND o.o_totalprice > 300000)
+          AND c_acctbal > (SELECT AVG(c_acctbal) FROM customer_sql c2
+                           WHERE c2.c_nationkey = c.c_nationkey)
+        """
+    )
+
+
+SQL_SURFACE_CORRELATED_SQL = """
+SELECT c_custkey, c_mktsegment
+FROM customer c
+WHERE EXISTS (SELECT 1 FROM orders o
+              WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 300000)
+  AND c_acctbal > (SELECT AVG(c_acctbal) FROM customer c2
+                   WHERE c2.c_nationkey = c.c_nationkey)
+"""
+
+
 def agg_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact percentiles (continuous interpolation) of order value per
     status — the sort-based exact form; at 100 TB swap to
@@ -1150,6 +1224,10 @@ QUERIES: dict[str, QuerySpec] = {
     "grouped_zscore_pandas": QuerySpec(grouped_zscore_pandas, GROUPED_ZSCORE_SQL),
     "subquery_above_nation_avg": QuerySpec(
         subquery_above_nation_avg, SUBQUERY_NATION_AVG_SQL
+    ),
+    "q22_global_sales_opportunity": QuerySpec(q22_global_sales_opportunity, Q22_SQL),
+    "sql_surface_correlated": QuerySpec(
+        sql_surface_correlated, SQL_SURFACE_CORRELATED_SQL
     ),
     "join_inner": QuerySpec(join_inner, JOIN_INNER_SQL),
     "join_left_agg": QuerySpec(join_left_agg, JOIN_LEFT_SQL),
