@@ -14,6 +14,7 @@ from sdc_mapreduce_spark.queries import (
     relational_queries,
     simsearch_queries,
     text_queries,
+    tpch_queries,
 )
 
 REGISTRY: dict[str, QuerySpec] = {}
@@ -24,6 +25,7 @@ for mod in (
     text_queries,
     dedup_queries,
     simsearch_queries,
+    tpch_queries,
 ):
     overlap = REGISTRY.keys() & mod.QUERIES.keys()
     if overlap:

@@ -60,6 +60,27 @@ def test_q1_aggregates_partial_then_final(spark, sf_dir):
     assert plan.count("Exchange hashpartitioning") == 1  # one agg shuffle
 
 
+def test_q2_dimension_joins_broadcast(spark, sf_dir):
+    # the supply distinct is the only fact shuffle; part and the
+    # supplier⋈nation⋈region dimension chain must broadcast
+    from sdc_mapreduce_spark.queries.tpch_queries import q2_min_balance_supplier
+
+    plan = _plan(q2_min_balance_supplier(spark, sf_dir))
+    assert "SortMergeJoin" not in plan
+    assert "BroadcastHashJoin" in plan
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_q15_max_is_broadcast_scalar_not_window(spark, sf_dir):
+    # the max-of-aggregate must be a one-row broadcast join, never a
+    # single-partition window over all suppliers
+    from sdc_mapreduce_spark.queries.tpch_queries import q15_top_supplier
+
+    plan = _plan(q15_top_supplier(spark, sf_dir))
+    assert "Window" not in plan
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+
+
 def test_wordcount_single_shuffle_with_partial_agg(spark):
     from sdc_mapreduce_spark import mapreduce as mr
 
