@@ -13,6 +13,7 @@ from sdc_mapreduce_spark.queries import (
     mapreduce_queries,
     relational_queries,
     simsearch_queries,
+    surface_queries,
     text_queries,
     tpch_queries,
 )
@@ -26,6 +27,7 @@ for mod in (
     dedup_queries,
     simsearch_queries,
     tpch_queries,
+    surface_queries,
 ):
     overlap = REGISTRY.keys() & mod.QUERIES.keys()
     if overlap:

@@ -246,6 +246,65 @@ JOIN (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts
 """
 
 
+def events_monthly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calendar rollup: monthly counts, value sums, and distinct users per
+    event type — the standard time-series downsample. One shuffle on the
+    (month, type) key; the distinct-user count is the exact form (swap to
+    approx_count_distinct at 100 TB, see agg_approx_sketches)."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.date_trunc("month", F.col("ts")).cast("date").alias("month"),
+            "event_type",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            dsum("value", "sum_value"),
+            F.countDistinct("user_id").alias("n_users"),
+        )
+        .orderBy("month", "event_type")
+    )
+
+
+EVENTS_MONTHLY_SQL = f"""
+SELECT CAST(DATE_TRUNC('month', CAST(ts AS TIMESTAMP)) AS DATE) AS month,
+       event_type,
+       COUNT(*) AS cnt,
+       {sql_dsum('value', 'sum_value')},
+       COUNT(DISTINCT user_id) AS n_users
+FROM events
+GROUP BY 1, 2
+ORDER BY month, event_type
+"""
+
+
+def latest_event_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Latest row per key — the CDC-compaction / snapshot operator (SQL
+    QUALIFY shape): row_number over (user, ts desc) with the unique
+    event_id tiebreak, keep rank 1. One shuffle on user_id; no join back,
+    no global sort."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    return (
+        ev.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("user_id", "event_id", "event_type", "ts", "value")
+    )
+
+
+LATEST_EVENT_SQL = """
+SELECT user_id, event_id, event_type, CAST(ts AS TIMESTAMP) AS ts, value
+FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id
+                               ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events
+)
+WHERE rn = 1
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     "events_tumbling": QuerySpec(events_tumbling, EVENTS_TUMBLING_SQL, bench=True),
     "events_sliding": QuerySpec(events_sliding, EVENTS_SLIDING_SQL),
@@ -254,4 +313,6 @@ QUERIES: dict[str, QuerySpec] = {
     "events_map_fns": QuerySpec(events_map_fns, EVENTS_MAP_SQL),
     "events_asof_join": QuerySpec(events_asof_join, EVENTS_ASOF_SQL),
     "events_range_join": QuerySpec(events_range_join, EVENTS_RANGE_SQL),
+    "events_monthly_rollup": QuerySpec(events_monthly_rollup, EVENTS_MONTHLY_SQL),
+    "latest_event_per_user": QuerySpec(latest_event_per_user, LATEST_EVENT_SQL),
 }
