@@ -172,9 +172,138 @@ ORDER BY l_returnflag
 """
 
 
+def set_except_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multiset EXCEPT ALL (duplicate-preserving difference) — the bag
+    semantics ``set_except`` deliberately collapses. Catalyst plans this as
+    one hash aggregation of per-side multiplicities, not a join."""
+    orders = load_table(spark, sf_dir, "orders")
+    f_cust = orders.filter(F.col("o_orderstatus") == "F").select(
+        F.col("o_custkey").alias("custkey")
+    )
+    p_cust = orders.filter(F.col("o_orderstatus") == "P").select(
+        F.col("o_custkey").alias("custkey")
+    )
+    return f_cust.exceptAll(p_cust)
+
+
+SET_EXCEPT_ALL_SQL = """
+SELECT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'F'
+EXCEPT ALL
+SELECT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'P'
+"""
+
+
+def set_intersect_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multiset INTERSECT ALL: each custkey kept min(multiplicity-left,
+    multiplicity-right) times."""
+    orders = load_table(spark, sf_dir, "orders")
+    o_cust = orders.filter(F.col("o_orderstatus") == "O").select(
+        F.col("o_custkey").alias("custkey")
+    )
+    f_cust = orders.filter(F.col("o_orderstatus") == "F").select(
+        F.col("o_custkey").alias("custkey")
+    )
+    return o_cust.intersectAll(f_cust)
+
+
+SET_INTERSECT_ALL_SQL = """
+SELECT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'O'
+INTERSECT ALL
+SELECT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'F'
+"""
+
+
+def join_null_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-safe equi-join (``<=>`` / IS NOT DISTINCT FROM): region key 0 is
+    mapped to NULL on both sides, and the null-safe comparison still joins
+    those rows — a plain equi-join would silently drop them. Dimension-sized
+    inputs; the join key quirk, not volume, is the point."""
+    nation = load_table(spark, sf_dir, "nation").select(
+        "n_nationkey",
+        "n_name",
+        F.when(F.col("n_regionkey") != 0, F.col("n_regionkey")).alias("rk"),
+    )
+    region = load_table(spark, sf_dir, "region").select(
+        F.when(F.col("r_regionkey") != 0, F.col("r_regionkey")).alias("rrk"),
+        "r_name",
+    )
+    return (
+        nation.join(F.broadcast(region), F.col("rk").eqNullSafe(F.col("rrk")))
+        .select("n_nationkey", "n_name", "r_name")
+        .orderBy("n_nationkey")
+    )
+
+
+JOIN_NULL_SAFE_SQL = """
+SELECT n_nationkey, n_name, r_name
+FROM (SELECT n_nationkey, n_name,
+             CASE WHEN n_regionkey <> 0 THEN n_regionkey END AS rk
+      FROM nation) n
+JOIN (SELECT CASE WHEN r_regionkey <> 0 THEN r_regionkey END AS rrk, r_name
+      FROM region) r
+  ON n.rk IS NOT DISTINCT FROM r.rrk
+ORDER BY n_nationkey
+"""
+
+
+def join_cross(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit cartesian product of two dimensions (region × nation) — the
+    one join shape that is only ever safe on broadcastable inputs; Catalyst
+    plans it as a broadcast nested-loop."""
+    region = load_table(spark, sf_dir, "region").select("r_name")
+    nation = load_table(spark, sf_dir, "nation").select("n_name")
+    return region.crossJoin(F.broadcast(nation)).orderBy("r_name", "n_name")
+
+
+JOIN_CROSS_SQL = """
+SELECT r_name, n_name
+FROM region CROSS JOIN nation
+ORDER BY r_name, n_name
+"""
+
+
+def events_from_json_struct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-full JSON parsing (``from_json`` to a typed struct) — the
+    planned-schema counterpart of events_json_extract's per-path
+    ``get_json_object``: one parse per row, all fields typed, prunable."""
+    ev = load_table(spark, sf_dir, "events")
+    parsed = ev.select(
+        "event_type", F.from_json("props", "k long").alias("p")
+    )
+    return (
+        parsed.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.countDistinct(F.col("p.k")).alias("distinct_k"),
+            F.min(F.col("p.k")).alias("min_k"),
+            F.max(F.col("p.k")).alias("max_k"),
+        )
+        .orderBy("event_type")
+    )
+
+
+EVENTS_FROM_JSON_SQL = """
+SELECT event_type, COUNT(*) AS cnt,
+       COUNT(DISTINCT CAST(json_extract_string(props, '$.k') AS BIGINT))
+         AS distinct_k,
+       MIN(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS min_k,
+       MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
+FROM events
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     "window_distribution_fns": QuerySpec(
         window_distribution_fns, WINDOW_DISTRIBUTION_SQL
+    ),
+    "set_except_all": QuerySpec(set_except_all, SET_EXCEPT_ALL_SQL),
+    "set_intersect_all": QuerySpec(set_intersect_all, SET_INTERSECT_ALL_SQL),
+    "join_null_safe": QuerySpec(join_null_safe, JOIN_NULL_SAFE_SQL),
+    "join_cross": QuerySpec(join_cross, JOIN_CROSS_SQL),
+    "events_from_json_struct": QuerySpec(
+        events_from_json_struct, EVENTS_FROM_JSON_SQL
     ),
     "agg_unpivot": QuerySpec(agg_unpivot, AGG_UNPIVOT_SQL),
     "scalar_regex_fns": QuerySpec(scalar_regex_fns, SCALAR_REGEX_SQL),
