@@ -294,6 +294,99 @@ ORDER BY event_type
 """
 
 
+def join_full_outer_coalesce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULL OUTER join + coalesce — the merge/upsert shape: per-customer
+    totals of open vs finalized orders combined so customers present on
+    either side survive with zero-filled gaps. One shuffle per side on the
+    same key; AQE aligns the exchanges."""
+    orders = load_table(spark, sf_dir, "orders")
+    open_t = (
+        orders.filter(F.col("o_orderstatus") == "O")
+        .groupBy(F.col("o_custkey").alias("custkey_o"))
+        .agg(dsum("o_totalprice", "open_total"))
+    )
+    final_t = (
+        orders.filter(F.col("o_orderstatus") == "F")
+        .groupBy(F.col("o_custkey").alias("custkey_f"))
+        .agg(dsum("o_totalprice", "final_total"))
+    )
+    return (
+        open_t.join(
+            final_t, F.col("custkey_o") == F.col("custkey_f"), "full_outer"
+        )
+        .select(
+            F.coalesce("custkey_o", "custkey_f").alias("custkey"),
+            F.coalesce("open_total", F.lit(0.0)).alias("open_total"),
+            F.coalesce("final_total", F.lit(0.0)).alias("final_total"),
+        )
+        .orderBy("custkey")
+    )
+
+
+JOIN_FULL_OUTER_SQL = f"""
+WITH open_t AS (
+  SELECT o_custkey AS custkey_o, {sql_dsum('o_totalprice', 'open_total')}
+  FROM orders WHERE o_orderstatus = 'O' GROUP BY o_custkey
+),
+final_t AS (
+  SELECT o_custkey AS custkey_f, {sql_dsum('o_totalprice', 'final_total')}
+  FROM orders WHERE o_orderstatus = 'F' GROUP BY o_custkey
+)
+SELECT COALESCE(custkey_o, custkey_f) AS custkey,
+       COALESCE(open_total, 0.0) AS open_total,
+       COALESCE(final_total, 0.0) AS final_total
+FROM open_t FULL OUTER JOIN final_t ON custkey_o = custkey_f
+ORDER BY custkey
+"""
+
+
+def table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single-pass column profiler (the data-quality primitive every
+    ingestion pipeline runs first): row count, null count, exact distinct,
+    min/max for each profiled numeric column, computed in ONE aggregate over
+    one scan and stacked to long form. Multiple exact distincts expand rows
+    k-fold pre-shuffle (Catalyst Expand); at 100 TB swap to
+    approx_count_distinct and the expansion disappears."""
+    orders = load_table(spark, sf_dir, "orders")
+    cols = ["o_orderkey", "o_custkey", "o_totalprice"]
+    aggs = [F.count(F.lit(1)).alias("n_rows")]
+    for c in cols:
+        aggs += [
+            F.count(c).alias(f"nn_{c}"),
+            F.countDistinct(c).alias(f"nd_{c}"),
+            F.min(c).cast("double").alias(f"min_{c}"),
+            F.max(c).cast("double").alias(f"max_{c}"),
+        ]
+    one = orders.agg(*aggs)
+    stack_args = ", ".join(
+        f"'{c}', nn_{c}, nd_{c}, min_{c}, max_{c}" for c in cols
+    )
+    return one.select(
+        "n_rows",
+        F.expr(
+            f"stack({len(cols)}, {stack_args})"
+            " as (col_name, n_non_null, n_distinct, min_value, max_value)"
+        ),
+    ).select("col_name", "n_rows", "n_non_null", "n_distinct", "min_value", "max_value")
+
+
+TABLE_PROFILE_SQL = """
+SELECT 'o_orderkey' AS col_name, COUNT(*) AS n_rows, COUNT(o_orderkey) AS n_non_null,
+       COUNT(DISTINCT o_orderkey) AS n_distinct,
+       CAST(MIN(o_orderkey) AS DOUBLE) AS min_value,
+       CAST(MAX(o_orderkey) AS DOUBLE) AS max_value
+FROM orders
+UNION ALL
+SELECT 'o_custkey', COUNT(*), COUNT(o_custkey), COUNT(DISTINCT o_custkey),
+       CAST(MIN(o_custkey) AS DOUBLE), CAST(MAX(o_custkey) AS DOUBLE)
+FROM orders
+UNION ALL
+SELECT 'o_totalprice', COUNT(*), COUNT(o_totalprice), COUNT(DISTINCT o_totalprice),
+       CAST(MIN(o_totalprice) AS DOUBLE), CAST(MAX(o_totalprice) AS DOUBLE)
+FROM orders
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     "window_distribution_fns": QuerySpec(
         window_distribution_fns, WINDOW_DISTRIBUTION_SQL
@@ -305,6 +398,10 @@ QUERIES: dict[str, QuerySpec] = {
     "events_from_json_struct": QuerySpec(
         events_from_json_struct, EVENTS_FROM_JSON_SQL
     ),
+    "join_full_outer_coalesce": QuerySpec(
+        join_full_outer_coalesce, JOIN_FULL_OUTER_SQL
+    ),
+    "table_profile": QuerySpec(table_profile, TABLE_PROFILE_SQL),
     "agg_unpivot": QuerySpec(agg_unpivot, AGG_UNPIVOT_SQL),
     "scalar_regex_fns": QuerySpec(scalar_regex_fns, SCALAR_REGEX_SQL),
     "sample_hash_bucket": QuerySpec(sample_hash_bucket, SAMPLE_HASH_SQL),

@@ -86,6 +86,22 @@ def write_parquet(
     w.parquet(path)
 
 
+def read_orc(spark: SparkSession, paths: str | list[str]) -> DataFrame:
+    """ORC source — the second columnar format Spark ships natively; same
+    pushdown/pruning machinery as parquet (predicate → stripe/row-group
+    skip via ORC statistics)."""
+    return spark.read.orc(*paths) if isinstance(paths, list) else spark.read.orc(paths)
+
+
+def write_orc(
+    df: DataFrame, path: str, partition_by: list[str] | None = None
+) -> None:
+    w = df.write.mode("overwrite")
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    w.orc(path)
+
+
 def write_csv(df: DataFrame, path: str, header: bool = True, sep: str = ",") -> None:
     df.write.mode("overwrite").option("header", header).option("sep", sep).csv(path)
 

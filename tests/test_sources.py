@@ -27,6 +27,22 @@ def test_csv_roundtrip_and_dropmalformed(spark, tmp_path):
     ]
 
 
+def test_orc_roundtrip_with_pushdown(spark, tmp_path):
+    from sdc_mapreduce_spark.plans import executed_plan as _plan
+
+    df = spark.createDataFrame(
+        [(i, f"n{i}", float(i) * 1.5) for i in range(100)],
+        "id long, name string, x double",
+    )
+    out = str(tmp_path / "orc")
+    io.write_orc(df, out)
+    back = io.read_orc(spark, out).filter(F.col("id") >= 90).select("id", "x")
+    assert back.count() == 10
+    plan = _plan(back)
+    assert "PushedFilters: [" in plan  # predicate reaches the ORC scan
+    assert "ReadSchema: struct<id:bigint,x:double>" in plan  # pruned
+
+
 def test_json_roundtrip(spark, tmp_path):
     df = spark.createDataFrame(
         [(1, ["x", "y"], {"k": 2})],
