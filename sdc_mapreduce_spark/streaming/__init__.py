@@ -3,6 +3,7 @@ event-time windows with watermarks, streaming dedup, stateful sessionization."""
 
 from sdc_mapreduce_spark.streaming.events import (
     EVENTS_DDL,
+    enrich_with_dimension,
     read_events_stream,
     session_aggregate,
     sliding_counts,
@@ -14,6 +15,7 @@ from sdc_mapreduce_spark.streaming.events import (
 
 __all__ = [
     "EVENTS_DDL",
+    "enrich_with_dimension",
     "read_events_stream",
     "session_aggregate",
     "sliding_counts",

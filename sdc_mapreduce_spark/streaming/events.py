@@ -162,6 +162,17 @@ def stateful_user_totals(events: DataFrame, watermark: str = "10 minutes") -> Da
     )
 
 
+def enrich_with_dimension(
+    events: DataFrame, dim: DataFrame, on: str = "user_id"
+) -> DataFrame:
+    """Stream-static join: enrich each streaming event with a static
+    dimension (broadcast per micro-batch, no state store involved) — the
+    standard lookup-table pattern. The static side is re-resolved every
+    trigger, so a refreshed dimension table is picked up without restarting
+    the query."""
+    return events.join(F.broadcast(dim), on, "left")
+
+
 def streaming_dedup(
     events: DataFrame, keys: list[str] | None = None, watermark: str = "10 minutes"
 ) -> DataFrame:

@@ -11,6 +11,7 @@ from pyspark.sql import functions as F
 
 from sdc_mapreduce_spark.catalog import load_table
 from sdc_mapreduce_spark.streaming import (
+    enrich_with_dimension,
     read_events_stream,
     session_aggregate,
     stateful_user_totals,
@@ -208,6 +209,107 @@ def test_foreach_batch_custom_sink(spark, sf_dir, events_json_dir, tmp_path):
     assert delivered.count() == expected
     # maxFilesPerTrigger=2 over 4 source files → at least 2 micro-batches
     assert delivered.select("batch_id").distinct().count() >= 2
+
+
+def test_stream_static_enrichment(spark, sf_dir, events_json_dir):
+    """Stream-static join: every streamed event picks up its dimension row
+    (broadcast per micro-batch, no state store); left join keeps events with
+    no dimension match."""
+    dim = (
+        load_table(spark, sf_dir, "events")
+        .select("user_id")
+        .distinct()
+        .withColumn("segment", (F.col("user_id") % 3).cast("int"))
+    )
+    stream = read_events_stream(spark, events_json_dir)
+    _run_to_memory(
+        enrich_with_dimension(stream, dim).select("event_id", "user_id", "segment"),
+        "enriched_out",
+    )
+    rows = spark.sql("select * from enriched_out").collect()
+    assert len(rows) == load_table(spark, sf_dir, "events").count()
+    assert all(r["segment"] == r["user_id"] % 3 for r in rows)
+
+
+def _write_events_json(path: str, rows: list[tuple[int, str, int]]) -> None:
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    with open(path, "w") as fh:
+        for event_id, ts, user_id in rows:
+            fh.write(
+                json.dumps(
+                    {
+                        "event_id": event_id,
+                        "ts": ts,
+                        "user_id": user_id,
+                        "event_type": "click",
+                        "value": 1.0,
+                        "props": "{}",
+                    }
+                )
+                + "\n"
+            )
+
+
+def test_watermark_drops_late_rows(spark, tmp_path):
+    """Late-data policy end-to-end: a row older than the watermark when it
+    arrives is DROPPED — the already-emitted window is final (append mode)
+    and never re-emitted with the late row counted. The watermark survives
+    the restart via the checkpoint."""
+    src = str(tmp_path / "late_src")
+    ckpt = str(tmp_path / "late_ckpt")
+    out = str(tmp_path / "late_out")
+
+    def run(_name):
+        # file sink: the one sink that recovers watermark + progress from
+        # the checkpoint across restarts (memory sink cannot)
+        q = (
+            tumbling_counts(read_events_stream(spark, src))
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    # run 1: two rows in the 12:00 window, one at 12:31 to advance the
+    # watermark (10 min delay) to 12:21 > 12:05 → the 12:00 window emits
+    _write_events_json(
+        os.path.join(src, "batch1.json"),
+        [
+            (1, "2024-06-01 12:00:01", 1),
+            (2, "2024-06-01 12:04:00", 2),
+            (3, "2024-06-01 12:31:00", 3),
+        ],
+    )
+    run("late_run1")
+    first = {
+        r["window_start"]: r["cnt"] for r in spark.read.parquet(out).collect()
+    }
+    assert any(ws.minute == 0 for ws in first) and all(
+        cnt == 2 for ws, cnt in first.items() if ws.minute == 0
+    )
+
+    # run 2: one LATE row for the closed 12:00 window (12:01 < watermark
+    # 12:21 → dropped) plus a fresh 12:50 row that pushes the watermark to
+    # 12:40, emitting the 12:30 window with cnt=1 — never a corrected
+    # 12:00 window
+    _write_events_json(
+        os.path.join(src, "batch2.json"),
+        [(4, "2024-06-01 12:01:00", 4), (5, "2024-06-01 12:50:00", 5)],
+    )
+    run("late_run2")
+    both = [
+        (r["window_start"], r["cnt"]) for r in spark.read.parquet(out).collect()
+    ]
+    second = [kv for kv in both if kv[0] not in first]
+    assert all(
+        ws.minute != 0 for ws, _ in second
+    ), "late row re-opened a closed window"
+    assert [(ws.minute, cnt) for ws, cnt in second] == [(30, 1)]
+    # and the closed 12:00 window was emitted exactly once, still cnt=2
+    assert sum(1 for ws, _ in both if ws.minute == 0) == 1
 
 
 def test_json_roundtrip_preserves_schema(spark, events_json_dir):
