@@ -387,6 +387,40 @@ FROM orders
 """
 
 
+def join_skew_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit skew-salted join (operators.skew.salted_join): the fact side
+    gets a uniform 16-way salt, the supplier dim is replicated per salt, and
+    the join key becomes (key, salt) — spreading any hot supplier across 16
+    reduce partitions. The oracle is the PLAIN join: salting must be
+    result-invariant, which is exactly what this entry proves."""
+    from sdc_mapreduce_spark.operators.skew import salted_join
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_suppkey", "l_extendedprice", "l_discount"
+    )
+    supp = load_table(spark, sf_dir, "supplier").select(
+        F.col("s_suppkey").alias("l_suppkey"), "s_nationkey"
+    )
+    joined = salted_join(li, supp, on="l_suppkey", n_salts=16)
+    return (
+        joined.groupBy("s_nationkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            dsum("l_extendedprice * (1 - l_discount)", "revenue", scale=4),
+        )
+        .orderBy("s_nationkey")
+    )
+
+
+JOIN_SKEW_SALTED_SQL = f"""
+SELECT s_nationkey, COUNT(*) AS n_items,
+       {sql_dsum('l_extendedprice * (1 - l_discount)', 'revenue', 4)}
+FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+GROUP BY s_nationkey
+ORDER BY s_nationkey
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     "window_distribution_fns": QuerySpec(
         window_distribution_fns, WINDOW_DISTRIBUTION_SQL
@@ -402,6 +436,7 @@ QUERIES: dict[str, QuerySpec] = {
         join_full_outer_coalesce, JOIN_FULL_OUTER_SQL
     ),
     "table_profile": QuerySpec(table_profile, TABLE_PROFILE_SQL),
+    "join_skew_salted": QuerySpec(join_skew_salted, JOIN_SKEW_SALTED_SQL),
     "agg_unpivot": QuerySpec(agg_unpivot, AGG_UNPIVOT_SQL),
     "scalar_regex_fns": QuerySpec(scalar_regex_fns, SCALAR_REGEX_SQL),
     "sample_hash_bucket": QuerySpec(sample_hash_bucket, SAMPLE_HASH_SQL),

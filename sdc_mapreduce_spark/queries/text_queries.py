@@ -253,6 +253,30 @@ FROM documents
 """
 
 
+def multimodal_decode_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decode-then-profile over the synthesized media table: the
+    ``mapInPandas`` Arrow-batched decode kernel (stub codec — see
+    multimodal.py module docstring) followed by a per-kind profile. The
+    kernel is deterministic (blake2b-derived dims) but not SQL-expressible,
+    so this is a rows-only entry; exact per-payload values are pinned in
+    tests/test_multimodal.py."""
+    from sdc_mapreduce_spark.multimodal import decode_media, synthesize_media
+
+    media = synthesize_media(load_table(spark, sf_dir, "documents"))
+    decoded = decode_media(media)
+    return (
+        decoded.groupBy("kind")
+        .agg(
+            F.count(F.lit(1)).alias("n_media"),
+            F.sum("n_bytes").alias("total_bytes"),
+            F.avg("width").alias("avg_width"),
+            F.avg("height").alias("avg_height"),
+            F.max("n_channels").alias("max_channels"),
+        )
+        .orderBy("kind")
+    )
+
+
 def pipeline_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The end-to-end curation pipeline (pipeline.curate): quality
     threshold + exact dedup, returning kept docs with features. The
@@ -316,4 +340,5 @@ QUERIES: dict[str, QuerySpec] = {
     "text_tfidf_top_terms": QuerySpec(text_tfidf_top_terms, TEXT_TFIDF_SQL),
     "pipeline_curation": QuerySpec(pipeline_curation, PIPELINE_CURATION_SQL, bench=True),
     "multimodal_meta": QuerySpec(multimodal_meta, MULTIMODAL_META_SQL),
+    "multimodal_decode_profile": QuerySpec(multimodal_decode_profile, None),
 }
