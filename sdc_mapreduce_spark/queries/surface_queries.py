@@ -421,6 +421,28 @@ ORDER BY s_nationkey
 """
 
 
+def agg_salted_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-split COUNT(DISTINCT): per-salt partial distinct then summed
+    (operators.skew.salted_distinct_count) — the form that spreads one hot
+    group over 16 reducers. The oracle is the plain COUNT(DISTINCT), which
+    the salting must reproduce exactly (distinct sets partition cleanly by
+    salt because the salt is a function of the distinct value)."""
+    from sdc_mapreduce_spark.operators.skew import salted_distinct_count
+
+    li = load_table(spark, sf_dir, "lineitem")
+    return salted_distinct_count(
+        li, group_col="l_returnflag", distinct_col="l_partkey", n_salts=16
+    ).orderBy("l_returnflag")
+
+
+AGG_SALTED_DISTINCT_SQL = """
+SELECT l_returnflag, COUNT(DISTINCT l_partkey) AS n_distinct_l_partkey
+FROM lineitem
+GROUP BY l_returnflag
+ORDER BY l_returnflag
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     "window_distribution_fns": QuerySpec(
         window_distribution_fns, WINDOW_DISTRIBUTION_SQL
@@ -437,6 +459,7 @@ QUERIES: dict[str, QuerySpec] = {
     ),
     "table_profile": QuerySpec(table_profile, TABLE_PROFILE_SQL),
     "join_skew_salted": QuerySpec(join_skew_salted, JOIN_SKEW_SALTED_SQL),
+    "agg_salted_distinct": QuerySpec(agg_salted_distinct, AGG_SALTED_DISTINCT_SQL),
     "agg_unpivot": QuerySpec(agg_unpivot, AGG_UNPIVOT_SQL),
     "scalar_regex_fns": QuerySpec(scalar_regex_fns, SCALAR_REGEX_SQL),
     "sample_hash_bucket": QuerySpec(sample_hash_bucket, SAMPLE_HASH_SQL),

@@ -110,6 +110,31 @@ def write_json(df: DataFrame, path: str) -> None:
     df.write.mode("overwrite").json(path)
 
 
+def write_sorted_global(
+    df: DataFrame,
+    path: str,
+    order_cols: list[str],
+    fmt: str = "parquet",
+    num_files: int | None = None,
+) -> None:
+    """Globally-ordered sink: a range-partitioning exchange (sampled split
+    points) + per-partition sort, so part files are internally sorted AND
+    file i's keys all precede file i+1's — a total order across the
+    directory without any single-node sort. The distributed upgrade of the
+    reference's partition-local sorted sink (reference src/app/reducer.py:26,
+    SURVEY.md O14/Q4: hash partitioning interleaves key ranges; range
+    partitioning is what makes the global order real). ``num_files`` pins
+    the output file count (output-size control at scale); default lets
+    AQE pick."""
+    if num_files:
+        out = df.repartitionByRange(num_files, *order_cols).sortWithinPartitions(
+            *order_cols
+        )
+    else:
+        out = df.orderBy(*order_cols)
+    out.write.mode("overwrite").format(fmt).save(path)
+
+
 def write_bucketed_table(
     df: DataFrame,
     table_name: str,

@@ -43,6 +43,26 @@ def test_orc_roundtrip_with_pushdown(spark, tmp_path):
     assert "ReadSchema: struct<id:bigint,x:double>" in plan  # pruned
 
 
+def test_sorted_global_write_totally_ordered(spark, tmp_path):
+    import glob
+
+    df = spark.createDataFrame(
+        [((i * 7919) % 1000, f"v{i}") for i in range(1000)], "k int, v string"
+    ).repartition(8)
+    out = str(tmp_path / "sorted")
+    io.write_sorted_global(df, out, ["k"], num_files=5)
+    parts = sorted(glob.glob(os.path.join(out, "part-*")))
+    assert len(parts) > 1, "need multiple range partitions to prove global order"
+    last_max = None
+    for p in parts:
+        ks = [r.k for r in spark.read.parquet(p).collect()]
+        assert ks == sorted(ks), "file not internally sorted"
+        if last_max is not None and ks:
+            assert ks[0] >= last_max, "file ranges overlap — not a total order"
+        if ks:
+            last_max = ks[-1]
+
+
 def test_json_roundtrip(spark, tmp_path):
     df = spark.createDataFrame(
         [(1, ["x", "y"], {"k": 2})],
