@@ -1,0 +1,70 @@
+"""Custom kvtext Python DataSource: byte-range sharding, line-boundary
+alignment (no double/half-reads across shard edges), malformed-row drop —
+the reference's scan contract (SURVEY.md O6/O7/O15) as a pluggable source."""
+
+from __future__ import annotations
+
+import random
+
+import pytest
+
+from sdc_mapreduce_spark.datasource import register_kvtext
+
+
+@pytest.fixture(scope="module")
+def kv_file(tmp_path_factory):
+    rng = random.Random(42)
+    path = tmp_path_factory.mktemp("kvtext") / "pairs.txt"
+    expected: dict[str, int] = {}
+    lines = []
+    for i in range(500):
+        key, value = f"key{i}", rng.randint(-10**9, 10**9)
+        expected[key] = value
+        lines.append(f"{key} {value}")
+    # malformed rows the source must drop (reference src/app/reducer.py:11-24)
+    lines.insert(100, "onlyonetoken")
+    lines.insert(200, "three tokens here")
+    lines.insert(300, "badvalue notanint")
+    path.write_text("\n".join(lines) + "\n")
+    return str(path), expected
+
+
+def _read(spark, path: str, shard_size: int):
+    register_kvtext(spark)
+    return (
+        spark.read.format("kvtext")
+        .option("path", path)
+        .option("shard_size", shard_size)
+        .load()
+    )
+
+
+def test_kvtext_reads_all_rows_and_drops_malformed(spark, kv_file):
+    path, expected = kv_file
+    df = _read(spark, path, shard_size=256)
+    got = {r["key"]: r["value"] for r in df.collect()}
+    assert got == expected
+
+
+def test_kvtext_shards_are_real_partitions(spark, kv_file):
+    path, _ = kv_file
+    df = _read(spark, path, shard_size=256)
+    assert df.rdd.getNumPartitions() > 10
+
+
+def test_kvtext_boundary_alignment_is_shard_size_invariant(spark, kv_file):
+    """Every line must be produced by exactly one shard no matter where the
+    byte boundaries fall — sweep shard sizes (including ones landing
+    mid-line) and require identical multisets."""
+    path, expected = kv_file
+    for shard_size in (37, 64, 101, 4096, 10**7):
+        rows = _read(spark, path, shard_size).collect()
+        assert len(rows) == len(expected), f"shard_size={shard_size}"
+        assert {r["key"]: r["value"] for r in rows} == expected
+
+
+def test_kvtext_typed_value_column(spark, kv_file):
+    path, _ = kv_file
+    df = _read(spark, path, shard_size=1024)
+    assert dict(df.dtypes) == {"key": "string", "value": "bigint"}
+    assert df.schema["value"].dataType.simpleString() == "bigint"
