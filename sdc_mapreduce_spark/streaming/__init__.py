@@ -4,6 +4,7 @@ event-time windows with watermarks, streaming dedup, stateful sessionization."""
 from sdc_mapreduce_spark.streaming.events import (
     EVENTS_DDL,
     enrich_with_dimension,
+    incremental_rollup,
     read_events_stream,
     session_aggregate,
     sliding_counts,
@@ -16,6 +17,7 @@ from sdc_mapreduce_spark.streaming.events import (
 __all__ = [
     "EVENTS_DDL",
     "enrich_with_dimension",
+    "incremental_rollup",
     "read_events_stream",
     "session_aggregate",
     "sliding_counts",

@@ -12,6 +12,7 @@ from pyspark.sql import functions as F
 from sdc_mapreduce_spark.catalog import load_table
 from sdc_mapreduce_spark.streaming import (
     enrich_with_dimension,
+    incremental_rollup,
     read_events_stream,
     session_aggregate,
     stateful_user_totals,
@@ -310,6 +311,61 @@ def test_watermark_drops_late_rows(spark, tmp_path):
     assert [(ws.minute, cnt) for ws, cnt in second] == [(30, 1)]
     # and the closed 12:00 window was emitted exactly once, still cnt=2
     assert sum(1 for ws, _ in both if ws.minute == 0) == 1
+
+
+def test_incremental_rollup_snapshot_matches_batch(
+    spark, sf_dir, events_json_dir, tmp_path
+):
+    """Drive the continuously-maintained rollup in small micro-batches
+    (update mode → the same window is upserted repeatedly); the final
+    snapshot must equal the one-shot batch aggregate, proving the per-batch
+    merge neither drops sibling rows nor double-counts."""
+    snap = str(tmp_path / "rollup_snapshot")
+    ckpt = str(tmp_path / "rollup_ckpt")
+    # time-sliced source files (a real stream arrives roughly time-ordered;
+    # random slices would put whole slices behind the watermark)
+    src = str(tmp_path / "rollup_src")
+    os.makedirs(src)
+    ev_rows = (
+        load_table(spark, sf_dir, "events")
+        .select(
+            "event_id",
+            F.date_format("ts", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("ts"),
+            "user_id",
+            "event_type",
+            "value",
+            "props",
+        )
+        .orderBy("ts")
+        .collect()
+    )
+    slice_size = (len(ev_rows) + 3) // 4
+    for i in range(4):
+        with open(os.path.join(src, f"slice{i}.json"), "w") as fh:
+            for r in ev_rows[i * slice_size : (i + 1) * slice_size]:
+                fh.write(json.dumps(r.asDict()) + "\n")
+    q = incremental_rollup(
+        read_events_stream(spark, src, max_files_per_trigger=1),
+        snapshot_dir=snap,
+        checkpoint_dir=ckpt,
+    )
+    q.awaitTermination(180)
+
+    got = {
+        (r["window_start"], r["event_type"]): (r["cnt"], round(r["sum_value"], 6))
+        for r in spark.read.parquet(snap).collect()
+    }
+    ev = load_table(spark, sf_dir, "events")
+    batch = (
+        ev.groupBy(F.window("ts", "5 minutes").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("cnt"), F.sum("value").alias("sum_value"))
+        .select(F.col("w.start").alias("ws"), "event_type", "cnt", "sum_value")
+    )
+    expected = {
+        (r["ws"], r["event_type"]): (r["cnt"], round(r["sum_value"], 6))
+        for r in batch.collect()
+    }
+    assert got == expected
 
 
 def test_json_roundtrip_preserves_schema(spark, events_json_dir):
