@@ -63,13 +63,17 @@ def token_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
-def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
+def quality_features(
+    df: DataFrame, text_col: str = "text", carry: tuple[str, ...] = ()
+) -> DataFrame:
     """Heuristic quality signals: mean token length, stopword ratio,
     alphabetic character ratio, plus a composite score.
 
     All arithmetic is exact-integer counts followed by double division —
     bitwise deterministic across engines, so the composite double is
-    oracle-hashable.
+    oracle-hashable. ``carry`` passes extra input columns through so
+    downstream per-doc stages can chain on one projection instead of
+    re-joining on doc_id.
     """
     t = tokens(text_col)
     n_tok = F.size(t)
@@ -81,6 +85,7 @@ def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
 
     out = df.select(
         "doc_id",
+        *carry,
         n_tok.alias("n_tokens"),
         (n_stop / n_tok).alias("stopword_ratio"),
         (alpha_chars / n_chars).alias("alpha_ratio"),
@@ -96,10 +101,13 @@ def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
-def language_id(df: DataFrame, text_col: str = "text") -> DataFrame:
+def language_id(
+    df: DataFrame, text_col: str = "text", carry: tuple[str, ...] = ()
+) -> DataFrame:
     """Heuristic language ID: count marker-token hits per language, take the
     argmax (ties broken by language code ascending — deterministic). One
-    narrow projection, no shuffle; at 100 TB this is a pure map stage."""
+    narrow projection, no shuffle; at 100 TB this is a pure map stage.
+    ``carry`` passes extra input columns through for single-pass chaining."""
     t = tokens(text_col)
 
     # NB: strictly single-parameter lambdas — F.filter binds a second
@@ -117,7 +125,7 @@ def language_id(df: DataFrame, text_col: str = "text") -> DataFrame:
     declared = (
         [F.col("lang").alias("lang_declared")] if "lang" in df.columns else []
     )
-    scored = df.select("doc_id", *declared, *score_cols)
+    scored = df.select("doc_id", *carry, *declared, *score_cols)
     langs = sorted(LANG_MARKERS)
     best = F.greatest(*[F.col(f"score_{lang}") for lang in langs])
     pred = F.lit(None).cast("string")

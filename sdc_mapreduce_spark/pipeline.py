@@ -8,8 +8,9 @@ The composition a 100 TB corpus actually runs, as one operator:
 Each stage is one of this engine's tested operators (functions.text,
 functions.dedup); the composition stays fully declarative, so Catalyst
 plans the whole pipeline as one DAG: the three per-document feature stages
-are narrow projections fused into the scan, and the only shuffle before the
-near-dup stage is the fingerprint group-by, keyed on a 32-byte hash.
+are narrow projections fused into ONE pass over the scan (chained via
+``carry=``, never re-joined on doc_id), and the only shuffle before the
+near-dup stage is the fingerprint window rank, keyed on a 32-byte hash.
 
 The reference framework's analog is a chain of separate MapReduce jobs with
 blob round-trips between them (SURVEY.md §3.2 — one job per stage); here
@@ -21,10 +22,12 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from pyspark.sql import Window
+
 from sdc_mapreduce_spark.functions.dedup import near_dup_clusters
 from sdc_mapreduce_spark.functions.text import (
-    fingerprint_md5,
     language_id,
+    normalized_text,
     quality_features,
 )
 
@@ -42,29 +45,32 @@ def curate(
 
     Returns (doc_id, lang_pred, quality_score, n_tokens) of kept docs.
     """
-    quality = quality_features(docs).select(
-        "doc_id", "n_tokens", "quality_score"
-    )
-    lang = language_id(docs).select("doc_id", "lang_pred")
-    fp = fingerprint_md5(docs)
+    # All three per-doc feature stages are narrow projections — chain them
+    # on ONE pass over the corpus (carry= threads the text column through)
+    # instead of computing each separately and re-joining on doc_id: zero
+    # shuffles until the dedup.
+    feats = language_id(
+        quality_features(docs, carry=("text",)),
+        carry=("n_tokens", "quality_score", "text"),
+    ).withColumn("fingerprint", F.md5(normalized_text("text")))
 
-    featured = (
-        docs.select("doc_id")
-        .join(quality, "doc_id")
-        .join(lang, "doc_id")
-        .filter(F.col("quality_score") >= min_quality)
-    )
+    featured = feats.drop("text").filter(F.col("quality_score") >= min_quality)
     if langs:
         featured = featured.filter(F.col("lang_pred").isin(*langs))
-
-    # exact dedup among survivors: keep the lowest doc id per fingerprint
-    kept_fp = (
-        featured.join(fp, "doc_id")
-        .groupBy("fingerprint")
-        .agg(F.min("doc_id").alias("doc_id"))
-        .select("doc_id")
+    # prune to the output columns BEFORE the shuffle: the per-language score
+    # and ratio columns would otherwise ride the fingerprint exchange
+    featured = featured.select(
+        "doc_id", "lang_pred", "quality_score", "n_tokens", "fingerprint"
     )
-    curated = featured.join(kept_fp, "doc_id")
+
+    # exact dedup among survivors: keep the lowest doc id per fingerprint —
+    # a window rank on the fingerprint shuffle, no join back
+    w = Window.partitionBy("fingerprint").orderBy("doc_id")
+    curated = (
+        featured.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
 
     if near_dedup:
         # near-dup clustering over the surviving docs only; keep each
