@@ -1,0 +1,45 @@
+"""Regenerate PLANS.md: formatted physical plans of the headline bench
+queries plus the adapted TPC-H subquery shapes, at sf0.01.
+
+Usage: python tools/gen_plans.py  (writes PLANS.md at the repo root)
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from sdc_mapreduce_spark.plans import formatted_plan
+from sdc_mapreduce_spark.queries import REGISTRY, bench_queries
+from sdc_mapreduce_spark.session import get_spark
+
+EXTRA_SHAPES = ["q2_min_balance_supplier", "q21_waiting_suppliers", "q8_market_share"]
+
+HEADER = """# PLANS — formatted physical plans of the headline bench queries plus the
+# adapted TPC-H subquery shapes (sf0.01)
+
+Regenerate: `python tools/gen_plans.py`;
+plan properties are enforced in tests/test_plans.py.
+"""
+
+
+def main() -> None:
+    spark = get_spark("gen-plans")
+    spark.sparkContext.setLogLevel("ERROR")
+    sf_dir = "/root/testdata/sf0.01"
+    names = list(bench_queries()) + EXTRA_SHAPES
+    sections = [HEADER]
+    for name in names:
+        plan = formatted_plan(REGISTRY[name].fn(spark, sf_dir))
+        sections.append(f"\n## {name}\n\n```\n{plan}\n```\n")
+    out = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "PLANS.md")
+    with open(out, "w") as fh:
+        fh.writelines(sections)
+    print(f"wrote {out}: {len(names)} plans")
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
