@@ -443,6 +443,120 @@ ORDER BY l_returnflag
 """
 
 
+def agg_collect_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array-building aggregates: the distinct market segments per nation as
+    a SORTED array (collect_set is unordered — array_sort makes the value
+    deterministic and oracle-hashable) plus a '|'-joined string form
+    (listagg equivalent)."""
+    cust = load_table(spark, sf_dir, "customer")
+    segs = F.array_sort(F.collect_set("c_mktsegment"))
+    return (
+        cust.groupBy("c_nationkey")
+        .agg(
+            segs.alias("segments"),
+            F.size(segs).alias("n_segments"),
+            F.array_join(segs, "|").alias("segments_joined"),
+        )
+        .orderBy("c_nationkey")
+    )
+
+
+AGG_COLLECT_SETS_SQL = """
+SELECT c_nationkey,
+       list_sort(list(DISTINCT c_mktsegment)) AS segments,
+       CAST(LEN(list(DISTINCT c_mktsegment)) AS INT) AS n_segments,
+       list_aggregate(list_sort(list(DISTINCT c_mktsegment)), 'string_agg', '|')
+         AS segments_joined
+FROM customer
+GROUP BY c_nationkey
+ORDER BY c_nationkey
+"""
+
+
+def agg_minmax_by(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Argmin/argmax aggregates: the customer holding the extreme account
+    balance per nation (max_by/min_by — one pass, no self-join, no window).
+    Balances are continuous doubles, so the extremes are unique in the
+    fixture and the picked keys deterministic."""
+    cust = load_table(spark, sf_dir, "customer")
+    return (
+        cust.groupBy("c_nationkey")
+        .agg(
+            F.expr("max_by(c_custkey, c_acctbal)").alias("richest_custkey"),
+            F.max("c_acctbal").alias("max_bal"),
+            F.expr("min_by(c_custkey, c_acctbal)").alias("poorest_custkey"),
+            F.min("c_acctbal").alias("min_bal"),
+        )
+        .orderBy("c_nationkey")
+    )
+
+
+AGG_MINMAX_BY_SQL = """
+SELECT c_nationkey,
+       arg_max(c_custkey, c_acctbal) AS richest_custkey,
+       MAX(c_acctbal) AS max_bal,
+       arg_min(c_custkey, c_acctbal) AS poorest_custkey,
+       MIN(c_acctbal) AS min_bal
+FROM customer
+GROUP BY c_nationkey
+ORDER BY c_nationkey
+"""
+
+
+def agg_stats_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistical aggregates with CONTROLLED numerics: mean, sample
+    stddev, and Pearson correlation per return flag, computed from exact
+    decimal moment sums (Σx, Σx², Σxy are order-independent decimals; the
+    closed-form combination happens once in doubles). Spark's native
+    stddev/corr merge partial states in partition order — run-to-run
+    nondeterministic in the last bits — so the moment-sum form is what an
+    oracle-checked (or replayable) pipeline should use. sqrt is
+    IEEE-exact-rounded, so identical inputs give identical doubles in both
+    engines."""
+    li = load_table(spark, sf_dir, "lineitem")
+    m = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        dsum("l_quantity", "sq", scale=2),
+        dsum("l_quantity * l_quantity", "sqq", scale=4),
+        dsum("l_extendedprice", "sp", scale=2),
+        dsum("l_extendedprice * l_extendedprice", "spp", scale=4),
+        dsum("l_quantity * l_extendedprice", "sqp", scale=4),
+    )
+    n = F.col("n").cast("double")
+    var_q = (F.col("sqq") - F.col("sq") * F.col("sq") / n) / (n - 1)
+    var_p = (F.col("spp") - F.col("sp") * F.col("sp") / n) / (n - 1)
+    cov_qp = (F.col("sqp") - F.col("sq") * F.col("sp") / n) / (n - 1)
+    return m.select(
+        "l_returnflag",
+        "n",
+        (F.col("sq") / n).alias("mean_qty"),
+        F.sqrt(var_q).alias("std_qty"),
+        (cov_qp / F.sqrt(var_q * var_p)).alias("corr_qty_price"),
+    ).orderBy("l_returnflag")
+
+
+AGG_STATS_MOMENTS_SQL = """
+WITH m AS (
+  SELECT l_returnflag, COUNT(*) AS n,
+         CAST(SUM(CAST((l_quantity) AS DECIMAL(28,2))) AS DOUBLE) AS sq,
+         CAST(SUM(CAST((l_quantity * l_quantity) AS DECIMAL(28,4))) AS DOUBLE) AS sqq,
+         CAST(SUM(CAST((l_extendedprice) AS DECIMAL(28,2))) AS DOUBLE) AS sp,
+         CAST(SUM(CAST((l_extendedprice * l_extendedprice) AS DECIMAL(28,4))) AS DOUBLE) AS spp,
+         CAST(SUM(CAST((l_quantity * l_extendedprice) AS DECIMAL(28,4))) AS DOUBLE) AS sqp
+  FROM lineitem GROUP BY l_returnflag
+)
+SELECT l_returnflag, n,
+       sq / CAST(n AS DOUBLE) AS mean_qty,
+       sqrt((sqq - sq * sq / CAST(n AS DOUBLE)) / (CAST(n AS DOUBLE) - 1)) AS std_qty,
+       ((sqp - sq * sp / CAST(n AS DOUBLE)) / (CAST(n AS DOUBLE) - 1))
+       / sqrt(((sqq - sq * sq / CAST(n AS DOUBLE)) / (CAST(n AS DOUBLE) - 1))
+              * ((spp - sp * sp / CAST(n AS DOUBLE)) / (CAST(n AS DOUBLE) - 1)))
+         AS corr_qty_price
+FROM m
+ORDER BY l_returnflag
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     "window_distribution_fns": QuerySpec(
         window_distribution_fns, WINDOW_DISTRIBUTION_SQL
@@ -460,6 +574,9 @@ QUERIES: dict[str, QuerySpec] = {
     "table_profile": QuerySpec(table_profile, TABLE_PROFILE_SQL),
     "join_skew_salted": QuerySpec(join_skew_salted, JOIN_SKEW_SALTED_SQL),
     "agg_salted_distinct": QuerySpec(agg_salted_distinct, AGG_SALTED_DISTINCT_SQL),
+    "agg_collect_sets": QuerySpec(agg_collect_sets, AGG_COLLECT_SETS_SQL),
+    "agg_minmax_by": QuerySpec(agg_minmax_by, AGG_MINMAX_BY_SQL),
+    "agg_stats_moments": QuerySpec(agg_stats_moments, AGG_STATS_MOMENTS_SQL),
     "agg_unpivot": QuerySpec(agg_unpivot, AGG_UNPIVOT_SQL),
     "scalar_regex_fns": QuerySpec(scalar_regex_fns, SCALAR_REGEX_SQL),
     "sample_hash_bucket": QuerySpec(sample_hash_bucket, SAMPLE_HASH_SQL),
