@@ -1,0 +1,80 @@
+"""Deterministic dataset splitting for training pipelines.
+
+Train/val/test assignment must be a pure function of row content — never of
+partition layout, RNG state, or cluster shape — so that (a) re-running the
+pipeline anywhere reproduces the same split, (b) a document can never
+migrate between train and eval when data is re-partitioned, and (c) the
+assignment is expressible in any engine for auditing. ``df.randomSplit``
+satisfies none of these (seeded per-partition).
+
+The assignment key is the first 4 hex chars of md5(salt || key) — compared
+against *hex-string* boundaries, so the same predicate runs verbatim in
+Spark, DuckDB, or any SQL engine without hex→int conversion: fixed-width
+lowercase hex compares lexicographically exactly like the number it encodes.
+Granularity is 1/65536 per bucket. A scan-local projection: no shuffle, no
+extra pass (the reference has no sampling/splitting at all, SURVEY.md §2.2).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+_SPACE = 16**4  # 4 hex chars
+
+
+def _boundaries(fractions: dict[str, float]) -> tuple[list[tuple[str, str]], str]:
+    """((name, upper_bound_hex) for all but the last split, last_name).
+
+    Bounds are 4 lowercase hex chars — the same width as the bucket, so the
+    lexicographic compare is exactly the numeric compare. The final split
+    needs no bound (it is the CASE's ELSE)."""
+    total = sum(fractions.values())
+    if not 0.999 <= total <= 1.001:
+        raise ValueError(f"fractions must sum to 1, got {total}")
+    names = list(fractions)
+    out: list[tuple[str, str]] = []
+    acc = 0.0
+    for name in names[:-1]:
+        acc += fractions[name]
+        bound = min(int(round(acc * _SPACE)), _SPACE - 1)
+        out.append((name, format(bound, "04x")))
+    return out, names[-1]
+
+
+def split_column(
+    key: Column | str, fractions: dict[str, float], salt: str = "split-v1"
+) -> Column:
+    """The split-name column for a given key column (content-hash routing)."""
+    key_col = F.col(key) if isinstance(key, str) else key
+    bucket = F.substring(F.md5(F.concat(F.lit(salt), key_col.cast("string"))), 1, 4)
+    bounds, last = _boundaries(fractions)
+    expr = None
+    for name, bound in bounds:
+        cond = bucket < F.lit(bound)
+        expr = F.when(cond, F.lit(name)) if expr is None else expr.when(
+            cond, F.lit(name)
+        )
+    return F.lit(last) if expr is None else expr.otherwise(F.lit(last))
+
+
+def split_sql_case(key_sql: str, fractions: dict[str, float], salt: str = "split-v1") -> str:
+    """The same assignment as ANSI SQL (DuckDB-ready) for auditing/oracles."""
+    bucket = f"SUBSTRING(md5('{salt}' || CAST({key_sql} AS VARCHAR)), 1, 4)"
+    bounds, last = _boundaries(fractions)
+    whens = " ".join(
+        f"WHEN {bucket} < '{bound}' THEN '{name}'" for name, bound in bounds
+    )
+    return f"CASE {whens} ELSE '{last}' END" if whens else f"'{last}'"
+
+
+def hash_split(
+    df: DataFrame,
+    key: str,
+    fractions: dict[str, float] | None = None,
+    salt: str = "split-v1",
+    split_col: str = "split",
+) -> DataFrame:
+    """Attach a deterministic split assignment column."""
+    fractions = fractions or {"train": 0.9, "val": 0.05, "test": 0.05}
+    return df.withColumn(split_col, split_column(key, fractions, salt))

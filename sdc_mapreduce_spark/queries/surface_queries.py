@@ -557,6 +557,37 @@ ORDER BY l_returnflag
 """
 
 
+def split_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test routing (functions.splits.hash_split):
+    content-hash assignment that survives re-partitioning and re-runs, with
+    the identical CASE expression runnable in any SQL engine for audit —
+    which is exactly how the oracle checks it. Scan-local; zero shuffle
+    before the tiny per-(split, lang) count."""
+    from sdc_mapreduce_spark.functions.splits import hash_split
+
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        hash_split(docs, key="doc_id")
+        .groupBy("split", "lang")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .orderBy("split", "lang")
+    )
+
+
+def _split_assignment_sql() -> str:
+    from sdc_mapreduce_spark.functions.splits import split_sql_case
+
+    case = split_sql_case(
+        "doc_id", {"train": 0.9, "val": 0.05, "test": 0.05}
+    )
+    return f"""
+SELECT {case} AS split, lang, COUNT(*) AS n_docs
+FROM documents
+GROUP BY 1, 2
+ORDER BY split, lang
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     "window_distribution_fns": QuerySpec(
         window_distribution_fns, WINDOW_DISTRIBUTION_SQL
@@ -577,6 +608,7 @@ QUERIES: dict[str, QuerySpec] = {
     "agg_collect_sets": QuerySpec(agg_collect_sets, AGG_COLLECT_SETS_SQL),
     "agg_minmax_by": QuerySpec(agg_minmax_by, AGG_MINMAX_BY_SQL),
     "agg_stats_moments": QuerySpec(agg_stats_moments, AGG_STATS_MOMENTS_SQL),
+    "split_assignment": QuerySpec(split_assignment, _split_assignment_sql()),
     "agg_unpivot": QuerySpec(agg_unpivot, AGG_UNPIVOT_SQL),
     "scalar_regex_fns": QuerySpec(scalar_regex_fns, SCALAR_REGEX_SQL),
     "sample_hash_bucket": QuerySpec(sample_hash_bucket, SAMPLE_HASH_SQL),
