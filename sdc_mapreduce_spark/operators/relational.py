@@ -37,6 +37,60 @@ def top_k_per_group(
     )
 
 
+def global_running_sum(
+    df: DataFrame,
+    order_col: str,
+    value_col: str,
+    out_col: str = "running_sum",
+    num_partitions: int = 32,
+) -> DataFrame:
+    """Exact global running sum WITHOUT the single-partition window.
+
+    ``sum().over(Window.orderBy(...))`` moves every row to one partition
+    (Spark warns about it) — the classic scalability cliff. The two-phase
+    form keeps all heavy work distributed:
+
+    1. range-partition on the order key (partition i's keys all precede
+       partition i+1's), cumsum per partition (window partitioned by
+       ``spark_partition_id`` — no data movement beyond the range shuffle);
+    2. per-partition totals (one tiny row each) are prefix-summed on the
+       driver and broadcast-joined back as offsets.
+
+    The driver-side state is O(num_partitions), never O(rows).
+    """
+    # materialize the ranged layout ONCE: repartitionByRange samples split
+    # points per job, so the cumsum pass and the totals pass would otherwise
+    # each draw their own bounds and disagree on partition ids
+    ranged = (
+        df.repartitionByRange(num_partitions, F.col(order_col))
+        .withColumn("__pid", F.spark_partition_id())
+        .localCheckpoint(eager=True)
+    )
+    w = (
+        Window.partitionBy("__pid")
+        .orderBy(order_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    local = ranged.withColumn("__local_cum", F.sum(value_col).over(w))
+    totals = sorted(
+        (r["__pid"], r["__t"])
+        for r in ranged.groupBy("__pid")
+        .agg(F.sum(value_col).alias("__t"))
+        .collect()
+    )
+    offsets, acc = [], 0
+    for pid, t in totals:
+        offsets.append((pid, acc))
+        acc += t or 0
+    spark = df.sparkSession
+    offset_df = spark.createDataFrame(offsets, "__pid int, __offset long")
+    return (
+        local.join(F.broadcast(offset_df), "__pid")
+        .withColumn(out_col, F.col("__local_cum") + F.col("__offset"))
+        .drop("__pid", "__local_cum", "__offset")
+    )
+
+
 def asof_join(
     left: DataFrame,
     right: DataFrame,

@@ -588,6 +588,109 @@ ORDER BY split, lang
 """
 
 
+def corpus_shard_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget shard packing: assign documents to output shards of
+    ~equal text budget via a running total over a stable global order
+    (shard = floor(chars_before_me / budget)) — how a curated corpus is cut
+    into training files of bounded size. The running sum is the two-phase
+    distributed form (operators.relational.global_running_sum): per-range-
+    partition cumsum + broadcast prefix offsets, never the single-partition
+    global window. Returns per-shard stats."""
+    from sdc_mapreduce_spark.operators.relational import global_running_sum
+
+    docs = load_table(spark, sf_dir, "documents")
+    budget = 15_000  # chars per shard (~10 shards at sf0.01)
+    assigned = global_running_sum(
+        docs.select("doc_id", "n_chars"), "doc_id", "n_chars", out_col="cum"
+    ).withColumn(
+        "shard", F.floor((F.col("cum") - F.col("n_chars")) / F.lit(budget))
+    )
+    return (
+        assigned.groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("shard_chars"),
+            F.min("doc_id").alias("first_doc"),
+            F.max("doc_id").alias("last_doc"),
+        )
+        .orderBy("shard")
+    )
+
+
+CORPUS_SHARD_PACKING_SQL = """
+WITH assigned AS (
+  SELECT doc_id, n_chars,
+         CAST(FLOOR((SUM(n_chars) OVER (ORDER BY doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                     - n_chars) / 15000) AS BIGINT) AS shard
+  FROM documents
+)
+SELECT shard, COUNT(*) AS n_docs, SUM(n_chars) AS shard_chars,
+       MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
+FROM assigned
+GROUP BY shard
+ORDER BY shard
+"""
+
+
+def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel analysis: users who signed up, then clicked AFTER the
+    signup, then purchased AFTER that click — each stage's timestamp must
+    follow the previous stage's first occurrence (not mere co-occurrence).
+    Three aggregations all keyed on user_id, so the exchanges align; the
+    stage frames shrink monotonically."""
+    ev = load_table(spark, sf_dir, "events")
+    signup = (
+        ev.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("ts_signup"))
+    )
+    click = (
+        ev.filter(F.col("event_type") == "click")
+        .join(signup, "user_id")
+        .filter(F.col("ts") >= F.col("ts_signup"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("ts_click"))
+    )
+    purchase = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(click, "user_id")
+        .filter(F.col("ts") >= F.col("ts_click"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("ts_purchase"))
+    )
+    return signup.agg(
+        F.count(F.lit(1)).alias("n_signup"),
+    ).crossJoin(
+        click.agg(F.count(F.lit(1)).alias("n_signup_then_click"))
+    ).crossJoin(
+        purchase.agg(F.count(F.lit(1)).alias("n_full_funnel"))
+    )
+
+
+EVENTS_FUNNEL_SQL = """
+WITH signup AS (
+  SELECT user_id, MIN(CAST(ts AS TIMESTAMP)) AS ts_signup
+  FROM events WHERE event_type = 'signup' GROUP BY user_id
+),
+click AS (
+  SELECT e.user_id, MIN(CAST(e.ts AS TIMESTAMP)) AS ts_click
+  FROM events e JOIN signup s ON e.user_id = s.user_id
+  WHERE e.event_type = 'click' AND CAST(e.ts AS TIMESTAMP) >= s.ts_signup
+  GROUP BY e.user_id
+),
+purchase AS (
+  SELECT e.user_id, MIN(CAST(e.ts AS TIMESTAMP)) AS ts_purchase
+  FROM events e JOIN click c ON e.user_id = c.user_id
+  WHERE e.event_type = 'purchase' AND CAST(e.ts AS TIMESTAMP) >= c.ts_click
+  GROUP BY e.user_id
+)
+SELECT (SELECT COUNT(*) FROM signup) AS n_signup,
+       (SELECT COUNT(*) FROM click) AS n_signup_then_click,
+       (SELECT COUNT(*) FROM purchase) AS n_full_funnel
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     "window_distribution_fns": QuerySpec(
         window_distribution_fns, WINDOW_DISTRIBUTION_SQL
@@ -609,6 +712,10 @@ QUERIES: dict[str, QuerySpec] = {
     "agg_minmax_by": QuerySpec(agg_minmax_by, AGG_MINMAX_BY_SQL),
     "agg_stats_moments": QuerySpec(agg_stats_moments, AGG_STATS_MOMENTS_SQL),
     "split_assignment": QuerySpec(split_assignment, _split_assignment_sql()),
+    "corpus_shard_packing": QuerySpec(
+        corpus_shard_packing, CORPUS_SHARD_PACKING_SQL
+    ),
+    "events_funnel": QuerySpec(events_funnel, EVENTS_FUNNEL_SQL),
     "agg_unpivot": QuerySpec(agg_unpivot, AGG_UNPIVOT_SQL),
     "scalar_regex_fns": QuerySpec(scalar_regex_fns, SCALAR_REGEX_SQL),
     "sample_hash_bucket": QuerySpec(sample_hash_bucket, SAMPLE_HASH_SQL),

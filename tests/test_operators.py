@@ -19,6 +19,28 @@ def ts(minute: int, second: int = 0):
     return dt.datetime(2024, 1, 1, 10, minute, second)
 
 
+def test_global_running_sum_matches_single_partition_window(spark):
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from sdc_mapreduce_spark.operators.relational import global_running_sum
+
+    df = spark.range(0, 5000).select(
+        F.col("id").alias("k"), (F.col("id") % 37 + 1).alias("v")
+    ).repartition(11)  # scrambled input layout
+    got = {
+        r["k"]: r["cum"]
+        for r in global_running_sum(df, "k", "v", out_col="cum", num_partitions=8)
+        .collect()
+    }
+    w = Window.orderBy("k").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    expected = {
+        r["k"]: r["cum"]
+        for r in df.withColumn("cum", F.sum("v").over(w)).collect()
+    }
+    assert got == expected
+
+
 def test_asof_join_backward(spark):
     left = spark.createDataFrame(
         [(1, ts(10), "L1"), (1, ts(20), "L2"), (2, ts(15), "L3"), (3, ts(5), "L4")],
