@@ -42,9 +42,10 @@ def oracle_sql() -> dict[str, str]:
     Omitted (rows-only check) for: xxhash64-based signatures
     (text_rolling_fingerprint, dedup_simhash — DuckDB lacks xxhash64),
     approximate ANN (simsearch_ann_srp, simsearch_ann_ivf — recall < 1 by
-    design), and sketch aggregates (agg_approx_sketches — HLL++/digest
-    estimates). Each is unit-tested against an exact reference instead
-    (tests/test_text.py, test_dedup.py, test_simsearch.py,
-    test_operators.py).
+    design), sketch aggregates (agg_approx_sketches — HLL++/digest
+    estimates), and the Arrow decode kernel (multimodal_decode_profile —
+    Python mapInPandas, not SQL). Each is unit-tested against an exact
+    reference instead (tests/test_text.py, test_dedup.py,
+    test_simsearch.py, test_operators.py, test_multimodal.py).
     """
     return qreg.oracle_sql()

@@ -87,6 +87,34 @@ def test_parse_kv_matches_reference_drop_rules(spark, lines):
 
 @SETTINGS
 @given(
+    vals=st.lists(
+        st.floats(
+            min_value=-1e6,
+            max_value=1e6,
+            allow_nan=False,
+            allow_infinity=False,
+        ),
+        min_size=2,
+        max_size=30,
+    ),
+    parts=st.sampled_from([1, 3, 7]),
+)
+def test_dsum_is_partition_invariant(spark, vals, parts):
+    """The engine's core cross-engine determinism claim: a decimal-
+    accumulated double sum (queries/base.py dsum) yields the IDENTICAL
+    double regardless of partitioning / accumulation order — raw double
+    sums do not. Every oracle-checked money aggregate rests on this."""
+    from sdc_mapreduce_spark.queries.base import dsum
+
+    df1 = spark.createDataFrame([(v,) for v in vals], "x double").coalesce(1)
+    dfp = spark.createDataFrame([(v,) for v in vals], "x double").repartition(parts)
+    a = df1.agg(dsum("x", "s")).collect()[0]["s"]
+    b = dfp.agg(dsum("x", "s")).collect()[0]["s"]
+    assert a == b  # bitwise equality, not approx
+
+
+@SETTINGS
+@given(
     pairs=st.lists(
         st.tuples(
             st.sampled_from(["a", "b", "c"]),
