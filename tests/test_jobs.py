@@ -38,6 +38,29 @@ def test_fifo_order_and_lifecycle(spark, tmp_path):
     assert state["status"] == "COMPLETED" and state["name"] == "first"
 
 
+def test_concurrent_queries_share_one_session(spark, sf_dir):
+    """The engine as a multi-tenant query service: one SparkSession runs
+    many queries concurrently (FAIR-ish interleaving of independent jobs —
+    what the reference's single-slot workers could never do, SURVEY.md Q6).
+    Every concurrent result must equal its sequential twin."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    from sdc_mapreduce_spark.queries import REGISTRY
+
+    names = ["q6_forecast_revenue", "join_semi", "set_union", "agg_distinct"]
+
+    def run(name):
+        return name, REGISTRY[name].fn(spark, sf_dir).collect()
+
+    sequential = dict(run(n) for n in names)
+    with ThreadPoolExecutor(max_workers=4) as pool:
+        concurrent = dict(pool.map(run, names))
+    for n in names:
+        assert sorted(map(tuple, concurrent[n])) == sorted(
+            map(tuple, sequential[n])
+        ), n
+
+
 def test_sink_and_failure(spark, tmp_path):
     q = J.JobQueue()
     out = tmp_path / "out"
