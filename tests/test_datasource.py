@@ -63,6 +63,27 @@ def test_kvtext_boundary_alignment_is_shard_size_invariant(spark, kv_file):
         assert {r["key"]: r["value"] for r in rows} == expected
 
 
+def test_kvtext_multi_file_dir_and_edge_files(spark, tmp_path):
+    """A directory source: multiple files, one empty, one all-malformed —
+    union of per-file results, no crashes on degenerate shards."""
+    d = tmp_path / "kvdir"
+    d.mkdir()
+    (d / "a.txt").write_text("x 1\ny 2\n")
+    (d / "b.txt").write_text("")  # empty file → zero shards
+    (d / "c.txt").write_text("junk\nmore junk here\n")  # all malformed
+    (d / "d.txt").write_text("z -3")  # no trailing newline
+    df = _read(spark, str(d), shard_size=4)
+    got = {r["key"]: r["value"] for r in df.collect()}
+    assert got == {"x": 1, "y": 2, "z": -3}
+
+
+def test_kvtext_crlf_and_extra_whitespace(spark, tmp_path):
+    p = tmp_path / "crlf.txt"
+    p.write_bytes(b"a 1\r\nb\t2\r\n  c   3  \r\n")
+    df = _read(spark, str(p), shard_size=5)
+    assert {r["key"]: r["value"] for r in df.collect()} == {"a": 1, "b": 2, "c": 3}
+
+
 def test_kvtext_typed_value_column(spark, kv_file):
     path, _ = kv_file
     df = _read(spark, path, shard_size=1024)

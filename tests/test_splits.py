@@ -62,3 +62,19 @@ def test_sql_case_matches_spark_assignment(spark, keyed):
 def test_fraction_validation(spark, keyed):
     with pytest.raises(ValueError):
         hash_split(keyed, "doc_id", fractions={"a": 0.5, "b": 0.2}).collect()
+
+
+def test_single_split_and_many_splits(spark, keyed):
+    one = hash_split(keyed, "doc_id", fractions={"all": 1.0})
+    assert one.filter(one["split"] != "all").count() == 0
+    many = dict(
+        hash_split(
+            keyed, "doc_id", fractions={f"s{i}": 0.1 for i in range(10)}
+        )
+        .groupBy("split")
+        .count()
+        .collect()
+    )
+    assert len(many) == 10
+    for n in many.values():
+        assert abs(n / 20000 - 0.1) < 0.01
