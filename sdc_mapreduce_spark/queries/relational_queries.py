@@ -78,7 +78,7 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     joined = (
         li.join(
             orders.join(
-                F.broadcast(cust.select("c_custkey")),
+                cust.select("c_custkey"),
                 F.col("o_custkey") == F.col("c_custkey"),
             ).select("o_orderkey", "o_orderdate"),
             F.col("l_orderkey") == F.col("o_orderkey"),
@@ -132,14 +132,12 @@ def q5_local_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     joined = (
         li.join(
-            F.broadcast(orders.select("o_orderkey", "o_custkey")),
+            orders.select("o_orderkey", "o_custkey"),
             F.col("l_orderkey") == F.col("o_orderkey"),
         )
+        .join(dims, F.col("o_custkey") == F.col("c_custkey"))
         .join(
-            F.broadcast(dims), F.col("o_custkey") == F.col("c_custkey")
-        )
-        .join(
-            F.broadcast(supp.select("s_suppkey", "s_nationkey")),
+            supp.select("s_suppkey", "s_nationkey"),
             (F.col("l_suppkey") == F.col("s_suppkey"))
             & (F.col("s_nationkey") == F.col("c_nationkey")),
         )
@@ -173,7 +171,7 @@ def join_inner(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_table(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 400000)
     cust = load_table(spark, sf_dir, "customer")
     return orders.join(
-        F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey")
+        cust, F.col("o_custkey") == F.col("c_custkey")
     ).select("o_orderkey", "c_name", "o_totalprice")
 
 
@@ -768,8 +766,8 @@ def q18_large_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("sum_qty") > 250)
     )
     return (
-        orders.join(F.broadcast(big), F.col("o_orderkey") == F.col("l_orderkey"))
-        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        orders.join(big, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
         .select("c_name", "c_custkey", "o_orderkey", "o_orderdate", "sum_qty")
         .orderBy(F.col("sum_qty").desc(), F.col("o_orderkey").asc())
     )
@@ -810,11 +808,11 @@ def q7_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("s_suppkey", "supp_nation")
     joined = (
         li.join(
-            F.broadcast(orders.select("o_orderkey", "o_custkey")),
+            orders.select("o_orderkey", "o_custkey"),
             F.col("l_orderkey") == F.col("o_orderkey"),
         )
-        .join(F.broadcast(cust_n), F.col("o_custkey") == F.col("c_custkey"))
-        .join(F.broadcast(supp_n), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(cust_n, F.col("o_custkey") == F.col("c_custkey"))
+        .join(supp_n, F.col("l_suppkey") == F.col("s_suppkey"))
         .filter(F.col("cust_nation") != F.col("supp_nation"))
     )
     return (
@@ -851,10 +849,10 @@ def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
     cust = load_table(spark, sf_dir, "customer")
     joined = (
         li.join(
-            F.broadcast(orders.select("o_orderkey", "o_custkey")),
+            orders.select("o_orderkey", "o_custkey"),
             F.col("l_orderkey") == F.col("o_orderkey"),
         )
-        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
     )
     revenue = joined.groupBy("c_custkey", "c_name", "c_mktsegment").agg(
         dsum("l_extendedprice * (1 - l_discount)", "lost_revenue", scale=4)
@@ -888,7 +886,7 @@ def q14_promo_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp_ntz"))
     )
     part = load_table(spark, sf_dir, "part")
-    joined = li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+    joined = li.join(part, F.col("l_partkey") == F.col("p_partkey"))
     promo = dsum(
         "case when p_type = 'ECONOMY' then l_extendedprice * (1 - l_discount) "
         "else 0.0 end",
@@ -926,7 +924,7 @@ def q19_disjunctive_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
     filter; the shared `l_quantity <= 30` bound is pushed to the scan."""
     li = load_table(spark, sf_dir, "lineitem")
     part = load_table(spark, sf_dir, "part")
-    joined = li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+    joined = li.join(part, F.col("l_partkey") == F.col("p_partkey"))
     cond = (
         (F.col("p_brand") == "Brand#1")
         & (F.col("p_size").between(1, 15))

@@ -59,8 +59,8 @@ def q2_min_balance_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("s_suppkey", "s_acctbal", "s_name", "n_name")
     )
     joined = supply.join(
-        F.broadcast(part_f), F.col("l_partkey") == F.col("p_partkey")
-    ).join(F.broadcast(eur), F.col("l_suppkey") == F.col("s_suppkey"))
+        part_f, F.col("l_partkey") == F.col("p_partkey")
+    ).join(eur, F.col("l_suppkey") == F.col("s_suppkey"))
     w = Window.partitionBy("p_partkey")
     best = joined.withColumn("min_bal", F.min("s_acctbal").over(w)).filter(
         F.col("s_acctbal") == F.col("min_bal")
@@ -141,10 +141,10 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("o_orderkey", "o_custkey", F.year("o_orderdate").alias("o_year"))
     )
     joined = (
-        li.join(F.broadcast(part_f), F.col("l_partkey") == F.col("p_partkey"))
+        li.join(part_f, F.col("l_partkey") == F.col("p_partkey"))
         .join(orders_f, F.col("l_orderkey") == F.col("o_orderkey"))
-        .join(F.broadcast(cust_am), F.col("o_custkey") == F.col("c_custkey"))
-        .join(F.broadcast(supp_n), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(cust_am, F.col("o_custkey") == F.col("c_custkey"))
+        .join(supp_n, F.col("l_suppkey") == F.col("s_suppkey"))
     )
     return (
         joined.groupBy("o_year")
@@ -213,8 +213,8 @@ def q9_profit_by_nation_year(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderkey", F.year("o_orderdate").alias("o_year")
     )
     joined = (
-        li.join(F.broadcast(part_f), F.col("l_partkey") == F.col("p_partkey"))
-        .join(F.broadcast(supp_n), F.col("l_suppkey") == F.col("s_suppkey"))
+        li.join(part_f, F.col("l_partkey") == F.col("p_partkey"))
+        .join(supp_n, F.col("l_suppkey") == F.col("s_suppkey"))
         .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
     )
     return (
@@ -300,7 +300,7 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         revenue.join(F.broadcast(max_rev))
         .filter(F.col("total_revenue") == F.col("max_revenue"))
-        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(supp, F.col("l_suppkey") == F.col("s_suppkey"))
         .select("s_suppkey", "s_name", "total_revenue")
         .orderBy("s_suppkey")
     )
@@ -344,9 +344,9 @@ def q16_supplier_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("s_suppkey")
     )
     return (
-        supply.join(F.broadcast(part_f), F.col("l_partkey") == F.col("p_partkey"))
+        supply.join(part_f, F.col("l_partkey") == F.col("p_partkey"))
         .join(
-            F.broadcast(blacklist),
+            blacklist,
             F.col("l_suppkey") == F.col("s_suppkey"),
             "left_anti",
         )
@@ -388,7 +388,7 @@ def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     li = load_table(spark, sf_dir, "lineitem")
     relevant = li.join(
-        F.broadcast(part_f), F.col("l_partkey") == F.col("p_partkey")
+        part_f, F.col("l_partkey") == F.col("p_partkey")
     ).select("l_partkey", "l_quantity", "l_extendedprice")
     thresholds = relevant.groupBy("l_partkey").agg(
         F.expr(
@@ -397,7 +397,7 @@ def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("qty_threshold")
     )
     small = relevant.join(
-        F.broadcast(thresholds.withColumnRenamed("l_partkey", "t_partkey")),
+        thresholds.withColumnRenamed("l_partkey", "t_partkey"),
         F.col("l_partkey") == F.col("t_partkey"),
     ).filter(F.col("l_quantity") < F.col("qty_threshold"))
     return small.agg(
@@ -460,7 +460,7 @@ def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("l_orderkey") == F.col("st_orderkey"),
         )
         .filter((F.col("n_supp") > 1) & (F.col("n_supp_r") == 1))
-        .join(F.broadcast(supp_nation), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(supp_nation, F.col("l_suppkey") == F.col("s_suppkey"))
     )
     return top_k(
         l1.groupBy("s_name").agg(F.count(F.lit(1)).alias("numwait")),
