@@ -8,10 +8,13 @@ packing; src/worker/worker.cpp:124-182 boundary adjustment;
 src/app/reducer.py:11-24 malformed-row drop). This module re-expresses that
 contract as a first-class pluggable Spark source:
 
-- ``partitions()`` is the reference's shard planner: fixed ``shard_size``
-  byte ranges per file, tail shard smaller — each range becomes one Spark
-  input partition, so scan parallelism is data-size-driven exactly like the
-  reference's master (SURVEY.md O6).
+- ``partitions()`` is the reference's shard planner: greedy capacity
+  packing of ``shard_size`` bytes per shard, spanning file boundaries
+  exactly like createShardAllocations (tail of file i + head of file i+1
+  share a shard; only the last shard is smaller) — each shard becomes one
+  Spark input partition, so scan parallelism is data-size-driven exactly
+  like the reference's master (SURVEY.md O6). ``pack=false`` falls back to
+  one partition per (file, range).
 - ``read()`` applies the line-boundary protocol (the robust form of the
   reference's isalnum ±lookahead adjustment, SURVEY.md O7/Q5): a partition
   starting mid-file discards its partial first line and reads one line past
@@ -41,14 +44,19 @@ DEFAULT_SHARD_SIZE = 50_000  # the reference client's SHARD_SIZE default
 
 
 class KVShard(InputPartition):
-    """One byte range of one file — the Spark twin of the reference's
-    ShardFileInfo {startOffset, endOffset, fileName} (src/util/shard.h:7-11).
+    """One capacity-packed shard: a list of ``(path, start, end)`` byte-range
+    segments, possibly spanning multiple files — the Spark twin of the
+    reference's ShardAllocation {id, capacity, files: [ShardFileInfo]}
+    (src/util/shard.h:7-16): the tail of file i and the head of file i+1
+    land in the same shard when the tail alone is under capacity.
     """
 
-    def __init__(self, path: str, start: int, end: int):
-        self.path = path
-        self.start = start
-        self.end = end
+    def __init__(self, segments: list[tuple[str, int, int]]):
+        self.segments = segments
+
+    @property
+    def capacity(self) -> int:
+        return sum(end - start for _, start, end in self.segments)
 
 
 class KVTextReader(DataSourceReader):
@@ -59,6 +67,7 @@ class KVTextReader(DataSourceReader):
         self.shard_size = int(options.get("shard_size", DEFAULT_SHARD_SIZE))
         if self.shard_size <= 0:
             raise ValueError("kvtext: shard_size must be positive")
+        self.pack = str(options.get("pack", "true")).lower() != "false"
         if os.path.isdir(path):
             self.paths = sorted(
                 p for p in glob.glob(os.path.join(path, "*")) if os.path.isfile(p)
@@ -69,43 +78,61 @@ class KVTextReader(DataSourceReader):
             raise ValueError(f"kvtext: no files under {path!r}")
 
     def partitions(self):
-        # Fixed-size byte shards, tail shard smaller — the reference's
-        # createShardAllocations without the multi-file packing (Spark tasks
-        # are cheap; one partition per range is the simpler equivalent of
-        # packing file tails together).
+        # The reference's createShardAllocations (src/master/sharding.h:28-83):
+        # greedy capacity packing — each shard holds exactly shard_size bytes
+        # of ranges, spanning file boundaries (tail of file i + head of file
+        # i+1 in one shard); only the final shard may be smaller. With
+        # pack=false, one partition per fixed-size (file, range) instead —
+        # same output rows, simpler partition map.
         shards: list[KVShard] = []
+        current: list[tuple[str, int, int]] = []
+        current_cap = 0
         for p in self.paths:
             size = os.path.getsize(p)
             start = 0
             while start < size:
-                end = min(start + self.shard_size, size)
-                shards.append(KVShard(p, start, end))
+                if not self.pack:
+                    end = min(start + self.shard_size, size)
+                    shards.append(KVShard([(p, start, end)]))
+                    start = end
+                    continue
+                needed = self.shard_size - current_cap
+                end = min(start + needed, size)
+                current.append((p, start, end))
+                current_cap += end - start
+                if current_cap == self.shard_size:
+                    shards.append(KVShard(current))
+                    current, current_cap = [], 0
                 start = end
-        return shards or [KVShard(self.paths[0], 0, 0)]
+        if current:
+            shards.append(KVShard(current))
+        return shards or [KVShard([(self.paths[0], 0, 0)])]
 
     def read(self, partition: KVShard) -> Iterator[tuple]:
-        with open(partition.path, "rb") as fh:
-            fh.seek(partition.start)
-            if partition.start > 0:
-                # line-boundary protocol: the partition to our left owns the
-                # line spanning the boundary — skip to the next full line
-                fh.readline()
-            while fh.tell() <= partition.end:
-                raw = fh.readline()
-                if not raw:
-                    break
-                parts = raw.decode("utf-8", errors="replace").split()
-                if len(parts) != 2:
-                    continue  # malformed: wrong token count (O15)
-                try:
-                    value = int(parts[1])
-                except ValueError:
-                    continue  # malformed: non-integer value (O15)
-                yield (parts[0], value)
-                # note: the loop condition uses tell() BEFORE the read, so a
-                # line that starts exactly at `end` belongs to the next
-                # partition, and a line starting before `end` is fully
-                # consumed here even if it extends past it
+        for path, start, end in partition.segments:
+            with open(path, "rb") as fh:
+                fh.seek(start)
+                if start > 0:
+                    # line-boundary protocol: the partition to our left owns
+                    # the line spanning the boundary — skip to the next full
+                    # line
+                    fh.readline()
+                while fh.tell() <= end:
+                    raw = fh.readline()
+                    if not raw:
+                        break
+                    parts = raw.decode("utf-8", errors="replace").split()
+                    if len(parts) != 2:
+                        continue  # malformed: wrong token count (O15)
+                    try:
+                        value = int(parts[1])
+                    except ValueError:
+                        continue  # malformed: non-integer value (O15)
+                    yield (parts[0], value)
+                    # note: the loop condition uses tell() BEFORE the read, so
+                    # a line that starts exactly at `end` belongs to the next
+                    # partition, and a line starting before `end` is fully
+                    # consumed here even if it extends past it
 
 
 class KVTextDataSource(DataSource):

@@ -78,7 +78,7 @@ def kv_parse_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 KV_PARSE_SUM_SQL = """
-SELECT l_returnflag AS key, SUM(l_linenumber) AS total
+SELECT l_returnflag AS key, CAST(SUM(l_linenumber) AS BIGINT) AS total
 FROM lineitem GROUP BY l_returnflag
 """
 

@@ -625,7 +625,7 @@ WITH assigned AS (
                      - n_chars) / 15000) AS BIGINT) AS shard
   FROM documents
 )
-SELECT shard, COUNT(*) AS n_docs, SUM(n_chars) AS shard_chars,
+SELECT shard, COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS shard_chars,
        MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
 FROM assigned
 GROUP BY shard

@@ -84,6 +84,61 @@ def test_kvtext_crlf_and_extra_whitespace(spark, tmp_path):
     assert {r["key"]: r["value"] for r in df.collect()} == {"a": 1, "b": 2, "c": 3}
 
 
+def test_kvtext_packed_shard_spans_two_files(tmp_path):
+    """O6 parity with the reference's createShardAllocations
+    (src/master/sharding.h:28-83): the tail of file i and the head of file
+    i+1 pack into ONE shard; every shard except the last is exactly
+    shard_size bytes of ranges."""
+    from sdc_mapreduce_spark.datasource import KVTextReader
+
+    d = tmp_path / "pack"
+    d.mkdir()
+    (d / "a.txt").write_text("a 1\nb 2\nc 3\n")  # 12 bytes
+    (d / "b.txt").write_text("d 4\ne 5\nf 6\n")  # 12 bytes
+    reader = KVTextReader({"path": str(d), "shard_size": "10"})
+    shards = reader.partitions()
+    # 24 bytes total / 10 per shard -> [10, 10, 4]
+    assert [s.capacity for s in shards] == [10, 10, 4]
+    # the second shard must span the a.txt tail AND the b.txt head
+    spanning = shards[1]
+    assert [seg[0].rsplit("/", 1)[-1] for seg in spanning.segments] == [
+        "a.txt",
+        "b.txt",
+    ]
+    assert spanning.segments[0][1:] == (10, 12)
+    assert spanning.segments[1][1:] == (0, 8)
+
+
+def test_kvtext_packing_preserves_rows_and_matches_unpacked(spark, tmp_path):
+    """Packed and pack=false shard plans must yield the identical multiset of
+    rows for every shard size — the line-boundary protocol holds across the
+    intra-shard file segments too."""
+    d = tmp_path / "packrows"
+    d.mkdir()
+    rng = random.Random(7)
+    expected: dict[str, int] = {}
+    for f in range(4):
+        lines = []
+        for i in range(60):
+            key, value = f"f{f}k{i}", rng.randint(-(10**6), 10**6)
+            expected[key] = value
+            lines.append(f"{key} {value}")
+        (d / f"part{f}.txt").write_text("\n".join(lines) + "\n")
+    register_kvtext(spark)
+    for shard_size in (23, 128, 997, 10**6):
+        for pack in ("true", "false"):
+            rows = (
+                spark.read.format("kvtext")
+                .option("path", str(d))
+                .option("shard_size", shard_size)
+                .option("pack", pack)
+                .load()
+                .collect()
+            )
+            assert len(rows) == len(expected), f"shard_size={shard_size} pack={pack}"
+            assert {r["key"]: r["value"] for r in rows} == expected
+
+
 def test_kvtext_typed_value_column(spark, kv_file):
     path, _ = kv_file
     df = _read(spark, path, shard_size=1024)

@@ -38,6 +38,61 @@ def normalize_cell(v) -> str:
     return str(v)
 
 
+def _spark_kind(dt: str) -> str:
+    """Collapse a Spark simpleString dtype to a comparison kind."""
+    if dt.startswith("decimal"):
+        return "decimal"
+    if dt in ("tinyint", "smallint", "int", "bigint"):
+        return "int"
+    if dt in ("float", "double"):
+        return "float"
+    if dt.startswith("timestamp"):
+        return "timestamp"
+    for container in ("array", "map", "struct"):
+        if dt.startswith(container):
+            return container
+    return dt
+
+
+def _arrow_kind(t) -> str:
+    import pyarrow.types as pt
+
+    if pt.is_decimal(t):
+        return "decimal"
+    if pt.is_integer(t):
+        return "int"
+    if pt.is_floating(t):
+        return "float"
+    if pt.is_timestamp(t):
+        return "timestamp"
+    if pt.is_string(t) or pt.is_large_string(t):
+        return "string"
+    if pt.is_date(t):
+        return "date"
+    if pt.is_boolean(t):
+        return "boolean"
+    if pt.is_binary(t) or pt.is_large_binary(t):
+        return "binary"
+    if pt.is_list(t) or pt.is_large_list(t):
+        return "array"
+    return str(t)
+
+
+def type_mismatches(sdf, atab) -> list[str]:
+    """The driver hashes values after Arrow/pandas normalization, so a DuckDB
+    HUGEINT (decimal128) vs Spark BIGINT stringifies differently there even
+    when fetchall() yields identical ints here. Flag any column whose type
+    KIND differs between the Spark result and the oracle's Arrow schema."""
+    skinds = {f.name: _spark_kind(f.dataType.simpleString()) for f in sdf.schema.fields}
+    out = []
+    for field in atab.schema:
+        sk = skinds.get(field.name)
+        ak = _arrow_kind(field.type)
+        if sk is not None and sk != ak:
+            out.append(f"type-kind mismatch col={field.name}: spark={sk} duck={ak}")
+    return out
+
+
 def value_hash(cols: list[str], rows: list[tuple]) -> str:
     order = sorted(range(len(cols)), key=lambda i: cols[i])
     canon = sorted("|".join(normalize_cell(r[i]) for i in order) for r in rows)
@@ -96,7 +151,7 @@ def main() -> int:
             continue
         t_duck = time.time() - t0
 
-        problems = []
+        problems = type_mismatches(sdf, con.execute(oracles[name]).arrow())
         if len(srows) != len(drows):
             problems.append(f"rowcount spark={len(srows)} duck={len(drows)}")
         if sorted(scols) != sorted(dcols):
