@@ -50,12 +50,24 @@ def _nanos_to_ntz(col: str):
     ).alias(col)
 
 
+# (sf_dir, table) -> inferred StructType. A real catalog serves schemas from
+# metadata, not by re-sampling parquet footers: passing the cached schema to
+# every subsequent read skips the footer-inference job each query would
+# otherwise launch (at 100 TB that job touches thousands of files).
+_SCHEMA_CACHE: dict[tuple[str, str], object] = {}
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; known: {TABLES}")
     if name in NANO_TS_COLUMNS:
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    df = spark.read.parquet(table_path(sf_dir, name))
+    cached = _SCHEMA_CACHE.get((sf_dir, name))
+    if cached is not None:
+        df = spark.read.schema(cached).parquet(table_path(sf_dir, name))
+    else:
+        df = spark.read.parquet(table_path(sf_dir, name))
+        _SCHEMA_CACHE[(sf_dir, name)] = df.schema
     for col in NANO_TS_COLUMNS.get(name, ()):
         if dict(df.dtypes).get(col) == "bigint":
             df = df.withColumn(col, _nanos_to_ntz(col))

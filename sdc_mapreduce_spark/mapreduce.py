@@ -98,6 +98,7 @@ def map_reduce(
     mapper: Callable[[Any], Iterable[tuple[Any, Any]]],
     reducer: Callable[[Any, Any], Any],
     num_partitions: int | None = None,
+    reference_quirks: bool = False,
 ) -> DataFrame:
     """General user-code contract: Python mapper + associative reducer.
 
@@ -107,9 +108,17 @@ def map_reduce(
     Honors ``num_partitions`` (fixing quirk Q2, where the reference ignores
     the client's reducer_count and hard-codes 3, reference
     src/master/master.cpp:243).
+
+    ``reference_quirks=True`` reproduces quirk Q1 (SURVEY.md §6): the
+    reference worker's shuffle write keeps only each mapped record's KEY and
+    emits the literal value ``1`` (reference src/worker/worker.cpp:229,247),
+    so ANY mapper degenerates to count semantics regardless of the values it
+    emits. Off by default — the fixed behavior honors the mapper's values.
     """
     spark = df.sparkSession
     rdd = df.rdd.flatMap(lambda row: mapper(row))
+    if reference_quirks:
+        rdd = rdd.map(lambda kv: (kv[0], 1))
     reduced = rdd.reduceByKey(reducer, numPartitions=num_partitions)
     return spark.createDataFrame(reduced, schema="key string, value long")
 
@@ -120,6 +129,7 @@ def map_reduce_pipe(
     reducer_cmd: str | list[str],
     num_partitions: int = 3,
     text_col: str = "value",
+    reference_quirks: bool = False,
 ) -> DataFrame:
     """The faithful subprocess contract (SURVEY.md O8/O13/O19): run
     *unmodified* stdin→stdout mapper/reducer scripts via ``rdd.pipe``.
@@ -131,6 +141,12 @@ def map_reduce_pipe(
     whole partition — equivalent to the reference's reduce over concatenated
     partials). ``num_partitions`` defaults to 3 for golden parity with quirk
     Q2 (reference src/master/master.cpp:243).
+
+    ``reference_quirks=True`` adds quirk Q1: the reference worker rewrites
+    every mapper output line to ``first_token + " 1"`` before the shuffle
+    (reference src/worker/worker.cpp:229,247 — ``sub_tokens[0]`` plus the
+    literal ``"1"``), discarding whatever value the user mapper emitted. A
+    non-count mapper therefore still produces count semantics.
     """
     spark = df.sparkSession
     mapper_cmd = _as_cmd(mapper_cmd)
@@ -139,6 +155,13 @@ def map_reduce_pipe(
     mapped = df.select(F.col(text_col).cast("string")).rdd.map(
         lambda r: r[0] if r[0] is not None else ""
     ).pipe(mapper_cmd)
+    if reference_quirks:
+        # Q1 value-discard: keep only the first token, emit literal "1"
+        # (empty mapper lines are dropped; the reference writes "" + " 1"
+        # for them, but its reducer then drops the 1-token line anyway).
+        mapped = mapped.filter(lambda line: line.split() != []).map(
+            lambda line: f"{line.split()[0]} 1"
+        )
     # Hash-partition on the first token = the reference's
     # std::hash(key) % num_reducers shuffle write (worker.cpp:244-250).
     keyed = mapped.map(lambda line: (line.split(" ", 1)[0], line)).partitionBy(

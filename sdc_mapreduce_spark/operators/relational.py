@@ -57,6 +57,11 @@ def global_running_sum(
        driver and broadcast-joined back as offsets.
 
     The driver-side state is O(num_partitions), never O(rows).
+
+    Supports integral, floating and decimal ``value_col`` types: the offset
+    frame's dtype is derived from the aggregated total's dtype (``SUM(int)``
+    → long, ``SUM(double)`` → double, ``SUM(decimal(p,s))`` → widened
+    decimal), so the broadcast offsets always match what the join adds.
     """
     # materialize the ranged layout ONCE: repartitionByRange samples split
     # points per job, so the cumsum pass and the totals pass would otherwise
@@ -72,18 +77,25 @@ def global_running_sum(
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     local = ranged.withColumn("__local_cum", F.sum(value_col).over(w))
-    totals = sorted(
-        (r["__pid"], r["__t"])
-        for r in ranged.groupBy("__pid")
-        .agg(F.sum(value_col).alias("__t"))
-        .collect()
-    )
-    offsets, acc = [], 0
+    totals_df = ranged.groupBy("__pid").agg(F.sum(value_col).alias("__t"))
+    # the aggregated dtype (not the input dtype) is what the prefix offsets
+    # must carry: SUM widens (int->long, decimal(p,s)->decimal(p+10,s))
+    total_dt = totals_df.schema["__t"].dataType.simpleString()
+    if total_dt in ("float", "double"):
+        zero = 0.0
+    elif total_dt.startswith("decimal"):
+        from decimal import Decimal
+
+        zero = Decimal(0)
+    else:
+        zero = 0
+    totals = sorted((r["__pid"], r["__t"]) for r in totals_df.collect())
+    offsets, acc = [], zero
     for pid, t in totals:
         offsets.append((pid, acc))
-        acc += t or 0
+        acc += t if t is not None else zero
     spark = df.sparkSession
-    offset_df = spark.createDataFrame(offsets, "__pid int, __offset long")
+    offset_df = spark.createDataFrame(offsets, f"__pid int, __offset {total_dt}")
     return (
         local.join(F.broadcast(offset_df), "__pid")
         .withColumn(out_col, F.col("__local_cum") + F.col("__offset"))

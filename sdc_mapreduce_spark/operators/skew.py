@@ -38,13 +38,29 @@ def salted_join(
     fact ⋈ medium-dim joins too big to broadcast but small enough to
     replicate.
 
-    The salt must only be *uniform*, not reproducible: xxhash64 of the
-    whole skewed row spreads identical rows too (a constant-key fact table
-    still fans out), with no RNG state to reason about.
+    The salt must only be *uniform*, not reproducible: xxhash64 of the whole
+    skewed row plus a per-row ordinal. The ordinal
+    (``monotonically_increasing_id``) is what guarantees fully-identical hot
+    rows still spread across salts — hashing the row columns alone would
+    send every duplicate of a hot row to the same reducer. The join RESULT
+    is salt-invariant, so the ordinal's run-to-run instability is harmless.
+
+    Only ``inner`` and ``left`` joins are supported: the right side is
+    replicated once per salt, so an unmatched right row would surface
+    ``n_salts`` times under ``right``/``full`` semantics.
     """
+    if how not in ("inner", "left"):
+        raise ValueError(
+            f"salted_join supports how='inner'|'left' (right side is "
+            f"replicated per salt; right/full would duplicate unmatched "
+            f"right rows), got {how!r}"
+        )
     salted_left = skewed.withColumn(
         SALT_COL,
-        F.pmod(F.xxhash64(*[F.col(c) for c in skewed.columns]), F.lit(n_salts)),
+        F.pmod(
+            F.xxhash64(F.monotonically_increasing_id(), *[F.col(c) for c in skewed.columns]),
+            F.lit(n_salts),
+        ),
     )
     replicated_right = small.withColumn(
         SALT_COL, F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1)).cast("array<long>"))

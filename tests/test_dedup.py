@@ -98,6 +98,31 @@ def test_near_dup_clusters_match_union_find(spark, sf_dir):
     assert any(rep != i for i, rep in got.items()), "no non-trivial clusters found"
 
 
+def test_near_dup_clusters_check_every_invariant(spark, sf_dir):
+    """Batching the convergence count() every k rounds must not change the
+    components (labels are monotone, so the batched check is exact) — and a
+    long chain still converges under batching."""
+    docs = load_table(spark, sf_dir, "documents")
+    per_round = {
+        r["doc_id"]: r["rep_id"]
+        for r in D.near_dup_clusters(
+            docs, num_hashes=64, bands=16, check_every=1
+        ).collect()
+    }
+    batched = {
+        r["doc_id"]: r["rep_id"]
+        for r in D.near_dup_clusters(
+            docs, num_hashes=64, bands=16, check_every=3
+        ).collect()
+    }
+    assert per_round == batched
+
+    import pytest
+
+    with pytest.raises(ValueError, match="check_every"):
+        D.near_dup_clusters(docs, check_every=0)
+
+
 def test_minhash_lsh_equals_exhaustive(spark, sf_dir):
     docs = load_table(spark, sf_dir, "documents")
     exact = {

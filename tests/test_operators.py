@@ -41,6 +41,33 @@ def test_global_running_sum_matches_single_partition_window(spark):
     assert got == expected
 
 
+def test_global_running_sum_double_and_decimal_values(spark):
+    """The offset frame's dtype must follow the aggregated total's dtype —
+    double and decimal value columns, not just integers."""
+    from pyspark.sql import Window
+
+    from sdc_mapreduce_spark.operators.relational import global_running_sum
+
+    base = spark.range(0, 800).select(
+        F.col("id").alias("k"),
+        (F.col("id") % 13 * 0.25).alias("dv"),
+        (F.col("id") % 7).cast("decimal(10,2)").alias("cv"),
+    ).repartition(5)
+    w = Window.orderBy("k").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    for col in ("dv", "cv"):
+        got = {
+            r["k"]: r["cum"]
+            for r in global_running_sum(
+                base, "k", col, out_col="cum", num_partitions=6
+            ).collect()
+        }
+        expected = {
+            r["k"]: r["cum"]
+            for r in base.withColumn("cum", F.sum(col).over(w)).collect()
+        }
+        assert got == expected, col
+
+
 def test_asof_join_backward(spark):
     left = spark.createDataFrame(
         [(1, ts(10), "L1"), (1, ts(20), "L2"), (2, ts(15), "L3"), (3, ts(5), "L4")],

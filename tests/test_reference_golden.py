@@ -6,6 +6,7 @@ must reproduce final_output.txt under the reference's comparison semantics
 from __future__ import annotations
 
 import os
+import sys
 
 import pytest
 from pyspark.sql import functions as F
@@ -39,6 +40,67 @@ def test_wordcount_matches_reference_final_output(spark):
     df = mr.read_text(spark, [inp, inp])
     got = {r["word"]: r["cnt"] for r in mr.word_count(df).collect()}
     assert got == golden
+
+
+@pytest.mark.skipif(not os.path.isdir(REF_APP), reason="reference not mounted")
+def test_quirks_mode_value_discard_yields_count_semantics(spark, tmp_path):
+    """Quirk Q1 (SURVEY.md §6): the reference worker rewrites every mapped
+    line to ``first_token + " 1"`` before the shuffle (worker.cpp:229,247),
+    so a NON-count mapper still produces word-count output. Under
+    reference_quirks=True a word->length mapper must reproduce
+    final_output.txt; with quirks off it must NOT."""
+    golden = _parse_counts(os.path.join(REF_APP, "final_output.txt"))
+    inp = os.path.join(REF_APP, "input.txt")
+    df = mr.read_text(spark, [inp, inp])
+
+    # a mapper that emits word LENGTHS, not 1s — count semantics only under
+    # the quirk
+    mapper_py = tmp_path / "len_mapper.py"
+    mapper_py.write_text(
+        "import sys\n"
+        "for line in sys.stdin:\n"
+        "    for tok in line.split():\n"
+        "        if tok.isalnum():\n"
+        "            print(f'{tok} {len(tok)}')\n"
+    )
+    reducer_cmd = [
+        sys.executable,
+        os.path.join(
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+            "sdc_mapreduce_spark",
+            "usercode",
+            "wc_reducer.py",
+        ),
+    ]
+    mapper_cmd = [sys.executable, str(mapper_py)]
+
+    quirked = {
+        r["key"]: r["value"]
+        for r in mr.map_reduce_pipe(
+            df, mapper_cmd, reducer_cmd, reference_quirks=True
+        ).collect()
+    }
+    assert quirked == golden
+
+    honest = {
+        r["key"]: r["value"]
+        for r in mr.map_reduce_pipe(df, mapper_cmd, reducer_cmd).collect()
+    }
+    assert honest != golden
+    assert honest == {k: v * len(k) for k, v in golden.items()}
+
+    # callable flavor: same quirk, same golden output
+    def len_mapper(row):
+        text = row[0] if row and row[0] is not None else ""
+        return [(t, len(t)) for t in text.split() if t.isalnum()]
+
+    quirked_callable = {
+        r["key"]: r["value"]
+        for r in mr.map_reduce(
+            df, len_mapper, lambda a, b: a + b, reference_quirks=True
+        ).collect()
+    }
+    assert quirked_callable == golden
 
 
 @pytest.mark.skipif(not os.path.isdir(REF_APP), reason="reference not mounted")
