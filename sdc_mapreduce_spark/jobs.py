@@ -96,6 +96,10 @@ class JobQueue:
     def status(self, job_id: int) -> str:
         return self._jobs[job_id].status
 
+    def all(self) -> list[Job]:
+        with self._lock:
+            return [self._jobs[jid] for jid in sorted(self._jobs)]
+
     def job(self, job_id: int) -> Job:
         return self._jobs[job_id]
 
@@ -153,8 +157,10 @@ class JobRunner:
                 job.result_rows = df.count()
             job.status = COMPLETED
         except Exception:
-            job.status = FAILED
+            # error before status: status is the publish flag a concurrent
+            # reader polls on, so every field it implies must land first
             job.error = traceback.format_exc(limit=10)
+            job.status = FAILED
         finally:
             job.finished_at = time.time()
             self.queue._persist(job)

@@ -1,0 +1,203 @@
+"""HTTP job-submission facade over the in-process JobQueue.
+
+The reference exposes job submission as a tiny REST endpoint (reference
+src/webclient/webclient.cpp:17-55): ``POST /`` with JSON
+``{files, shard_size, reducer_count}`` validates the three fields, persists
+a job spec (ZooKeeper znodes there, the JobQueue's JSON state dir here) and
+replies ``"Job successfully submitted: <id>"``; a master process then picks
+the job up and runs the fixed word-count DAG. This module is that surface
+on Spark:
+
+- ``POST /`` — same three required fields, same 400 messages on each
+  missing field (webclient.cpp:23-28), plus an optional ``output_path``
+  (the reference hard-codes its output blob name). The submitted job is the
+  reference's one application: word count over the given text files,
+  ``reducer_count`` partitions, partition-sorted KV text sink.
+- ``GET /jobs/<id>`` — the status the reference stores in
+  ``/jobs/job_N/status`` znodes and never exposes over HTTP (users read ZK
+  directly); here it's a proper endpoint returning the full job record.
+- ``GET /jobs`` — all job records, newest last.
+
+A single daemon runner thread drains the queue FIFO — the reference
+master's single-leader execute loop (src/master/master.cpp:338-372).
+``shard_size`` maps to Spark's ``files.maxPartitionBytes`` for the job's
+scan: the same knob (input bytes per map task) the reference's byte-range
+sharder implements by hand (src/master/sharding.h:28-83).
+
+Usage::
+
+    server = JobServer(spark, port=0)   # port=0 -> ephemeral
+    server.start()
+    requests.post(f"http://localhost:{server.port}/", json={...})
+    server.stop()
+"""
+
+from __future__ import annotations
+
+import json
+import threading
+import time
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+from pyspark.sql import SparkSession
+
+from sdc_mapreduce_spark import mapreduce as mr
+from sdc_mapreduce_spark.jobs import JobQueue, JobRunner
+
+
+def _wordcount_plan(files: list[str], shard_size: int):
+    def plan(spark: SparkSession):
+        # input bytes per map task — the reference's shard_size
+        spark.conf.set("spark.sql.files.maxPartitionBytes", str(shard_size))
+        return mr.word_count(mr.read_text(spark, files))
+
+    return plan
+
+
+def _kv_sink(output_path: str, reducer_count: int):
+    def sink(df):
+        mr.write_kv_text(
+            df,
+            output_path,
+            key_col="word",
+            value_col="cnt",
+            num_partitions=reducer_count,
+        )
+
+    return sink
+
+
+class _Handler(BaseHTTPRequestHandler):
+    server_version = "SDCMapReduceSpark/1.0"
+
+    # the ThreadingHTTPServer subclass below carries .queue/.runner
+    def _reply(self, code: int, payload: dict | str) -> None:
+        body = (
+            json.dumps(payload) if isinstance(payload, dict) else payload
+        ).encode()
+        self.send_response(code)
+        self.send_header("Content-Type", "application/json")
+        self.send_header("Content-Length", str(len(body)))
+        self.end_headers()
+        self.wfile.write(body)
+
+    def log_message(self, fmt, *args):  # silence per-request stderr noise
+        pass
+
+    def do_POST(self):
+        if self.path.rstrip("/") not in ("", "/"):
+            return self._reply(404, {"error": "not found"})
+        try:
+            length = int(self.headers.get("Content-Length", 0))
+            body = json.loads(self.rfile.read(length) or b"{}")
+        except (ValueError, json.JSONDecodeError):
+            return self._reply(400, {"error": "invalid JSON"})
+        # field validation with the reference's exact messages
+        # (webclient.cpp:23-28)
+        if "reducer_count" not in body:
+            return self._reply(400, {"error": "Reducer count missing"})
+        if "shard_size" not in body:
+            return self._reply(400, {"error": "Shard size missing"})
+        if "files" not in body:
+            return self._reply(400, {"error": "Input file paths missing"})
+        files = body["files"]
+        if not isinstance(files, list) or not files:
+            return self._reply(400, {"error": "Input file paths missing"})
+        reducer_count = int(body["reducer_count"])
+        shard_size = int(body["shard_size"])
+        output_path = body.get("output_path")
+
+        sink = _kv_sink(output_path, reducer_count) if output_path else None
+        job_id = self.server.queue.submit(
+            _wordcount_plan([str(f) for f in files], shard_size),
+            sink=sink,
+            name=body.get("name", "wordcount"),
+        )
+        self.server.wake.set()
+        return self._reply(
+            200,
+            {"job_id": job_id, "message": f"Job successfully submitted: {job_id}"},
+        )
+
+    def do_GET(self):
+        parts = [p for p in self.path.split("/") if p]
+        if parts == ["jobs"]:
+            return self._reply(
+                200, {"jobs": [self._job_dict(j) for j in self.server.queue.all()]}
+            )
+        if len(parts) == 2 and parts[0] == "jobs":
+            try:
+                job = self.server.queue.job(int(parts[1]))
+            except (KeyError, ValueError):
+                return self._reply(404, {"error": f"no job {parts[1]}"})
+            return self._reply(200, self._job_dict(job))
+        return self._reply(404, {"error": "not found"})
+
+    @staticmethod
+    def _job_dict(job) -> dict:
+        return {
+            "job_id": job.job_id,
+            "name": job.name,
+            "status": job.status,
+            "submitted_at": job.submitted_at,
+            "started_at": job.started_at,
+            "finished_at": job.finished_at,
+            "error": job.error,
+            "result_rows": job.result_rows,
+        }
+
+
+class JobServer(ThreadingHTTPServer):
+    """HTTP facade + single-leader runner thread over one JobQueue."""
+
+    daemon_threads = True
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        host: str = "127.0.0.1",
+        port: int = 0,
+        state_dir: str | None = None,
+    ) -> None:
+        super().__init__((host, port), _Handler)
+        self.queue = JobQueue(state_dir=state_dir)
+        self.runner = JobRunner(spark, self.queue)
+        self.wake = threading.Event()
+        self._stop = threading.Event()
+        self._workers: list[threading.Thread] = []
+
+    @property
+    def port(self) -> int:
+        return self.server_address[1]
+
+    def start(self) -> None:
+        t_http = threading.Thread(target=self.serve_forever, daemon=True)
+        t_run = threading.Thread(target=self._run_loop, daemon=True)
+        self._workers = [t_http, t_run]
+        for t in self._workers:
+            t.start()
+
+    def _run_loop(self) -> None:
+        # event-driven drain, not the reference master's 5 s poll sleep
+        while not self._stop.is_set():
+            self.wake.wait(timeout=0.2)
+            self.wake.clear()
+            self.runner.run_pending()
+
+    def stop(self) -> None:
+        self._stop.set()
+        self.wake.set()
+        self.shutdown()
+        for t in self._workers:
+            t.join(timeout=5)
+        self.server_close()
+
+    def wait_for(self, job_id: int, timeout: float = 60.0) -> str:
+        """Block until the job leaves CREATED/RUNNING; return final status."""
+        deadline = time.time() + timeout
+        while time.time() < deadline:
+            status = self.queue.status(job_id)
+            if status not in ("CREATED", "RUNNING"):
+                return status
+            time.sleep(0.05)
+        return self.queue.status(job_id)

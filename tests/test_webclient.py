@@ -1,0 +1,127 @@
+"""HTTP job-submission facade: the reference webclient's REST contract
+(POST {files, shard_size, reducer_count} → job id, field-by-field 400s,
+reference src/webclient/webclient.cpp:17-55) served over the JobQueue, plus
+the GET status surface the reference keeps in ZooKeeper znodes."""
+
+from __future__ import annotations
+
+import json
+import urllib.error
+import urllib.request
+
+import pytest
+
+from sdc_mapreduce_spark.webclient import JobServer
+
+
+@pytest.fixture()
+def server(spark):
+    srv = JobServer(spark, port=0)
+    srv.start()
+    yield srv
+    srv.stop()
+
+
+def _post(port: int, payload: dict) -> tuple[int, dict]:
+    req = urllib.request.Request(
+        f"http://127.0.0.1:{port}/",
+        data=json.dumps(payload).encode(),
+        headers={"Content-Type": "application/json"},
+        method="POST",
+    )
+    try:
+        with urllib.request.urlopen(req, timeout=30) as resp:
+            return resp.status, json.loads(resp.read())
+    except urllib.error.HTTPError as err:
+        return err.code, json.loads(err.read())
+
+
+def _get(port: int, path: str) -> tuple[int, dict]:
+    try:
+        with urllib.request.urlopen(
+            f"http://127.0.0.1:{port}{path}", timeout=30
+        ) as resp:
+            return resp.status, json.loads(resp.read())
+    except urllib.error.HTTPError as err:
+        return err.code, json.loads(err.read())
+
+
+def test_submit_wordcount_over_http_end_to_end(server, tmp_path):
+    inp = tmp_path / "input.txt"
+    inp.write_text("hello world\nhello again\nworld world\n")
+    out = tmp_path / "out"
+
+    code, body = _post(
+        server.port,
+        {
+            "files": [str(inp)],
+            "shard_size": 1 << 20,
+            "reducer_count": 2,
+            "output_path": str(out),
+        },
+    )
+    assert code == 200
+    job_id = body["job_id"]
+    assert body["message"] == f"Job successfully submitted: {job_id}"
+
+    assert server.wait_for(job_id) == "COMPLETED"
+    code, status = _get(server.port, f"/jobs/{job_id}")
+    assert code == 200
+    assert status["status"] == "COMPLETED"
+    assert status["error"] is None
+
+    # the sink wrote partition-sorted "key value" text; merged counts must
+    # match the input
+    counts: dict[str, int] = {}
+    for part in out.glob("part-*"):
+        for line in part.read_text().splitlines():
+            k, v = line.split()
+            counts[k] = counts.get(k, 0) + int(v)
+    assert counts == {"hello": 2, "world": 3, "again": 1}
+
+
+def test_submit_validation_messages(server, tmp_path):
+    """Field-by-field 400s with the reference's exact messages
+    (webclient.cpp:23-28)."""
+    inp = str(tmp_path / "x.txt")
+    cases = [
+        ({"shard_size": 1, "files": [inp]}, "Reducer count missing"),
+        ({"reducer_count": 1, "files": [inp]}, "Shard size missing"),
+        ({"reducer_count": 1, "shard_size": 1}, "Input file paths missing"),
+        ({"reducer_count": 1, "shard_size": 1, "files": []}, "Input file paths missing"),
+    ]
+    for payload, msg in cases:
+        code, body = _post(server.port, payload)
+        assert code == 400, payload
+        assert body["error"] == msg
+
+
+def test_failed_job_reports_error_status(server, tmp_path):
+    code, body = _post(
+        server.port,
+        {
+            "files": [str(tmp_path / "does_not_exist.txt")],
+            "shard_size": 1 << 20,
+            "reducer_count": 1,
+        },
+    )
+    assert code == 200
+    job_id = body["job_id"]
+    assert server.wait_for(job_id) == "FAILED"
+    _, status = _get(server.port, f"/jobs/{job_id}")
+    assert status["error"]
+
+
+def test_jobs_listing_and_unknown_job(server, tmp_path):
+    code, body = _get(server.port, "/jobs/99999")
+    assert code == 404
+    inp = tmp_path / "a.txt"
+    inp.write_text("a b\n")
+    _post(
+        server.port,
+        {"files": [str(inp)], "shard_size": 1024, "reducer_count": 1},
+    )
+    code, body = _get(server.port, "/jobs")
+    assert code == 200
+    assert len(body["jobs"]) >= 1
+    assert {j["job_id"] for j in body["jobs"]}
