@@ -79,6 +79,115 @@ def simsearch_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("query_id", "rank")
 
 
+def simsearch_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@k of the SRP-LSH approximate search against the exact
+    brute-force top-k, per query — the ANN quality metric as a first-class,
+    oracle-checkable query (exact integer hit counts, deterministic seeded
+    hyperplanes). The oracle replays the same bucketing in DuckDB from the
+    same plane literals, so recall itself is verified cross-engine, not just
+    asserted in unit tests."""
+    from pyspark.sql import functions as F
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    ann = S.cosine_topk_srp(emb, QUERY_IDS, k=TOP_K, n_planes=ANN_PLANES)
+    exact = S.cosine_topk_bruteforce(emb, QUERY_IDS, k=TOP_K)
+    hits = (
+        ann.select("query_id", "neighbor_id")
+        .join(exact.select("query_id", "neighbor_id"), ["query_id", "neighbor_id"], "leftsemi")
+        .groupBy("query_id")
+        .agg(F.count(F.lit(1)).alias("__n"))
+    )
+    return (
+        exact.select("query_id")
+        .distinct()
+        .join(hits, "query_id", "left")
+        .select(
+            "query_id",
+            F.coalesce(F.col("__n"), F.lit(0)).cast("int").alias("n_hits"),
+            (F.coalesce(F.col("__n"), F.lit(0)) / F.lit(TOP_K)).alias("recall_at_k"),
+        )
+        .orderBy("query_id")
+    )
+
+
+ANN_PLANES = 6
+
+
+def _planes_values_sql() -> str:
+    """The seeded hyperplanes as a DuckDB VALUES list — the exact doubles
+    Spark bakes into its plan (repr round-trips float64)."""
+    planes = S._hyperplanes(64, ANN_PLANES)
+    rows = []
+    for pid, h in enumerate(planes):
+        arr = ", ".join(repr(float(x)) for x in h)
+        rows.append(f"({pid}, [{arr}]::DOUBLE[])")
+    return ",\n       ".join(rows)
+
+
+SIMSEARCH_ANN_RECALL_SQL = f"""
+WITH planes(pid, h) AS (
+  VALUES {_planes_values_sql()}
+), u AS (
+  SELECT vec_id,
+         list_transform(
+           embedding::DOUBLE[],
+           x -> x / sqrt(list_aggregate(
+                  list_transform(embedding::DOUBLE[], y -> y * y), 'sum'))
+         ) AS unit
+  FROM embeddings
+), b AS (
+  SELECT vec_id,
+         CAST(SUM(CASE WHEN list_inner_product(u.unit, planes.h) >= 0
+                       THEN 1 << pid ELSE 0 END) AS BIGINT) AS bucket
+  FROM u CROSS JOIN planes
+  GROUP BY vec_id
+), q AS (
+  SELECT vec_id AS query_id, bucket FROM b WHERE vec_id < 10
+), qprobes AS (
+  SELECT query_id, bucket AS probe FROM q
+  UNION ALL
+  SELECT query_id, xor(bucket, CAST(1 << pid AS BIGINT)) AS probe
+  FROM q CROSS JOIN planes
+), cands AS (
+  SELECT DISTINCT qp.query_id, b.vec_id AS neighbor_id
+  FROM qprobes qp JOIN b ON b.bucket = qp.probe
+  WHERE b.vec_id <> qp.query_id
+), ann AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT c.query_id, c.neighbor_id,
+           ROW_NUMBER() OVER (
+             PARTITION BY c.query_id
+             ORDER BY list_inner_product(qu.unit, nu.unit) DESC,
+                      c.neighbor_id ASC) AS rank
+    FROM cands c
+    JOIN u qu ON qu.vec_id = c.query_id
+    JOIN u nu ON nu.vec_id = c.neighbor_id
+  ) WHERE rank <= {TOP_K}
+), exact AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT q2.vec_id AS query_id, u2.vec_id AS neighbor_id,
+           ROW_NUMBER() OVER (
+             PARTITION BY q2.vec_id
+             ORDER BY list_inner_product(q2.unit, u2.unit) DESC,
+                      u2.vec_id ASC) AS rank
+    FROM u q2 JOIN u u2 ON u2.vec_id <> q2.vec_id
+    WHERE q2.vec_id < 10
+  ) WHERE rank <= {TOP_K}
+), h AS (
+  SELECT a.query_id, COUNT(*) AS n
+  FROM ann a JOIN exact e
+    ON e.query_id = a.query_id AND e.neighbor_id = a.neighbor_id
+  GROUP BY a.query_id
+)
+SELECT eq.query_id,
+       CAST(COALESCE(h.n, 0) AS INT) AS n_hits,
+       COALESCE(h.n, 0) / {TOP_K}.0 AS recall_at_k
+FROM (SELECT DISTINCT query_id FROM exact) eq
+LEFT JOIN h ON h.query_id = eq.query_id
+ORDER BY eq.query_id
+"""
+
+
 def embedding_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Vector norms aggregated per label: norm is an exact left-fold +
     IEEE sqrt; the group average goes through decimal accumulation."""
@@ -121,6 +230,7 @@ QUERIES: dict[str, QuerySpec] = {
         simsearch_topk_arrow, SIMSEARCH_TOPK_SQL, bench=True
     ),
     "simsearch_ann_srp": QuerySpec(simsearch_ann_srp, None),
+    "simsearch_ann_recall": QuerySpec(simsearch_ann_recall, SIMSEARCH_ANN_RECALL_SQL),
     "simsearch_ann_ivf": QuerySpec(simsearch_ann_ivf, None),
     "embedding_stats": QuerySpec(embedding_stats, EMBEDDING_STATS_SQL),
 }
