@@ -208,6 +208,155 @@ def tfidf_top_terms(
     ).select(id_col, "term", "tf", "df_t", "tfidf", "rank")
 
 
+def repetition_features(
+    df: DataFrame, text_col: str = "text", carry: tuple[str, ...] = ()
+) -> DataFrame:
+    """Gopher-style repetition signals per document (Rae et al. 2021 §A1.1:
+    excessive token/n-gram repetition marks low-quality text):
+
+    - ``distinct_token_ratio``: unique tokens / tokens,
+    - ``top_token_fraction``: share held by the single most frequent token,
+    - ``dup_2gram_fraction``: fraction of 2-gram instances that are repeats.
+
+    Entirely narrow (a pure map stage at 100 TB — no explode, no shuffle):
+    per-doc mode via nested higher-order lambdas over the distinct-token
+    array, O(L·U) per document, fine for document-length L. Tokens are
+    materialized as a column FIRST — Spark interprets (not codegens)
+    higher-order lambdas, so an inline ``split`` would re-evaluate per
+    element. Ratios are exact-int divisions — oracle-hashable doubles.
+    """
+    base = df.select("doc_id", *carry, tokens(text_col).alias("__t"))
+    t = F.col("__t")
+    n_tok = F.size(t)
+    uniq = F.array_distinct(t)
+    top_cnt = F.array_max(
+        F.transform(uniq, lambda u: F.size(F.filter(t, lambda x: x == u)))
+    )
+    grams = F.when(
+        F.size(t) >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size(t) - 1),
+            lambda i: F.concat_ws(" ", F.element_at(t, i), F.element_at(t, i + 1)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    with_grams = base.withColumn("__g", grams)
+    g = F.col("__g")
+    return with_grams.select(
+        "doc_id",
+        *carry,
+        n_tok.alias("n_tokens"),
+        (F.size(uniq) / n_tok).alias("distinct_token_ratio"),
+        (top_cnt / n_tok).alias("top_token_fraction"),
+        F.when(
+            F.size(g) > 0,
+            (F.size(g) - F.size(F.array_distinct(g))) / F.size(g),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("dup_2gram_fraction"),
+    )
+
+
+# Conservative regexes that parse identically under Java regex (Spark) and
+# RE2 (DuckDB): no lookaround, no backreferences.
+EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+IPV4_RE = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+
+
+def synthesize_pii(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Deterministically append PII-shaped strings (an email, an IPv4, a
+    phone-like token) derived from ``doc_id`` — the fixture corpus carries
+    none, and the redaction operator needs real work to prove itself (same
+    synthesize-from-fixture pattern as multimodal.synthesize_media).
+    Returns (doc_id, text) with the augmented text."""
+    did = F.col("doc_id").cast("string")
+    return df.select(
+        "doc_id",
+        F.concat_ws(
+            " ",
+            F.col(text_col),
+            F.concat(F.lit("contact user"), did, F.lit("@example.com")),
+            F.concat(
+                F.lit("from 10."),
+                (F.col("doc_id") % 200).cast("string"),
+                F.lit(".0."),
+                (F.col("doc_id") % 250).cast("string"),
+            ),
+            F.concat(F.lit("tel 555-01"), F.lpad(did, 2, "0")),
+        ).alias("text"),
+    )
+
+
+def pii_redact(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """PII scrubbing: count and redact email addresses and IPv4 literals
+    (two regexp passes, JVM-side — a pure map stage at 100 TB). Returns
+    per-doc redaction counts plus the md5 fingerprint of the scrubbed text
+    (the compact cross-engine witness that the rewrite is byte-identical).
+    """
+    txt = F.col(text_col)
+    redacted = F.regexp_replace(
+        F.regexp_replace(txt, EMAIL_RE, "[EMAIL]"), IPV4_RE, "[IP]"
+    )
+    return df.select(
+        "doc_id",
+        F.size(F.regexp_extract_all(txt, F.lit(EMAIL_RE), F.lit(0))).alias(
+            "n_emails"
+        ),
+        F.size(F.regexp_extract_all(txt, F.lit(IPV4_RE), F.lit(0))).alias("n_ips"),
+        F.md5(redacted).alias("redacted_fp"),
+    )
+
+
+def contamination_check(
+    df: DataFrame,
+    benchmark: DataFrame,
+    n: int = 5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Benchmark-contamination screen: the fraction of each document's
+    distinct token ``n``-grams that appear in the benchmark set's n-gram
+    inventory (the standard train-set decontamination test, e.g. GPT-3
+    appendix C: 13-gram overlap).
+
+    Shape at scale: the benchmark n-gram inventory is distinct-deduped and
+    broadcast (benchmark suites are tiny next to a 100 TB corpus), so the
+    per-doc membership test is a broadcast semi-join on the gram string —
+    no corpus shuffle at all; the only aggregation is per-doc counts over
+    the exploded distinct grams."""
+    t = tokens(text_col)
+    grams = F.when(
+        F.size(t) >= n,
+        F.transform(
+            F.sequence(F.lit(0), F.size(t) - n),
+            lambda i: F.concat_ws(
+                " ", *[F.element_at(t, i + j + 1) for j in range(n)]
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    doc_grams = df.select(
+        F.col(id_col), F.explode(F.array_distinct(grams)).alias("gram")
+    )
+    bench_grams = (
+        benchmark.select(F.explode(F.array_distinct(grams)).alias("gram"))
+        .distinct()
+        .withColumn("__hit", F.lit(1))
+    )
+    joined = doc_grams.join(F.broadcast(bench_grams), "gram", "left")
+    return (
+        joined.groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.coalesce(F.sum("__hit"), F.lit(0)).cast("int").alias("n_overlap"),
+        )
+        .select(
+            id_col,
+            "n_grams",
+            "n_overlap",
+            (F.col("n_overlap") / F.col("n_grams")).alias("contamination"),
+        )
+    )
+
+
 def top_ngrams(df: DataFrame, n: int = 2, k: int = 20, text_col: str = "text") -> DataFrame:
     """Global top-k token n-grams by frequency: build per-doc n-gram arrays
     with a transform over token positions (no Python), explode, count, top-k.

@@ -328,6 +328,108 @@ ORDER BY k.doc_id
 """
 
 
+def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition quality signals (distinct-token ratio, top
+    token share, duplicate-2-gram fraction) — the repetition filters a
+    training-data pipeline applies before dedup. Fully narrow per-doc
+    expressions; see functions.text.repetition_features."""
+    return T.repetition_features(load_table(spark, sf_dir, "documents")).orderBy(
+        "doc_id"
+    )
+
+
+TEXT_REPETITION_SQL = """
+WITH t AS (
+  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks
+  FROM documents
+), g AS (
+  SELECT doc_id, toks,
+         CASE WHEN len(toks) >= 2
+              THEN list_transform(generate_series(1, len(toks) - 1),
+                                  i -> toks[i] || ' ' || toks[i + 1])
+              ELSE [] END AS grams
+  FROM t
+)
+SELECT doc_id,
+       CAST(len(toks) AS INT) AS n_tokens,
+       len(list_distinct(toks)) / len(toks) AS distinct_token_ratio,
+       list_max(list_transform(list_distinct(toks),
+                               u -> len(list_filter(toks, x -> x = u))))
+         / len(toks) AS top_token_fraction,
+       CASE WHEN len(grams) > 0
+            THEN (len(grams) - len(list_distinct(grams))) / len(grams)
+            ELSE 0.0 END AS dup_2gram_fraction
+FROM g
+ORDER BY doc_id
+"""
+
+
+def text_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing over deterministically PII-augmented documents (the
+    fixture corpus carries none): per-doc email/IPv4 counts plus the md5 of
+    the redacted text, so the oracle verifies the rewrite byte-for-byte."""
+    docs = load_table(spark, sf_dir, "documents")
+    return T.pii_redact(T.synthesize_pii(docs)).orderBy("doc_id")
+
+
+TEXT_PII_REDACT_SQL = f"""
+WITH aug AS (
+  SELECT doc_id,
+         text || ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com'
+              || ' from 10.' || CAST(doc_id % 200 AS VARCHAR) || '.0.'
+              || CAST(doc_id % 250 AS VARCHAR)
+              || ' tel 555-01' || lpad(CAST(doc_id AS VARCHAR), 2, '0') AS text
+  FROM documents
+)
+SELECT doc_id,
+       CAST(len(regexp_extract_all(text, '{T.EMAIL_RE}')) AS INT) AS n_emails,
+       CAST(len(regexp_extract_all(text, '{T.IPV4_RE}')) AS INT) AS n_ips,
+       md5(regexp_replace(regexp_replace(text, '{T.EMAIL_RE}', '[EMAIL]', 'g'),
+                          '{T.IPV4_RE}', '[IP]', 'g')) AS redacted_fp
+FROM aug
+ORDER BY doc_id
+"""
+
+
+def text_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark-contamination screen: fraction of each doc's distinct
+    5-grams found in the benchmark subset's inventory (docs with
+    doc_id % 97 == 0 stand in for the eval suite). Benchmark inventory is
+    broadcast; corpus never shuffles. Docs shorter than 5 tokens drop out
+    (no grams) — mirrored by the oracle."""
+    docs = load_table(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") % 97 == 0)
+    return T.contamination_check(docs, bench, n=5).orderBy("doc_id")
+
+
+TEXT_CONTAMINATION_SQL = """
+WITH t AS (
+  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks
+  FROM documents
+), g AS (
+  SELECT doc_id,
+         CASE WHEN len(toks) >= 5
+              THEN list_distinct(list_transform(
+                     generate_series(1, len(toks) - 4),
+                     i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+                          || ' ' || toks[i+3] || ' ' || toks[i+4]))
+              ELSE [] END AS grams
+  FROM t
+), doc_grams AS (
+  SELECT doc_id, unnest(grams) AS gram FROM g
+), bench_grams AS (
+  SELECT DISTINCT unnest(grams) AS gram FROM g WHERE doc_id % 97 = 0
+)
+SELECT d.doc_id,
+       COUNT(*) AS n_grams,
+       CAST(COUNT(b.gram) AS INT) AS n_overlap,
+       COUNT(b.gram) / COUNT(*) AS contamination
+FROM doc_grams d LEFT JOIN bench_grams b ON b.gram = d.gram
+GROUP BY d.doc_id
+ORDER BY d.doc_id
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     "text_token_stats": QuerySpec(text_token_stats, TEXT_TOKEN_STATS_SQL),
     "text_quality": QuerySpec(text_quality, TEXT_QUALITY_SQL, bench=True),
@@ -338,6 +440,9 @@ QUERIES: dict[str, QuerySpec] = {
     "text_udtf_sentences": QuerySpec(text_udtf_sentences, TEXT_UDTF_SENTENCES_SQL),
     "text_posexplode": QuerySpec(text_posexplode, TEXT_POSEXPLODE_SQL),
     "text_tfidf_top_terms": QuerySpec(text_tfidf_top_terms, TEXT_TFIDF_SQL),
+    "text_repetition": QuerySpec(text_repetition, TEXT_REPETITION_SQL),
+    "text_pii_redact": QuerySpec(text_pii_redact, TEXT_PII_REDACT_SQL),
+    "text_contamination": QuerySpec(text_contamination, TEXT_CONTAMINATION_SQL),
     "pipeline_curation": QuerySpec(pipeline_curation, PIPELINE_CURATION_SQL, bench=True),
     "multimodal_meta": QuerySpec(multimodal_meta, MULTIMODAL_META_SQL),
     "multimodal_decode_profile": QuerySpec(multimodal_decode_profile, None),

@@ -87,3 +87,59 @@ def test_top_ngrams_short_doc_guard(spark):
     rows = T.top_ngrams(df, n=2, k=10).collect()
     got = {r["ngram"]: r["cnt"] for r in rows}
     assert got == {"two words": 2, "words two": 1}
+
+
+def test_repetition_features_hand_computed(spark):
+    # "a a a b": 4 tokens, 2 distinct, top token 'a' holds 3/4; 2-grams are
+    # ["a a", "a a", "a b"] -> 1 of 3 instances is a repeat
+    df = spark.createDataFrame([(1, "a a a b")], ["doc_id", "text"])
+    r = T.repetition_features(df).collect()[0]
+    assert r["n_tokens"] == 4
+    assert r["distinct_token_ratio"] == 0.5
+    assert r["top_token_fraction"] == 0.75
+    assert abs(r["dup_2gram_fraction"] - 1 / 3) < 1e-15
+    # single-token doc: no 2-grams, fraction must be 0, not null/error
+    r1 = T.repetition_features(
+        spark.createDataFrame([(2, "solo")], ["doc_id", "text"])
+    ).collect()[0]
+    assert (r1["dup_2gram_fraction"], r1["distinct_token_ratio"]) == (0.0, 1.0)
+
+
+def test_pii_redact_counts_and_rewrites(spark):
+    df = spark.createDataFrame(
+        [(1, "mail a@b.co and c.d@e.org ip 10.0.0.1 not 1.2.3.4.5 end")],
+        ["doc_id", "text"],
+    )
+    r = T.pii_redact(df).collect()[0]
+    assert r["n_emails"] == 2
+    # \b\d{1,3}(\.\d{1,3}){3}\b also matches the first 4 octets of the
+    # 5-octet run (RE2/Java agree) -> 2 ip matches
+    assert r["n_ips"] == 2
+    import hashlib
+
+    expected = "mail [EMAIL] and [EMAIL] ip [IP] not [IP].5 end"
+    assert r["redacted_fp"] == hashlib.md5(expected.encode()).hexdigest()
+
+
+def test_contamination_planted_overlap(spark):
+    # doc 97 IS the benchmark; doc 1 shares its first 5-gram; doc 2 shares
+    # nothing
+    bench_text = "alpha beta gamma delta epsilon zeta"
+    df = spark.createDataFrame(
+        [
+            (97, bench_text),
+            (1, "alpha beta gamma delta epsilon other words here"),
+            (2, "one two three four five six"),
+        ],
+        ["doc_id", "text"],
+    )
+    from pyspark.sql import functions as F
+
+    bench = df.filter(F.col("doc_id") % 97 == 0)
+    got = {
+        r["doc_id"]: (r["n_grams"], r["n_overlap"])
+        for r in T.contamination_check(df, bench, n=5).collect()
+    }
+    assert got[97] == (2, 2)  # benchmark doc fully self-contaminated
+    assert got[1] == (4, 1)  # shares exactly the leading 5-gram
+    assert got[2] == (2, 0)
