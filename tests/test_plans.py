@@ -81,6 +81,35 @@ def test_q15_max_is_broadcast_scalar_not_window(spark, sf_dir):
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
 
 
+def test_repetition_and_pii_are_shuffle_free(spark, sf_dir):
+    """Per-doc curation features must stay pure map stages — a shuffle here
+    would move corpus bytes at 100 TB for no reason."""
+    from sdc_mapreduce_spark.functions.text import (
+        pii_redact,
+        repetition_features,
+        synthesize_pii,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    for df in (repetition_features(docs), pii_redact(synthesize_pii(docs))):
+        plan = _plan(df)
+        assert "Exchange" not in plan, f"narrow feature stage shuffles:\n{plan}"
+
+
+def test_contamination_benchmark_side_broadcasts(spark, sf_dir):
+    """The benchmark n-gram inventory must ride a broadcast — shuffling the
+    corpus against a tiny eval suite is the wrong plan at any scale."""
+    from pyspark.sql import functions as F
+
+    from sdc_mapreduce_spark.functions.text import contamination_check
+
+    docs = load_table(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") % 97 == 0)
+    plan = _plan(contamination_check(docs, bench, n=5))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
 def test_wordcount_single_shuffle_with_partial_agg(spark):
     from sdc_mapreduce_spark import mapreduce as mr
 
