@@ -113,3 +113,25 @@ def test_bucketed_table_join_has_no_shuffle(spark, tmp_path):
         )
         spark.sql("DROP TABLE IF EXISTS bt_a")
         spark.sql("DROP TABLE IF EXISTS bt_b")
+
+
+def test_gzip_text_blob_scan(spark, tmp_path):
+    """Compressed text blobs (the common 100 TB wire format) decode
+    transparently through the text source, and the word-count pipeline runs
+    unchanged on them. Gzip is non-splittable — one partition per .gz file,
+    so parallelism = file count; the test's two files must yield two
+    partitions (at scale: many files, or recompress to a splittable codec)."""
+    import gzip
+
+    from sdc_mapreduce_spark import mapreduce as mr
+
+    d = tmp_path / "gz"
+    d.mkdir()
+    with gzip.open(d / "a.txt.gz", "wt") as fh:
+        fh.write("alpha beta\nalpha gamma\n")
+    with gzip.open(d / "b.txt.gz", "wt") as fh:
+        fh.write("beta beta\n")
+    df = mr.read_text(spark, str(d))
+    assert df.rdd.getNumPartitions() == 2
+    got = {r["word"]: r["cnt"] for r in mr.word_count(df).collect()}
+    assert got == {"alpha": 2, "beta": 3, "gamma": 1}
