@@ -32,7 +32,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from sdc_mapreduce_spark.functions.text import normalized_text, tokens
+from sdc_mapreduce_spark.functions.text import normalized_text, token_hash60, tokens
 
 RNG_SEED_MINHASH = 7
 
@@ -456,11 +456,14 @@ def near_dup_clusters(
 
 
 def simhash_signatures(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
-    """64-bit SimHash per document: per-bit majority vote over token hashes,
+    """SimHash per document: per-bit majority vote over token hashes,
     weighted by token frequency — 64 conditional sums in one aggregation over
-    exploded tokens, all JVM-side."""
+    exploded tokens, all JVM-side. Token hashes are the engine-portable
+    md5-derived ``token_hash60`` (60 effective bits; the top 4 of the 64-bit
+    signature are always 0), so signatures — and the near-pair set built on
+    them — reproduce exactly in the DuckDB oracle."""
     tok = df.select(F.col(id_col), F.explode(tokens(text_col)).alias("__tok"))
-    h = F.xxhash64("__tok")
+    h = token_hash60(F.col("__tok"))
     bit_aggs = [
         F.sum(
             F.when(F.shiftright(h, b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)

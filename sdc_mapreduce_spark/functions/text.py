@@ -144,10 +144,20 @@ def fingerprint_md5(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def token_hash60(x: Column) -> Column:
+    """Engine-portable 60-bit token hash: the first 15 hex chars of md5,
+    parsed base-16. Identical in any engine with md5 + hex parsing (DuckDB:
+    ``('0x' || substr(md5(x), 1, 15))::BIGINT``) — chosen over xxhash64,
+    which only Spark provides, so fingerprints are oracle-checkable."""
+    return F.conv(F.substring(F.md5(x), 1, 15), 16, 10).cast("long")
+
+
 def rolling_fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Order-sensitive polynomial rolling hash over the token stream
     (Rabin-Karp style), folded JVM-side with ``aggregate``: detects
-    reorderings that a bag-of-words fingerprint misses."""
+    reorderings that a bag-of-words fingerprint misses. Token hashes are
+    md5-derived (``token_hash60``) so the exact fold value reproduces in
+    DuckDB via ``list_reduce`` — cross-engine-checkable, not just stable."""
     t = tokens(text_col)
     # Fold modulo a Mersenne prime (2^31-1) so every intermediate stays well
     # under 2^52 — ANSI mode would fail the job on silent long overflow.
@@ -158,7 +168,7 @@ def rolling_fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
         F.aggregate(
             t,
             F.lit(0).cast("long"),
-            lambda acc, x: F.pmod(acc * p + F.pmod(F.xxhash64(x), m), m),
+            lambda acc, x: F.pmod(acc * p + F.pmod(token_hash60(x), m), m),
         ).alias("rolling_fp"),
     )
 

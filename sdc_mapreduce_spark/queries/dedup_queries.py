@@ -140,9 +140,38 @@ SELECT s AS doc_id, MIN(t) AS rep_id FROM reach GROUP BY s ORDER BY doc_id
 
 
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash Hamming-≤3 near-dup pairs (pigeonhole-blocked). xxhash64-based
-    → no SQL oracle; unit-tested against a Python reference implementation."""
-    return D.simhash_near_pairs(load_table(spark, sf_dir, "documents"), max_hamming=3)
+    """SimHash Hamming-≤3 near-dup pairs, pigeonhole-blocked (never
+    all-pairs in Spark). Pigeonhole blocking is EXACT within the distance
+    bound, so the oracle recomputes the same md5-derived signatures and
+    compares against a direct all-pairs Hamming join — feasible in DuckDB
+    at oracle SF, and an independent check that blocking loses nothing."""
+    return D.simhash_near_pairs(
+        load_table(spark, sf_dir, "documents"), max_hamming=3
+    ).orderBy("id_a", "id_b")
+
+
+DEDUP_SIMHASH_SQL = """
+WITH tok AS (
+  SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS t
+  FROM documents
+), bits AS (
+  SELECT doc_id, gs.b,
+         SUM(CASE WHEN (CAST(('0x' || substr(md5(t), 1, 15)) AS BIGINT) >> gs.b) & 1 = 1
+                  THEN 1 ELSE -1 END) AS vote
+  FROM tok CROSS JOIN (SELECT unnest(generate_series(0, 63)) AS b) gs
+  GROUP BY doc_id, gs.b
+), sig AS (
+  SELECT doc_id,
+         CAST(SUM(CASE WHEN vote > 0 THEN (CAST(1 AS BIGINT) << b) ELSE 0 END)
+              AS BIGINT) AS simhash
+  FROM bits GROUP BY doc_id
+)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
+FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+ORDER BY id_a, id_b
+"""
 
 
 def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -169,7 +198,7 @@ QUERIES: dict[str, QuerySpec] = {
     "dedup_normalized": QuerySpec(dedup_normalized, DEDUP_NORMALIZED_SQL),
     "dedup_jaccard_pairs": QuerySpec(dedup_jaccard_pairs, _JACCARD_SQL),
     "dedup_minhash_lsh": QuerySpec(dedup_minhash_lsh, _JACCARD_SQL, bench=True),
-    "dedup_simhash": QuerySpec(dedup_simhash, None),
+    "dedup_simhash": QuerySpec(dedup_simhash, DEDUP_SIMHASH_SQL),
     "dedup_clusters": QuerySpec(dedup_clusters, DEDUP_CLUSTERS_SQL),
     "dedup_embedding_cosine": QuerySpec(dedup_embedding_cosine, DEDUP_EMBEDDING_SQL),
 }

@@ -108,10 +108,31 @@ FROM documents
 
 
 def text_rolling_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Order-sensitive rolling hash — xxhash64-based, so no SQL oracle
-    (DuckDB has no xxhash64); correctness covered by unit tests against a
-    reference Python implementation."""
-    return T.rolling_fingerprint(load_table(spark, sf_dir, "documents"))
+    """Order-sensitive rolling hash (Rabin-Karp fold over md5-derived
+    60-bit token hashes, modulo the Mersenne prime 2^31-1). The oracle
+    replays the identical fold in DuckDB with list_reduce — fingerprint
+    values, not just row counts, are verified cross-engine."""
+    return T.rolling_fingerprint(load_table(spark, sf_dir, "documents")).orderBy(
+        "doc_id"
+    )
+
+
+TEXT_ROLLING_FP_SQL = """
+WITH t AS (
+  SELECT doc_id,
+         list_transform(
+           string_split_regex(trim(text), '\\s+'),
+           x -> CAST(('0x' || substr(md5(x), 1, 15)) AS BIGINT) % 2147483647
+         ) AS hs
+  FROM documents
+)
+SELECT doc_id,
+       CASE WHEN len(hs) = 0 THEN 0
+            ELSE list_reduce(hs, (acc, x) -> (acc * 1000003 + x) % 2147483647)
+       END AS rolling_fp
+FROM t
+ORDER BY doc_id
+"""
 
 
 def text_top_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -435,7 +456,9 @@ QUERIES: dict[str, QuerySpec] = {
     "text_quality": QuerySpec(text_quality, TEXT_QUALITY_SQL, bench=True),
     "text_language_id": QuerySpec(text_language_id, TEXT_LANG_SQL),
     "text_fingerprint": QuerySpec(text_fingerprint, TEXT_FINGERPRINT_SQL),
-    "text_rolling_fingerprint": QuerySpec(text_rolling_fingerprint, None),
+    "text_rolling_fingerprint": QuerySpec(
+        text_rolling_fingerprint, TEXT_ROLLING_FP_SQL
+    ),
     "text_top_bigrams": QuerySpec(text_top_bigrams, TEXT_BIGRAMS_SQL),
     "text_udtf_sentences": QuerySpec(text_udtf_sentences, TEXT_UDTF_SENTENCES_SQL),
     "text_posexplode": QuerySpec(text_posexplode, TEXT_POSEXPLODE_SQL),

@@ -187,17 +187,16 @@ def test_simhash_near_pairs_finds_planted(spark, sf_dir):
 
 
 def test_rolling_fingerprint_fold(spark):
-    """Spark-side fold == Python fold over the same xxhash64 token values."""
+    """Spark-side fold == pure-Python fold over md5-derived token hashes
+    (the engine-portable token_hash60 definition)."""
+    import hashlib
+
     df = spark.createDataFrame(
         [(1, "alpha beta gamma delta")], ["doc_id", "text"]
     )
     tok_hashes = [
-        r["h"]
-        for r in spark.createDataFrame(
-            [("alpha",), ("beta",), ("gamma",), ("delta",)], ["t"]
-        )
-        .select(F.xxhash64("t").alias("h"))
-        .collect()
+        int(hashlib.md5(t.encode()).hexdigest()[:15], 16)
+        for t in ("alpha", "beta", "gamma", "delta")
     ]
     m, p, acc = 2147483647, 1000003, 0
     for h in tok_hashes:
