@@ -462,23 +462,34 @@ def simhash_signatures(df: DataFrame, text_col: str = "text", id_col: str = "doc
     md5-derived ``token_hash60`` (60 effective bits; the top 4 of the 64-bit
     signature are always 0), so signatures — and the near-pair set built on
     them — reproduce exactly in the DuckDB oracle."""
-    tok = df.select(F.col(id_col), F.explode(tokens(text_col)).alias("__tok"))
-    h = token_hash60(F.col("__tok"))
-    bit_aggs = [
-        F.sum(
-            F.when(F.shiftright(h, b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
-        ).alias(f"bit_{b}")
-        for b in range(64)
-    ]
-    votes = tok.groupBy(id_col).agg(*bit_aggs)
-    sig = None
-    for b in range(64):
-        bit = F.when(F.col(f"bit_{b}") > 0, F.lit(1).cast("long")).otherwise(
-            F.lit(0).cast("long")
+    # Fully narrow: the signature is a per-doc function of the token
+    # multiset, so no explode/shuffle — a pure map stage at 100 TB (the
+    # former formulation exploded tokens and ran a 64-aggregate groupBy,
+    # shuffling corpus-sized token rows for a per-doc result). Token hashes
+    # are materialized ONCE as a column (higher-order lambdas are
+    # interpreted; an inline hash would recompute per bit).
+    hashed = df.select(
+        F.col(id_col),
+        F.transform(tokens(text_col), lambda x: token_hash60(x)).alias("__hs"),
+    )
+    # Horner fold over bits 63..0 (acc*2 + vote_bit leaves bit b at position
+    # b; max value < 2^60 since the hash is 60-bit, so the long never
+    # overflows ANSI). SQL expression form because the Python DSL's
+    # shiftright only takes a literal bit count, while the SQL function
+    # accepts the lambda-bound column b. Bit b is set iff the +1/-1
+    # frequency-weighted vote sum is positive, i.e. 2*ones(b) > n_tokens.
+    sig = F.expr(
+        """
+        aggregate(
+          sequence(63, 0),
+          cast(0 as bigint),
+          (acc, b) -> acc * 2 + if(
+            2 * size(filter(__hs, h -> (shiftright(h, b) & 1) = 1)) > size(__hs),
+            cast(1 as bigint), cast(0 as bigint))
         )
-        term = F.shiftleft(bit, b)
-        sig = term if sig is None else sig.bitwiseXOR(term)
-    return votes.select(F.col(id_col), sig.alias("simhash"))
+        """
+    )
+    return hashed.select(F.col(id_col), sig.alias("simhash"))
 
 
 def simhash_near_pairs(
