@@ -52,6 +52,14 @@ def test_minhash_signatures_are_shuffle_free(spark, sf_dir):
     assert "Exchange" not in plan, f"signature stage shuffles:\n{plan}"
 
 
+def test_simhash_signatures_are_shuffle_free(spark, sf_dir):
+    from sdc_mapreduce_spark.functions.dedup import simhash_signatures
+
+    docs = load_table(spark, sf_dir, "documents")
+    plan = _plan(simhash_signatures(docs))
+    assert "Exchange" not in plan, f"signature stage shuffles:\n{plan}"
+
+
 def test_q1_aggregates_partial_then_final(spark, sf_dir):
     from sdc_mapreduce_spark.queries.relational_queries import q1_pricing_summary
 
