@@ -78,3 +78,49 @@ def hash_split(
     """Attach a deterministic split assignment column."""
     fractions = fractions or {"train": 0.9, "val": 0.05, "test": 0.05}
     return df.withColumn(split_col, split_column(key, fractions, salt))
+
+
+def stratified_sample(
+    df: DataFrame,
+    key: str,
+    group_col: str,
+    fractions: dict[str, float],
+    salt: str = "strat-v1",
+) -> DataFrame:
+    """Deterministic stratified sampling: keep a row iff its content-hash
+    bucket falls below its group's fraction boundary — per-group rates
+    (e.g. downsample dominant languages, keep all of rare ones) with the
+    same engine-portable hex-boundary predicate as ``hash_split``; rows
+    whose group has no configured fraction are dropped. ``sampleBy``
+    semantics, minus its seeded-per-partition irreproducibility. A
+    scan-local filter: no shuffle, and the predicate pushes toward the
+    scan."""
+    bucket = F.substring(
+        F.md5(F.concat(F.lit(salt), F.col(key).cast("string"))), 1, 4
+    )
+    keep = F.lit(False)
+    for group, frac in sorted(fractions.items()):
+        if not 0.0 <= frac <= 1.0:
+            raise ValueError(f"fraction for {group!r} must be in [0,1], got {frac}")
+        if frac >= 1.0:
+            cond = F.lit(True)  # 'ffff' < '10000' fails lexicographically
+        else:
+            bound = format(min(int(round(frac * _SPACE)), _SPACE - 1), "04x")
+            cond = bucket < F.lit(bound)
+        keep = F.when(F.col(group_col) == group, cond).otherwise(keep)
+    return df.filter(keep)
+
+
+def stratified_sample_sql_predicate(
+    key_sql: str, group_sql: str, fractions: dict[str, float], salt: str = "strat-v1"
+) -> str:
+    """The same keep-predicate as ANSI SQL for auditing/oracles."""
+    bucket = f"SUBSTRING(md5('{salt}' || CAST({key_sql} AS VARCHAR)), 1, 4)"
+    whens = []
+    for group, frac in sorted(fractions.items()):
+        if frac >= 1.0:
+            whens.append(f"WHEN {group_sql} = '{group}' THEN TRUE")
+        else:
+            bound = format(min(int(round(frac * _SPACE)), _SPACE - 1), "04x")
+            whens.append(f"WHEN {group_sql} = '{group}' THEN {bucket} < '{bound}'")
+    return f"CASE {' '.join(whens)} ELSE FALSE END"

@@ -367,6 +367,48 @@ def contamination_check(
     )
 
 
+def chunk_documents(
+    df: DataFrame,
+    chunk_size: int = 32,
+    stride: int = 24,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Split documents into overlapping token windows — the sequence-packing
+    preparation step of a training pipeline (fixed context length, stride <
+    chunk_size keeps boundary context). Emits (doc_id, chunk_id, n_chunk_
+    tokens, chunk_fp): the md5 fingerprint stands in for the chunk text so
+    the op verifies content byte-for-byte without shuffling bodies.
+
+    Narrow until the posexplode (which multiplies rows ~len/stride, exactly
+    the data expansion the op defines) — no shuffle, scan-local.
+    """
+    if chunk_size < 1 or stride < 1:
+        raise ValueError("chunk_size and stride must be >= 1")
+    base = df.select(F.col(id_col), tokens(text_col).alias("__t"))
+    t = F.col("__t")
+    n = F.size(t)
+    # ceil((n - chunk_size) / stride) via int arithmetic; 1 chunk when the
+    # doc fits
+    extra = F.floor(
+        (n - F.lit(chunk_size) + F.lit(stride) - 1) / F.lit(stride)
+    ).cast("int")
+    n_chunks = F.when(n <= chunk_size, F.lit(1)).otherwise(extra + 1)
+    chunks = F.transform(
+        F.sequence(F.lit(0), n_chunks - 1),
+        lambda i: F.slice(t, i * stride + 1, chunk_size),
+    )
+    exploded = base.select(
+        F.col(id_col), F.posexplode(chunks).alias("chunk_id", "__chunk")
+    )
+    return exploded.select(
+        id_col,
+        "chunk_id",
+        F.size("__chunk").alias("n_chunk_tokens"),
+        F.md5(F.concat_ws(" ", F.col("__chunk"))).alias("chunk_fp"),
+    )
+
+
 def top_ngrams(df: DataFrame, n: int = 2, k: int = 20, text_col: str = "text") -> DataFrame:
     """Global top-k token n-grams by frequency: build per-doc n-gram arrays
     with a transform over token positions (no Python), explode, count, top-k.

@@ -172,6 +172,48 @@ ORDER BY l_returnflag
 """
 
 
+_STRAT_FRACTIONS = {"en": 0.5, "de": 1.0, "fr": 0.25, "es": 0.1, "zh": 0.05}
+
+
+def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language deterministic sampling (downsample the dominant
+    language, keep all of a rare one) — ``sampleBy`` semantics with a
+    content-hash predicate instead of per-partition RNG, so the kept set is
+    reproducible on any cluster shape and auditable in any engine. Returns
+    per-language kept counts."""
+    from pyspark.sql import functions as F
+
+    from sdc_mapreduce_spark.functions.splits import stratified_sample
+
+    docs = load_table(spark, sf_dir, "documents")
+    kept = stratified_sample(docs, "doc_id", "lang", _STRAT_FRACTIONS)
+    return (
+        kept.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_kept"),
+            F.min("doc_id").alias("first_doc"),
+            F.max("doc_id").alias("last_doc"),
+        )
+        .orderBy("lang")
+    )
+
+
+def _strat_sql() -> str:
+    from sdc_mapreduce_spark.functions.splits import stratified_sample_sql_predicate
+
+    return stratified_sample_sql_predicate("doc_id", "lang", _STRAT_FRACTIONS)
+
+
+SAMPLE_STRATIFIED_SQL = f"""
+SELECT lang, COUNT(*) AS n_kept,
+       MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
+FROM documents
+WHERE {_strat_sql()}
+GROUP BY lang
+ORDER BY lang
+"""
+
+
 def set_except_all(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multiset EXCEPT ALL (duplicate-preserving difference) — the bag
     semantics ``set_except`` deliberately collapses. Catalyst plans this as
@@ -719,4 +761,5 @@ QUERIES: dict[str, QuerySpec] = {
     "agg_unpivot": QuerySpec(agg_unpivot, AGG_UNPIVOT_SQL),
     "scalar_regex_fns": QuerySpec(scalar_regex_fns, SCALAR_REGEX_SQL),
     "sample_hash_bucket": QuerySpec(sample_hash_bucket, SAMPLE_HASH_SQL),
+    "sample_stratified": QuerySpec(sample_stratified, SAMPLE_STRATIFIED_SQL),
 }

@@ -451,6 +451,41 @@ ORDER BY d.doc_id
 """
 
 
+def text_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping token-window chunking (chunk 16, stride 12) — the
+    sequence-packing preparation for fixed-context training; chunk content
+    verified by md5 fingerprint. See functions.text.chunk_documents."""
+    return T.chunk_documents(
+        load_table(spark, sf_dir, "documents"), chunk_size=16, stride=12
+    ).orderBy("doc_id", "chunk_id")
+
+
+TEXT_CHUNKING_SQL = """
+WITH t AS (
+  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks
+  FROM documents
+), c AS (
+  SELECT doc_id, toks,
+         CASE WHEN len(toks) <= 16 THEN 1
+              ELSE 1 + CAST(FLOOR((len(toks) - 16 + 12 - 1) / 12.0) AS INT)
+         END AS n_chunks
+  FROM t
+), e AS (
+  SELECT doc_id, toks,
+         unnest(generate_series(0, n_chunks - 1)) AS chunk_id
+  FROM c
+)
+SELECT doc_id,
+       CAST(chunk_id AS INT) AS chunk_id,
+       CAST(len(toks[chunk_id * 12 + 1 : chunk_id * 12 + 16]) AS INT)
+         AS n_chunk_tokens,
+       md5(array_to_string(toks[chunk_id * 12 + 1 : chunk_id * 12 + 16], ' '))
+         AS chunk_fp
+FROM e
+ORDER BY doc_id, chunk_id
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     "text_token_stats": QuerySpec(text_token_stats, TEXT_TOKEN_STATS_SQL),
     "text_quality": QuerySpec(text_quality, TEXT_QUALITY_SQL, bench=True),
@@ -466,6 +501,7 @@ QUERIES: dict[str, QuerySpec] = {
     "text_repetition": QuerySpec(text_repetition, TEXT_REPETITION_SQL),
     "text_pii_redact": QuerySpec(text_pii_redact, TEXT_PII_REDACT_SQL),
     "text_contamination": QuerySpec(text_contamination, TEXT_CONTAMINATION_SQL),
+    "text_chunking": QuerySpec(text_chunking, TEXT_CHUNKING_SQL),
     "pipeline_curation": QuerySpec(pipeline_curation, PIPELINE_CURATION_SQL, bench=True),
     "multimodal_meta": QuerySpec(multimodal_meta, MULTIMODAL_META_SQL),
     "multimodal_decode_profile": QuerySpec(multimodal_decode_profile, None),

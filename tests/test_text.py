@@ -3,6 +3,8 @@ is the DuckDB oracle gate — tools/check_oracle.py)."""
 
 from __future__ import annotations
 
+from pyspark.sql import functions as F
+
 from sdc_mapreduce_spark.functions import text as T
 
 
@@ -143,3 +145,53 @@ def test_contamination_planted_overlap(spark):
     assert got[97] == (2, 2)  # benchmark doc fully self-contaminated
     assert got[1] == (4, 1)  # shares exactly the leading 5-gram
     assert got[2] == (2, 0)
+
+
+def test_chunk_documents_boundaries(spark):
+    # 10 tokens, chunk 4, stride 3 -> starts 0,3,6 cover to 9, plus ceil
+    # ((10-4)/3)=2 -> 3 chunks; last chunk tokens 7..10
+    toks = "t0 t1 t2 t3 t4 t5 t6 t7 t8 t9"
+    df = spark.createDataFrame([(1, toks)], ["doc_id", "text"])
+    rows = sorted(
+        (r["chunk_id"], r["n_chunk_tokens"])
+        for r in T.chunk_documents(df, chunk_size=4, stride=3).collect()
+    )
+    assert rows == [(0, 4), (1, 4), (2, 4)]
+    # short doc: one whole-doc chunk
+    short = T.chunk_documents(
+        spark.createDataFrame([(2, "a b")], ["doc_id", "text"]), chunk_size=4, stride=3
+    ).collect()
+    assert len(short) == 1 and short[0]["n_chunk_tokens"] == 2
+    import hashlib
+
+    assert short[0]["chunk_fp"] == hashlib.md5(b"a b").hexdigest()
+
+
+def test_stratified_sample_deterministic_and_rate(spark, sf_dir):
+    from sdc_mapreduce_spark.catalog import load_table
+    from sdc_mapreduce_spark.functions.splits import stratified_sample
+
+    docs = load_table(spark, sf_dir, "documents")
+    fr = {"en": 0.5, "de": 1.0, "zh": 0.0}
+    kept = stratified_sample(docs, "doc_id", "lang", fr)
+    ids = {r["doc_id"] for r in kept.collect()}
+    # layout-invariance: same rows kept after an arbitrary repartition
+    ids2 = {
+        r["doc_id"] for r in stratified_sample(
+            docs.repartition(13), "doc_id", "lang", fr
+        ).collect()
+    }
+    assert ids == ids2
+    by_lang = {
+        r["lang"]: r["cnt"]
+        for r in kept.groupBy("lang").agg(F.count(F.lit(1)).alias("cnt")).collect()
+    }
+    totals = {
+        r["lang"]: r["cnt"]
+        for r in docs.groupBy("lang").agg(F.count(F.lit(1)).alias("cnt")).collect()
+    }
+    assert by_lang["de"] == totals["de"]  # fraction 1.0 keeps all
+    assert "zh" not in by_lang  # fraction 0.0 and unlisted langs drop
+    assert "fr" not in by_lang
+    en_rate = by_lang["en"] / totals["en"]
+    assert 0.3 < en_rate < 0.7, en_rate
