@@ -486,6 +486,51 @@ ORDER BY doc_id, chunk_id
 """
 
 
+def text_quality_gate_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language quality gating: keep documents above the 25th
+    quality-score percentile of their OWN language — a per-stratum
+    threshold (a global cutoff would gut low-resource languages whose score
+    distribution sits lower). percent_rank over (lang, quality, doc_id) is
+    exact integer arithmetic, so the gate is oracle-hashable; one shuffle
+    on lang. At 100 TB with few languages the lang partitions are coarse —
+    pre-aggregate approx percentiles per lang and broadcast the thresholds
+    instead if the window's per-key volume becomes the bottleneck."""
+    from pyspark.sql import Window
+
+    scored = T.quality_features(
+        load_table(spark, sf_dir, "documents"), carry=("lang",)
+    ).select("doc_id", "lang", "quality_score")
+    w = Window.partitionBy("lang").orderBy("quality_score", "doc_id")
+    ranked = scored.withColumn("pct_rank", F.percent_rank().over(w))
+    return ranked.filter(F.col("pct_rank") >= 0.25).orderBy("doc_id")
+
+
+TEXT_QUALITY_GATE_SQL = f"""
+WITH t AS (
+  SELECT doc_id, lang, string_split_regex(trim(text), '\\s+') AS toks,
+         length(text) AS n_chars,
+         length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS alpha_chars
+  FROM documents
+), feat AS (
+  SELECT doc_id, lang,
+         (alpha_chars / n_chars) * 0.5
+         + LEAST((len(list_filter(toks, x -> x IN ({_stop_list_sql()})))
+                  / len(toks)) * 4.0, 1.0) * 0.3
+         + LEAST(((n_chars - (len(toks) - 1)) / len(toks)) / 8.0, 1.0) * 0.2
+           AS quality_score
+  FROM t
+), ranked AS (
+  SELECT doc_id, lang, quality_score,
+         PERCENT_RANK() OVER (PARTITION BY lang
+                              ORDER BY quality_score, doc_id) AS pct_rank
+  FROM feat
+)
+SELECT doc_id, lang, quality_score, pct_rank
+FROM ranked WHERE pct_rank >= 0.25
+ORDER BY doc_id
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     "text_token_stats": QuerySpec(text_token_stats, TEXT_TOKEN_STATS_SQL),
     "text_quality": QuerySpec(text_quality, TEXT_QUALITY_SQL, bench=True),
@@ -502,6 +547,9 @@ QUERIES: dict[str, QuerySpec] = {
     "text_pii_redact": QuerySpec(text_pii_redact, TEXT_PII_REDACT_SQL),
     "text_contamination": QuerySpec(text_contamination, TEXT_CONTAMINATION_SQL),
     "text_chunking": QuerySpec(text_chunking, TEXT_CHUNKING_SQL),
+    "text_quality_gate_per_lang": QuerySpec(
+        text_quality_gate_per_lang, TEXT_QUALITY_GATE_SQL
+    ),
     "pipeline_curation": QuerySpec(pipeline_curation, PIPELINE_CURATION_SQL, bench=True),
     "multimodal_meta": QuerySpec(multimodal_meta, MULTIMODAL_META_SQL),
     "multimodal_decode_profile": QuerySpec(multimodal_decode_profile, None),
