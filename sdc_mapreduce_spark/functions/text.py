@@ -334,13 +334,14 @@ def contamination_check(
     no corpus shuffle at all; the only aggregation is per-doc counts over
     the exploded distinct grams."""
     t = tokens(text_col)
+    # one slice + one join per gram — n element_at lookups per gram would
+    # n-uple the interpreted-lambda work (higher-order transforms don't
+    # codegen)
     grams = F.when(
         F.size(t) >= n,
         F.transform(
             F.sequence(F.lit(0), F.size(t) - n),
-            lambda i: F.concat_ws(
-                " ", *[F.element_at(t, i + j + 1) for j in range(n)]
-            ),
+            lambda i: F.array_join(F.slice(t, i + 1, n), " "),
         ),
     ).otherwise(F.array().cast("array<string>"))
     doc_grams = df.select(
