@@ -239,8 +239,30 @@ def repetition_features(
     t = F.col("__t")
     n_tok = F.size(t)
     uniq = F.array_distinct(t)
-    top_cnt = F.array_max(
-        F.transform(uniq, lambda u: F.size(F.filter(t, lambda x: x == u)))
+    # mode count via longest equal-run over the SORTED tokens: one O(L)
+    # fold after the native sort, instead of the O(L·U) distinct x filter
+    # nest (higher-order lambdas are interpreted, so the complexity is paid
+    # in Python-free but slow expression-tree walks — 2.5x at sf0.1)
+    top_cnt = F.aggregate(
+        F.array_sort(t),
+        F.struct(
+            F.lit("").alias("prev"),
+            F.lit(0).cast("int").alias("run"),
+            F.lit(0).cast("int").alias("best"),
+        ),
+        lambda acc, x: F.struct(
+            x.alias("prev"),
+            F.when(x == acc.getField("prev"), acc.getField("run") + 1)
+            .otherwise(F.lit(1))
+            .alias("run"),
+            F.greatest(
+                acc.getField("best"),
+                F.when(x == acc.getField("prev"), acc.getField("run") + 1).otherwise(
+                    F.lit(1)
+                ),
+            ).alias("best"),
+        ),
+        lambda acc: acc.getField("best"),
     )
     grams = F.when(
         F.size(t) >= 2,
