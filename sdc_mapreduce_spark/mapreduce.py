@@ -152,9 +152,16 @@ def map_reduce_pipe(
     mapper_cmd = _as_cmd(mapper_cmd)
     reducer_cmd = _as_cmd(reducer_cmd)
 
-    mapped = df.select(F.col(text_col).cast("string")).rdd.map(
-        lambda r: r[0] if r[0] is not None else ""
-    ).pipe(mapper_cmd)
+    # checkCode=True: a mapper/reducer that exits nonzero FAILS the job
+    # loudly. The pipe default (ignore exit status) would silently truncate
+    # results on a crashed script; the reference's failure mode is worse
+    # still — its phase barrier stalls forever on a lost task (quirk Q7,
+    # SURVEY.md §2.1) — so fail-fast is the engine's contract here.
+    mapped = (
+        df.select(F.col(text_col).cast("string"))
+        .rdd.map(lambda r: r[0] if r[0] is not None else "")
+        .pipe(mapper_cmd, checkCode=True)
+    )
     if reference_quirks:
         # Q1 value-discard: keep only the first token, emit literal "1"
         # (empty mapper lines are dropped; the reference writes "" + " 1"
@@ -167,7 +174,7 @@ def map_reduce_pipe(
     keyed = mapped.map(lambda line: (line.split(" ", 1)[0], line)).partitionBy(
         num_partitions
     )
-    reduced = keyed.map(lambda kv: kv[1]).pipe(reducer_cmd)
+    reduced = keyed.map(lambda kv: kv[1]).pipe(reducer_cmd, checkCode=True)
     pairs = reduced.map(_parse_kv_line).filter(lambda kv: kv is not None)
     return spark.createDataFrame(pairs, schema="key string, value long")
 

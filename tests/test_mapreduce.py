@@ -125,3 +125,31 @@ def test_pipe_equals_native_on_fixture(spark, sf_dir):
         [sys.executable, os.path.join(base, "wc_reducer.py")],
     )
     assert as_dict(piped, "key", "value") == native
+
+
+def test_pipe_crashing_mapper_fails_loudly(spark, tmp_path):
+    """A user script that exits nonzero must FAIL the job (checkCode=True),
+    never silently truncate output. Contrast: the reference's phase barrier
+    stalls forever on a lost task (quirk Q7, SURVEY.md §2.1)."""
+    import sys
+
+    import pytest
+
+    crash = tmp_path / "crash_mapper.py"
+    crash.write_text(
+        "import sys\n"
+        "for i, line in enumerate(sys.stdin):\n"
+        "    print(f'k{i} 1')\n"
+        "    if i >= 1:\n"
+        "        sys.exit(3)\n"
+    )
+    ok_reducer = tmp_path / "cat_reducer.py"
+    ok_reducer.write_text("import sys\n[print(l, end='') for l in sys.stdin]\n")
+    df = spark.createDataFrame([("a",), ("b",), ("c",), ("d",)], ["value"]).repartition(1)
+    with pytest.raises(Exception, match="Pipe function .* exited with error code|exited with error"):
+        mr.map_reduce_pipe(
+            df,
+            [sys.executable, str(crash)],
+            [sys.executable, str(ok_reducer)],
+            num_partitions=1,
+        ).collect()
