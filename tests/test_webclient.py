@@ -125,3 +125,32 @@ def test_jobs_listing_and_unknown_job(server, tmp_path):
     assert code == 200
     assert len(body["jobs"]) >= 1
     assert {j["job_id"] for j in body["jobs"]}
+
+
+def test_client_sdk_end_to_end(server, tmp_path):
+    """The client SDK workflow mirroring the reference's
+    clientsdk/submit_map_reduce.py: upload inputs to staging, POST the job
+    with the reference's default shard_size/reducer_count, poll to
+    completion, read the partition-sorted output."""
+    from sdc_mapreduce_spark.client import MapReduceClient
+
+    src = tmp_path / "local_input.txt"
+    src.write_text("x y\nx z\n")
+    out = tmp_path / "sdk_out"
+
+    client = MapReduceClient(
+        f"http://127.0.0.1:{server.port}", staging_dir=str(tmp_path / "staging")
+    )
+    staged = client.upload(str(src))
+    assert staged != str(src) and "staging" in staged
+
+    handle = client.submit([staged], output_path=str(out), name="sdk-wc")
+    assert handle.wait() == "COMPLETED"
+    assert handle.status()["name"] == "sdk-wc"
+
+    counts: dict[str, int] = {}
+    for part in out.glob("part-*"):
+        for line in part.read_text().splitlines():
+            k, v = line.split()
+            counts[k] = counts.get(k, 0) + int(v)
+    assert counts == {"x": 2, "y": 1, "z": 1}
