@@ -136,3 +136,27 @@ def test_group_reduce_partition_invariance(spark, pairs, parts):
     for k, v in pairs:
         expected[k] = expected.get(k, 0) + v
     assert got == expected
+
+
+@given(
+    n_tokens=st.integers(min_value=1, max_value=120),
+    chunk=st.integers(min_value=1, max_value=20),
+)
+@settings(max_examples=15, deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_chunking_with_stride_equal_chunk_partitions_exactly(spark, n_tokens, chunk):
+    """stride == chunk_size must PARTITION the token stream: chunk sizes sum
+    to n_tokens, every chunk except the last is full, and concatenating the
+    per-chunk fingerprint inputs reproduces the document."""
+    from sdc_mapreduce_spark.functions.text import chunk_documents
+
+    text = " ".join(f"w{i}" for i in range(n_tokens))
+    df = spark.createDataFrame([(1, text)], ["doc_id", "text"])
+    rows = sorted(
+        (r["chunk_id"], r["n_chunk_tokens"])
+        for r in chunk_documents(df, chunk_size=chunk, stride=chunk).collect()
+    )
+    sizes = [n for _, n in rows]
+    assert sum(sizes) == n_tokens
+    assert all(s == chunk for s in sizes[:-1])
+    assert 1 <= sizes[-1] <= chunk
+    assert [cid for cid, _ in rows] == list(range(len(rows)))
