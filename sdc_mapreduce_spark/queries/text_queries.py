@@ -298,6 +298,71 @@ def multimodal_decode_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def multimodal_frame_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame-sampling accounting: run the row-expanding ``mapInPandas``
+    frame kernel (4 evenly-spaced payload slices per video), then aggregate
+    frames and bytes per media. The kernel itself is Python, but its byte
+    arithmetic is exact — the oracle recomputes the slice lengths in SQL,
+    so the Arrow kernel's row expansion and byte accounting are
+    value-verified, not just row-counted."""
+    from sdc_mapreduce_spark.multimodal import sample_frames, synthesize_media
+
+    media = synthesize_media(load_table(spark, sf_dir, "documents"))
+    frames = sample_frames(media, n_frames=4)
+    return (
+        frames.groupBy("media_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_frames"),
+            F.sum(F.octet_length("frame_bytes")).cast("bigint").alias(
+                "total_frame_bytes"
+            ),
+            F.max(F.octet_length("frame_bytes")).cast("int").alias("max_frame_bytes"),
+        )
+        .orderBy("media_id")
+    )
+
+
+MULTIMODAL_FRAME_STATS_SQL = """
+WITH v AS (
+  SELECT doc_id AS media_id, octet_length(encode(text)) AS n
+  FROM documents WHERE doc_id % 3 = 2
+), f AS (
+  SELECT media_id, n,
+         GREATEST(n // 4, 1) AS stride,
+         unnest(generate_series(0, 3)) AS i
+  FROM v
+), sizes AS (
+  SELECT media_id,
+         LEAST(GREATEST(n - i * stride, 0), stride) AS frame_len
+  FROM f
+)
+SELECT media_id,
+       COUNT(*) AS n_frames,
+       CAST(SUM(frame_len) AS BIGINT) AS total_frame_bytes,
+       CAST(MAX(frame_len) AS INT) AS max_frame_bytes
+FROM sizes
+GROUP BY media_id
+ORDER BY media_id
+"""
+
+
+def multimodal_embed_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composition proof: media payloads → Arrow feature-extraction kernel →
+    the UNCHANGED brute-force cosine top-k operator over the extracted
+    vectors. Rows-only (the stub kernel's blake2b-seeded embeddings are not
+    SQL-expressible); kernel determinism is pinned in tests/test_multimodal.py
+    and the simsearch operator itself is oracle-verified on the embeddings
+    table."""
+    from sdc_mapreduce_spark.functions.simsearch import cosine_topk_bruteforce
+    from sdc_mapreduce_spark.multimodal import extract_features, synthesize_media
+
+    media = synthesize_media(load_table(spark, sf_dir, "documents"))
+    feats = extract_features(media)
+    return cosine_topk_bruteforce(
+        feats, query_ids=[0, 1, 2, 3, 4], k=3, id_col="media_id", vec_col="feature"
+    ).orderBy("query_id", "rank")
+
+
 def pipeline_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The end-to-end curation pipeline (pipeline.curate): quality
     threshold + exact dedup, returning kept docs with features. The
@@ -553,4 +618,8 @@ QUERIES: dict[str, QuerySpec] = {
     "pipeline_curation": QuerySpec(pipeline_curation, PIPELINE_CURATION_SQL, bench=True),
     "multimodal_meta": QuerySpec(multimodal_meta, MULTIMODAL_META_SQL),
     "multimodal_decode_profile": QuerySpec(multimodal_decode_profile, None),
+    "multimodal_frame_stats": QuerySpec(
+        multimodal_frame_stats, MULTIMODAL_FRAME_STATS_SQL
+    ),
+    "multimodal_embed_search": QuerySpec(multimodal_embed_search, None),
 }
