@@ -15,13 +15,17 @@ Scale design (the point of each implementation):
   (band, band-hash) buckets. The only pairs ever materialized are bucket
   collisions. This is the 100 TB path: shuffle volume = docs x signature,
   candidates ≪ n².
-- **SimHash**: 64-bit signature via per-bit majority vote (64 conditional
-  sums over exploded tokens); near-dups = small Hamming distance, found by
-  banding the signature into chunks (pigeonhole: distance ≤ 3 ⇒ some
-  16-bit chunk equal).
+- **SimHash**: signature via per-bit majority vote over the token multiset
+  (a narrow Horner fold, no shuffle); near-dups = small Hamming distance,
+  found by banding the signature into chunks (pigeonhole: distance ≤ 3 ⇒
+  some 16-bit chunk equal).
 - **embedding cosine**: normalize once, then pair via equi-joinable blocks.
 
-All hashing is Spark's xxhash64 — deterministic across runs/executors.
+Hashing: MinHash/Jaccard block keys use Spark's xxhash64 (deterministic
+across runs/executors; values verified against exact-Jaccard oracles, so
+the hash function itself need not be portable). SimHash uses the
+engine-portable md5-derived `text.token_hash60` so its signatures — and the
+near-pair set — replay exactly in the DuckDB oracle.
 The reference framework has no dedup of any kind; its closest primitive is
 the hash-shuffle group-by (SURVEY.md O10-O13), which is exactly the primitive
 these operators compose.
