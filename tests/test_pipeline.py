@@ -50,3 +50,51 @@ def test_exact_dup_collapses_to_lowest_id(spark):
     )
     kept = {r["doc_id"] for r in curate(docs, min_quality=0.0).collect()}
     assert kept == {1, 3}
+
+
+def test_curate_pack_write_roundtrip(spark, sf_dir, tmp_path):
+    """The full 100 TB user story end-to-end at test scale: curate (quality
+    gate + exact dedup) -> assign docs to size-bounded shards via the
+    distributed running sum -> write parquet partitioned by shard -> read
+    back. Every kept doc lands in exactly one shard directory, shard
+    assignment is contiguous in doc order, and no shard (except possibly
+    the last) exceeds its budget by more than one document."""
+    from pyspark.sql import functions as F
+
+    from sdc_mapreduce_spark.catalog import load_table
+    from sdc_mapreduce_spark.operators.relational import global_running_sum
+    from sdc_mapreduce_spark.pipeline import curate
+
+    docs = load_table(spark, sf_dir, "documents")
+    kept = curate(docs, min_quality=0.58, near_dedup=False)
+    enriched = kept.join(docs.select("doc_id", "n_chars"), "doc_id")
+
+    budget = 20_000
+    assigned = global_running_sum(
+        enriched, "doc_id", "n_chars", out_col="cum", num_partitions=8
+    ).withColumn("shard", F.floor((F.col("cum") - F.col("n_chars")) / budget))
+
+    out = str(tmp_path / "shards")
+    assigned.write.partitionBy("shard").mode("overwrite").parquet(out)
+
+    back = spark.read.parquet(out)
+    assert back.count() == kept.count()
+    # one shard per doc, and hive partitioning recovered the shard column
+    assert back.select("doc_id").distinct().count() == back.count()
+    per_shard = {
+        r["shard"]: r["chars"]
+        for r in back.groupBy("shard")
+        .agg(F.sum("n_chars").alias("chars"))
+        .collect()
+    }
+    max_chars = max(
+        r["n_chars"] for r in enriched.select("n_chars").collect()
+    )
+    for shard, chars in per_shard.items():
+        assert chars <= budget + max_chars, (shard, chars)
+    # contiguity: doc order and shard order agree
+    rows = sorted(
+        (r["doc_id"], r["shard"]) for r in back.select("doc_id", "shard").collect()
+    )
+    shards_in_doc_order = [s for _, s in rows]
+    assert shards_in_doc_order == sorted(shards_in_doc_order)
