@@ -72,6 +72,41 @@ class JobQueue:
         self._state_dir = Path(state_dir) if state_dir else None
         if self._state_dir:
             self._state_dir.mkdir(parents=True, exist_ok=True)
+            self._recover()
+
+    def _recover(self) -> None:
+        """Reload persisted job records on construction — the restart
+        semantics the reference gets from ZooKeeper durability. Jobs found
+        RUNNING belonged to a dead runner: mark them FAILED (with an
+        explicit orphan note) rather than resuming — their plan callables
+        died with the previous process. Contrast the reference, whose
+        master stalls forever on a lost in-flight task (quirk Q7,
+        SURVEY.md §2.1). CREATED jobs likewise cannot re-run (no plan), so
+        they are failed with the same note; only their history survives."""
+        for path in sorted(self._state_dir.glob("job_*.json")):
+            rec = json.loads(path.read_text())
+            job = Job(
+                job_id=rec["job_id"],
+                plan=_unrecoverable_plan,
+                name=rec.get("name", ""),
+                status=rec["status"],
+                submitted_at=rec.get("submitted_at") or 0.0,
+                started_at=rec.get("started_at"),
+                finished_at=rec.get("finished_at"),
+                error=rec.get("error"),
+                result_rows=rec.get("result_rows"),
+            )
+            if job.status in (CREATED, RUNNING):
+                job.error = (
+                    f"orphaned by runner restart (was {job.status}; plan not "
+                    "recoverable across processes — resubmit)"
+                )
+                job.status = FAILED
+                job.finished_at = job.finished_at or time.time()
+            self._jobs[job.job_id] = job
+            self._persist(job)
+        if self._jobs:
+            self._seq = max(self._jobs)
 
     def submit(
         self,
@@ -121,6 +156,10 @@ class JobQueue:
                 }
             )
         )
+
+
+def _unrecoverable_plan(spark):
+    raise RuntimeError("job recovered from disk; its plan is not re-runnable")
 
 
 class JobRunner:

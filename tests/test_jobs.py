@@ -81,3 +81,46 @@ def test_sink_and_failure(spark, tmp_path):
     # The reference stalls forever on failure (quirk Q7); we record FAILED.
     assert q.status(j_bad) == J.FAILED
     assert "boom" in q.job(j_bad).error
+
+
+def test_queue_recovers_state_and_fails_orphans(spark, tmp_path):
+    """Restart semantics: a new queue over the same state dir sees completed
+    history unchanged, marks jobs caught mid-flight (RUNNING) or never
+    started (CREATED) as FAILED with an orphan note, and continues the
+    sequence numbering — no stall, no id reuse (the reference's master
+    stalls forever on a lost task, quirk Q7)."""
+    import json as _json
+
+    from sdc_mapreduce_spark.jobs import JobQueue, JobRunner
+
+    state = tmp_path / "state"
+    q1 = JobQueue(state_dir=str(state))
+    done_id = q1.submit(lambda s: s.range(3), name="done")
+    JobRunner(spark, q1).run_pending()
+    assert q1.status(done_id) == "COMPLETED"
+    # simulate a crash mid-job: persist a RUNNING record by hand
+    (state / "job_99.json").write_text(
+        _json.dumps(
+            {
+                "job_id": 99,
+                "name": "inflight",
+                "status": "RUNNING",
+                "submitted_at": 1.0,
+                "started_at": 2.0,
+                "finished_at": None,
+                "error": None,
+                "result_rows": None,
+            }
+        )
+    )
+
+    q2 = JobQueue(state_dir=str(state))
+    assert q2.status(done_id) == "COMPLETED"
+    assert q2.job(done_id).result_rows == 3
+    assert q2.status(99) == "FAILED"
+    assert "orphaned" in q2.job(99).error
+    # recovered orphans are terminal: nothing pending to re-run
+    assert q2.next_created() is None
+    # sequence continues past the recovered max id
+    new_id = q2.submit(lambda s: s.range(1), name="after-restart")
+    assert new_id == 100
