@@ -115,3 +115,26 @@ def test_embedding_near_pairs_symmetric_threshold(spark):
         for r in S.embedding_near_pairs(df, threshold=0.9).collect()
     }
     assert got == {(1, 2)}
+
+
+def test_arrow_near_pairs_equal_declarative(spark, sf_dir):
+    """The BLAS exact near-pairs path must emit exactly the declarative
+    self-join form's pair set, and refuse corpora over its boundedness
+    gate."""
+    import pytest
+
+    from sdc_mapreduce_spark.catalog import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    declarative = {
+        (r["id_a"], r["id_b"])
+        for r in S.embedding_near_pairs(emb, threshold=0.4).collect()
+    }
+    arrow = {
+        (r["id_a"], r["id_b"])
+        for r in S.embedding_near_pairs_arrow(emb, threshold=0.4).collect()
+    }
+    assert arrow == declarative and len(arrow) > 0
+
+    with pytest.raises(ValueError, match="max_vectors"):
+        S.embedding_near_pairs_arrow(emb, threshold=0.4, max_vectors=10)
