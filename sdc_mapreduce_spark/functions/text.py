@@ -443,7 +443,7 @@ def top_ngrams(df: DataFrame, n: int = 2, k: int = 20, text_col: str = "text") -
         F.size(t) >= n,
         F.transform(
             F.sequence(F.lit(0), F.size(t) - n),
-            lambda i: F.concat_ws(" ", *[F.element_at(t, i + j + 1) for j in range(n)]),
+            lambda i: F.array_join(F.slice(t, i + 1, n), " "),
         ),
     ).otherwise(F.array().cast("array<string>"))
     return (
