@@ -46,12 +46,19 @@ class JobHandle:
             return json.loads(resp.read())
 
     def wait(self, timeout: float = 120.0, poll_interval: float = 0.1) -> str:
-        """Block until the job reaches a terminal state; return it."""
+        """Block until the job reaches a terminal state and return it;
+        raise TimeoutError if it is still CREATED/RUNNING at the deadline
+        (returning a non-terminal status would let callers mistake a
+        slow job for a finished one)."""
         deadline = time.time() + timeout
         while True:
             status = self.status()["status"]
-            if status not in ("CREATED", "RUNNING") or time.time() >= deadline:
+            if status not in ("CREATED", "RUNNING"):
                 return status
+            if time.time() >= deadline:
+                raise TimeoutError(
+                    f"job {self.job_id} still {status} after {timeout}s"
+                )
             time.sleep(poll_interval)
 
 

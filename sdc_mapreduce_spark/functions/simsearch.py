@@ -377,14 +377,16 @@ def embedding_near_pairs_arrow(
     operator itself stopped being the right tool — use the blocked variant
     there (this mirrors how verification actually runs at scale: exact
     check on a sample, blocked pass on the corpus)."""
-    n_vectors = corpus.count()
-    if n_vectors > max_vectors:
-        raise ValueError(
-            f"exact all-pairs over {n_vectors} vectors exceeds max_vectors="
-            f"{max_vectors}; use embedding_near_pairs_blocked for corpora "
-            "of this size"
-        )
     spark = corpus.sparkSession
+    # limit+1 bounds the gate probe itself: an oversized corpus is refused
+    # after pulling max_vectors+1 ids, never the whole dataset (and the
+    # happy path pays no separate count() job — one scan total)
+    probe = corpus.select(id_col).limit(max_vectors + 1).count()
+    if probe > max_vectors:
+        raise ValueError(
+            f"exact all-pairs corpus exceeds max_vectors={max_vectors}; "
+            "use embedding_near_pairs_blocked for corpora of this size"
+        )
     rows = corpus.select(id_col, vec_col).collect()
     ids = np.asarray([r[id_col] for r in rows], dtype=np.int64)
     mat = np.asarray([list(r[vec_col]) for r in rows], dtype=np.float64)

@@ -411,12 +411,21 @@ def chunk_documents(
     base = df.select(F.col(id_col), tokens(text_col).alias("__t"))
     t = F.col("__t")
     n = F.size(t)
-    # ceil((n - chunk_size) / stride) via int arithmetic; 1 chunk when the
-    # doc fits
-    extra = F.floor(
-        (n - F.lit(chunk_size) + F.lit(stride) - 1) / F.lit(stride)
-    ).cast("int")
-    n_chunks = F.when(n <= chunk_size, F.lit(1)).otherwise(extra + 1)
+    # coverage count: 1 + ceil((n - chunk_size) / stride) — but never a
+    # chunk whose start index reaches past the tokens (with stride >
+    # chunk_size, deliberate gap-sampling, the coverage formula would emit
+    # phantom empty chunks), so cap at the last non-empty start:
+    # floor((n-1)/stride) + 1
+    coverage = (
+        F.floor((n - F.lit(chunk_size) + F.lit(stride) - 1) / F.lit(stride)).cast(
+            "int"
+        )
+        + 1
+    )
+    nonempty = F.floor((n - 1) / F.lit(stride)).cast("int") + 1
+    n_chunks = F.when(n <= chunk_size, F.lit(1)).otherwise(
+        F.least(coverage, nonempty)
+    )
     chunks = F.transform(
         F.sequence(F.lit(0), n_chunks - 1),
         lambda i: F.slice(t, i * stride + 1, chunk_size),

@@ -23,6 +23,7 @@ Q7).
 from __future__ import annotations
 
 import json
+import os
 import threading
 import time
 import traceback
@@ -47,6 +48,10 @@ class Job:
     plan: Callable[[SparkSession], DataFrame]
     sink: Callable[[DataFrame], None] | None = None
     name: str = ""
+    # session confs applied for THIS job only (set before plan+action,
+    # restored after) — e.g. the reference's per-job shard_size maps to
+    # files.maxPartitionBytes without leaking into the shared session
+    conf: dict[str, str] = field(default_factory=dict)
     status: str = CREATED
     submitted_at: float = field(default_factory=time.time)
     started_at: float | None = None
@@ -84,7 +89,13 @@ class JobQueue:
         SURVEY.md §2.1). CREATED jobs likewise cannot re-run (no plan), so
         they are failed with the same note; only their history survives."""
         for path in sorted(self._state_dir.glob("job_*.json")):
-            rec = json.loads(path.read_text())
+            try:
+                rec = json.loads(path.read_text())
+            except (OSError, json.JSONDecodeError):
+                # _persist is atomic (tmp + replace), so a bad record means
+                # external corruption; skip it rather than refusing to
+                # recover every healthy job
+                continue
             job = Job(
                 job_id=rec["job_id"],
                 plan=_unrecoverable_plan,
@@ -113,10 +124,13 @@ class JobQueue:
         plan: Callable[[SparkSession], DataFrame],
         sink: Callable[[DataFrame], None] | None = None,
         name: str = "",
+        conf: dict[str, str] | None = None,
     ) -> int:
         with self._lock:
             self._seq += 1
-            job = Job(job_id=self._seq, plan=plan, sink=sink, name=name)
+            job = Job(
+                job_id=self._seq, plan=plan, sink=sink, name=name, conf=conf or {}
+            )
             self._jobs[job.job_id] = job
             self._persist(job)
             return job.job_id
@@ -140,22 +154,27 @@ class JobQueue:
 
     def _persist(self, job: Job) -> None:
         # Durable job-spec analog of the znode tree: one JSON file per job.
+        # Written atomically (tmp + rename) so a crash mid-persist — the
+        # exact scenario recovery exists for — can never leave a truncated
+        # record that poisons the next _recover.
         if not self._state_dir:
             return
-        (self._state_dir / f"job_{job.job_id}.json").write_text(
-            json.dumps(
-                {
-                    "job_id": job.job_id,
-                    "name": job.name,
-                    "status": job.status,
-                    "submitted_at": job.submitted_at,
-                    "started_at": job.started_at,
-                    "finished_at": job.finished_at,
-                    "error": job.error,
-                    "result_rows": job.result_rows,
-                }
-            )
+        payload = json.dumps(
+            {
+                "job_id": job.job_id,
+                "name": job.name,
+                "status": job.status,
+                "submitted_at": job.submitted_at,
+                "started_at": job.started_at,
+                "finished_at": job.finished_at,
+                "error": job.error,
+                "result_rows": job.result_rows,
+            }
         )
+        final = self._state_dir / f"job_{job.job_id}.json"
+        tmp = final.with_suffix(".json.tmp")
+        tmp.write_text(payload)
+        os.replace(tmp, final)
 
 
 def _unrecoverable_plan(spark):
@@ -186,6 +205,13 @@ class JobRunner:
         job.status = RUNNING
         job.started_at = time.time()
         self.queue._persist(job)
+        # job-scoped confs: in effect for plan construction AND the action
+        # (file-split planning happens at action time), restored afterwards
+        # so one job's shard_size never leaks into the shared session
+        saved: dict[str, str | None] = {}
+        for k, v in job.conf.items():
+            saved[k] = self.spark.conf.get(k, None)
+            self.spark.conf.set(k, v)
         try:
             df = job.plan(self.spark)
             if job.sink is not None:
@@ -201,5 +227,10 @@ class JobRunner:
             job.error = traceback.format_exc(limit=10)
             job.status = FAILED
         finally:
+            for k, old in saved.items():
+                if old is None:
+                    self.spark.conf.unset(k)
+                else:
+                    self.spark.conf.set(k, old)
             job.finished_at = time.time()
             self.queue._persist(job)

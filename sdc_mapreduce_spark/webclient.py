@@ -45,10 +45,8 @@ from sdc_mapreduce_spark import mapreduce as mr
 from sdc_mapreduce_spark.jobs import JobQueue, JobRunner
 
 
-def _wordcount_plan(files: list[str], shard_size: int):
+def _wordcount_plan(files: list[str]):
     def plan(spark: SparkSession):
-        # input bytes per map task — the reference's shard_size
-        spark.conf.set("spark.sql.files.maxPartitionBytes", str(shard_size))
         return mr.word_count(mr.read_text(spark, files))
 
     return plan
@@ -103,15 +101,23 @@ class _Handler(BaseHTTPRequestHandler):
         files = body["files"]
         if not isinstance(files, list) or not files:
             return self._reply(400, {"error": "Input file paths missing"})
-        reducer_count = int(body["reducer_count"])
-        shard_size = int(body["shard_size"])
+        try:
+            reducer_count = int(body["reducer_count"])
+            shard_size = int(body["shard_size"])
+        except (TypeError, ValueError):
+            return self._reply(
+                400, {"error": "reducer_count and shard_size must be integers"}
+            )
         output_path = body.get("output_path")
 
         sink = _kv_sink(output_path, reducer_count) if output_path else None
         job_id = self.server.queue.submit(
-            _wordcount_plan([str(f) for f in files], shard_size),
+            _wordcount_plan([str(f) for f in files]),
             sink=sink,
             name=body.get("name", "wordcount"),
+            # the reference's per-job shard_size, applied job-scoped by the
+            # runner (input bytes per map task) and restored afterwards
+            conf={"spark.sql.files.maxPartitionBytes": str(shard_size)},
         )
         self.server.wake.set()
         return self._reply(

@@ -124,3 +124,19 @@ def test_queue_recovers_state_and_fails_orphans(spark, tmp_path):
     # sequence continues past the recovered max id
     new_id = q2.submit(lambda s: s.range(1), name="after-restart")
     assert new_id == 100
+
+
+def test_recover_skips_corrupt_record(spark, tmp_path):
+    """A truncated/garbage job file (external corruption; _persist itself is
+    atomic) must not poison recovery of the healthy records."""
+    from sdc_mapreduce_spark.jobs import JobQueue, JobRunner
+
+    state = tmp_path / "state"
+    q1 = JobQueue(state_dir=str(state))
+    ok = q1.submit(lambda s: s.range(2), name="ok")
+    JobRunner(spark, q1).run_pending()
+    (state / "job_50.json").write_text('{"job_id": 50, "status": "RUNN')  # truncated
+
+    q2 = JobQueue(state_dir=str(state))
+    assert q2.status(ok) == "COMPLETED"
+    assert 50 not in {j.job_id for j in q2.all()}

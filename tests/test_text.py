@@ -195,3 +195,16 @@ def test_stratified_sample_deterministic_and_rate(spark, sf_dir):
     assert "fr" not in by_lang
     en_rate = by_lang["en"] / totals["en"]
     assert 0.3 < en_rate < 0.7, en_rate
+
+
+def test_chunk_documents_gap_stride_emits_no_phantom_chunks(spark):
+    # stride > chunk_size = deliberate gap-sampling: chunks at 0,5 of an
+    # 8-token doc; the coverage formula alone would add an empty chunk at
+    # start 10
+    df = spark.createDataFrame([(1, "a b c d e f g h")], ["doc_id", "text"])
+    rows = sorted(
+        (r["chunk_id"], r["n_chunk_tokens"])
+        for r in T.chunk_documents(df, chunk_size=2, stride=5).collect()
+    )
+    assert rows == [(0, 2), (1, 2)]
+    assert all(n > 0 for _, n in rows)

@@ -154,3 +154,24 @@ def test_client_sdk_end_to_end(server, tmp_path):
             k, v = line.split()
             counts[k] = counts.get(k, 0) + int(v)
     assert counts == {"x": 2, "y": 1, "z": 1}
+
+
+def test_non_integer_counts_get_400_and_conf_does_not_leak(server, spark, tmp_path):
+    code, body = _post(
+        server.port,
+        {"files": ["x"], "shard_size": "huge", "reducer_count": 1},
+    )
+    assert code == 400
+    assert "integer" in body["error"]
+
+    # a completed job's shard_size must not leak into the shared session
+    before = spark.conf.get("spark.sql.files.maxPartitionBytes")
+    inp = tmp_path / "leak.txt"
+    inp.write_text("a b\n")
+    code, body = _post(
+        server.port,
+        {"files": [str(inp)], "shard_size": 1024, "reducer_count": 1},
+    )
+    assert code == 200
+    assert server.wait_for(body["job_id"]) == "COMPLETED"
+    assert spark.conf.get("spark.sql.files.maxPartitionBytes") == before

@@ -75,6 +75,10 @@ def _arrow_kind(t) -> str:
         return "binary"
     if pt.is_list(t) or pt.is_large_list(t):
         return "array"
+    if pt.is_struct(t):
+        return "struct"
+    if pt.is_map(t):
+        return "map"
     return str(t)
 
 
@@ -151,7 +155,12 @@ def main() -> int:
             continue
         t_duck = time.time() - t0
 
-        problems = type_mismatches(sdf, con.execute(oracles[name]).arrow())
+        # Arrow schema via LIMIT 0 (planned but short-circuited — the heavy
+        # query body executes exactly once, in the fetchall above)
+        schema_tab = con.execute(
+            f"SELECT * FROM ({oracles[name]}) __schema_probe LIMIT 0"
+        ).arrow()
+        problems = type_mismatches(sdf, schema_tab)
         if len(srows) != len(drows):
             problems.append(f"rowcount spark={len(srows)} duck={len(drows)}")
         if sorted(scols) != sorted(dcols):
