@@ -29,6 +29,11 @@ Usage::
     df = (spark.read.format("kvtext")
           .option("path", "/data/pairs.txt")
           .option("shard_size", 50000).load())
+
+    # streaming: ingest blobs as they arrive in the directory,
+    # exactly-once across restarts (offset = ingested file set)
+    stream = (spark.readStream.format("kvtext")
+              .option("path", "/data/incoming").load())
 """
 
 from __future__ import annotations
@@ -37,7 +42,12 @@ import glob
 import os
 from collections.abc import Iterator
 
-from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    DataSourceStreamReader,
+    InputPartition,
+)
 
 DEFAULT_SHARD_SIZE = 50_000  # the reference client's SHARD_SIZE default
 # (reference clientsdk/job_details.py:5)
@@ -59,80 +69,137 @@ class KVShard(InputPartition):
         return sum(end - start for _, start, end in self.segments)
 
 
+def _parse_options(options) -> tuple[str, int, bool]:
+    path = options.get("path")
+    if not path:
+        raise ValueError("kvtext: 'path' option is required")
+    shard_size = int(options.get("shard_size", DEFAULT_SHARD_SIZE))
+    if shard_size <= 0:
+        raise ValueError("kvtext: shard_size must be positive")
+    pack = str(options.get("pack", "true")).lower() != "false"
+    return path, shard_size, pack
+
+
+def _list_files(path: str) -> list[str]:
+    if os.path.isdir(path):
+        return sorted(
+            p for p in glob.glob(os.path.join(path, "*")) if os.path.isfile(p)
+        )
+    return [path]
+
+
+def plan_shards(paths: list[str], shard_size: int, pack: bool) -> list[KVShard]:
+    # The reference's createShardAllocations (src/master/sharding.h:28-83):
+    # greedy capacity packing — each shard holds exactly shard_size bytes
+    # of ranges, spanning file boundaries (tail of file i + head of file
+    # i+1 in one shard); only the final shard may be smaller. With
+    # pack=false, one partition per fixed-size (file, range) instead —
+    # same output rows, simpler partition map.
+    shards: list[KVShard] = []
+    current: list[tuple[str, int, int]] = []
+    current_cap = 0
+    for p in paths:
+        size = os.path.getsize(p)
+        start = 0
+        while start < size:
+            if not pack:
+                end = min(start + shard_size, size)
+                shards.append(KVShard([(p, start, end)]))
+                start = end
+                continue
+            needed = shard_size - current_cap
+            end = min(start + needed, size)
+            current.append((p, start, end))
+            current_cap += end - start
+            if current_cap == shard_size:
+                shards.append(KVShard(current))
+                current, current_cap = [], 0
+            start = end
+    if current:
+        shards.append(KVShard(current))
+    return shards
+
+
+def read_shard(partition: KVShard) -> Iterator[tuple]:
+    for path, start, end in partition.segments:
+        with open(path, "rb") as fh:
+            fh.seek(start)
+            if start > 0:
+                # line-boundary protocol: the partition to our left owns
+                # the line spanning the boundary — skip to the next full
+                # line
+                fh.readline()
+            while fh.tell() <= end:
+                raw = fh.readline()
+                if not raw:
+                    break
+                parts = raw.decode("utf-8", errors="replace").split()
+                if len(parts) != 2:
+                    continue  # malformed: wrong token count (O15)
+                try:
+                    value = int(parts[1])
+                except ValueError:
+                    continue  # malformed: non-integer value (O15)
+                yield (parts[0], value)
+                # note: the loop condition uses tell() BEFORE the read, so
+                # a line that starts exactly at `end` belongs to the next
+                # partition, and a line starting before `end` is fully
+                # consumed here even if it extends past it
+
+
 class KVTextReader(DataSourceReader):
     def __init__(self, options):
-        path = options.get("path")
-        if not path:
-            raise ValueError("kvtext: 'path' option is required")
-        self.shard_size = int(options.get("shard_size", DEFAULT_SHARD_SIZE))
-        if self.shard_size <= 0:
-            raise ValueError("kvtext: shard_size must be positive")
-        self.pack = str(options.get("pack", "true")).lower() != "false"
-        if os.path.isdir(path):
-            self.paths = sorted(
-                p for p in glob.glob(os.path.join(path, "*")) if os.path.isfile(p)
-            )
-        else:
-            self.paths = [path]
+        path, self.shard_size, self.pack = _parse_options(options)
+        self.paths = _list_files(path)
         if not self.paths:
             raise ValueError(f"kvtext: no files under {path!r}")
 
     def partitions(self):
-        # The reference's createShardAllocations (src/master/sharding.h:28-83):
-        # greedy capacity packing — each shard holds exactly shard_size bytes
-        # of ranges, spanning file boundaries (tail of file i + head of file
-        # i+1 in one shard); only the final shard may be smaller. With
-        # pack=false, one partition per fixed-size (file, range) instead —
-        # same output rows, simpler partition map.
-        shards: list[KVShard] = []
-        current: list[tuple[str, int, int]] = []
-        current_cap = 0
-        for p in self.paths:
-            size = os.path.getsize(p)
-            start = 0
-            while start < size:
-                if not self.pack:
-                    end = min(start + self.shard_size, size)
-                    shards.append(KVShard([(p, start, end)]))
-                    start = end
-                    continue
-                needed = self.shard_size - current_cap
-                end = min(start + needed, size)
-                current.append((p, start, end))
-                current_cap += end - start
-                if current_cap == self.shard_size:
-                    shards.append(KVShard(current))
-                    current, current_cap = [], 0
-                start = end
-        if current:
-            shards.append(KVShard(current))
+        shards = plan_shards(self.paths, self.shard_size, self.pack)
         return shards or [KVShard([(self.paths[0], 0, 0)])]
 
     def read(self, partition: KVShard) -> Iterator[tuple]:
-        for path, start, end in partition.segments:
-            with open(path, "rb") as fh:
-                fh.seek(start)
-                if start > 0:
-                    # line-boundary protocol: the partition to our left owns
-                    # the line spanning the boundary — skip to the next full
-                    # line
-                    fh.readline()
-                while fh.tell() <= end:
-                    raw = fh.readline()
-                    if not raw:
-                        break
-                    parts = raw.decode("utf-8", errors="replace").split()
-                    if len(parts) != 2:
-                        continue  # malformed: wrong token count (O15)
-                    try:
-                        value = int(parts[1])
-                    except ValueError:
-                        continue  # malformed: non-integer value (O15)
-                    yield (parts[0], value)
-                    # note: the loop condition uses tell() BEFORE the read, so
-                    # a line that starts exactly at `end` belongs to the next
-                    # partition, and a line starting before `end` is fully
-                    # consumed here even if it extends past it
+        return read_shard(partition)
+
+
+class KVTextStreamReader(DataSourceStreamReader):
+    """Streaming flavor of the kvtext scan: the blob-store arrival model
+    (files are immutable; new data means NEW files in the directory — how
+    the reference's container actually grows). Each microbatch ingests the
+    files that appeared since the last committed offset, capacity-packed by
+    the same shard planner as the batch reader.
+
+    The offset is the sorted list of already-ingested file names, so a
+    restart from a checkpoint replans exactly the not-yet-committed files —
+    exactly-once at file granularity. At real scale the offset would be a
+    compacted high-watermark (e.g. blob list-after marker), not a full name
+    list; the name list keeps the semantics transparent here.
+    """
+
+    def __init__(self, options):
+        self._path, self.shard_size, self.pack = _parse_options(options)
+        if not os.path.isdir(self._path):
+            raise ValueError(
+                f"kvtext streaming: 'path' must be a directory, got {self._path!r}"
+            )
+
+    def initialOffset(self) -> dict:
+        return {"files": []}
+
+    def latestOffset(self) -> dict:
+        return {"files": _list_files(self._path)}
+
+    def partitions(self, start: dict, end: dict):
+        new = sorted(set(end.get("files", [])) - set(start.get("files", [])))
+        shards = plan_shards(new, self.shard_size, self.pack)
+        # Spark requires >= 1 partition per batch; an empty shard reads 0 rows
+        return shards or [KVShard([])]
+
+    def read(self, partition: KVShard) -> Iterator[tuple]:
+        return read_shard(partition)
+
+    def commit(self, end: dict) -> None:
+        pass  # offsets live in the checkpoint log; nothing source-side to GC
 
 
 class KVTextDataSource(DataSource):
@@ -145,6 +212,9 @@ class KVTextDataSource(DataSource):
 
     def reader(self, schema) -> KVTextReader:
         return KVTextReader(self.options)
+
+    def streamReader(self, schema) -> KVTextStreamReader:
+        return KVTextStreamReader(self.options)
 
 
 def register_kvtext(spark) -> None:

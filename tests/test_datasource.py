@@ -144,3 +144,43 @@ def test_kvtext_typed_value_column(spark, kv_file):
     df = _read(spark, path, shard_size=1024)
     assert dict(df.dtypes) == {"key": "string", "value": "bigint"}
     assert df.schema["value"].dataType.simpleString() == "bigint"
+
+
+def test_kvtext_streaming_ingests_new_files_exactly_once(spark, tmp_path):
+    """Streaming kvtext: blobs arriving in the directory are ingested
+    incrementally (offset = ingested file set), exactly once across a
+    checkpointed restart — batch 1 reads a.txt; after restart with the same
+    checkpoint, only the newly-arrived b.txt is read."""
+    d = tmp_path / "incoming"
+    d.mkdir()
+    (d / "a.txt").write_text("x 1\ny 2\n")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    register_kvtext(spark)
+
+    def run_once():
+        q = (
+            spark.readStream.format("kvtext")
+            .option("path", str(d))
+            .option("shard_size", 4)
+            .load()
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    run_once()
+    got1 = {(r["key"], r["value"]) for r in spark.read.parquet(out).collect()}
+    assert got1 == {("x", 1), ("y", 2)}
+
+    (d / "b.txt").write_text("z 3\nx 4\n")
+    run_once()
+    rows = [(r["key"], r["value"]) for r in spark.read.parquet(out).collect()]
+    assert sorted(rows) == [("x", 1), ("x", 4), ("y", 2), ("z", 3)]
+
+    # idempotent: a third run with no new files appends nothing
+    run_once()
+    assert len(spark.read.parquet(out).collect()) == 4
