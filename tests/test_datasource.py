@@ -184,3 +184,50 @@ def test_kvtext_streaming_ingests_new_files_exactly_once(spark, tmp_path):
     # idempotent: a third run with no new files appends nothing
     run_once()
     assert len(spark.read.parquet(out).collect()) == 4
+
+
+def test_streaming_wordcount_same_plan_as_batch(spark, tmp_path):
+    """The reference's one application, continuously: the UNCHANGED batch
+    word_count definition (tokenize -> groupBy -> count) runs on the
+    streaming kvtext source, and its complete-mode state converges to the
+    batch answer as new blobs arrive."""
+    from pyspark.sql import functions as F
+
+    from sdc_mapreduce_spark import mapreduce as mr
+
+    d = tmp_path / "wc_incoming"
+    d.mkdir()
+    (d / "a.txt").write_text("alpha 1\nbeta 2\n")
+    register_kvtext(spark)
+
+    stream = (
+        spark.readStream.format("kvtext")
+        .option("path", str(d))
+        .load()
+        .select(F.col("key").alias("value"))  # lines of words
+    )
+    counts = mr.word_count(stream)
+    q = (
+        counts.writeStream.format("memory")
+        .queryName("wc_stream")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got1 = {r["word"]: r["cnt"] for r in spark.sql("SELECT * FROM wc_stream").collect()}
+    assert got1 == {"alpha": 1, "beta": 1}
+
+    (d / "b.txt").write_text("alpha 3\ngamma 4\n")
+    q2 = (
+        counts.writeStream.format("memory")
+        .queryName("wc_stream2")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q2.awaitTermination(120)
+    got2 = {
+        r["word"]: r["cnt"] for r in spark.sql("SELECT * FROM wc_stream2").collect()
+    }
+    assert got2 == {"alpha": 2, "beta": 1, "gamma": 1}
