@@ -79,18 +79,10 @@ def simsearch_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("query_id", "rank")
 
 
-def simsearch_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Recall@k of the SRP-LSH approximate search against the exact
-    brute-force top-k, per query — the ANN quality metric as a first-class,
-    oracle-checkable query (exact integer hit counts, deterministic seeded
-    hyperplanes). The oracle replays the same bucketing in DuckDB from the
-    same plane literals, so recall itself is verified cross-engine, not just
-    asserted in unit tests."""
+def _recall_vs_exact(ann: DataFrame, exact: DataFrame) -> DataFrame:
+    """Per-query recall@k of an ANN result against the exact top-k."""
     from pyspark.sql import functions as F
 
-    emb = load_table(spark, sf_dir, "embeddings")
-    ann = S.cosine_topk_srp(emb, QUERY_IDS, k=TOP_K, n_planes=ANN_PLANES)
-    exact = S.cosine_topk_bruteforce(emb, QUERY_IDS, k=TOP_K)
     hits = (
         ann.select("query_id", "neighbor_id")
         .join(exact.select("query_id", "neighbor_id"), ["query_id", "neighbor_id"], "leftsemi")
@@ -108,6 +100,31 @@ def simsearch_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("query_id")
     )
+
+
+def simsearch_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@k of the SRP-LSH approximate search against the exact
+    brute-force top-k, per query — the ANN quality metric as a first-class,
+    oracle-checkable query (exact integer hit counts, deterministic seeded
+    hyperplanes). The oracle replays the same bucketing in DuckDB from the
+    same plane literals, so recall itself is verified cross-engine, not just
+    asserted in unit tests."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    ann = S.cosine_topk_srp(emb, QUERY_IDS, k=TOP_K, n_planes=ANN_PLANES)
+    exact = S.cosine_topk_bruteforce(emb, QUERY_IDS, k=TOP_K)
+    return _recall_vs_exact(ann, exact)
+
+
+def simsearch_ann_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@k of the IVF search against the exact top-k — the same
+    first-class quality metric as simsearch_ann_recall, but rows-only: the
+    KMeans centroids are fitted, not seeded literals, so DuckDB cannot
+    replay the cell assignment (the SRP twin is the oracle-checked one).
+    The recall floor is asserted in tests/test_simsearch.py."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    ann = S.cosine_topk_ivf(emb, QUERY_IDS, k=TOP_K, n_cells=8, n_probe=4)
+    exact = S.cosine_topk_bruteforce(emb, QUERY_IDS, k=TOP_K)
+    return _recall_vs_exact(ann, exact)
 
 
 ANN_PLANES = 6
@@ -232,5 +249,6 @@ QUERIES: dict[str, QuerySpec] = {
     "simsearch_ann_srp": QuerySpec(simsearch_ann_srp, None),
     "simsearch_ann_recall": QuerySpec(simsearch_ann_recall, SIMSEARCH_ANN_RECALL_SQL),
     "simsearch_ann_ivf": QuerySpec(simsearch_ann_ivf, None),
+    "simsearch_ann_ivf_recall": QuerySpec(simsearch_ann_ivf_recall, None),
     "embedding_stats": QuerySpec(embedding_stats, EMBEDDING_STATS_SQL),
 }
