@@ -111,6 +111,61 @@ def stratified_sample(
     return df.filter(keep)
 
 
+def mix_rebalance_plan(
+    df: DataFrame, group_col: str, targets: dict[str, float]
+) -> DataFrame:
+    """Domain-mixing plan: per-group keep fractions that reshape the corpus
+    to a target mix by pure downsampling, keeping the largest corpus that
+    satisfies the mix (the static form of DoReMi-style domain reweighting:
+    scale = min over groups of current_share/target_share; then
+    keep_fraction_g = target_g * scale * total / n_g, which is 1.0 exactly
+    at the binding group). Feed the fractions to ``stratified_sample`` to
+    apply the plan. All exact integer counts + double division — oracle-
+    hashable. One tiny aggregation; the scale scalar broadcasts."""
+    total = sum(targets.values())
+    if not 0.999 <= total <= 1.001:
+        raise ValueError(f"target shares must sum to 1, got {total}")
+    target = None
+    for g, w in sorted(targets.items()):
+        target = (
+            F.when(F.col("domain") == g, F.lit(w))
+            if target is None
+            else target.when(F.col("domain") == g, F.lit(w))
+        )
+    counts = (
+        df.groupBy(F.col(group_col).alias("domain"))
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .withColumn("target_share", target)
+    )
+    if counts.filter(F.col("target_share").isNull()).limit(1).count():
+        raise ValueError("every group present in the data needs a target share")
+    totals = counts.agg(F.sum("n_docs").alias("__total"))
+    shared = counts.join(F.broadcast(totals))
+    shared = shared.withColumn(
+        "current_share", F.col("n_docs") / F.col("__total")
+    )
+    scale = shared.agg(
+        F.min(F.col("current_share") / F.col("target_share")).alias("__scale")
+    )
+    return (
+        shared.join(F.broadcast(scale))
+        .select(
+            "domain",
+            "n_docs",
+            "current_share",
+            "target_share",
+            (
+                F.col("target_share") * F.col("__scale") * F.col("__total")
+                / F.col("n_docs")
+            ).alias("keep_fraction"),
+            F.floor(
+                F.col("target_share") * F.col("__scale") * F.col("__total")
+            ).cast("long").alias("n_kept"),
+        )
+        .orderBy("domain")
+    )
+
+
 def stratified_sample_sql_predicate(
     key_sql: str, group_sql: str, fractions: dict[str, float], salt: str = "strat-v1"
 ) -> str:

@@ -214,6 +214,74 @@ ORDER BY lang
 """
 
 
+_MIX_DOMAINS = {  # source -> domain grouping for the mixing plan
+    "web": tuple(f"src{i}" for i in range(0, 5)),
+    "books": tuple(f"src{i}" for i in range(5, 10)),
+    "code": tuple(f"src{i}" for i in range(10, 15)),
+    "forums": tuple(f"src{i}" for i in range(15, 20)),
+}
+_MIX_TARGETS = {"web": 0.6, "books": 0.2, "code": 0.15, "forums": 0.05}
+
+
+def corpus_mix_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain-mixing plan: per-domain keep fractions that reshape the corpus
+    to a target mix (60/20/15/5 over web/books/code/forums source groups) by
+    pure downsampling, keeping the largest corpus satisfying the mix —
+    static DoReMi-style reweighting. Exact arithmetic end to end; apply the
+    plan with splits.stratified_sample."""
+    from pyspark.sql import functions as F
+
+    from sdc_mapreduce_spark.functions.splits import mix_rebalance_plan
+
+    docs = load_table(spark, sf_dir, "documents")
+    domain = None
+    for g, sources in sorted(_MIX_DOMAINS.items()):
+        cond = F.col("source").isin(*sources)
+        domain = F.when(cond, g) if domain is None else domain.when(cond, g)
+    return mix_rebalance_plan(
+        docs.withColumn("domain", domain), "domain", _MIX_TARGETS
+    )
+
+
+def _mix_domain_case() -> str:
+    whens = " ".join(
+        "WHEN source IN ({}) THEN '{}'".format(
+            ", ".join(f"'{s}'" for s in sources), g
+        )
+        for g, sources in sorted(_MIX_DOMAINS.items())
+    )
+    return f"CASE {whens} END"
+
+
+def _mix_target_case() -> str:
+    whens = " ".join(
+        f"WHEN domain = '{g}' THEN {w}" for g, w in sorted(_MIX_TARGETS.items())
+    )
+    return f"CASE {whens} END"
+
+
+CORPUS_MIX_REBALANCE_SQL = f"""
+WITH counts AS (
+  SELECT {_mix_domain_case()} AS domain, COUNT(*) AS n_docs
+  FROM documents GROUP BY 1
+), shared AS (
+  SELECT domain, n_docs,
+         n_docs / (SELECT SUM(n_docs) FROM counts) AS current_share,
+         CAST({_mix_target_case()} AS DOUBLE) AS target_share,
+         (SELECT CAST(SUM(n_docs) AS BIGINT) FROM counts) AS total
+  FROM counts
+), scaled AS (
+  SELECT *, (SELECT MIN(current_share / target_share) FROM shared) AS scale
+  FROM shared
+)
+SELECT domain, CAST(n_docs AS BIGINT) AS n_docs, current_share, target_share,
+       target_share * scale * total / n_docs AS keep_fraction,
+       CAST(FLOOR(target_share * scale * total) AS BIGINT) AS n_kept
+FROM scaled
+ORDER BY domain
+"""
+
+
 def set_except_all(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multiset EXCEPT ALL (duplicate-preserving difference) — the bag
     semantics ``set_except`` deliberately collapses. Catalyst plans this as
@@ -762,4 +830,5 @@ QUERIES: dict[str, QuerySpec] = {
     "scalar_regex_fns": QuerySpec(scalar_regex_fns, SCALAR_REGEX_SQL),
     "sample_hash_bucket": QuerySpec(sample_hash_bucket, SAMPLE_HASH_SQL),
     "sample_stratified": QuerySpec(sample_stratified, SAMPLE_STRATIFIED_SQL),
+    "corpus_mix_rebalance": QuerySpec(corpus_mix_rebalance, CORPUS_MIX_REBALANCE_SQL),
 }

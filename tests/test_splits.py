@@ -78,3 +78,44 @@ def test_single_split_and_many_splits(spark, keyed):
     assert len(many) == 10
     for n in many.values():
         assert abs(n / 20000 - 0.1) < 0.01
+
+
+def test_mix_rebalance_plan_hits_target_mix(spark):
+    """The binding group keeps everything (fraction exactly 1.0) and the
+    planned kept counts reproduce the target mix."""
+    import pytest
+
+    from pyspark.sql import functions as F
+
+    from sdc_mapreduce_spark.functions.splits import mix_rebalance_plan
+
+    # 100 web / 50 books / 50 code: targets 50/25/25 -> web binds (1.0)
+    rows = [(i, "web" if i < 100 else ("books" if i < 150 else "code"))
+            for i in range(200)]
+    df = spark.createDataFrame(rows, "doc_id long, domain string")
+    plan = {
+        r["domain"]: r
+        for r in mix_rebalance_plan(
+            df, "domain", {"web": 0.5, "books": 0.25, "code": 0.25}
+        ).collect()
+    }
+    assert plan["web"]["keep_fraction"] == 1.0
+    assert plan["web"]["n_kept"] == 100
+    assert plan["books"]["n_kept"] == 50 and plan["code"]["n_kept"] == 50
+
+    # a group with no target share is an error, not a silent drop
+    with pytest.raises(ValueError, match="target share"):
+        mix_rebalance_plan(df, "domain", {"web": 0.75, "books": 0.25})
+
+    # skewed case: books over target binds the scale below 1 everywhere else
+    plan2 = {
+        r["domain"]: r
+        for r in mix_rebalance_plan(
+            df, "domain", {"web": 0.8, "books": 0.1, "code": 0.1}
+        ).collect()
+    }
+    assert plan2["books"]["keep_fraction"] < 1.0
+    assert plan2["web"]["keep_fraction"] == 1.0
+    # kept counts respect the 8:1:1 mix
+    assert plan2["web"]["n_kept"] == 100
+    assert plan2["books"]["n_kept"] == plan2["code"]["n_kept"] == 12
