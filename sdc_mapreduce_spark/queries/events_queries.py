@@ -120,6 +120,69 @@ FROM sessions GROUP BY user_id, session_id
 """
 
 
+def events_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily-cohort retention matrix: users grouped by first-seen day,
+    fraction active at day offsets 0..7. The canonical product-analytics
+    shape: two user-keyed aggregations (first-seen, distinct active days)
+    share the user_id exchange, then the tiny per-cohort size table joins
+    broadcast — no user-level data survives past the second aggregation."""
+    ev = load_table(spark, sf_dir, "events")
+    firsts = ev.groupBy("user_id").agg(
+        F.to_date(F.date_trunc("day", F.min("ts"))).alias("cohort_day")
+    )
+    activity = ev.select(
+        "user_id", F.to_date(F.date_trunc("day", "ts")).alias("activity_day")
+    ).distinct()
+    joined = (
+        activity.join(firsts, "user_id")
+        .withColumn("day_offset", F.datediff("activity_day", "cohort_day"))
+        .filter(F.col("day_offset").between(0, 7))
+    )
+    sizes = firsts.groupBy("cohort_day").agg(
+        F.count(F.lit(1)).alias("cohort_size")
+    )
+    return (
+        joined.groupBy("cohort_day", "day_offset")
+        .agg(F.countDistinct("user_id").alias("n_active"))
+        .join(F.broadcast(sizes), "cohort_day")
+        .select(
+            "cohort_day",
+            "day_offset",
+            "n_active",
+            "cohort_size",
+            (F.col("n_active") / F.col("cohort_size")).alias("retention"),
+        )
+        .orderBy("cohort_day", "day_offset")
+    )
+
+
+EVENTS_COHORT_RETENTION_SQL = """
+WITH firsts AS (
+  SELECT user_id,
+         CAST(date_trunc('day', MIN(CAST(ts AS TIMESTAMP))) AS DATE) AS cohort_day
+  FROM events GROUP BY user_id
+), activity AS (
+  SELECT DISTINCT user_id,
+         CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS DATE) AS activity_day
+  FROM events
+), j AS (
+  SELECT a.user_id, f.cohort_day,
+         datediff('day', f.cohort_day, a.activity_day) AS day_offset
+  FROM activity a JOIN firsts f USING (user_id)
+  WHERE datediff('day', f.cohort_day, a.activity_day) BETWEEN 0 AND 7
+), sizes AS (
+  SELECT cohort_day, COUNT(*) AS cohort_size FROM firsts GROUP BY cohort_day
+)
+SELECT j.cohort_day, CAST(j.day_offset AS INT) AS day_offset,
+       COUNT(DISTINCT j.user_id) AS n_active,
+       CAST(s.cohort_size AS BIGINT) AS cohort_size,
+       COUNT(DISTINCT j.user_id) / s.cohort_size AS retention
+FROM j JOIN sizes s USING (cohort_day)
+GROUP BY j.cohort_day, j.day_offset, s.cohort_size
+ORDER BY j.cohort_day, j.day_offset
+"""
+
+
 def events_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     """JSON property extraction from the props column, then a grouped count
     over the extracted value — the semi-structured path."""
@@ -315,4 +378,7 @@ QUERIES: dict[str, QuerySpec] = {
     "events_range_join": QuerySpec(events_range_join, EVENTS_RANGE_SQL),
     "events_monthly_rollup": QuerySpec(events_monthly_rollup, EVENTS_MONTHLY_SQL),
     "latest_event_per_user": QuerySpec(latest_event_per_user, LATEST_EVENT_SQL),
+    "events_cohort_retention": QuerySpec(
+        events_cohort_retention, EVENTS_COHORT_RETENTION_SQL
+    ),
 }
