@@ -491,6 +491,53 @@ LIMIT 100
 """
 
 
+def q12_late_shipments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape (shipping-mode priority counts) adapted: the fixture
+    lacks l_shipmode/l_commitdate/l_receiptdate, so the mode becomes
+    l_returnflag and "late" becomes shipped > 60 days after the order date
+    — preserving the defining structure: fact join + date-lag predicate +
+    per-group CASE-split conditional counts. One fact shuffle to the
+    two-column group-by; orders projects to (key, date, priority) before
+    the join."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate", "o_orderpriority"
+    )
+    joined = li.select("l_orderkey", "l_returnflag", "l_shipdate").join(
+        orders, F.col("l_orderkey") == F.col("o_orderkey")
+    )
+    late = joined.filter(
+        F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL '60' DAY")
+    )
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        late.groupBy("l_returnflag")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).cast("bigint").alias(
+                "high_line_count"
+            ),
+            F.sum(F.when(high, 0).otherwise(1)).cast("bigint").alias(
+                "low_line_count"
+            ),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+Q12_SQL = """
+SELECT l_returnflag,
+       CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                     THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+       CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                     THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+WHERE CAST(l_shipdate AS TIMESTAMP) >
+      CAST(o_orderdate AS TIMESTAMP) + INTERVAL '60 days'
+GROUP BY l_returnflag
+ORDER BY l_returnflag
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     "q2_min_balance_supplier": QuerySpec(q2_min_balance_supplier, Q2_SQL),
     "q8_market_share": QuerySpec(q8_market_share, Q8_SQL),
@@ -500,4 +547,5 @@ QUERIES: dict[str, QuerySpec] = {
     "q16_supplier_count": QuerySpec(q16_supplier_count, Q16_SQL),
     "q17_small_quantity_revenue": QuerySpec(q17_small_quantity_revenue, Q17_SQL),
     "q21_waiting_suppliers": QuerySpec(q21_waiting_suppliers, Q21_SQL),
+    "q12_late_shipments": QuerySpec(q12_late_shipments, Q12_SQL),
 }
