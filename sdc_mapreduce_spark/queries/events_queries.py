@@ -183,6 +183,43 @@ ORDER BY j.cohort_day, j.day_offset
 """
 
 
+def events_dedup_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch twin of streaming.streaming_dedup's state semantics: keep the
+    FIRST event per (user_id, event_type) within each 10-minute bucket —
+    windowed deduplication as an oracle-checkable query (the streaming form
+    with dropDuplicatesWithinWatermark is verified against batch in
+    tests/test_streaming.py). One shuffle on the dedup key."""
+    ev = load_table(spark, sf_dir, "events")
+    bucket = F.window("ts", "10 minutes")["start"].alias("bucket_start")
+    w = Window.partitionBy("user_id", "event_type", "bucket_start").orderBy(
+        "ts", "event_id"
+    )
+    return (
+        ev.select("event_id", "user_id", "event_type", "ts", bucket)
+        .withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select("event_id", "user_id", "event_type", "bucket_start")
+        .orderBy("bucket_start", "user_id", "event_type")
+    )
+
+
+EVENTS_DEDUP_WINDOWED_SQL = """
+WITH bucketed AS (
+  SELECT event_id, user_id, event_type, CAST(ts AS TIMESTAMP) AS ts,
+         time_bucket(INTERVAL '10 minutes', CAST(ts AS TIMESTAMP)) AS bucket_start
+  FROM events
+), ranked AS (
+  SELECT event_id, user_id, event_type, bucket_start,
+         ROW_NUMBER() OVER (PARTITION BY user_id, event_type, bucket_start
+                            ORDER BY ts, event_id) AS rn
+  FROM bucketed
+)
+SELECT event_id, user_id, event_type, bucket_start
+FROM ranked WHERE rn = 1
+ORDER BY bucket_start, user_id, event_type
+"""
+
+
 def events_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     """JSON property extraction from the props column, then a grouped count
     over the extracted value — the semi-structured path."""
@@ -380,5 +417,8 @@ QUERIES: dict[str, QuerySpec] = {
     "latest_event_per_user": QuerySpec(latest_event_per_user, LATEST_EVENT_SQL),
     "events_cohort_retention": QuerySpec(
         events_cohort_retention, EVENTS_COHORT_RETENTION_SQL
+    ),
+    "events_dedup_windowed": QuerySpec(
+        events_dedup_windowed, EVENTS_DEDUP_WINDOWED_SQL
     ),
 }

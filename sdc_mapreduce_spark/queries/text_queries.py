@@ -298,6 +298,36 @@ def multimodal_decode_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def pipeline_embedding_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-table pipeline step: join the CURATED corpus (quality gate +
+    exact dedup) to its embedding vectors and aggregate per declared
+    language — the embedding-side health check run after curation (are the
+    kept docs' vectors well-scaled per language?). Decimal-accumulated norm
+    average for cross-engine determinism; the embeddings side joins on the
+    32-byte-key-free doc_id, so at scale this is a co-partitionable
+    equi-join."""
+    from sdc_mapreduce_spark.functions.simsearch import dot
+    from sdc_mapreduce_spark.pipeline import curate
+
+    docs = load_table(spark, sf_dir, "documents")
+    kept = curate(docs, min_quality=0.58, near_dedup=False)
+    emb = load_table(spark, sf_dir, "embeddings")
+    v = F.col("embedding").cast("array<double>")
+    norms = emb.select(F.col("vec_id").alias("doc_id"), F.sqrt(dot(v, v)).alias("__norm"))
+    return (
+        kept.join(docs.select("doc_id", "lang"), "doc_id")
+        .join(norms, "doc_id")
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.expr(
+                "cast(sum(cast(__norm as decimal(28,8))) as double) / count(*)"
+            ).alias("avg_norm"),
+        )
+        .orderBy("lang")
+    )
+
+
 def multimodal_frame_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Frame-sampling accounting: run the row-expanding ``mapInPandas``
     frame kernel (4 evenly-spaced payload slices per video), then aggregate
@@ -411,6 +441,23 @@ WITH t AS (
 SELECT k.doc_id, k.lang_pred, ROUND(k.quality_score, 6) AS quality_score, k.n_tokens
 FROM kept k JOIN dedup d ON k.doc_id = d.doc_id
 ORDER BY k.doc_id
+"""
+
+PIPELINE_EMBEDDING_STATS_SQL = f"""
+WITH curated AS ({PIPELINE_CURATION_SQL}
+), nrm AS (
+  SELECT vec_id AS doc_id,
+         sqrt(list_aggregate(list_transform(embedding::DOUBLE[], x -> x * x),
+                             'sum')) AS nrm
+  FROM embeddings
+)
+SELECT d.lang, COUNT(*) AS n_docs,
+       CAST(SUM(CAST(n.nrm AS DECIMAL(28,8))) AS DOUBLE) / COUNT(*) AS avg_norm
+FROM curated c
+JOIN documents d USING (doc_id)
+JOIN nrm n USING (doc_id)
+GROUP BY d.lang
+ORDER BY d.lang
 """
 
 
@@ -616,6 +663,9 @@ QUERIES: dict[str, QuerySpec] = {
         text_quality_gate_per_lang, TEXT_QUALITY_GATE_SQL
     ),
     "pipeline_curation": QuerySpec(pipeline_curation, PIPELINE_CURATION_SQL, bench=True),
+    "pipeline_embedding_stats": QuerySpec(
+        pipeline_embedding_stats, PIPELINE_EMBEDDING_STATS_SQL
+    ),
     "multimodal_meta": QuerySpec(multimodal_meta, MULTIMODAL_META_SQL),
     "multimodal_decode_profile": QuerySpec(multimodal_decode_profile, None),
     "multimodal_frame_stats": QuerySpec(
