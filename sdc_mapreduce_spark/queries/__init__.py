@@ -57,6 +57,8 @@ _PRIORITY: tuple[str, ...] = (
     "events_range_join",
     "events_monthly_rollup",
     "latest_event_per_user",
+    "events_cohort_retention",
+    "events_dedup_windowed",
 )
 assert set(_PRIORITY) <= _ALL.keys(), set(_PRIORITY) - _ALL.keys()
 
