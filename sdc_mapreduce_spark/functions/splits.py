@@ -118,51 +118,56 @@ def mix_rebalance_plan(
     to a target mix by pure downsampling, keeping the largest corpus that
     satisfies the mix (the static form of DoReMi-style domain reweighting:
     scale = min over groups of current_share/target_share; then
-    keep_fraction_g = target_g * scale * total / n_g, which is 1.0 exactly
-    at the binding group). Feed the fractions to ``stratified_sample`` to
-    apply the plan. All exact integer counts + double division — oracle-
-    hashable. One tiny aggregation; the scale scalar broadcasts."""
-    total = sum(targets.values())
-    if not 0.999 <= total <= 1.001:
-        raise ValueError(f"target shares must sum to 1, got {total}")
-    target = None
-    for g, w in sorted(targets.items()):
-        target = (
-            F.when(F.col("domain") == g, F.lit(w))
-            if target is None
-            else target.when(F.col("domain") == g, F.lit(w))
-        )
-    counts = (
-        df.groupBy(F.col(group_col).alias("domain"))
+    keep_fraction_g = target_g * scale * total / n_g — 1.0 at the binding
+    group, clamped so float rounding can never push it past 1 and break the
+    ``stratified_sample`` apply path). Every group present in the data
+    needs a target share and vice versa (a target group absent from the
+    data would make the requested mix silently unreachable).
+
+    ONE aggregation over the corpus; the per-group arithmetic runs on the
+    driver over O(groups) rows — bounded by the domain count, never the
+    corpus — replaying the same IEEE-double operation order the SQL oracle
+    uses, so the plan is oracle-hashable."""
+    total_share = sum(targets.values())
+    if not 0.999 <= total_share <= 1.001:
+        raise ValueError(f"target shares must sum to 1, got {total_share}")
+    counts = {
+        r["domain"]: r["n_docs"]
+        for r in df.groupBy(F.col(group_col).alias("domain"))
         .agg(F.count(F.lit(1)).alias("n_docs"))
-        .withColumn("target_share", target)
-    )
-    if counts.filter(F.col("target_share").isNull()).limit(1).count():
-        raise ValueError("every group present in the data needs a target share")
-    totals = counts.agg(F.sum("n_docs").alias("__total"))
-    shared = counts.join(F.broadcast(totals))
-    shared = shared.withColumn(
-        "current_share", F.col("n_docs") / F.col("__total")
-    )
-    scale = shared.agg(
-        F.min(F.col("current_share") / F.col("target_share")).alias("__scale")
-    )
-    return (
-        shared.join(F.broadcast(scale))
-        .select(
-            "domain",
-            "n_docs",
-            "current_share",
-            "target_share",
-            (
-                F.col("target_share") * F.col("__scale") * F.col("__total")
-                / F.col("n_docs")
-            ).alias("keep_fraction"),
-            F.floor(
-                F.col("target_share") * F.col("__scale") * F.col("__total")
-            ).cast("long").alias("n_kept"),
+        .collect()
+    }
+    untargeted = set(counts) - set(targets)
+    if untargeted:
+        raise ValueError(
+            f"groups without a target share: {sorted(untargeted)}"
         )
-        .orderBy("domain")
+    absent = set(targets) - set(counts)
+    if absent:
+        raise ValueError(
+            f"target groups absent from the data (mix unreachable): "
+            f"{sorted(absent)}"
+        )
+    total = sum(counts.values())
+    scale = min((counts[g] / total) / targets[g] for g in sorted(counts))
+    rows = []
+    for g in sorted(counts):
+        n = counts[g]
+        kf = targets[g] * scale * total / n
+        rows.append(
+            (
+                g,
+                n,
+                n / total,
+                targets[g],
+                min(1.0, kf),
+                int(targets[g] * scale * total // 1),
+            )
+        )
+    return df.sparkSession.createDataFrame(
+        rows,
+        "domain string, n_docs long, current_share double, "
+        "target_share double, keep_fraction double, n_kept long",
     )
 
 

@@ -79,8 +79,9 @@ def simsearch_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("query_id", "rank")
 
 
-def _recall_vs_exact(ann: DataFrame, exact: DataFrame) -> DataFrame:
-    """Per-query recall@k of an ANN result against the exact top-k."""
+def _recall_vs_exact(ann: DataFrame, exact: DataFrame, k: int = TOP_K) -> DataFrame:
+    """Per-query recall@k of an ANN result against the exact top-k; ``k``
+    must match the k both inputs were built with (it is the denominator)."""
     from pyspark.sql import functions as F
 
     hits = (
@@ -96,7 +97,7 @@ def _recall_vs_exact(ann: DataFrame, exact: DataFrame) -> DataFrame:
         .select(
             "query_id",
             F.coalesce(F.col("__n"), F.lit(0)).cast("int").alias("n_hits"),
-            (F.coalesce(F.col("__n"), F.lit(0)) / F.lit(TOP_K)).alias("recall_at_k"),
+            (F.coalesce(F.col("__n"), F.lit(0)) / F.lit(k)).alias("recall_at_k"),
         )
         .orderBy("query_id")
     )

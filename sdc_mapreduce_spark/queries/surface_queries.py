@@ -275,7 +275,7 @@ WITH counts AS (
   FROM shared
 )
 SELECT domain, CAST(n_docs AS BIGINT) AS n_docs, current_share, target_share,
-       target_share * scale * total / n_docs AS keep_fraction,
+       LEAST(1.0, target_share * scale * total / n_docs) AS keep_fraction,
        CAST(FLOOR(target_share * scale * total) AS BIGINT) AS n_kept
 FROM scaled
 ORDER BY domain

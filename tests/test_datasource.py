@@ -170,7 +170,10 @@ def test_kvtext_streaming_ingests_new_files_exactly_once(spark, tmp_path):
             .trigger(availableNow=True)
             .start()
         )
-        q.awaitTermination(120)
+        try:
+            assert q.awaitTermination(300), "stream did not finish in time"
+        finally:
+            q.stop()
 
     run_once()
     got1 = {(r["key"], r["value"]) for r in spark.read.parquet(out).collect()}
@@ -214,7 +217,10 @@ def test_streaming_wordcount_same_plan_as_batch(spark, tmp_path):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(120)
+    try:
+        assert q.awaitTermination(300), "stream did not finish in time"
+    finally:
+        q.stop()
     got1 = {r["word"]: r["cnt"] for r in spark.sql("SELECT * FROM wc_stream").collect()}
     assert got1 == {"alpha": 1, "beta": 1}
 
@@ -226,7 +232,10 @@ def test_streaming_wordcount_same_plan_as_batch(spark, tmp_path):
         .trigger(availableNow=True)
         .start()
     )
-    q2.awaitTermination(120)
+    try:
+        assert q2.awaitTermination(300), "stream did not finish in time"
+    finally:
+        q2.stop()
     got2 = {
         r["word"]: r["cnt"] for r in spark.sql("SELECT * FROM wc_stream2").collect()
     }

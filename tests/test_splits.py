@@ -119,3 +119,30 @@ def test_mix_rebalance_plan_hits_target_mix(spark):
     # kept counts respect the 8:1:1 mix
     assert plan2["web"]["n_kept"] == 100
     assert plan2["books"]["n_kept"] == plan2["code"]["n_kept"] == 12
+
+
+def test_mix_rebalance_clamps_rounding_and_rejects_absent_targets(spark):
+    """{A:1, B:4} with targets {0.31, 0.69} puts the binding group's raw
+    keep fraction at 1.0000000000000002 in IEEE doubles — the plan must
+    clamp so the stratified_sample apply path never rejects it; a target
+    group absent from the data is an error (the mix would be silently
+    unreachable)."""
+    import pytest
+
+    from sdc_mapreduce_spark.functions.splits import (
+        mix_rebalance_plan,
+        stratified_sample,
+    )
+
+    df = spark.createDataFrame(
+        [(0, "A"), (1, "B"), (2, "B"), (3, "B"), (4, "B")],
+        "doc_id long, domain string",
+    )
+    plan = mix_rebalance_plan(df, "domain", {"A": 0.31, "B": 0.69})
+    fracs = {r["domain"]: r["keep_fraction"] for r in plan.collect()}
+    assert all(0.0 <= f <= 1.0 for f in fracs.values()), fracs
+    # the apply path must accept the plan's fractions verbatim
+    stratified_sample(df, "doc_id", "domain", fracs).collect()
+
+    with pytest.raises(ValueError, match="absent from the data"):
+        mix_rebalance_plan(df, "domain", {"A": 0.5, "B": 0.25, "C": 0.25})
