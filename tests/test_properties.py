@@ -160,3 +160,46 @@ def test_chunking_with_stride_equal_chunk_partitions_exactly(spark, n_tokens, ch
     assert all(s == chunk for s in sizes[:-1])
     assert 1 <= sizes[-1] <= chunk
     assert [cid for cid, _ in rows] == list(range(len(rows)))
+
+
+@given(
+    sizes=st.lists(st.integers(min_value=5, max_value=400), min_size=2, max_size=4),
+    raw_weights=st.lists(
+        st.integers(min_value=1, max_value=20), min_size=2, max_size=4
+    ),
+)
+@settings(max_examples=20, deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_mix_plan_fractions_bounded_and_mix_achieved(spark, sizes, raw_weights):
+    """For any group sizes and normalized targets: every keep fraction lies
+    in [0,1], at least one group keeps (essentially) everything — the
+    binding group — and the planned kept counts reproduce the target mix to
+    within integer rounding."""
+    from sdc_mapreduce_spark.functions.splits import mix_rebalance_plan
+
+    k = min(len(sizes), len(raw_weights))
+    sizes, raw_weights = sizes[:k], raw_weights[:k]
+    groups = [f"g{i}" for i in range(k)]
+    total_w = sum(raw_weights)
+    targets = {g: w / total_w for g, w in zip(groups, raw_weights)}
+    # make shares sum to exactly 1.0 despite float division
+    targets[groups[-1]] = 1.0 - sum(targets[g] for g in groups[:-1])
+
+    rows = [
+        (i, g)
+        for g, n in zip(groups, sizes)
+        for i in range(n)
+    ]
+    df = spark.createDataFrame(
+        [(i, g) for i, (_, g) in enumerate(rows)], "doc_id long, domain string"
+    )
+    plan = {r["domain"]: r for r in mix_rebalance_plan(df, "domain", targets).collect()}
+    fracs = [plan[g]["keep_fraction"] for g in groups]
+    assert all(0.0 <= f <= 1.0 for f in fracs), fracs
+    assert max(fracs) > 1.0 - 1e-9, "no binding group kept everything"
+    kept_total = sum(plan[g]["n_kept"] for g in groups)
+    if kept_total:
+        for g in groups:
+            achieved = plan[g]["n_kept"] / kept_total
+            assert abs(achieved - targets[g]) <= (k + 1) / kept_total + 1e-9, (
+                g, achieved, targets[g],
+            )
