@@ -49,6 +49,11 @@ _PRIORITY: tuple[str, ...] = (
     *text_queries.QUERIES,
     *dedup_queries.QUERIES,
     *simsearch_queries.QUERIES,
+    # deterministic splitting / sampling / mixing north stars
+    "split_assignment",
+    "sample_hash_bucket",
+    "sample_stratified",
+    "corpus_mix_rebalance",
     # TPC-H adapted tail
     *tpch_queries.QUERIES,
     # capability surface (corpus_shard_packing oracle-cast fix among them)
