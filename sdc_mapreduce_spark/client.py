@@ -107,3 +107,36 @@ class MapReduceClient:
         with urllib.request.urlopen(req, timeout=30) as resp:
             body = json.loads(resp.read())
         return JobHandle(self.base_url, body["job_id"])
+
+
+def main(argv: list[str] | None = None) -> int:
+    """CLI twin of the reference's submit_map_reduce.py executable."""
+    import argparse
+
+    ap = argparse.ArgumentParser(description="Submit a word-count job over HTTP")
+    ap.add_argument("--url", required=True, help="job server base URL")
+    ap.add_argument("--files", nargs="+", required=True, help="input text files")
+    ap.add_argument("--shard-size", type=int, default=DEFAULT_SHARD_SIZE)
+    ap.add_argument("--reducer-count", type=int, default=DEFAULT_REDUCER_COUNT)
+    ap.add_argument("--output", help="KV-text output directory (optional)")
+    ap.add_argument("--no-wait", action="store_true", help="submit and exit")
+    args = ap.parse_args(argv)
+
+    client = MapReduceClient(args.url)
+    staged = [client.upload(f) for f in args.files]
+    handle = client.submit(
+        staged,
+        shard_size=args.shard_size,
+        reducer_count=args.reducer_count,
+        output_path=args.output,
+    )
+    print(f"Job successfully submitted: {handle.job_id}")
+    if args.no_wait:
+        return 0
+    status = handle.wait()
+    print(f"Job {handle.job_id}: {status}")
+    return 0 if status == "COMPLETED" else 1
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

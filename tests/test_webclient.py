@@ -175,3 +175,32 @@ def test_non_integer_counts_get_400_and_conf_does_not_leak(server, spark, tmp_pa
     assert code == 200
     assert server.wait_for(body["job_id"]) == "COMPLETED"
     assert spark.conf.get("spark.sql.files.maxPartitionBytes") == before
+
+
+def test_client_cli_submits_and_waits(server, tmp_path, capsys):
+    """The CLI twin of the reference's submit executable: stage, submit,
+    wait, exit 0 on completion."""
+    from sdc_mapreduce_spark.client import main
+
+    src = tmp_path / "cli_input.txt"
+    src.write_text("p q\np r\n")
+    out = tmp_path / "cli_out"
+    rc = main(
+        [
+            "--url",
+            f"http://127.0.0.1:{server.port}",
+            "--files",
+            str(src),
+            "--output",
+            str(out),
+        ]
+    )
+    assert rc == 0
+    printed = capsys.readouterr().out
+    assert "Job successfully submitted" in printed and "COMPLETED" in printed
+    counts: dict[str, int] = {}
+    for part in out.glob("part-*"):
+        for line in part.read_text().splitlines():
+            k, v = line.split()
+            counts[k] = counts.get(k, 0) + int(v)
+    assert counts == {"p": 2, "q": 1, "r": 1}
