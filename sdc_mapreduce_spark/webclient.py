@@ -83,6 +83,8 @@ class _Handler(BaseHTTPRequestHandler):
         pass
 
     def do_POST(self):
+        if self.path.rstrip("/") == "/queries" or self.path == "queries":
+            return self._submit_query()
         if self.path.rstrip("/") not in ("", "/"):
             return self._reply(404, {"error": "not found"})
         try:
@@ -119,6 +121,45 @@ class _Handler(BaseHTTPRequestHandler):
             # runner (input bytes per map task) and restored afterwards
             conf={"spark.sql.files.maxPartitionBytes": str(shard_size)},
         )
+        self.server.wake.set()
+        return self._reply(
+            200,
+            {"job_id": job_id, "message": f"Job successfully submitted: {job_id}"},
+        )
+
+    def _submit_query(self):
+        """POST /queries {name, sf_dir?, output_path?}: run ANY registered
+        query from the engine's inventory as a queued job — the step past
+        the reference's single hard-coded application (its master runs only
+        word count; here the control plane fronts the full query surface).
+        Results land as parquet at output_path, or the job completes with
+        result_rows only."""
+        try:
+            length = int(self.headers.get("Content-Length", 0))
+            body = json.loads(self.rfile.read(length) or b"{}")
+        except (ValueError, json.JSONDecodeError):
+            return self._reply(400, {"error": "invalid JSON"})
+        from sdc_mapreduce_spark.catalog import DEFAULT_SF_DIR
+        from sdc_mapreduce_spark.queries import REGISTRY
+
+        name = body.get("name")
+        if not name:
+            return self._reply(400, {"error": "query name missing"})
+        if name not in REGISTRY:
+            return self._reply(400, {"error": f"unknown query {name!r}"})
+        sf_dir = str(body.get("sf_dir") or DEFAULT_SF_DIR)
+        output_path = body.get("output_path")
+        fn = REGISTRY[name].fn
+
+        def plan(spark, _fn=fn, _sf=sf_dir):
+            return _fn(spark, _sf)
+
+        sink = None
+        if output_path:
+            def sink(df, _out=str(output_path)):
+                df.write.mode("overwrite").parquet(_out)
+
+        job_id = self.server.queue.submit(plan, sink=sink, name=f"query:{name}")
         self.server.wake.set()
         return self._reply(
             200,

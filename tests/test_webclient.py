@@ -204,3 +204,48 @@ def test_client_cli_submits_and_waits(server, tmp_path, capsys):
             k, v = line.split()
             counts[k] = counts.get(k, 0) + int(v)
     assert counts == {"p": 2, "q": 1, "r": 1}
+
+
+def test_submit_registered_query_over_http(server, spark, tmp_path):
+    """POST /queries runs any registered query as a queued job — the control
+    plane fronting the full query inventory instead of the reference's one
+    hard-coded application. Output parquet must equal running the query
+    directly."""
+    out = tmp_path / "q_out"
+    code, body = _post_path(
+        server.port,
+        "/queries",
+        {
+            "name": "q1_pricing_summary",
+            "sf_dir": "/root/testdata/sf0.01",
+            "output_path": str(out),
+        },
+    )
+    assert code == 200
+    assert server.wait_for(body["job_id"]) == "COMPLETED"
+
+    from sdc_mapreduce_spark.queries import REGISTRY
+
+    direct = REGISTRY["q1_pricing_summary"].fn(spark, "/root/testdata/sf0.01")
+    got = sorted(tuple(r) for r in spark.read.parquet(str(out)).collect())
+    want = sorted(tuple(r) for r in direct.collect())
+    assert got == want and len(got) > 0
+
+    code, body = _post_path(server.port, "/queries", {"name": "no_such_query"})
+    assert code == 400 and "unknown query" in body["error"]
+    code, body = _post_path(server.port, "/queries", {})
+    assert code == 400 and "name missing" in body["error"]
+
+
+def _post_path(port: int, path: str, payload: dict) -> tuple[int, dict]:
+    req = urllib.request.Request(
+        f"http://127.0.0.1:{port}{path}",
+        data=json.dumps(payload).encode(),
+        headers={"Content-Type": "application/json"},
+        method="POST",
+    )
+    try:
+        with urllib.request.urlopen(req, timeout=60) as resp:
+            return resp.status, json.loads(resp.read())
+    except urllib.error.HTTPError as err:
+        return err.code, json.loads(err.read())
