@@ -168,6 +168,10 @@ class _Handler(BaseHTTPRequestHandler):
 
     def do_GET(self):
         parts = [p for p in self.path.split("/") if p]
+        if parts == ["queries"]:
+            from sdc_mapreduce_spark.queries import REGISTRY
+
+            return self._reply(200, {"queries": sorted(REGISTRY)})
         if parts == ["jobs"]:
             return self._reply(
                 200, {"jobs": [self._job_dict(j) for j in self.server.queue.all()]}

@@ -249,3 +249,10 @@ def _post_path(port: int, path: str, payload: dict) -> tuple[int, dict]:
             return resp.status, json.loads(resp.read())
     except urllib.error.HTTPError as err:
         return err.code, json.loads(err.read())
+
+
+def test_queries_listing(server):
+    code, body = _get(server.port, "/queries")
+    assert code == 200
+    assert "q1_pricing_summary" in body["queries"]
+    assert len(body["queries"]) >= 119
