@@ -26,9 +26,11 @@ from pyspark.sql import Window
 
 from sdc_mapreduce_spark.functions.dedup import near_dup_clusters
 from sdc_mapreduce_spark.functions.text import (
+    contamination_check,
     language_id,
     normalized_text,
     quality_features,
+    repetition_features,
 )
 
 
@@ -85,4 +87,75 @@ def curate(
         "lang_pred",
         F.round("quality_score", 6).alias("quality_score"),
         "n_tokens",
+    )
+
+
+def curate_full(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    min_quality: float = 0.58,
+    max_dup_2gram: float = 0.55,
+    max_contamination: float = 0.5,
+    contamination_n: int = 5,
+) -> DataFrame:
+    """The COMPLETE curation pass a 100 TB pretraining corpus runs, as one
+    declarative DAG: quality scoring + language ID + Gopher-style repetition
+    signals (all narrow, fused on one scan), threshold filters, exact dedup
+    (fingerprint window, lowest id survives), and a benchmark-contamination
+    screen (distinct n-gram overlap vs the broadcast eval inventory; docs
+    too short to produce n-grams count as clean).
+
+    Shuffle inventory, in order: ONE fingerprint exchange for the dedup
+    window, ONE doc_id exchange to attach contamination scores (the
+    contamination join itself is broadcast). Everything upstream is a map
+    stage; the text column never crosses an exchange.
+
+    Returns (doc_id, lang_pred, quality_score, n_tokens,
+    dup_2gram_fraction, contamination) of kept docs.
+    """
+    feats = repetition_features(
+        language_id(
+            quality_features(docs, carry=("text",)),
+            carry=("quality_score", "text"),
+        ),
+        carry=("lang_pred", "quality_score", "text"),
+    ).withColumn("fingerprint", F.md5(normalized_text("text")))
+
+    kept = (
+        feats.drop("text")
+        .filter(
+            (F.col("quality_score") >= min_quality)
+            & (F.col("dup_2gram_fraction") <= max_dup_2gram)
+        )
+        .select(
+            "doc_id",
+            "lang_pred",
+            "quality_score",
+            "n_tokens",
+            "dup_2gram_fraction",
+            "fingerprint",
+        )
+    )
+    w = Window.partitionBy("fingerprint").orderBy("doc_id")
+    deduped = (
+        kept.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn", "fingerprint")
+    )
+
+    contam = contamination_check(docs, benchmark, n=contamination_n).select(
+        "doc_id", "contamination"
+    )
+    return (
+        deduped.join(contam, "doc_id", "left")
+        .withColumn("contamination", F.coalesce("contamination", F.lit(0.0)))
+        .filter(F.col("contamination") <= max_contamination)
+        .select(
+            "doc_id",
+            "lang_pred",
+            F.round("quality_score", 6).alias("quality_score"),
+            "n_tokens",
+            "dup_2gram_fraction",
+            "contamination",
+        )
     )

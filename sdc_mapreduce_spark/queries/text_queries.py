@@ -461,6 +461,98 @@ ORDER BY d.lang
 """
 
 
+def pipeline_curation_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The COMPLETE curation pass in one declarative DAG (pipeline.
+    curate_full): quality + language + repetition scoring fused on one
+    scan, threshold filters, exact dedup, and the benchmark-contamination
+    screen — with the whole composition oracle-checked end to end, not just
+    its stages. Benchmark = docs with doc_id % 97 == 0."""
+    from pyspark.sql import functions as F
+
+    from sdc_mapreduce_spark.pipeline import curate_full
+
+    docs = load_table(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") % 97 == 0)
+    return curate_full(docs, bench).orderBy("doc_id")
+
+
+PIPELINE_CURATION_FULL_SQL = f"""
+WITH t AS (
+  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks,
+         length(text) AS n_chars,
+         length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS alpha_chars,
+         md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fingerprint
+  FROM documents
+), feat AS (
+  SELECT doc_id, fingerprint, toks,
+         CAST(len(toks) AS INT) AS n_tokens,
+         len(list_filter(toks, x -> x IN ({{stops}}))) / len(toks)
+           AS stopword_ratio,
+         alpha_chars / n_chars AS alpha_ratio,
+         (n_chars - (len(toks) - 1)) / len(toks) AS mean_token_len,
+         {{scores}}
+  FROM t
+), scored AS (
+  SELECT doc_id, fingerprint, toks, n_tokens,
+         alpha_ratio * 0.5
+         + LEAST(stopword_ratio * 4.0, 1.0) * 0.3
+         + LEAST(mean_token_len / 8.0, 1.0) * 0.2 AS quality_score,
+         GREATEST(score_de, score_en, score_es, score_fr, score_zh) AS best,
+         score_de, score_en, score_es, score_fr, score_zh
+  FROM feat
+), langd AS (
+  SELECT doc_id, fingerprint, n_tokens, quality_score,
+         CASE WHEN best > 0 THEN CASE {{case}} END ELSE 'und' END AS lang_pred
+  FROM scored
+), rep AS (
+  SELECT doc_id,
+         CASE WHEN len(grams) > 0
+              THEN (len(grams) - len(list_distinct(grams))) / len(grams)
+              ELSE 0.0 END AS dup_2gram_fraction
+  FROM (
+    SELECT doc_id,
+           CASE WHEN len(toks) >= 2
+                THEN list_transform(generate_series(1, len(toks) - 1),
+                                    i -> toks[i] || ' ' || toks[i + 1])
+                ELSE [] END AS grams
+    FROM t
+  )
+), g5 AS (
+  SELECT doc_id,
+         CASE WHEN len(toks) >= 5
+              THEN list_distinct(list_transform(
+                     generate_series(1, len(toks) - 4),
+                     i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+                          || ' ' || toks[i+3] || ' ' || toks[i+4]))
+              ELSE [] END AS grams
+  FROM t
+), doc_grams AS (
+  SELECT doc_id, unnest(grams) AS gram FROM g5
+), bench_grams AS (
+  SELECT DISTINCT unnest(grams) AS gram FROM g5 WHERE doc_id % 97 = 0
+), contam AS (
+  SELECT d.doc_id, COUNT(b.gram) / COUNT(*) AS contamination
+  FROM doc_grams d LEFT JOIN bench_grams b ON b.gram = d.gram
+  GROUP BY d.doc_id
+), kept AS (
+  SELECT l.doc_id, l.fingerprint, l.n_tokens, l.quality_score, l.lang_pred,
+         r.dup_2gram_fraction
+  FROM langd l JOIN rep r USING (doc_id)
+  WHERE l.quality_score >= 0.58 AND r.dup_2gram_fraction <= 0.55
+), dedup AS (
+  SELECT MIN(doc_id) AS doc_id FROM kept GROUP BY fingerprint
+)
+SELECT k.doc_id, k.lang_pred, ROUND(k.quality_score, 6) AS quality_score,
+       k.n_tokens, k.dup_2gram_fraction,
+       COALESCE(c.contamination, 0.0) AS contamination
+FROM kept k
+JOIN dedup d ON k.doc_id = d.doc_id
+LEFT JOIN contam c ON c.doc_id = k.doc_id
+WHERE COALESCE(c.contamination, 0.0) <= 0.5
+ORDER BY k.doc_id
+""".format(stops=_stop_list_sql(), scores=_SCORES, case=_CASE)
+
+
 def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher-style repetition quality signals (distinct-token ratio, top
     token share, duplicate-2-gram fraction) — the repetition filters a
@@ -665,6 +757,9 @@ QUERIES: dict[str, QuerySpec] = {
     "pipeline_curation": QuerySpec(pipeline_curation, PIPELINE_CURATION_SQL, bench=True),
     "pipeline_embedding_stats": QuerySpec(
         pipeline_embedding_stats, PIPELINE_EMBEDDING_STATS_SQL
+    ),
+    "pipeline_curation_full": QuerySpec(
+        pipeline_curation_full, PIPELINE_CURATION_FULL_SQL
     ),
     "multimodal_meta": QuerySpec(multimodal_meta, MULTIMODAL_META_SQL),
     "multimodal_decode_profile": QuerySpec(multimodal_decode_profile, None),

@@ -98,3 +98,39 @@ def test_curate_pack_write_roundtrip(spark, sf_dir, tmp_path):
     )
     shards_in_doc_order = [s for _, s in rows]
     assert shards_in_doc_order == sorted(shards_in_doc_order)
+
+
+def test_curate_full_filters_compose(spark):
+    """Each stage of the full pipeline must bite: the repetitive doc falls
+    to the dup-2gram gate, the benchmark-overlapping doc to the
+    contamination gate, the exact duplicate to dedup, and the clean doc
+    survives with all its scores attached."""
+    from pyspark.sql import functions as F
+
+    from sdc_mapreduce_spark.pipeline import curate_full
+
+    clean = "the quick brown fox jumps over the lazy dog and runs far away today"
+    # ids chosen so none of the kept candidates is == 0 mod 97 (benchmark
+    # members are contaminated by definition and must screen out)
+    docs = spark.createDataFrame(
+        [
+            (10, clean),
+            (11, clean),  # exact duplicate of 10 -> dedup keeps 10
+            (12, "spam spam spam spam spam spam spam spam spam spam and spam"),
+            (13, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+            (97, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+        ],
+        "doc_id long, text string",
+    )
+    bench = docs.filter(F.col("doc_id") % 97 == 0)
+    kept = {
+        r["doc_id"]: r
+        for r in curate_full(
+            docs, bench, min_quality=0.0, max_dup_2gram=0.55, max_contamination=0.5
+        ).collect()
+    }
+    assert 10 in kept and 11 not in kept  # dedup keeps lowest id
+    assert 12 not in kept  # repetition gate
+    assert 13 not in kept and 97 not in kept  # contamination gate (full overlap)
+    assert kept[10]["contamination"] == 0.0
+    assert 0.0 <= kept[10]["dup_2gram_fraction"] <= 0.55
