@@ -26,6 +26,7 @@ import json
 import shutil
 import tempfile
 import time
+import urllib.error
 import urllib.request
 from dataclasses import dataclass
 from pathlib import Path
@@ -73,9 +74,16 @@ class MapReduceClient:
     def upload(self, local_path: str, name: str | None = None) -> str:
         """The blob-container upload step (reference
         submit_map_reduce.py:22-28): copy the input into the staging area the
-        engine reads from; returns the staged path to pass to ``submit``."""
+        engine reads from; returns the staged path to pass to ``submit``.
+        Files sharing a basename are disambiguated instead of silently
+        overwriting each other (a/words.txt + b/words.txt must not collapse
+        to one staged blob counted twice)."""
         src = Path(local_path)
         dest = self.staging_dir / (name or src.name)
+        i = 1
+        while dest.exists():
+            dest = self.staging_dir / f"{dest.stem.split('__')[0]}__{i}{dest.suffix}"
+            i += 1
         shutil.copyfile(src, dest)
         return str(dest)
 
@@ -122,18 +130,22 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("--no-wait", action="store_true", help="submit and exit")
     args = ap.parse_args(argv)
 
-    client = MapReduceClient(args.url)
-    staged = [client.upload(f) for f in args.files]
-    handle = client.submit(
-        staged,
-        shard_size=args.shard_size,
-        reducer_count=args.reducer_count,
-        output_path=args.output,
-    )
-    print(f"Job successfully submitted: {handle.job_id}")
-    if args.no_wait:
-        return 0
-    status = handle.wait()
+    try:
+        client = MapReduceClient(args.url)
+        staged = [client.upload(f) for f in args.files]
+        handle = client.submit(
+            staged,
+            shard_size=args.shard_size,
+            reducer_count=args.reducer_count,
+            output_path=args.output,
+        )
+        print(f"Job successfully submitted: {handle.job_id}")
+        if args.no_wait:
+            return 0
+        status = handle.wait()
+    except (OSError, TimeoutError, urllib.error.HTTPError) as exc:
+        print(f"error: {exc}")
+        return 1
     print(f"Job {handle.job_id}: {status}")
     return 0 if status == "COMPLETED" else 1
 

@@ -149,21 +149,21 @@ def mix_rebalance_plan(
             f"{sorted(absent)}"
         )
     total = sum(counts.values())
-    scale = min((counts[g] / total) / targets[g] for g in sorted(counts))
+    # a 0.0 target means "drop this domain entirely" — it contributes
+    # nothing to the binding-scale search (its ratio would divide by zero)
+    # and keeps nothing
+    scale = min(
+        (counts[g] / total) / targets[g] for g in sorted(counts) if targets[g] > 0
+    )
     rows = []
     for g in sorted(counts):
         n = counts[g]
-        kf = targets[g] * scale * total / n
-        rows.append(
-            (
-                g,
-                n,
-                n / total,
-                targets[g],
-                min(1.0, kf),
-                int(targets[g] * scale * total // 1),
-            )
-        )
+        if targets[g] > 0:
+            kf = min(1.0, targets[g] * scale * total / n)
+            kept = int(targets[g] * scale * total // 1)
+        else:
+            kf, kept = 0.0, 0
+        rows.append((g, n, n / total, targets[g], kf, kept))
     return df.sparkSession.createDataFrame(
         rows,
         "domain string, n_docs long, current_share double, "

@@ -143,7 +143,12 @@ def curate_full(
         .drop("__rn", "fingerprint")
     )
 
-    contam = contamination_check(docs, benchmark, n=contamination_n).select(
+    # contamination is a per-doc score (independent of other docs), so the
+    # n-gram explode + aggregation runs over SURVIVORS only — not the
+    # documents the upstream gates already dropped, the dominant waste at
+    # corpus scale
+    survivor_texts = docs.join(deduped.select("doc_id"), "doc_id", "leftsemi")
+    contam = contamination_check(survivor_texts, benchmark, n=contamination_n).select(
         "doc_id", "contamination"
     )
     return (

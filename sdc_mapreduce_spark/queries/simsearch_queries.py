@@ -211,6 +211,8 @@ def embedding_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     IEEE sqrt; the group average goes through decimal accumulation."""
     from pyspark.sql import functions as F
 
+    from sdc_mapreduce_spark.queries.base import davg
+
     emb = load_table(spark, sf_dir, "embeddings")
     v = F.col("embedding").cast("array<double>")
     norm = F.sqrt(S.dot(v, v))
@@ -219,9 +221,7 @@ def embedding_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("label")
         .agg(
             F.count(F.lit(1)).alias("n_vectors"),
-            F.expr("cast(sum(cast(__norm as decimal(28,8))) as double) / count(*)").alias(
-                "avg_norm"
-            ),
+            davg("__norm", "avg_norm", scale=8),
         )
         .orderBy("label")
     )

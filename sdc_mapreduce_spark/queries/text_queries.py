@@ -314,16 +314,13 @@ def pipeline_embedding_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     v = F.col("embedding").cast("array<double>")
     norms = emb.select(F.col("vec_id").alias("doc_id"), F.sqrt(dot(v, v)).alias("__norm"))
+    from sdc_mapreduce_spark.queries.base import davg
+
     return (
         kept.join(docs.select("doc_id", "lang"), "doc_id")
         .join(norms, "doc_id")
         .groupBy("lang")
-        .agg(
-            F.count(F.lit(1)).alias("n_docs"),
-            F.expr(
-                "cast(sum(cast(__norm as decimal(28,8))) as double) / count(*)"
-            ).alias("avg_norm"),
-        )
+        .agg(F.count(F.lit(1)).alias("n_docs"), davg("__norm", "avg_norm", scale=8))
         .orderBy("lang")
     )
 

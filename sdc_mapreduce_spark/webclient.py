@@ -82,16 +82,23 @@ class _Handler(BaseHTTPRequestHandler):
     def log_message(self, fmt, *args):  # silence per-request stderr noise
         pass
 
+    def _read_json(self) -> dict | None:
+        """Parse the request body; None means the 400 was already sent."""
+        try:
+            length = int(self.headers.get("Content-Length", 0))
+            return json.loads(self.rfile.read(length) or b"{}")
+        except ValueError:  # bad length header or malformed JSON
+            self._reply(400, {"error": "invalid JSON"})
+            return None
+
     def do_POST(self):
-        if self.path.rstrip("/") == "/queries" or self.path == "queries":
+        if self.path.rstrip("/") == "/queries":
             return self._submit_query()
         if self.path.rstrip("/") not in ("", "/"):
             return self._reply(404, {"error": "not found"})
-        try:
-            length = int(self.headers.get("Content-Length", 0))
-            body = json.loads(self.rfile.read(length) or b"{}")
-        except (ValueError, json.JSONDecodeError):
-            return self._reply(400, {"error": "invalid JSON"})
+        body = self._read_json()
+        if body is None:
+            return None
         # field validation with the reference's exact messages
         # (webclient.cpp:23-28)
         if "reducer_count" not in body:
@@ -134,11 +141,9 @@ class _Handler(BaseHTTPRequestHandler):
         word count; here the control plane fronts the full query surface).
         Results land as parquet at output_path, or the job completes with
         result_rows only."""
-        try:
-            length = int(self.headers.get("Content-Length", 0))
-            body = json.loads(self.rfile.read(length) or b"{}")
-        except (ValueError, json.JSONDecodeError):
-            return self._reply(400, {"error": "invalid JSON"})
+        body = self._read_json()
+        if body is None:
+            return None
         from sdc_mapreduce_spark.catalog import DEFAULT_SF_DIR
         from sdc_mapreduce_spark.queries import REGISTRY
 

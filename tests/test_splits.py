@@ -146,3 +146,18 @@ def test_mix_rebalance_clamps_rounding_and_rejects_absent_targets(spark):
 
     with pytest.raises(ValueError, match="absent from the data"):
         mix_rebalance_plan(df, "domain", {"A": 0.5, "B": 0.25, "C": 0.25})
+
+
+def test_mix_rebalance_zero_target_drops_domain(spark):
+    from sdc_mapreduce_spark.functions.splits import mix_rebalance_plan
+
+    df = spark.createDataFrame(
+        [(i, "keep" if i < 6 else "drop") for i in range(10)],
+        "doc_id long, domain string",
+    )
+    plan = {
+        r["domain"]: r
+        for r in mix_rebalance_plan(df, "domain", {"keep": 1.0, "drop": 0.0}).collect()
+    }
+    assert plan["drop"]["keep_fraction"] == 0.0 and plan["drop"]["n_kept"] == 0
+    assert plan["keep"]["keep_fraction"] == 1.0 and plan["keep"]["n_kept"] == 6

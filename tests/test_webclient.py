@@ -256,3 +256,20 @@ def test_queries_listing(server):
     assert code == 200
     assert "q1_pricing_summary" in body["queries"]
     assert len(body["queries"]) >= 119
+
+
+def test_client_upload_disambiguates_same_basename(server, tmp_path):
+    from sdc_mapreduce_spark.client import MapReduceClient
+
+    a = tmp_path / "a"
+    b = tmp_path / "b"
+    a.mkdir(); b.mkdir()
+    (a / "words.txt").write_text("x 1\n")
+    (b / "words.txt").write_text("y 2\n")
+    client = MapReduceClient(
+        f"http://127.0.0.1:{server.port}", staging_dir=str(tmp_path / "stage")
+    )
+    s1 = client.upload(str(a / "words.txt"))
+    s2 = client.upload(str(b / "words.txt"))
+    assert s1 != s2
+    assert open(s1).read() == "x 1\n" and open(s2).read() == "y 2\n"
