@@ -35,36 +35,95 @@ for mod in (
     _ALL.update(mod.QUERIES)
 
 # Registration order is the driver's check order, and the driver's
-# correctness window is bounded (round 1 recorded exactly the first 50
-# entries). Front-load the LLM-pipeline / TPC-H-tail / capability-surface
-# queries so they land inside the checked window; the relational and events
-# queries already driver-verified in round 1 trail behind them.
-_PRIORITY: tuple[str, ...] = (
-    # flagship mapreduce trio (incl. kv_parse_sum oracle-cast fix)
-    *mapreduce_queries.QUERIES,
-    # oracle-cast fix verification
-    "events_sessionize",
-    "corpus_shard_packing",
-    # LLM-data-pipeline north stars
-    *text_queries.QUERIES,
-    *dedup_queries.QUERIES,
-    *simsearch_queries.QUERIES,
-    # deterministic splitting / sampling / mixing north stars
-    "split_assignment",
-    "sample_hash_bucket",
-    "sample_stratified",
-    "corpus_mix_rebalance",
-    # TPC-H adapted tail
-    *tpch_queries.QUERIES,
-    # capability surface (corpus_shard_packing oracle-cast fix among them)
-    *surface_queries.QUERIES,
-    # events queries not yet driver-checked in round 1
-    "events_range_join",
-    "events_monthly_rollup",
-    "latest_event_per_user",
+# correctness window is bounded (each round records exactly the first 50
+# entries). The window therefore ROTATES per round so every query earns a
+# driver-green row over time:
+#   round 1 window: flagship + LLM-pipeline + TPC-H head + surface head
+#   rounds 2-3 window: same set (registry was frozen — wasted rounds)
+#   round 4 window (this order): the 24 queries never driver-sampled in
+#     r1-r3, followed by 26 of the 46 queries last sampled in round 1.
+#   round 5 plan: rotate the remaining 20 r1-only queries plus the oldest
+#     of the r2/r3 window back to the front.
+_NEVER_SAMPLED_R1_R3: tuple[str, ...] = (
+    # TPC-H tail that fell outside every prior window
+    "q12_late_shipments",
+    "q17_small_quantity_revenue",
+    "q21_waiting_suppliers",
+    # join surface
+    "join_cross",
+    "join_full_outer_coalesce",
+    "join_null_safe",
+    "join_skew_salted",
+    # aggregation surface
+    "agg_collect_sets",
+    "agg_minmax_by",
+    "agg_salted_distinct",
+    "agg_stats_moments",
+    "agg_unpivot",
+    # window / set / scalar surface
+    "window_distribution_fns",
+    "set_except_all",
+    "set_intersect_all",
+    "scalar_regex_fns",
+    "table_profile",
+    # events suite tail
     "events_cohort_retention",
     "events_dedup_windowed",
+    "events_from_json_struct",
+    "events_funnel",
+    "events_monthly_rollup",
+    "events_range_join",
+    "latest_event_per_user",
 )
+_R1_ONLY: tuple[str, ...] = (
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q4_order_priority",
+    "q5_local_supplier",
+    "q6_forecast_revenue",
+    "q7_nation_volume",
+    "q10_returned_items",
+    "q14_promo_share",
+    "q18_large_volume",
+    "q19_disjunctive_filters",
+    "q22_global_sales_opportunity",
+    "agg_pivot",
+    "agg_percentiles",
+    "agg_approx_sketches",
+    "udaf_geomean_pandas",
+    "grouped_zscore_pandas",
+    "subquery_above_nation_avg",
+    "sql_surface_correlated",
+    "join_inner",
+    "join_left_agg",
+    "join_semi",
+    "join_anti",
+    "join_broadcast_dim",
+    "agg_distinct",
+    "agg_rollup",
+    "agg_cube",
+    "agg_grouping_sets",
+    "window_rank_topn",
+    "window_running_sum",
+    "window_lag_delta",
+    "window_range_frame",
+    "sort_limit_topk",
+    "set_intersect",
+    "set_except",
+    "set_union",
+    "scalar_string_fns",
+    "scalar_datetime_fns",
+    "scalar_math_case",
+    "scalar_array_fns",
+    "scalar_null_fns",
+    "filter_project_pushdown",
+    "events_tumbling",
+    "events_sliding",
+    "events_json_extract",
+    "events_map_fns",
+    "events_asof_join",
+)
+_PRIORITY: tuple[str, ...] = (*_NEVER_SAMPLED_R1_R3, *_R1_ONLY)
 assert set(_PRIORITY) <= _ALL.keys(), set(_PRIORITY) - _ALL.keys()
 
 REGISTRY: dict[str, QuerySpec] = {name: _ALL[name] for name in _PRIORITY}
