@@ -1,10 +1,12 @@
 """Benchmark harness: runs the headline query set at $SPARK_GRAFT_SF_DIR
 (default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
 JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
-"queries": {name: sec, ...}, "sf": ...}.
+"queries": {name: median_sec, ...}, "runs": {name: [sec, ...]}, "sf": ...}.
 
-Each query is executed to completion (count() action — forces the full
-plan including sinks' upstream work) after a warm-up of the session.
+Each query is executed to completion (noop sink — forces the full plan)
+REPEATS times back-to-back after a session warm-up; the reported per-query
+number is the median, which makes a single noisy/contended run invisible
+in the headline while the raw runs stay inspectable under "runs".
 """
 
 from __future__ import annotations
@@ -20,6 +22,13 @@ from sdc_mapreduce_spark import queries as qreg
 from sdc_mapreduce_spark.session import get_spark
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+REPEATS = int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "3"))
+
+
+def _median(xs: list[float]) -> float:
+    s = sorted(xs)
+    n = len(s)
+    return s[n // 2] if n % 2 else (s[n // 2 - 1] + s[n // 2]) / 2
 
 
 def main() -> None:
@@ -37,13 +46,17 @@ def main() -> None:
         lambda it: it, schema="id long"
     ).write.format("noop").mode("overwrite").save()
 
-    timings: dict[str, float] = {}
+    runs: dict[str, list[float]] = {}
     for name, fn in bench.items():
-        t0 = time.time()
-        df = fn(spark, SF_DIR)
-        df.write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.time() - t0, 3)
+        samples = []
+        for _ in range(REPEATS):
+            t0 = time.time()
+            df = fn(spark, SF_DIR)
+            df.write.format("noop").mode("overwrite").save()
+            samples.append(round(time.time() - t0, 3))
+        runs[name] = samples
 
+    timings = {name: round(_median(s), 3) for name, s in runs.items()}
     total = round(sum(timings.values()), 3)
     sf = SF_DIR.rstrip("/").split("/")[-1].replace("sf", "")
     print(
@@ -53,6 +66,7 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "runs": runs,
                 "sf": float(sf) if sf else None,
             }
         )
