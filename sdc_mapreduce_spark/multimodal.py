@@ -6,16 +6,24 @@ columnar/compressed in parquet, metadata stays predicate-pushdown-friendly,
 and decode happens late, batched, on executors (``mapInPandas``: one Arrow
 batch in, one out, no per-row Python overhead).
 
-The container has no image/audio codecs, so the decode kernels are
-**deterministic stubs** (clearly marked below): they synthesize plausible
-metadata from the payload bytes. Every piece of Spark-side plumbing —
-schemas, batching, UDF signatures, partition behavior — is real and tested;
-swapping a stub for Pillow/ffmpeg changes only the kernel body.
+The container has no image/audio codecs, so payloads use the fixture's own
+**framed format** (``SDCM`` magic + typed header + byte body — see
+``frame_header``/``synthesize_framed_media``): the decode/resize kernels
+below genuinely parse and transform that binary format with numpy, so the
+full decode path — header validation, dimension extraction, pixel-buffer
+statistics, nearest-neighbor resample — is real executable code, and only
+the codec *format* is synthetic. Swapping in Pillow/ffmpeg changes the
+parse/resample bodies, nothing about the Spark plumbing.
+
+Legacy ``decode_media``/``extract_features`` digest-stub kernels are kept
+for the feature-extraction surface (a real encoder model is genuinely
+outside the container).
 """
 
 from __future__ import annotations
 
 import hashlib
+import struct
 from collections.abc import Iterator
 
 import numpy as np
@@ -64,6 +72,121 @@ FEATURE_SCHEMA = StructType(
 )
 
 FRAME_SCHEMA = "media_id long, frame_index int, frame_bytes binary"
+
+# Framed payload layout (little-endian):
+#   0:4   magic  b"SDCM"
+#   4     version u8 (=1)
+#   5     kind    u8 (0=image, 1=audio, 2=video)
+#   6     channels u8
+#   7     reserved u8 (=0)
+#   8:10  width  u16
+#   10:12 height u16
+#   12:   body (opaque byte stream; for images, row-major pixel bytes
+#         tiled/truncated to width*height*channels on decode)
+MEDIA_MAGIC = b"SDCM"
+MEDIA_VERSION = 1
+HEADER_FMT = "<4sBBBBHH"
+HEADER_LEN = struct.calcsize(HEADER_FMT)
+KIND_CODES = {"image": 0, "audio": 1, "video": 2}
+KIND_NAMES = {v: k for k, v in KIND_CODES.items()}
+
+DECODED_PROFILE_SCHEMA = (
+    "media_id long, kind string, width int, height int, n_channels int, "
+    "body_bytes long, byte_sum long, mean_byte double"
+)
+
+
+def media_dims(media_id: int) -> tuple[int, int, int]:
+    """Deterministic fixture dimensions for a media id (also computable in
+    plain SQL, which is what makes the decode path oracle-checkable)."""
+    width = 16 + (media_id * 7919) % 240
+    height = 16 + (media_id * 104729) % 240
+    channels = 1 + media_id % 3
+    return width, height, channels
+
+
+def frame_header(kind: str, width: int, height: int, channels: int) -> bytes:
+    return struct.pack(
+        HEADER_FMT, MEDIA_MAGIC, MEDIA_VERSION, KIND_CODES[kind], channels, 0,
+        width, height,
+    )
+
+
+def parse_header(payload: bytes) -> tuple[str, int, int, int] | None:
+    """Parse + validate a framed header; None for malformed payloads (short
+    buffer, bad magic, unknown version/kind) — decode drops those rows."""
+    if len(payload) < HEADER_LEN:
+        return None
+    magic, version, kind_code, channels, _pad, width, height = struct.unpack_from(
+        HEADER_FMT, payload
+    )
+    if magic != MEDIA_MAGIC or version != MEDIA_VERSION or kind_code not in KIND_NAMES:
+        return None
+    return KIND_NAMES[kind_code], width, height, channels
+
+
+def synthesize_framed_media(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Build a framed media table from a text corpus: payload = SDCM header
+    (kind/channels/width/height derived deterministically from the id) +
+    utf-8 body. Arrow-batched construction; the inverse of decode_framed."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, kinds, payloads = [], [], []
+            for mid, text in zip(pdf[id_col], pdf[text_col]):
+                mid = int(mid)
+                kind = ("image", "audio", "video")[mid % 3]
+                width, height, channels = media_dims(mid)
+                ids.append(mid)
+                kinds.append(kind)
+                payloads.append(
+                    frame_header(kind, width, height, channels) + text.encode("utf-8")
+                )
+            yield pd.DataFrame({"media_id": ids, "kind": kinds, "content": payloads})
+
+    return df.select(id_col, text_col).mapInPandas(
+        kernel, schema="media_id long, kind string, content binary"
+    )
+
+
+def decode_framed(df: DataFrame) -> DataFrame:
+    """Real binary decode: parse the SDCM header, validate magic/version,
+    and profile the body buffer with numpy (length, byte sum, mean byte).
+    Malformed payloads are dropped, mirroring the reference's malformed-row
+    policy (src/app/reducer.py:11-12). Iterator-of-batches ``mapInPandas``
+    keeps memory constant per task regardless of partition size."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {k: [] for k in (
+                "media_id", "kind", "width", "height", "n_channels",
+                "body_bytes", "byte_sum", "mean_byte",
+            )}
+            for mid, b in zip(pdf["media_id"], pdf["content"]):
+                payload = bytes(b)
+                parsed = parse_header(payload)
+                if parsed is None:
+                    continue
+                kind, width, height, channels = parsed
+                body = np.frombuffer(payload, dtype=np.uint8, offset=HEADER_LEN)
+                byte_sum = int(body.sum(dtype=np.int64))
+                rows["media_id"].append(int(mid))
+                rows["kind"].append(kind)
+                rows["width"].append(width)
+                rows["height"].append(height)
+                rows["n_channels"].append(channels)
+                rows["body_bytes"].append(len(body))
+                rows["byte_sum"].append(byte_sum)
+                rows["mean_byte"].append(
+                    round(byte_sum / len(body), 6) if len(body) else 0.0
+                )
+            yield pd.DataFrame(rows)
+
+    return df.select("media_id", "content").mapInPandas(
+        kernel, schema=DECODED_PROFILE_SCHEMA
+    )
 
 
 def synthesize_media(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
@@ -170,18 +293,43 @@ def sample_frames(df: DataFrame, n_frames: int = 4) -> DataFrame:
     )
 
 
-def resize_stub(df: DataFrame, target: tuple[int, int] = (224, 224)) -> DataFrame:
-    """'Resize' kernel placeholder: a real implementation needs an image
-    codec, which this container lacks — the operator raises to make that
-    explicit while keeping the API surface importable/testable."""
+def resize_media(df: DataFrame, target: tuple[int, int] = (224, 224)) -> DataFrame:
+    """Real resize kernel over framed image payloads: parse the SDCM header,
+    materialize the body as a (height, width, channels) uint8 pixel buffer
+    (tiled/truncated per the framed-format spec), nearest-neighbor resample
+    to ``target`` with pure-numpy index mapping, and re-frame with the new
+    dimensions. Non-image / malformed payloads are dropped."""
+    t_w, t_h = target
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        raise NotImplementedError(
-            "resize requires an image codec (PIL/cv2), not present in this "
-            "container; plug the kernel body here"
-        )
-        yield  # pragma: no cover
+        for pdf in batches:
+            ids, payloads, widths, heights = [], [], [], []
+            for mid, b in zip(pdf["media_id"], pdf["content"]):
+                payload = bytes(b)
+                parsed = parse_header(payload)
+                if parsed is None or parsed[0] != "image":
+                    continue
+                _, width, height, channels = parsed
+                body = np.frombuffer(payload, dtype=np.uint8, offset=HEADER_LEN)
+                pixels = np.resize(body, (height, width, channels))
+                rows = (np.arange(t_h) * height // t_h)
+                cols = (np.arange(t_w) * width // t_w)
+                out = pixels[rows][:, cols]
+                ids.append(int(mid))
+                payloads.append(
+                    frame_header("image", t_w, t_h, channels) + out.tobytes()
+                )
+                widths.append(t_w)
+                heights.append(t_h)
+            yield pd.DataFrame(
+                {
+                    "media_id": ids,
+                    "width": widths,
+                    "height": heights,
+                    "content": payloads,
+                }
+            )
 
     return df.select("media_id", "content").mapInPandas(
-        kernel, schema="media_id long, content binary"
+        kernel, schema="media_id long, width int, height int, content binary"
     )

@@ -275,27 +275,47 @@ FROM documents
 
 
 def multimodal_decode_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Decode-then-profile over the synthesized media table: the
-    ``mapInPandas`` Arrow-batched decode kernel (stub codec — see
-    multimodal.py module docstring) followed by a per-kind profile. The
-    kernel is deterministic (blake2b-derived dims) but not SQL-expressible,
-    so this is a rows-only entry; exact per-payload values are pinned in
-    tests/test_multimodal.py."""
-    from sdc_mapreduce_spark.multimodal import decode_media, synthesize_media
+    """Real binary decode over the SDCM-framed media table: the Arrow-batched
+    kernel parses each payload's header (magic/version validation, u16 LE
+    dimensions) and profiles the body buffer with numpy. Fully
+    oracle-checkable because the framed format is self-describing: the
+    header fields are deterministic functions of the id and the body is the
+    document's utf-8 bytes, so DuckDB can recompute every output column —
+    the byte_sum/mean_byte oracle re-derives the buffer sum from hex pairs.
+    Reference analog: byte-exact record parsing at the scan boundary
+    (src/worker/worker.cpp:229-247)."""
+    from sdc_mapreduce_spark.multimodal import decode_framed, synthesize_framed_media
 
-    media = synthesize_media(load_table(spark, sf_dir, "documents"))
-    decoded = decode_media(media)
-    return (
-        decoded.groupBy("kind")
-        .agg(
-            F.count(F.lit(1)).alias("n_media"),
-            F.sum("n_bytes").alias("total_bytes"),
-            F.avg("width").alias("avg_width"),
-            F.avg("height").alias("avg_height"),
-            F.max("n_channels").alias("max_channels"),
-        )
-        .orderBy("kind")
-    )
+    media = synthesize_framed_media(load_table(spark, sf_dir, "documents"))
+    return decode_framed(media).orderBy("media_id")
+
+
+MULTIMODAL_DECODE_PROFILE_SQL = """
+WITH b AS (
+  SELECT doc_id, hex(encode(text)) AS h,
+         octet_length(encode(text)) AS n
+  FROM documents
+), e AS (
+  SELECT doc_id, n,
+    UNNEST([16*(strpos('0123456789ABCDEF', h[2*i-1:2*i-1])-1)
+            + (strpos('0123456789ABCDEF', h[2*i:2*i])-1)
+            FOR i IN range(1, CAST(n AS INT) + 1)]) AS byte
+  FROM b
+), sums AS (
+  SELECT doc_id, n, CAST(SUM(byte) AS BIGINT) AS byte_sum
+  FROM e GROUP BY doc_id, n
+)
+SELECT doc_id AS media_id,
+       CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
+       CAST(16 + (doc_id * 7919) % 240 AS INT) AS width,
+       CAST(16 + (doc_id * 104729) % 240 AS INT) AS height,
+       CAST(1 + doc_id % 3 AS INT) AS n_channels,
+       CAST(n AS BIGINT) AS body_bytes,
+       byte_sum,
+       CASE WHEN n > 0 THEN ROUND(byte_sum / n, 6) ELSE 0.0 END AS mean_byte
+FROM sums
+ORDER BY media_id
+"""
 
 
 def pipeline_embedding_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -759,7 +779,9 @@ QUERIES: dict[str, QuerySpec] = {
         pipeline_curation_full, PIPELINE_CURATION_FULL_SQL
     ),
     "multimodal_meta": QuerySpec(multimodal_meta, MULTIMODAL_META_SQL),
-    "multimodal_decode_profile": QuerySpec(multimodal_decode_profile, None),
+    "multimodal_decode_profile": QuerySpec(
+        multimodal_decode_profile, MULTIMODAL_DECODE_PROFILE_SQL
+    ),
     "multimodal_frame_stats": QuerySpec(
         multimodal_frame_stats, MULTIMODAL_FRAME_STATS_SQL
     ),

@@ -71,6 +71,80 @@ def test_features_flow_into_similarity_search(media):
         assert 1 <= r["rank"] <= 3
 
 
-def test_resize_stub_raises(media):
-    with pytest.raises(Exception, match="NotImplementedError|image codec"):
-        M.resize_stub(media).collect()
+@pytest.fixture(scope="module")
+def framed(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents").limit(60)
+    return M.synthesize_framed_media(docs).cache()
+
+
+def test_framed_header_roundtrip():
+    hdr = M.frame_header("video", 320, 200, 3)
+    assert len(hdr) == M.HEADER_LEN
+    assert M.parse_header(hdr + b"body") == ("video", 320, 200, 3)
+
+
+def test_parse_header_rejects_malformed():
+    assert M.parse_header(b"") is None
+    assert M.parse_header(b"NOPE" + b"\x00" * 16) is None
+    bad_version = bytearray(M.frame_header("image", 8, 8, 1))
+    bad_version[4] = 99
+    assert M.parse_header(bytes(bad_version)) is None
+
+
+def test_decode_framed_matches_python(spark, sf_dir, framed):
+    docs = {
+        r["doc_id"]: r["text"]
+        for r in load_table(spark, sf_dir, "documents").limit(60).collect()
+    }
+    decoded = {r["media_id"]: r for r in M.decode_framed(framed).collect()}
+    assert decoded.keys() == docs.keys()
+    for mid, text in docs.items():
+        r = decoded[mid]
+        assert (r["width"], r["height"], r["n_channels"]) == M.media_dims(mid)
+        body = text.encode("utf-8")
+        assert r["body_bytes"] == len(body)
+        assert r["byte_sum"] == sum(body)
+        assert r["mean_byte"] == round(sum(body) / len(body), 6)
+
+
+def test_decode_framed_drops_malformed(spark, framed):
+    corrupt = spark.createDataFrame(
+        [(999_999, bytearray(b"not a framed payload"))],
+        "media_id long, content binary",
+    )
+    out = M.decode_framed(framed.select("media_id", "content").union(corrupt))
+    ids = {r["media_id"] for r in out.collect()}
+    assert 999_999 not in ids
+    assert len(ids) == framed.count()
+
+
+def test_resize_media_dims_and_determinism(framed):
+    out = M.resize_media(framed, target=(32, 24)).collect()
+    n_images = framed.filter(F.col("kind") == "image").count()
+    assert len(out) == n_images
+    for r in out:
+        parsed = M.parse_header(bytes(r["content"]))
+        assert parsed is not None
+        kind, w, h, c = parsed
+        assert (kind, w, h) == ("image", 32, 24)
+        assert len(bytes(r["content"])) == M.HEADER_LEN + 32 * 24 * c
+    again = M.resize_media(framed, target=(32, 24)).collect()
+    assert {bytes(r["content"]) for r in out} == {bytes(r["content"]) for r in again}
+
+
+def test_resize_media_nearest_neighbor_exact(spark):
+    import numpy as np
+
+    # 2x2 single-channel image with distinct corner values; upscaling 2x
+    # must replicate each corner into a 2x2 block (nearest neighbor).
+    pixels = np.array([[1, 2], [3, 4]], dtype=np.uint8)
+    payload = M.frame_header("image", 2, 2, 1) + pixels.tobytes()
+    df = spark.createDataFrame(
+        [(1, bytearray(payload))], "media_id long, content binary"
+    )
+    out = M.resize_media(df, target=(4, 4)).collect()[0]
+    body = np.frombuffer(bytes(out["content"]), np.uint8, offset=M.HEADER_LEN)
+    expect = np.array(
+        [[1, 1, 2, 2], [1, 1, 2, 2], [3, 3, 4, 4], [3, 3, 4, 4]], dtype=np.uint8
+    )
+    assert (body.reshape(4, 4) == expect).all()
