@@ -244,6 +244,32 @@ def decode_media(df: DataFrame) -> DataFrame:
     )
 
 
+def byte_bin_histogram(df: DataFrame, n_bins: int = 16) -> DataFrame:
+    """Real feature extraction over framed payloads: a ``n_bins``-bin byte
+    histogram of the body buffer (default bin = high nibble, i.e.
+    ``byte // 16``). Integer counts make downstream cosine math exact and
+    cross-engine reproducible — this is the oracle-checkable feature path,
+    vs the digest-stub ``extract_features`` which stands in for a learned
+    encoder."""
+    shift = 8 - (n_bins - 1).bit_length()
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, feats = [], []
+            for mid, b in zip(pdf["media_id"], pdf["content"]):
+                payload = bytes(b)
+                if parse_header(payload) is None:
+                    continue
+                body = np.frombuffer(payload, dtype=np.uint8, offset=HEADER_LEN)
+                ids.append(int(mid))
+                feats.append(np.bincount(body >> shift, minlength=n_bins).astype(np.int64))
+            yield pd.DataFrame({"media_id": ids, "feature": feats})
+
+    return df.select("media_id", "content").mapInPandas(
+        kernel, schema="media_id long, feature array<long>"
+    )
+
+
 def extract_features(df: DataFrame) -> DataFrame:
     """Batched feature extraction: payload → fixed-dim float vector.
 

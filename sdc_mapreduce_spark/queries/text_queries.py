@@ -394,20 +394,93 @@ ORDER BY media_id
 
 
 def multimodal_embed_search(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Composition proof: media payloads → Arrow feature-extraction kernel →
-    the UNCHANGED brute-force cosine top-k operator over the extracted
-    vectors. Rows-only (the stub kernel's blake2b-seeded embeddings are not
-    SQL-expressible); kernel determinism is pinned in tests/test_multimodal.py
-    and the simsearch operator itself is oracle-verified on the embeddings
-    table."""
-    from sdc_mapreduce_spark.functions.simsearch import cosine_topk_bruteforce
-    from sdc_mapreduce_spark.multimodal import extract_features, synthesize_media
+    """End-to-end multimodal similarity search, fully oracle-checked: framed
+    media payloads → Arrow byte-histogram feature kernel (integer counts =
+    exact math) → broadcast cosine top-k. Cosine is computed as
+    int_dot / (sqrt(qq) * sqrt(vv)) with the same left-fold order the DuckDB
+    oracle uses (bin-join dot product), so scores are bit-reproducible
+    cross-engine. The digest-stub encoder path (extract_features) remains
+    separately exercised in tests/test_multimodal.py."""
+    from sdc_mapreduce_spark.functions.simsearch import dot
+    from sdc_mapreduce_spark.multimodal import byte_bin_histogram, synthesize_framed_media
+    from sdc_mapreduce_spark.operators.relational import top_k_per_group
 
-    media = synthesize_media(load_table(spark, sf_dir, "documents"))
-    feats = extract_features(media)
-    return cosine_topk_bruteforce(
-        feats, query_ids=[0, 1, 2, 3, 4], k=3, id_col="media_id", vec_col="feature"
-    ).orderBy("query_id", "rank")
+    media = synthesize_framed_media(load_table(spark, sf_dir, "documents"))
+    hist = byte_bin_histogram(media)
+    v = F.col("feature").cast("array<double>")
+    prepared = hist.select(
+        "media_id", v.alias("__v"), dot(v, v).alias("__nn")
+    )
+    queries = prepared.filter(F.col("media_id").isin([0, 1, 2, 3, 4])).select(
+        F.col("media_id").alias("query_id"),
+        F.col("__v").alias("__q"),
+        F.col("__nn").alias("__qnn"),
+    )
+    pairs = prepared.join(F.broadcast(queries), F.col("media_id") != F.col("query_id"))
+    cosine = dot(F.col("__q"), F.col("__v")) / (
+        F.sqrt(F.col("__qnn")) * F.sqrt(F.col("__nn"))
+    )
+    scored = pairs.select(
+        "query_id",
+        F.col("media_id").alias("neighbor_id"),
+        cosine.alias("__cos"),
+    )
+    return (
+        top_k_per_group(
+            scored,
+            ["query_id"],
+            [F.col("__cos").desc(), F.col("neighbor_id").asc()],
+            3,
+            rank_col="rank",
+        )
+        .select(
+            "query_id",
+            "neighbor_id",
+            "rank",
+            F.round(F.col("__cos"), 6).alias("score"),
+        )
+        .orderBy("query_id", "rank")
+    )
+
+
+MULTIMODAL_EMBED_SEARCH_SQL = """
+WITH b AS (
+  SELECT doc_id, hex(encode(text)) AS h,
+         octet_length(encode(text)) AS n
+  FROM documents
+), e AS (
+  SELECT doc_id,
+    UNNEST([strpos('0123456789ABCDEF', h[2*i-1:2*i-1]) - 1
+            FOR i IN range(1, CAST(n AS INT) + 1)]) AS bin
+  FROM b
+), bins AS (
+  SELECT doc_id, bin, COUNT(*) AS cnt FROM e GROUP BY doc_id, bin
+), norms AS (
+  SELECT doc_id, CAST(SUM(cnt * cnt) AS DOUBLE) AS nn FROM bins GROUP BY doc_id
+), pairs AS (
+  SELECT q.doc_id AS query_id, v.doc_id AS neighbor_id,
+         CAST(SUM(q.cnt * v.cnt) AS DOUBLE) AS dp
+  FROM bins q JOIN bins v ON q.bin = v.bin
+  WHERE q.doc_id IN (0, 1, 2, 3, 4) AND v.doc_id <> q.doc_id
+  GROUP BY q.doc_id, v.doc_id
+), scored AS (
+  SELECT p.query_id, p.neighbor_id,
+         p.dp / (sqrt(qn.nn) * sqrt(vn.nn)) AS cosine
+  FROM pairs p
+  JOIN norms qn ON qn.doc_id = p.query_id
+  JOIN norms vn ON vn.doc_id = p.neighbor_id
+), ranked AS (
+  SELECT query_id, neighbor_id, cosine,
+         ROW_NUMBER() OVER (
+           PARTITION BY query_id ORDER BY cosine DESC, neighbor_id
+         ) AS rank
+  FROM scored
+)
+SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank,
+       ROUND(cosine, 6) AS score
+FROM ranked WHERE rank <= 3
+ORDER BY query_id, rank
+"""
 
 
 def pipeline_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -785,5 +858,7 @@ QUERIES: dict[str, QuerySpec] = {
     "multimodal_frame_stats": QuerySpec(
         multimodal_frame_stats, MULTIMODAL_FRAME_STATS_SQL
     ),
-    "multimodal_embed_search": QuerySpec(multimodal_embed_search, None),
+    "multimodal_embed_search": QuerySpec(
+        multimodal_embed_search, MULTIMODAL_EMBED_SEARCH_SQL
+    ),
 }

@@ -118,6 +118,22 @@ def test_decode_framed_drops_malformed(spark, framed):
     assert len(ids) == framed.count()
 
 
+def test_byte_bin_histogram_matches_python(spark, sf_dir, framed):
+    docs = {
+        r["doc_id"]: r["text"]
+        for r in load_table(spark, sf_dir, "documents").limit(60).collect()
+    }
+    feats = {r["media_id"]: r["feature"] for r in M.byte_bin_histogram(framed).collect()}
+    assert feats.keys() == docs.keys()
+    for mid, text in docs.items():
+        body = text.encode("utf-8")
+        expect = [0] * 16
+        for byte in body:
+            expect[byte >> 4] += 1
+        assert feats[mid] == expect
+        assert sum(feats[mid]) == len(body)
+
+
 def test_resize_media_dims_and_determinism(framed):
     out = M.resize_media(framed, target=(32, 24)).collect()
     n_images = framed.filter(F.col("kind") == "image").count()
