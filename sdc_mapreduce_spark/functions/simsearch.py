@@ -256,6 +256,56 @@ def ivf_assignments(
     return assigned, centroids
 
 
+def seeded_centroids(
+    corpus: DataFrame,
+    n_cells: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Deterministic coarse quantizer: the unit vectors of the first
+    ``n_cells`` corpus ids, cell id = vector id. A sampled quantizer is the
+    standard alternative to a trained one (FAISS's IVF accepts any coarse
+    quantizer); the payoff here is reproducibility — every engine can
+    recompute the centroid set from the corpus itself, which is what lets
+    the IVF recall metric be oracle-checked end-to-end (vs the fitted
+    KMeans path, whose centroids no external engine can replay)."""
+    prepared = with_unit_vectors(
+        corpus.filter(F.col(id_col) < n_cells), vec_col=vec_col, out_col="__unit"
+    )
+    return prepared.select(
+        F.col(id_col).cast("int").alias("__cell"),
+        F.col("__unit").alias("__centroid"),
+    )
+
+
+def assign_cells(
+    corpus: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Nearest-centroid cell assignment by cosine (argmax, ties to the
+    lowest cell id): a broadcast nested-loop over the tiny centroid set +
+    a per-id top-1 — the distributed IVF assign step; cost is
+    |corpus| * n_cells with no shuffle of the corpus vectors."""
+    prepared = with_unit_vectors(corpus, vec_col=vec_col, out_col="__unit").select(
+        F.col(id_col), "__unit"
+    )
+    scored = prepared.join(F.broadcast(centroids)).select(
+        id_col,
+        "__unit",
+        "__cell",
+        dot(F.col("__unit"), F.col("__centroid")).alias("__cscore"),
+    )
+    return top_k_per_group(
+        scored,
+        [id_col],
+        [F.col("__cscore").desc(), F.col("__cell").asc()],
+        1,
+        rank_col="__arank",
+    ).select(id_col, "__unit", "__cell")
+
+
 def cosine_topk_ivf(
     corpus: DataFrame,
     query_ids: list[int],
@@ -264,15 +314,23 @@ def cosine_topk_ivf(
     n_probe: int = 4,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    centroids: DataFrame | None = None,
 ) -> DataFrame:
     """IVF approximate top-k: each query searches only its ``n_probe``
     nearest cells. Probe selection is a (queries x n_cells) broadcast
     cross-score + per-query top-n_probe — all distributed; the candidate
     fetch is an equi-join on the cell id, so work scales with
-    |corpus| * n_probe / n_cells per query instead of |corpus|."""
-    assigned, centroids = ivf_assignments(
-        corpus, n_cells=n_cells, id_col=id_col, vec_col=vec_col
-    )
+    |corpus| * n_probe / n_cells per query instead of |corpus|.
+
+    ``centroids`` injects a pre-built coarse quantizer (``__cell``,
+    ``__centroid`` unit vectors — e.g. ``seeded_centroids``); default is a
+    fitted KMeans (``ivf_assignments``)."""
+    if centroids is not None:
+        assigned = assign_cells(corpus, centroids, id_col=id_col, vec_col=vec_col)
+    else:
+        assigned, centroids = ivf_assignments(
+            corpus, n_cells=n_cells, id_col=id_col, vec_col=vec_col
+        )
     queries = assigned.filter(F.col(id_col).isin(query_ids)).select(
         F.col(id_col).alias("query_id"), F.col("__unit").alias("__qunit")
     )

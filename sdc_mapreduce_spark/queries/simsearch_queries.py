@@ -116,16 +116,95 @@ def simsearch_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _recall_vs_exact(ann, exact)
 
 
+IVF_CELLS = 8
+IVF_PROBE = 4
+
+
 def simsearch_ann_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Recall@k of the IVF search against the exact top-k — the same
-    first-class quality metric as simsearch_ann_recall, but rows-only: the
-    KMeans centroids are fitted, not seeded literals, so DuckDB cannot
-    replay the cell assignment (the SRP twin is the oracle-checked one).
-    The recall floor is asserted in tests/test_simsearch.py."""
+    """Recall@k of the IVF search against the exact top-k, fully
+    oracle-checked: the coarse quantizer is the deterministic
+    ``seeded_centroids`` (unit vectors of the first n_cells corpus ids), so
+    DuckDB replays the whole pipeline — cell assignment (argmax cosine,
+    ties to lowest cell), probe selection (top n_probe cells per query),
+    in-cell exact cosine ranking, and the recall arithmetic. The fitted
+    KMeans variant stays exercised via simsearch_ann_ivf + its unit-test
+    recall floor."""
     emb = load_table(spark, sf_dir, "embeddings")
-    ann = S.cosine_topk_ivf(emb, QUERY_IDS, k=TOP_K, n_cells=8, n_probe=4)
+    cents = S.seeded_centroids(emb, n_cells=IVF_CELLS)
+    ann = S.cosine_topk_ivf(
+        emb, QUERY_IDS, k=TOP_K, n_cells=IVF_CELLS, n_probe=IVF_PROBE, centroids=cents
+    )
     exact = S.cosine_topk_bruteforce(emb, QUERY_IDS, k=TOP_K)
     return _recall_vs_exact(ann, exact)
+
+
+SIMSEARCH_ANN_IVF_RECALL_SQL = f"""
+WITH u AS (
+  SELECT vec_id,
+         list_transform(
+           embedding::DOUBLE[],
+           x -> x / sqrt(list_aggregate(
+                  list_transform(embedding::DOUBLE[], y -> y * y), 'sum'))
+         ) AS unit
+  FROM embeddings
+), cent AS (
+  SELECT CAST(vec_id AS INT) AS cell, unit AS c FROM u WHERE vec_id < {IVF_CELLS}
+), assigned AS (
+  SELECT vec_id, cell FROM (
+    SELECT u.vec_id, cent.cell,
+           ROW_NUMBER() OVER (
+             PARTITION BY u.vec_id
+             ORDER BY list_inner_product(u.unit, cent.c) DESC, cent.cell ASC
+           ) AS r
+    FROM u CROSS JOIN cent
+  ) WHERE r = 1
+), probes AS (
+  SELECT query_id, cell FROM (
+    SELECT u.vec_id AS query_id, cent.cell,
+           ROW_NUMBER() OVER (
+             PARTITION BY u.vec_id
+             ORDER BY list_inner_product(u.unit, cent.c) DESC, cent.cell ASC
+           ) AS r
+    FROM u CROSS JOIN cent WHERE u.vec_id < 10
+  ) WHERE r <= {IVF_PROBE}
+), cands AS (
+  SELECT DISTINCT p.query_id, a.vec_id AS neighbor_id
+  FROM probes p JOIN assigned a ON a.cell = p.cell
+  WHERE a.vec_id <> p.query_id
+), ann AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT c.query_id, c.neighbor_id,
+           ROW_NUMBER() OVER (
+             PARTITION BY c.query_id
+             ORDER BY list_inner_product(qu.unit, nu.unit) DESC,
+                      c.neighbor_id ASC) AS rank
+    FROM cands c
+    JOIN u qu ON qu.vec_id = c.query_id
+    JOIN u nu ON nu.vec_id = c.neighbor_id
+  ) WHERE rank <= {TOP_K}
+), exact AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT q2.vec_id AS query_id, u2.vec_id AS neighbor_id,
+           ROW_NUMBER() OVER (
+             PARTITION BY q2.vec_id
+             ORDER BY list_inner_product(q2.unit, u2.unit) DESC,
+                      u2.vec_id ASC) AS rank
+    FROM u q2 JOIN u u2 ON u2.vec_id <> q2.vec_id
+    WHERE q2.vec_id < 10
+  ) WHERE rank <= {TOP_K}
+), h AS (
+  SELECT a.query_id, COUNT(*) AS n
+  FROM ann a JOIN exact e
+    ON e.query_id = a.query_id AND e.neighbor_id = a.neighbor_id
+  GROUP BY a.query_id
+)
+SELECT eq.query_id,
+       CAST(COALESCE(h.n, 0) AS INT) AS n_hits,
+       COALESCE(h.n, 0) / {TOP_K}.0 AS recall_at_k
+FROM (SELECT DISTINCT query_id FROM exact) eq
+LEFT JOIN h ON h.query_id = eq.query_id
+ORDER BY eq.query_id
+"""
 
 
 ANN_PLANES = 6
@@ -250,6 +329,8 @@ QUERIES: dict[str, QuerySpec] = {
     "simsearch_ann_srp": QuerySpec(simsearch_ann_srp, None),
     "simsearch_ann_recall": QuerySpec(simsearch_ann_recall, SIMSEARCH_ANN_RECALL_SQL),
     "simsearch_ann_ivf": QuerySpec(simsearch_ann_ivf, None),
-    "simsearch_ann_ivf_recall": QuerySpec(simsearch_ann_ivf_recall, None),
+    "simsearch_ann_ivf_recall": QuerySpec(
+        simsearch_ann_ivf_recall, SIMSEARCH_ANN_IVF_RECALL_SQL
+    ),
     "embedding_stats": QuerySpec(embedding_stats, EMBEDDING_STATS_SQL),
 }

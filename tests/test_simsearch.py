@@ -82,6 +82,29 @@ def test_ivf_ann_recall(spark, sf_dir):
     assert len(approx & exact) / len(exact) >= 0.5
 
 
+def test_ivf_seeded_quantizer_recall(spark, sf_dir):
+    """The deterministic sampled quantizer (seeded_centroids — the
+    oracle-checkable IVF path) must still deliver useful recall probing
+    half the cells; and its assignment must put every centroid vector in
+    its own cell (cosine(v, v) = 1 is the argmax)."""
+    emb = load_table(spark, sf_dir, "embeddings").cache()
+    cents = S.seeded_centroids(emb, n_cells=8)
+    assigned = S.assign_cells(emb, cents)
+    own = {r["vec_id"]: r["__cell"] for r in assigned.filter("vec_id < 8").collect()}
+    assert own == {i: i for i in range(8)}
+    exact = {
+        (r["query_id"], r["neighbor_id"])
+        for r in S.cosine_topk_bruteforce(emb, QUERY_IDS, k=K).collect()
+    }
+    approx = {
+        (r["query_id"], r["neighbor_id"])
+        for r in S.cosine_topk_ivf(
+            emb, QUERY_IDS, k=K, n_probe=4, centroids=cents
+        ).collect()
+    }
+    assert len(approx & exact) / len(exact) >= 0.4
+
+
 def test_blocked_near_pairs_subset_with_recall(spark, sf_dir):
     """SRP-blocked pairs must be a strict SUBSET of the exact pairs (exact
     cosine verifies every candidate — false positives impossible) with
