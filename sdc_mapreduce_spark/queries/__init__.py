@@ -75,6 +75,13 @@ _NEVER_SAMPLED_R1_R3: tuple[str, ...] = (
     "events_range_join",
     "latest_event_per_user",
 )
+# Queries whose oracle is NEW in round 4 (previously rows-only): no driver
+# hash row exists yet, so they outrank the r1-verified tail below.
+_NEW_ORACLES_R4: tuple[str, ...] = (
+    "multimodal_decode_profile",
+    "multimodal_embed_search",
+    "simsearch_ann_ivf_recall",
+)
 _R1_ONLY: tuple[str, ...] = (
     "q1_pricing_summary",
     "q3_shipping_priority",
@@ -123,7 +130,7 @@ _R1_ONLY: tuple[str, ...] = (
     "events_map_fns",
     "events_asof_join",
 )
-_PRIORITY: tuple[str, ...] = (*_NEVER_SAMPLED_R1_R3, *_R1_ONLY)
+_PRIORITY: tuple[str, ...] = (*_NEVER_SAMPLED_R1_R3, *_NEW_ORACLES_R4, *_R1_ONLY)
 assert set(_PRIORITY) <= _ALL.keys(), set(_PRIORITY) - _ALL.keys()
 
 REGISTRY: dict[str, QuerySpec] = {name: _ALL[name] for name in _PRIORITY}
