@@ -18,10 +18,80 @@ mitigation; with R=3 one hot word owns a third of the cluster.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 SALT_COL = "__salt"
+
+
+def sessionize_chunked(
+    ev: DataFrame,
+    gap_minutes: int = 30,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    chunk: str = "day",
+) -> DataFrame:
+    """Skew-resistant sessionization, result-identical to the plain
+    single-window plan (queries/events_queries.py::events_sessionize).
+
+    Sessions can't be salted with a uniform random salt — a session boundary
+    depends on the gap to the *previous* event, so a user's stream must stay
+    ordered. The scalable decomposition is time-chunking:
+
+    1. per-(user, chunk) local sessionize — the per-EVENT window work, the
+       expensive pass, now split across ``chunk`` units (default: day), so a
+       hot user holding 50% of all events occupies as many partitions as
+       they have active days instead of one;
+    2. collapse each local session to one span row (start, end, n_events) —
+       a partial aggregation that shrinks the data by the mean session size
+       before anything is re-keyed by bare user;
+    3. per-user merge of span rows: a chunk's first session continues the
+       previous chunk's last one when the boundary gap ≤ the timeout —
+       exactly the plain plan's rule, applied to sessions instead of events.
+
+    The merge window IS keyed by bare user, but over span rows, whose count
+    per user is bounded by active-chunks + true sessions — at 100 TB that is
+    orders of magnitude below the event count, which is what makes the plan
+    survive a hot user. Session ids come out as 1..K in time order, same as
+    the plain plan, so the two plans share one oracle.
+    """
+    gap = F.expr(f"INTERVAL '{gap_minutes}' MINUTE")
+    chunked = ev.withColumn("__chunk", F.date_trunc(chunk, F.col(ts_col)))
+    w_local = Window.partitionBy(user_col, "__chunk").orderBy(
+        F.col(ts_col).asc(), F.col(id_col).asc()
+    )
+    prev_ts = F.lag(ts_col).over(w_local)
+    is_new = F.when(prev_ts.isNull() | (F.col(ts_col) > prev_ts + gap), 1).otherwise(0)
+    local = chunked.withColumn("__new", is_new).withColumn(
+        "__lsid",
+        F.sum("__new").over(
+            w_local.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    spans = local.groupBy(user_col, "__chunk", "__lsid").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.min(ts_col).alias("session_start"),
+        F.max(ts_col).alias("session_end"),
+    )
+    w_user = Window.partitionBy(user_col).orderBy(
+        F.col("session_start").asc(), F.col("session_end").asc()
+    )
+    prev_end = F.lag("session_end").over(w_user)
+    starts_new = F.when(
+        prev_end.isNull() | (F.col("session_start") > prev_end + gap), 1
+    ).otherwise(0)
+    merged = spans.withColumn("__mnew", starts_new).withColumn(
+        "session_id",
+        F.sum("__mnew").over(
+            w_user.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    return merged.groupBy(user_col, "session_id").agg(
+        F.sum("n_events").cast("bigint").alias("n_events"),
+        F.min("session_start").alias("session_start"),
+        F.max("session_end").alias("session_end"),
+    )
 
 
 def salted_join(

@@ -120,6 +120,18 @@ FROM sessions GROUP BY user_id, session_id
 """
 
 
+def events_sessionize_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-resistant sessionization (operators.skew.sessionize_chunked):
+    per-(user, day) local windows + a per-user span merge. Result-identical
+    to events_sessionize — shares its oracle — while splitting a hot user's
+    per-event window work across their active days; see the operator
+    docstring for the 100 TB argument and tests/test_skew.py for the
+    hot-user equivalence proof."""
+    from sdc_mapreduce_spark.operators.skew import sessionize_chunked
+
+    return sessionize_chunked(load_table(spark, sf_dir, "events"))
+
+
 def events_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Daily-cohort retention matrix: users grouped by first-seen day,
     fraction active at day offsets 0..7. The canonical product-analytics
@@ -409,6 +421,9 @@ QUERIES: dict[str, QuerySpec] = {
     "events_tumbling": QuerySpec(events_tumbling, EVENTS_TUMBLING_SQL, bench=True),
     "events_sliding": QuerySpec(events_sliding, EVENTS_SLIDING_SQL),
     "events_sessionize": QuerySpec(events_sessionize, EVENTS_SESSIONIZE_SQL, bench=True),
+    "events_sessionize_salted": QuerySpec(
+        events_sessionize_salted, EVENTS_SESSIONIZE_SQL, bench=True
+    ),
     "events_json_extract": QuerySpec(events_json_extract, EVENTS_JSON_SQL),
     "events_map_fns": QuerySpec(events_map_fns, EVENTS_MAP_SQL),
     "events_asof_join": QuerySpec(events_asof_join, EVENTS_ASOF_SQL),

@@ -101,3 +101,91 @@ def test_salted_distinct_count_equals_exact(spark):
         for r in salted_distinct_count(df, "k", "v", n_salts=8).collect()
     }
     assert salted == exact
+
+
+def _hot_user_events(spark, sf_dir):
+    """Skewed variant of the events table: remap half of all users onto
+    user 0 so one key owns ~50% of events — the 1%-of-users/50%-of-events
+    shape the plain per-user window plan degrades on."""
+    from sdc_mapreduce_spark.catalog import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    return ev.withColumn(
+        "user_id",
+        F.when(F.col("user_id") % 2 == 0, F.lit(0)).otherwise(F.col("user_id")),
+    )
+
+
+def _plain_sessionize(ev):
+    from pyspark.sql import Window
+
+    w_order = Window.partitionBy("user_id").orderBy(
+        F.col("ts").asc(), F.col("event_id").asc()
+    )
+    prev_ts = F.lag("ts").over(w_order)
+    is_new = F.when(
+        prev_ts.isNull() | (F.col("ts") > prev_ts + F.expr("INTERVAL '30' MINUTE")), 1
+    ).otherwise(0)
+    w_cum = w_order.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    with_session = ev.withColumn("__new", is_new).withColumn(
+        "session_id", F.sum("__new").over(w_cum)
+    )
+    return with_session.groupBy("user_id", "session_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.min("ts").alias("session_start"),
+        F.max("ts").alias("session_end"),
+    )
+
+
+def _rows(df):
+    return sorted(
+        (r.user_id, r.session_id, r.n_events, r.session_start, r.session_end)
+        for r in df.collect()
+    )
+
+
+def test_sessionize_chunked_equals_plain_uniform(spark, sf_dir):
+    from sdc_mapreduce_spark.catalog import load_table
+    from sdc_mapreduce_spark.operators.skew import sessionize_chunked
+
+    ev = load_table(spark, sf_dir, "events")
+    assert _rows(sessionize_chunked(ev)) == _rows(_plain_sessionize(ev))
+
+
+def test_sessionize_chunked_equals_plain_hot_user(spark, sf_dir):
+    """Chunk-merge must reconstruct the exact session structure even when
+    one user owns half the events and their sessions span day boundaries."""
+    from sdc_mapreduce_spark.operators.skew import sessionize_chunked
+
+    ev = _hot_user_events(spark, sf_dir).cache()
+    try:
+        assert _rows(sessionize_chunked(ev)) == _rows(_plain_sessionize(ev))
+    finally:
+        ev.unpersist()
+
+
+def test_sessionize_chunked_merges_cross_boundary_sessions(spark):
+    """A stream straddling midnight with gaps < timeout must come out as
+    ONE session (the local day-chunk split is invisible), while a > timeout
+    gap inside a chunk still splits."""
+    import datetime as dt
+
+    from sdc_mapreduce_spark.operators.skew import sessionize_chunked
+
+    base = dt.datetime(2024, 1, 1, 23, 50)
+    rows = [
+        (1, 1, base),                                  # 23:50 day 1
+        (2, 1, base + dt.timedelta(minutes=15)),       # 00:05 day 2 (same session)
+        (3, 1, base + dt.timedelta(minutes=25)),       # 00:15 day 2 (same session)
+        (4, 1, base + dt.timedelta(hours=5)),          # 04:50 day 2 (new session)
+    ]
+    ev = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts timestamp_ntz"
+    )
+    out = {
+        r.session_id: (r.n_events, r.session_start, r.session_end)
+        for r in sessionize_chunked(ev).collect()
+    }
+    assert len(out) == 2
+    assert out[1][0] == 3 and out[2][0] == 1
+    assert out[1][1] == rows[0][2] and out[1][2] == rows[2][2]
