@@ -62,6 +62,16 @@ class JobHandle:
                 )
             time.sleep(poll_interval)
 
+    def cancel(self) -> dict:
+        """POST /jobs/<id>/cancel — cancels a queued job outright or
+        interrupts a running one; the server replies with the resulting
+        status (409 for jobs already terminal surfaces as HTTPError)."""
+        req = urllib.request.Request(
+            f"{self.base_url}/jobs/{self.job_id}/cancel", data=b"", method="POST"
+        )
+        with urllib.request.urlopen(req, timeout=30) as resp:
+            return json.loads(resp.read())
+
 
 class MapReduceClient:
     """Submit-and-poll client: upload → POST → JobHandle."""

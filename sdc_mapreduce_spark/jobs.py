@@ -37,6 +37,11 @@ CREATED = "CREATED"
 RUNNING = "RUNNING"
 COMPLETED = "COMPLETED"
 FAILED = "FAILED"
+# Past the reference's lifecycle (its master has no cancel path — a job
+# once CREATED always runs to completion): a queued job can be cancelled
+# before it starts, and a running one is interrupted via Spark job-group
+# cancellation (JobRunner.cancel).
+CANCELLED = "CANCELLED"
 
 
 @dataclass
@@ -58,6 +63,13 @@ class Job:
     finished_at: float | None = None
     error: str | None = None
     result_rows: int | None = None
+    cancel_requested: bool = False
+
+    @property
+    def group_id(self) -> str:
+        """Spark job-group id for this queue job — the cancellation handle
+        (every action the runner fires for this job is tagged with it)."""
+        return f"sdc-job-{self.job_id}"
 
 
 class JobQueue:
@@ -142,6 +154,43 @@ class JobQueue:
                     return self._jobs[jid]
         return None
 
+    def claim_next(self) -> Job | None:
+        """Atomically claim the lowest-sequence CREATED job: flips it to
+        RUNNING under the lock so concurrent runner workers never execute
+        the same job twice (the multi-worker analog of the reference
+        master's single-leader scan)."""
+        with self._lock:
+            for jid in sorted(self._jobs):
+                job = self._jobs[jid]
+                if job.status == CREATED:
+                    job.status = RUNNING
+                    job.started_at = time.time()
+                    self._persist(job)
+                    return job
+        return None
+
+    def pending_count(self) -> int:
+        with self._lock:
+            return sum(1 for j in self._jobs.values() if j.status == CREATED)
+
+    def request_cancel(self, job_id: int) -> str:
+        """Cancel a job. Returns the status the job held at the decision
+        point: CREATED means it was cancelled before starting (now
+        CANCELLED); RUNNING means the flag is set and the caller must
+        interrupt the executing action (JobRunner.cancel does both);
+        terminal statuses are returned unchanged (cancel is a no-op)."""
+        with self._lock:
+            job = self._jobs[job_id]
+            was = job.status
+            if was == CREATED:
+                job.status = CANCELLED
+                job.error = "cancelled before start"
+                job.finished_at = time.time()
+                self._persist(job)
+            elif was == RUNNING:
+                job.cancel_requested = True
+            return was
+
     def status(self, job_id: int) -> str:
         return self._jobs[job_id].status
 
@@ -192,18 +241,45 @@ class JobRunner:
         self.queue = queue
 
     def run_pending(self) -> int:
-        """Run every CREATED job in sequence order; return count executed."""
+        """Run every CREATED job in sequence order; return count executed.
+        Claims are atomic (JobQueue.claim_next), so any number of worker
+        threads can call this concurrently without double-running a job."""
         n = 0
         while True:
-            job = self.queue.next_created()
+            job = self.queue.claim_next()
             if job is None:
                 return n
             self._run(job)
             n += 1
 
+    def cancel(self, job_id: int) -> str:
+        """Cancel a job wherever it is in the lifecycle; returns the job's
+        current status. A RUNNING job's Spark actions are interrupted via
+        its job group (the runner tags every action with Job.group_id and
+        ``interruptOnCancel=True``). ``cancelJobGroup`` only kills jobs
+        already ACTIVE, so a single call races an action that hasn't
+        registered yet; a short-lived reaper re-fires the cancel until the
+        worker observes ``cancel_requested`` (checked before the action) or
+        the interrupted action raises — either way the job records
+        CANCELLED, not FAILED."""
+        was = self.queue.request_cancel(job_id)
+        if was == RUNNING:
+            group = self.queue.job(job_id).group_id
+
+            def _reap() -> None:
+                deadline = time.time() + 30
+                while time.time() < deadline and self.queue.status(job_id) == RUNNING:
+                    self.spark.sparkContext.cancelJobGroup(group)
+                    time.sleep(0.2)
+
+            self.spark.sparkContext.cancelJobGroup(group)
+            threading.Thread(target=_reap, daemon=True, name=f"reap-{job_id}").start()
+        return self.queue.status(job_id)
+
     def _run(self, job: Job) -> None:
-        job.status = RUNNING
-        job.started_at = time.time()
+        if job.status != RUNNING:  # direct _run call (not via claim_next)
+            job.status = RUNNING
+            job.started_at = time.time()
         self.queue._persist(job)
         # job-scoped confs: in effect for plan construction AND the action
         # (file-split planning happens at action time), restored afterwards
@@ -212,8 +288,15 @@ class JobRunner:
         for k, v in job.conf.items():
             saved[k] = self.spark.conf.get(k, None)
             self.spark.conf.set(k, v)
+        # job-group tag is thread-local (PySpark pinned-thread mode), so
+        # concurrent workers tag only their own actions
+        self.spark.sparkContext.setJobGroup(
+            job.group_id, job.name or f"job {job.job_id}", interruptOnCancel=True
+        )
         try:
             df = job.plan(self.spark)
+            if job.cancel_requested:  # cancelled before the action registered
+                raise RuntimeError("cancelled before action")
             if job.sink is not None:
                 job.sink(df)
             else:
@@ -222,11 +305,17 @@ class JobRunner:
                 job.result_rows = df.count()
             job.status = COMPLETED
         except Exception:
-            # error before status: status is the publish flag a concurrent
-            # reader polls on, so every field it implies must land first
-            job.error = traceback.format_exc(limit=10)
-            job.status = FAILED
+            if job.cancel_requested:
+                job.error = "cancelled while running"
+                job.status = CANCELLED
+            else:
+                # error before status: status is the publish flag a
+                # concurrent reader polls on, so every field it implies
+                # must land first
+                job.error = traceback.format_exc(limit=10)
+                job.status = FAILED
         finally:
+            self.spark.sparkContext.setJobGroup("", "")
             for k, old in saved.items():
                 if old is None:
                     self.spark.conf.unset(k)

@@ -92,10 +92,15 @@ class _Handler(BaseHTTPRequestHandler):
             return None
 
     def do_POST(self):
+        parts = [p for p in self.path.split("/") if p]
+        if len(parts) == 3 and parts[0] == "jobs" and parts[2] == "cancel":
+            return self._cancel_job(parts[1])
         if self.path.rstrip("/") == "/queries":
             return self._submit_query()
         if self.path.rstrip("/") not in ("", "/"):
             return self._reply(404, {"error": "not found"})
+        if self.server.backlog_full():
+            return self._reply(429, {"error": "job queue full"})
         body = self._read_json()
         if body is None:
             return None
@@ -134,6 +139,24 @@ class _Handler(BaseHTTPRequestHandler):
             {"job_id": job_id, "message": f"Job successfully submitted: {job_id}"},
         )
 
+    def _cancel_job(self, job_id_raw: str):
+        """POST /jobs/<id>/cancel: cancel a queued or running job (runner
+        interrupts the Spark job group of a running one). Terminal jobs
+        return 409 with their unchanged status."""
+        try:
+            job_id = int(job_id_raw)
+            before = self.server.queue.job(job_id).status
+        except (KeyError, ValueError):
+            return self._reply(404, {"error": f"no job {job_id_raw}"})
+        from sdc_mapreduce_spark.jobs import CREATED, RUNNING
+
+        if before not in (CREATED, RUNNING):
+            return self._reply(
+                409, {"error": f"job {job_id} already {before}", "status": before}
+            )
+        status = self.server.runner.cancel(job_id)
+        return self._reply(200, {"job_id": job_id, "status": status})
+
     def _submit_query(self):
         """POST /queries {name, sf_dir?, output_path?}: run ANY registered
         query from the engine's inventory as a queued job — the step past
@@ -141,6 +164,8 @@ class _Handler(BaseHTTPRequestHandler):
         word count; here the control plane fronts the full query surface).
         Results land as parquet at output_path, or the job completes with
         result_rows only."""
+        if self.server.backlog_full():
+            return self._reply(429, {"error": "job queue full"})
         body = self._read_json()
         if body is None:
             return None
@@ -204,7 +229,16 @@ class _Handler(BaseHTTPRequestHandler):
 
 
 class JobServer(ThreadingHTTPServer):
-    """HTTP facade + single-leader runner thread over one JobQueue."""
+    """HTTP facade + a bounded pool of runner threads over one JobQueue.
+
+    ``max_concurrent`` (default 1 = the reference master's single-leader
+    semantics) caps how many jobs execute at once inside the shared Spark
+    session — Spark's FAIR/FIFO scheduler multiplexes their stages across
+    the same executors, so the bound is about driver-side plan/action
+    concurrency, not cluster slots. ``max_pending`` bounds the CREATED
+    backlog: submissions past it get HTTP 429 instead of unbounded queue
+    growth (the reference has no such guard — its queue is ZK-limited
+    only)."""
 
     daemon_threads = True
 
@@ -214,10 +248,14 @@ class JobServer(ThreadingHTTPServer):
         host: str = "127.0.0.1",
         port: int = 0,
         state_dir: str | None = None,
+        max_concurrent: int = 1,
+        max_pending: int | None = None,
     ) -> None:
         super().__init__((host, port), _Handler)
         self.queue = JobQueue(state_dir=state_dir)
         self.runner = JobRunner(spark, self.queue)
+        self.max_concurrent = max(1, int(max_concurrent))
+        self.max_pending = max_pending
         self.wake = threading.Event()
         self._stop = threading.Event()
         self._workers: list[threading.Thread] = []
@@ -226,10 +264,18 @@ class JobServer(ThreadingHTTPServer):
     def port(self) -> int:
         return self.server_address[1]
 
+    def backlog_full(self) -> bool:
+        return (
+            self.max_pending is not None
+            and self.queue.pending_count() >= self.max_pending
+        )
+
     def start(self) -> None:
-        t_http = threading.Thread(target=self.serve_forever, daemon=True)
-        t_run = threading.Thread(target=self._run_loop, daemon=True)
-        self._workers = [t_http, t_run]
+        self._workers = [threading.Thread(target=self.serve_forever, daemon=True)]
+        self._workers += [
+            threading.Thread(target=self._run_loop, daemon=True, name=f"sdc-runner-{i}")
+            for i in range(self.max_concurrent)
+        ]
         for t in self._workers:
             t.start()
 

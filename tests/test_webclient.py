@@ -273,3 +273,144 @@ def test_client_upload_disambiguates_same_basename(server, tmp_path):
     s2 = client.upload(str(b / "words.txt"))
     assert s1 != s2
     assert open(s1).read() == "x 1\n" and open(s2).read() == "y 2\n"
+
+
+def _slow_plan():
+    """A plan whose action takes ~tens of seconds on the test session: many
+    partitions each sleeping in a Python UDF — interruptible task work."""
+
+    def plan(spark):
+        import time as _t
+
+        from pyspark.sql import functions as F
+        from pyspark.sql.types import LongType
+
+        @F.udf(LongType())
+        def snooze(x):
+            _t.sleep(0.5)
+            return x
+
+        # filter on the UDF so count() cannot prune it away
+        return spark.range(128, numPartitions=128).filter(snooze("id") >= 0)
+
+    return plan
+
+
+def _cancel(port: int, job_id) -> tuple[int, dict]:
+    req = urllib.request.Request(
+        f"http://127.0.0.1:{port}/jobs/{job_id}/cancel", data=b"", method="POST"
+    )
+    try:
+        with urllib.request.urlopen(req, timeout=30) as resp:
+            return resp.status, json.loads(resp.read())
+    except urllib.error.HTTPError as err:
+        return err.code, json.loads(err.read())
+
+
+def _wait_status(server, job_id, want, timeout=30.0):
+    import time as _t
+
+    deadline = _t.time() + timeout
+    while _t.time() < deadline:
+        if server.queue.status(job_id) == want:
+            return True
+        _t.sleep(0.05)
+    return False
+
+
+def test_cancel_running_job_over_http(server):
+    """A RUNNING job must be interrupted via its Spark job group and end
+    CANCELLED (not FAILED), releasing the worker for the next job."""
+    jid = server.queue.submit(_slow_plan(), name="slow")
+    server.wake.set()
+    assert _wait_status(server, jid, "RUNNING")
+    code, body = _cancel(server.port, jid)
+    assert code == 200
+    assert server.wait_for(jid, timeout=60) == "CANCELLED"
+    job = server.queue.job(jid)
+    assert "cancel" in (job.error or "")
+    # worker must be free again: a quick job completes normally afterwards
+    jid2 = server.queue.submit(lambda spark: spark.range(5), name="quick")
+    server.wake.set()
+    assert server.wait_for(jid2, timeout=60) == "COMPLETED"
+
+
+def test_cancel_queued_job_and_terminal_conflict(server):
+    """CREATED → cancel flips straight to CANCELLED and the runner skips
+    it; cancelling a terminal job is a 409 no-op; unknown id is 404."""
+    slow = server.queue.submit(_slow_plan(), name="slow")
+    queued = server.queue.submit(lambda spark: spark.range(5), name="queued")
+    server.wake.set()
+    assert _wait_status(server, slow, "RUNNING")
+    code, body = _cancel(server.port, queued)
+    assert code == 200 and body["status"] == "CANCELLED"
+    _cancel(server.port, slow)
+    assert server.wait_for(slow, timeout=60) == "CANCELLED"
+    # queued job must never have run
+    assert server.queue.status(queued) == "CANCELLED"
+    code, body = _cancel(server.port, queued)
+    assert code == 409
+    code, _ = _cancel(server.port, 424242)
+    assert code == 404
+
+
+def test_bounded_concurrency_two_workers(spark):
+    """max_concurrent=2: a fast job overtakes a slow one instead of
+    queueing behind it (the single-leader bottleneck the bound lifts)."""
+    srv = JobServer(spark, port=0, max_concurrent=2)
+    srv.start()
+    try:
+        slow = srv.queue.submit(_slow_plan(), name="slow")
+        fast = srv.queue.submit(lambda s: s.range(5), name="fast")
+        srv.wake.set()
+        assert srv.wait_for(fast, timeout=60) == "COMPLETED"
+        assert srv.queue.status(slow) == "RUNNING"
+        srv.runner.cancel(slow)
+        assert srv.wait_for(slow, timeout=60) == "CANCELLED"
+    finally:
+        srv.stop()
+
+
+def test_max_pending_backlog_replies_429(spark, tmp_path):
+    """Submissions past the CREATED backlog bound get 429 on both submit
+    endpoints instead of growing the queue without limit."""
+    srv = JobServer(spark, port=0, max_pending=1)
+    srv.start()
+    try:
+        slow = srv.queue.submit(_slow_plan(), name="slow")
+        srv.wake.set()
+        assert _wait_status(srv, slow, "RUNNING")
+        inp = tmp_path / "in.txt"
+        inp.write_text("a b c\n")
+        payload = {"files": [str(inp)], "shard_size": 1 << 20, "reducer_count": 1}
+        code1, body1 = _post(srv.port, payload)
+        assert code1 == 200
+        code2, body2 = _post(srv.port, payload)
+        assert code2 == 429 and "full" in body2["error"]
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{srv.port}/queries",
+            data=json.dumps({"name": "wordcount"}).encode(),
+            method="POST",
+        )
+        try:
+            with urllib.request.urlopen(req, timeout=30) as resp:
+                qcode = resp.status
+        except urllib.error.HTTPError as err:
+            qcode = err.code
+        assert qcode == 429
+        srv.runner.cancel(slow)
+        srv.wait_for(slow, timeout=60)
+        srv.wait_for(body1["job_id"], timeout=60)
+    finally:
+        srv.stop()
+
+
+def test_client_sdk_cancel(server):
+    from sdc_mapreduce_spark.client import JobHandle
+
+    jid = server.queue.submit(_slow_plan(), name="slow")
+    server.wake.set()
+    assert _wait_status(server, jid, "RUNNING")
+    handle = JobHandle(base_url=f"http://127.0.0.1:{server.port}", job_id=jid)
+    handle.cancel()
+    assert handle.wait(timeout=60) == "CANCELLED"
