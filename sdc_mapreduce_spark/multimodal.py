@@ -101,7 +101,8 @@ def media_dims(media_id: int) -> tuple[int, int, int]:
     plain SQL, which is what makes the decode path oracle-checkable)."""
     width = 16 + (media_id * 7919) % 240
     height = 16 + (media_id * 104729) % 240
-    channels = 1 + media_id % 3
+    # decoupled from kind (= id % 3) so each kind sees all channel counts
+    channels = 1 + (media_id // 3) % 3
     return width, height, channels
 
 

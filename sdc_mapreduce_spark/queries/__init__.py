@@ -82,6 +82,7 @@ _NEW_ORACLES_R4: tuple[str, ...] = (
     "multimodal_embed_search",
     "simsearch_ann_ivf_recall",
     "events_sessionize_salted",
+    "multimodal_resize_audit",
 )
 _R1_ONLY: tuple[str, ...] = (
     "q1_pricing_summary",

@@ -309,11 +309,47 @@ SELECT doc_id AS media_id,
        CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
        CAST(16 + (doc_id * 7919) % 240 AS INT) AS width,
        CAST(16 + (doc_id * 104729) % 240 AS INT) AS height,
-       CAST(1 + doc_id % 3 AS INT) AS n_channels,
+       CAST(1 + (doc_id // 3) % 3 AS INT) AS n_channels,
        CAST(n AS BIGINT) AS body_bytes,
        byte_sum,
        CASE WHEN n > 0 THEN ROUND(byte_sum / n, 6) ELSE 0.0 END AS mean_byte
 FROM sums
+ORDER BY media_id
+"""
+
+
+def multimodal_resize_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-trip through BOTH real binary kernels: frame → nearest-neighbor
+    resize (numpy index-map, image payloads only) → decode the RESIZED
+    payload. Certifies that resize writes a well-formed SDCM container with
+    the target dimensions and a w*h*c pixel body — all SQL-derivable from
+    the framed-format spec, so the driver hash-checks the whole path.
+    Exact pixel placement is pinned separately in
+    tests/test_multimodal.py::test_resize_media_nearest_neighbor_exact."""
+    from sdc_mapreduce_spark.multimodal import (
+        decode_framed,
+        resize_media,
+        synthesize_framed_media,
+    )
+
+    media = synthesize_framed_media(load_table(spark, sf_dir, "documents"))
+    resized = resize_media(media, target=(32, 24))
+    return (
+        decode_framed(resized.select("media_id", "content"))
+        .select("media_id", "kind", "width", "height", "n_channels", "body_bytes")
+        .orderBy("media_id")
+    )
+
+
+MULTIMODAL_RESIZE_AUDIT_SQL = """
+SELECT doc_id AS media_id,
+       'image' AS kind,
+       CAST(32 AS INT) AS width,
+       CAST(24 AS INT) AS height,
+       CAST(1 + (doc_id // 3) % 3 AS INT) AS n_channels,
+       CAST(32 * 24 * (1 + (doc_id // 3) % 3) AS BIGINT) AS body_bytes
+FROM documents
+WHERE doc_id % 3 = 0
 ORDER BY media_id
 """
 
@@ -860,5 +896,8 @@ QUERIES: dict[str, QuerySpec] = {
     ),
     "multimodal_embed_search": QuerySpec(
         multimodal_embed_search, MULTIMODAL_EMBED_SEARCH_SQL
+    ),
+    "multimodal_resize_audit": QuerySpec(
+        multimodal_resize_audit, MULTIMODAL_RESIZE_AUDIT_SQL
     ),
 }
