@@ -39,13 +39,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 def oracle_sql() -> dict[str, str]:
     """DuckDB-runnable ANSI-SQL twin for every SQL-expressible query.
 
-    Omitted (rows-only check) for: xxhash64-based signatures
-    (text_rolling_fingerprint, dedup_simhash — DuckDB lacks xxhash64),
-    approximate ANN (simsearch_ann_srp, simsearch_ann_ivf — recall < 1 by
-    design), sketch aggregates (agg_approx_sketches — HLL++/digest
-    estimates), and the Arrow decode kernel (multimodal_decode_profile —
-    Python mapInPandas, not SQL). Each is unit-tested against an exact
-    reference instead (tests/test_text.py, test_dedup.py,
-    test_simsearch.py, test_operators.py, test_multimodal.py).
+    Omitted (rows-only check) for exactly 3 approximate-by-design queries:
+    simsearch_ann_srp / simsearch_ann_ivf (recall < 1 by construction —
+    but each family's recall@k IS oracle-checked, via simsearch_ann_recall
+    and simsearch_ann_ivf_recall) and agg_approx_sketches (HLL++/digest
+    estimates; exact twins inside agg_distinct/agg_percentiles are
+    oracle-checked). Each is also unit-tested against an exact reference
+    (tests/test_simsearch.py, test_operators.py).
     """
     return qreg.oracle_sql()
