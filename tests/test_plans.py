@@ -125,3 +125,36 @@ def test_wordcount_single_shuffle_with_partial_agg(spark):
     plan = _plan(mr.word_count(df))
     assert "partial_count" in plan
     assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_sessionize_chunked_exchanges_and_pruning(spark, sf_dir):
+    """The skew-resistant sessionize must keep its designed shape: first
+    exchange keyed by (user, chunk) — the hot-key split — then exactly one
+    more exchange keyed by bare user over the COLLAPSED span rows, with the
+    scan pruned to the three needed columns."""
+    from sdc_mapreduce_spark.operators.skew import sessionize_chunked
+
+    ev = load_table(spark, sf_dir, "events")
+    plan = _plan(sessionize_chunked(ev))
+    assert plan.count("Exchange hashpartitioning") == 2, plan
+    first, second = [
+        seg for seg in plan.splitlines() if "Exchange hashpartitioning" in seg
+    ]
+    # plan prints bottom-up segments in order of appearance (top = last
+    # stage): the bare-user exchange is printed first, the (user, chunk)
+    # exchange second
+    assert "__chunk" in second and "user_id" in second, plan
+    assert "__chunk" not in first and "user_id" in first, plan
+    assert (
+        "ReadSchema: struct<event_id:bigint,ts:timestamp_ntz,user_id:bigint>" in plan
+    ), plan
+
+
+def test_multimodal_embed_search_broadcasts_queries(spark, sf_dir):
+    """The 5-query side must broadcast against the streamed corpus — a
+    SortMergeJoin here would shuffle every feature vector for 5 rows."""
+    from sdc_mapreduce_spark.queries.text_queries import multimodal_embed_search
+
+    plan = _plan(multimodal_embed_search(spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan

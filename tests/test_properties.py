@@ -203,3 +203,65 @@ def test_mix_plan_fractions_bounded_and_mix_achieved(spark, sizes, raw_weights):
             assert abs(achieved - targets[g]) <= (k + 1) / kept_total + 1e-9, (
                 g, achieved, targets[g],
             )
+
+
+@given(
+    events=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=2),      # user id (hot: few users)
+            st.integers(min_value=-2880, max_value=2880),  # minutes around midnight
+        ),
+        min_size=1,
+        max_size=40,
+    )
+)
+@settings(max_examples=15, deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_sessionize_chunked_equals_plain_on_random_streams(spark, events):
+    """Property: the chunk-merge sessionization is result-identical to the
+    plain single-window plan on arbitrary streams — including streams built
+    to straddle day boundaries (offsets span ±2 days around midnight) and
+    duplicate timestamps (event_id tie-break)."""
+    import datetime as dt
+
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from sdc_mapreduce_spark.operators.skew import sessionize_chunked
+
+    midnight = dt.datetime(2024, 6, 2, 0, 0)
+    rows = [
+        (i, user, midnight + dt.timedelta(minutes=minutes))
+        for i, (user, minutes) in enumerate(events)
+    ]
+    ev = spark.createDataFrame(rows, "event_id long, user_id long, ts timestamp_ntz")
+
+    w_order = Window.partitionBy("user_id").orderBy(
+        F.col("ts").asc(), F.col("event_id").asc()
+    )
+    prev_ts = F.lag("ts").over(w_order)
+    is_new = F.when(
+        prev_ts.isNull() | (F.col("ts") > prev_ts + F.expr("INTERVAL '30' MINUTE")), 1
+    ).otherwise(0)
+    plain = (
+        ev.withColumn("__new", is_new)
+        .withColumn(
+            "session_id",
+            F.sum("__new").over(
+                w_order.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            ),
+        )
+        .groupBy("user_id", "session_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("session_end"),
+        )
+    )
+
+    def key(df):
+        return sorted(
+            (r.user_id, r.session_id, r.n_events, r.session_start, r.session_end)
+            for r in df.collect()
+        )
+
+    assert key(sessionize_chunked(ev)) == key(plain)
