@@ -23,6 +23,7 @@ outside the container).
 from __future__ import annotations
 
 import hashlib
+import math
 import struct
 from collections.abc import Iterator
 
@@ -180,8 +181,15 @@ def decode_framed(df: DataFrame) -> DataFrame:
                 rows["n_channels"].append(channels)
                 rows["body_bytes"].append(len(body))
                 rows["byte_sum"].append(byte_sum)
+                # explicit half-up rounding: Python round() is banker's
+                # (ties-to-even) but SQL ROUND is half-away-from-zero, and
+                # byte_sum/len is an exact decimal tie whenever len is a
+                # power of two — so spell out floor(x*1e6 + 0.5)/1e6, which
+                # both engines reproduce bit-for-bit
                 rows["mean_byte"].append(
-                    round(byte_sum / len(body), 6) if len(body) else 0.0
+                    math.floor(byte_sum / len(body) * 1e6 + 0.5) / 1e6
+                    if len(body)
+                    else 0.0
                 )
             yield pd.DataFrame(rows)
 

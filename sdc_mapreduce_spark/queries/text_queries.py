@@ -312,7 +312,8 @@ SELECT doc_id AS media_id,
        CAST(1 + (doc_id // 3) % 3 AS INT) AS n_channels,
        CAST(n AS BIGINT) AS body_bytes,
        byte_sum,
-       CASE WHEN n > 0 THEN ROUND(byte_sum / n, 6) ELSE 0.0 END AS mean_byte
+       CASE WHEN n > 0 THEN FLOOR(byte_sum / n * 1e6 + 0.5) / 1e6
+            ELSE 0.0 END AS mean_byte
 FROM sums
 ORDER BY media_id
 """

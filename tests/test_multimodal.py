@@ -104,7 +104,9 @@ def test_decode_framed_matches_python(spark, sf_dir, framed):
         body = text.encode("utf-8")
         assert r["body_bytes"] == len(body)
         assert r["byte_sum"] == sum(body)
-        assert r["mean_byte"] == round(sum(body) / len(body), 6)
+        import math
+
+        assert r["mean_byte"] == math.floor(sum(body) / len(body) * 1e6 + 0.5) / 1e6
 
 
 def test_decode_framed_drops_malformed(spark, framed):
