@@ -37,6 +37,39 @@ def top_k_per_group(
     )
 
 
+def top_k_per_group_salted(
+    df: DataFrame,
+    partition_cols: list[str],
+    order_cols: list,
+    k: int,
+    rank_col: str = "rn",
+    n_salts: int = 16,
+) -> DataFrame:
+    """Skew-resistant top-k per group, result-identical to
+    ``top_k_per_group``.
+
+    A plain per-group window sends EVERY row of a hot group to one reducer.
+    The two-phase form bounds that: phase 1 ranks within (group, salt) —
+    the hot group spread over ``n_salts`` partitions — keeping only k rows
+    per salt; phase 2 re-ranks the surviving ≤ n_salts*k rows per group.
+    Correct because each group's true top-k rows each win their own salt's
+    local top-k (any row beating them locally would also beat them
+    globally), so phase 2 always sees them. The salt is content-hashed, not
+    random, so the plan is deterministic and retry-safe. As with any
+    row_number top-k, ``order_cols`` must be a total order (include a
+    unique tie-break column) for exact row-level parity with the plain
+    form."""
+    salt = F.pmod(F.xxhash64(*[F.col(c) for c in df.columns]), F.lit(n_salts))
+    w_local = Window.partitionBy(*partition_cols, "__salt").orderBy(*order_cols)
+    survivors = (
+        df.withColumn("__salt", salt)
+        .withColumn("__lrn", F.row_number().over(w_local))
+        .filter(F.col("__lrn") <= k)
+        .drop("__salt", "__lrn")
+    )
+    return top_k_per_group(survivors, partition_cols, order_cols, k, rank_col)
+
+
 def global_running_sum(
     df: DataFrame,
     order_col: str,

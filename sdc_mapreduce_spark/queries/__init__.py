@@ -83,6 +83,7 @@ _NEW_ORACLES_R4: tuple[str, ...] = (
     "simsearch_ann_ivf_recall",
     "events_sessionize_salted",
     "multimodal_resize_audit",
+    "window_rank_topn_salted",
 )
 _R1_ONLY: tuple[str, ...] = (
     "q1_pricing_summary",

@@ -354,6 +354,26 @@ WHERE rn <= 3
 """
 
 
+def window_rank_topn_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-resistant twin of window_rank_topn
+    (operators.relational.top_k_per_group_salted): local top-3 within
+    (customer, content-salt), then global top-3 per customer over the ≤
+    n_salts*k survivors — a hot customer's rows spread across salts instead
+    of one reducer. Result-identical, so it shares window_rank_topn's
+    oracle; equivalence on a pathologically hot key is asserted in
+    tests/test_skew.py."""
+    orders = load_table(spark, sf_dir, "orders")
+    from sdc_mapreduce_spark.operators.relational import top_k_per_group_salted
+
+    return top_k_per_group_salted(
+        orders.select("o_custkey", "o_orderkey", "o_totalprice"),
+        ["o_custkey"],
+        [F.col("o_totalprice").desc(), F.col("o_orderkey").asc()],
+        3,
+        rank_col="rn",
+    )
+
+
 def window_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cumulative per-customer spend in order-date order. The running sum
     accumulates in exact decimal so the result is order-of-evaluation-proof,
@@ -1237,6 +1257,7 @@ QUERIES: dict[str, QuerySpec] = {
     "agg_cube": QuerySpec(agg_cube, AGG_CUBE_SQL),
     "agg_grouping_sets": QuerySpec(agg_grouping_sets, AGG_GROUPING_SETS_SQL),
     "window_rank_topn": QuerySpec(window_rank_topn, WINDOW_RANK_SQL, bench=True),
+    "window_rank_topn_salted": QuerySpec(window_rank_topn_salted, WINDOW_RANK_SQL),
     "window_running_sum": QuerySpec(window_running_sum, WINDOW_RUNNING_SQL),
     "window_lag_delta": QuerySpec(window_lag_delta, WINDOW_LAG_SQL),
     "window_range_frame": QuerySpec(window_range_frame, WINDOW_RANGE_FRAME_SQL),

@@ -189,3 +189,28 @@ def test_sessionize_chunked_merges_cross_boundary_sessions(spark):
     assert len(out) == 2
     assert out[1][0] == 3 and out[2][0] == 1
     assert out[1][1] == rows[0][2] and out[1][2] == rows[2][2]
+
+
+def test_salted_topk_equals_plain_on_hot_group(spark):
+    """Two-phase salted top-k must equal the plain window top-k even when
+    one group owns 90% of rows, and its phase-1 exchange must key on the
+    salt (the skew split) before the bare-group phase-2 exchange."""
+    from sdc_mapreduce_spark.operators.relational import (
+        top_k_per_group,
+        top_k_per_group_salted,
+    )
+
+    df = _skewed_df(spark)  # 90% of rows on key 0
+    order = [F.col("payload").desc(), F.col("payload").asc()]
+    plain = top_k_per_group(df, ["k"], order, 5).collect()
+    salted = top_k_per_group_salted(df, ["k"], order, 5, n_salts=8).collect()
+    as_set = lambda rows: {(r.k, r.payload, r.rn) for r in rows}
+    assert as_set(salted) == as_set(plain)
+    assert len(plain) > 0
+
+    from sdc_mapreduce_spark.plans import executed_plan
+
+    plan = executed_plan(top_k_per_group_salted(df, ["k"], order, 5, n_salts=8))
+    exchanges = [l for l in plan.splitlines() if "Exchange hashpartitioning" in l]
+    assert len(exchanges) == 2, plan
+    assert "__salt" in exchanges[1] and "__salt" not in exchanges[0], plan
