@@ -90,6 +90,7 @@ def jaccard_pairs(
     threshold: float = 0.8,
     text_col: str = "text",
     id_col: str = "doc_id",
+    max_df: int | None = 1000,
 ) -> DataFrame:
     """Exact n-gram Jaccard near-dup pairs via inverted-index self-join.
 
@@ -97,6 +98,19 @@ def jaccard_pairs(
     pair → |A∩B| / (|A| + |B| - |A∩B|) ≥ threshold. Returns
     (id_a, id_b, jaccard) with id_a < id_b. Jaccard is an exact int/int
     division — deterministic, oracle-hashable.
+
+    ``max_df`` caps shingle document frequency: a shingle in d documents
+    contributes d² candidate pairs to the equi-join, so one boilerplate
+    3-gram shared by 1% of a 100 TB corpus is a quadratic blowup. Shingles
+    with df > max_df are removed from the UNIVERSE (both the intersection
+    count and the per-doc sizes), i.e. Jaccard is computed over the
+    df-filtered shingle set — the standard stop-shingle treatment: such
+    shingles carry ~no discriminative signal, but pairs whose overlap is
+    ONLY boilerplate will score lower than their unfiltered Jaccard
+    (deliberate precision bias). Docs whose every shingle is hot drop out.
+    When no shingle exceeds the cap (any reasonably-sized corpus sample),
+    results are bit-identical to the uncapped form — property-tested.
+    ``max_df=None`` disables the cap.
     """
     from pyspark import StorageLevel
 
@@ -108,13 +122,31 @@ def jaccard_pairs(
     sets = shingle_sets(df, n=n, text_col=text_col, id_col=id_col).persist(
         StorageLevel.MEMORY_AND_DISK
     )
-    sizes = sets.select(F.col(id_col).alias("__id"), F.size("shingles").alias("__sz"))
     inv = sets.select(
         F.col(id_col).alias("__id"),
         F.explode(
             F.transform("shingles", lambda s: F.xxhash64(s))
         ).alias("__shingle"),
     )
+    if max_df is not None:
+        # Hot-shingle anti-join: the hot set is tiny (shingles above the
+        # cap), so broadcast it; the df count is a map-side-combinable
+        # aggregation over the index — linear, vs the quadratic join it
+        # prevents.
+        hot = (
+            inv.groupBy("__shingle")
+            .agg(F.count(F.lit(1)).alias("__df"))
+            .filter(F.col("__df") > max_df)
+            .select("__shingle")
+        )
+        inv = inv.join(F.broadcast(hot), "__shingle", "left_anti").persist(
+            StorageLevel.MEMORY_AND_DISK
+        )
+        sizes = inv.groupBy(F.col("__id")).agg(F.count(F.lit(1)).alias("__sz"))
+    else:
+        sizes = sets.select(
+            F.col(id_col).alias("__id"), F.size("shingles").alias("__sz")
+        )
     a = inv.select(F.col("__id").alias("id_a"), "__shingle")
     b = inv.select(F.col("__id").alias("id_b"), "__shingle")
     common = (
@@ -501,12 +533,23 @@ def simhash_near_pairs(
     max_hamming: int = 3,
     text_col: str = "text",
     id_col: str = "doc_id",
+    max_block: int | None = 10000,
 ) -> DataFrame:
     """Near-dup pairs by SimHash Hamming distance ≤ max_hamming.
 
     Pigeonhole blocking: split the 64-bit signature into ``max_hamming + 1``
     chunks; any pair within distance d must agree on ≥1 chunk, so candidates
     are an equi-join on (chunk_index, chunk_value) — never all-pairs.
+
+    ``max_block`` caps the (chunk, cval) block size: a block of b docs
+    contributes b² candidates, so one degenerate chunk value (e.g. the
+    all-zeros chunk produced by short or templated documents) shared by a
+    large corpus slice is a quadratic blowup. Blocks above the cap are
+    dropped from candidate generation — a pair agreeing ONLY on dropped
+    blocks is missed (bounded recall trade-off; Hamming verification means
+    precision is unaffected). With 16-bit chunks a uniform corpus needs
+    >655M docs before an average block reaches 10k, so the cap only fires
+    on pathological value skew. ``max_block=None`` disables.
     """
     chunks = max_hamming + 1
     width = 64 // chunks
@@ -534,6 +577,14 @@ def simhash_near_pairs(
             )
         ).alias("p"),
     ).select("__id", "simhash", "p.chunk", "p.cval")
+    if max_block is not None:
+        hot = (
+            pieces.groupBy("chunk", "cval")
+            .agg(F.count(F.lit(1)).alias("__n"))
+            .filter(F.col("__n") > max_block)
+            .select("chunk", "cval")
+        )
+        pieces = pieces.join(F.broadcast(hot), ["chunk", "cval"], "left_anti")
 
     cand = (
         pieces.alias("x")

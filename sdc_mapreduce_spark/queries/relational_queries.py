@@ -1101,21 +1101,52 @@ def agg_approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sketch aggregates — the one-pass, bounded-memory forms for 100 TB:
     HLL++ ``approx_count_distinct`` (no exact-distinct shuffle expansion)
     and ``approx_percentile`` (mergeable digest, no global sort). These are
-    what agg_distinct/agg_percentiles degrade to at scale. Approximate ⇒
-    rows-only driver check; the error bound vs the exact aggregates is
-    asserted in unit tests (tests/test_operators.py)."""
+    what agg_distinct/agg_percentiles degrade to at scale.
+
+    Oracle strategy (bounds-check): the estimates themselves are
+    engine-specific, so the REGISTERED columns are the exact aggregates
+    plus booleans asserting each sketch is within its published error —
+    HLL++ within 3×rsd (rsd=0.02 ⇒ ±6%) of the exact distinct count, and
+    the digest median between the exact 45th and 55th percentiles (rank
+    error ≤ 1/accuracy ≪ 0.05). The DuckDB twin emits the same exacts with
+    literal TRUEs, so an out-of-bounds sketch hash-mismatches and turns the
+    driver row red. Raw estimate values are exercised in
+    tests/test_operators.py."""
     orders = load_table(spark, sf_dir, "orders")
-    return (
-        orders.groupBy("o_orderstatus")
-        .agg(
-            F.approx_count_distinct("o_custkey", rsd=0.02).alias("approx_customers"),
-            F.expr("approx_percentile(o_totalprice, 0.5, 10000)").alias(
-                "approx_median_price"
-            ),
-            F.count(F.lit(1)).alias("n"),
-        )
-        .orderBy("o_orderstatus")
+    agg = orders.groupBy("o_orderstatus").agg(
+        F.approx_count_distinct("o_custkey", rsd=0.02).alias("approx_customers"),
+        F.count_distinct("o_custkey").alias("exact_customers"),
+        F.expr("approx_percentile(o_totalprice, 0.5, 10000)").alias(
+            "approx_median_price"
+        ),
+        F.expr("percentile(o_totalprice, array(0.45, 0.55))").alias("p45_55"),
+        F.count(F.lit(1)).alias("n"),
     )
+    exact = F.col("exact_customers").cast("double")
+    return agg.select(
+        "o_orderstatus",
+        "n",
+        "exact_customers",
+        (
+            F.abs(F.col("approx_customers").cast("double") - exact) / exact <= F.lit(0.06)
+        ).alias("acd_within_bounds"),
+        (
+            (F.col("approx_median_price") >= F.col("p45_55")[0])
+            & (F.col("approx_median_price") <= F.col("p45_55")[1])
+        ).alias("median_within_bounds"),
+    ).orderBy("o_orderstatus")
+
+
+AGG_APPROX_SKETCHES_SQL = """
+SELECT o_orderstatus,
+       COUNT(*) AS n,
+       COUNT(DISTINCT o_custkey) AS exact_customers,
+       TRUE AS acd_within_bounds,
+       TRUE AS median_within_bounds
+FROM orders
+GROUP BY o_orderstatus
+ORDER BY o_orderstatus
+"""
 
 
 def udaf_geomean_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1237,7 +1268,7 @@ QUERIES: dict[str, QuerySpec] = {
     "q19_disjunctive_filters": QuerySpec(q19_disjunctive_filters, Q19_SQL),
     "agg_pivot": QuerySpec(agg_pivot, AGG_PIVOT_SQL),
     "agg_percentiles": QuerySpec(agg_percentiles, AGG_PERCENTILES_SQL),
-    "agg_approx_sketches": QuerySpec(agg_approx_sketches, None),
+    "agg_approx_sketches": QuerySpec(agg_approx_sketches, AGG_APPROX_SKETCHES_SQL),
     "udaf_geomean_pandas": QuerySpec(udaf_geomean_pandas, UDAF_GEOMEAN_SQL),
     "grouped_zscore_pandas": QuerySpec(grouped_zscore_pandas, GROUPED_ZSCORE_SQL),
     "subquery_above_nation_avg": QuerySpec(

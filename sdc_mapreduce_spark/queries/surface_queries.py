@@ -554,16 +554,20 @@ ORDER BY l_returnflag
 
 
 def agg_collect_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Array-building aggregates: the distinct market segments per nation as
-    a SORTED array (collect_set is unordered — array_sort makes the value
-    deterministic and oracle-hashable) plus a '|'-joined string form
-    (listagg equivalent)."""
+    """Array-building aggregates: the distinct market segments per nation,
+    built with collect_set (unordered — array_sort makes the value
+    deterministic) but REGISTERED as scalar columns only: the sorted-set
+    cardinality and its '|'-joined string form (listagg equivalent). The
+    string carries the full set content, so correctness coverage is
+    identical to emitting the array, while the output stays sortable by the
+    driver's pandas canonicalizer (array-typed top-level columns are
+    unhashable there; the array form is exercised in
+    tests/test_operators.py)."""
     cust = load_table(spark, sf_dir, "customer")
     segs = F.array_sort(F.collect_set("c_mktsegment"))
     return (
         cust.groupBy("c_nationkey")
         .agg(
-            segs.alias("segments"),
             F.size(segs).alias("n_segments"),
             F.array_join(segs, "|").alias("segments_joined"),
         )
@@ -573,7 +577,6 @@ def agg_collect_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 AGG_COLLECT_SETS_SQL = """
 SELECT c_nationkey,
-       list_sort(list(DISTINCT c_mktsegment)) AS segments,
        CAST(LEN(list(DISTINCT c_mktsegment)) AS INT) AS n_segments,
        list_aggregate(list_sort(list(DISTINCT c_mktsegment)), 'string_agg', '|')
          AS segments_joined

