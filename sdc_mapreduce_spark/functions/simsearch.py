@@ -364,6 +364,78 @@ def cosine_topk_ivf(
     ).select("query_id", "neighbor_id", "rank")
 
 
+def write_ivf_index(assigned: DataFrame, centroids: DataFrame, path: str) -> None:
+    """Persist an IVF index: the assigned corpus laid out one directory per
+    cell (``partitionBy('__cell')`` — the on-disk analogue of FAISS's
+    inverted lists) plus the centroid table. Probing then prunes at the
+    DIRECTORY level: a ``__cell IN (probes)`` filter becomes a static
+    ``PartitionFilters`` entry on the scan, so a probe reads
+    ~n_probe/n_cells of the corpus bytes and never lists the rest.
+    (Directory partitioning is chosen over ``bucketBy`` here: bucket
+    pruning needs a metastore table and still lists every file; partition
+    pruning is path-based and skips listing+IO both — the right trade for
+    read-heavy ANN serving.)"""
+    assigned.write.mode("overwrite").partitionBy("__cell").parquet(f"{path}/corpus")
+    centroids.write.mode("overwrite").parquet(f"{path}/centroids")
+
+
+def cosine_topk_ivf_from_index(
+    spark,
+    path: str,
+    query_ids: list[int],
+    k: int = 5,
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """IVF top-k served from a persisted index (``write_ivf_index``).
+
+    Probe selection mirrors ``cosine_topk_ivf`` (broadcast centroid scoring
+    + per-query top-n_probe); the probed cell set — at most
+    ``len(query_ids) * n_probe`` ints — is then collected and applied as a
+    STATIC ``__cell IN (...)`` partition filter, so the candidate scan
+    prunes to the probed directories at planning time (no reliance on
+    runtime DPP). Result-identical to the in-memory path given the same
+    centroids; plan-asserted in tests/test_plans.py."""
+    corpus = spark.read.parquet(f"{path}/corpus")
+    centroids = spark.read.parquet(f"{path}/centroids")
+    queries = corpus.filter(F.col(id_col).isin(query_ids)).select(
+        F.col(id_col).alias("query_id"), F.col("__unit").alias("__qunit")
+    )
+    probe_scores = queries.join(F.broadcast(centroids)).select(
+        "query_id",
+        "__qunit",
+        "__cell",
+        dot(F.col("__qunit"), F.col("__centroid")).alias("__cscore"),
+    )
+    probes = top_k_per_group(
+        probe_scores,
+        ["query_id"],
+        [F.col("__cscore").desc(), F.col("__cell").asc()],
+        n_probe,
+        rank_col="__prank",
+    ).select("query_id", "__qunit", "__cell")
+    # O(queries * n_probe) ints to the driver — the price of a static
+    # partition filter; benign at any corpus scale.
+    cells = sorted({r["__cell"] for r in probes.select("__cell").distinct().collect()})
+    cands = (
+        corpus.filter(F.col("__cell").isin(cells))
+        .join(F.broadcast(probes), "__cell")
+        .filter(F.col(id_col) != F.col("query_id"))
+    )
+    scored = cands.select(
+        "query_id",
+        F.col(id_col).alias("neighbor_id"),
+        dot(F.col("__qunit"), F.col("__unit")).alias("cosine"),
+    )
+    return top_k_per_group(
+        scored,
+        ["query_id"],
+        [F.col("cosine").desc(), F.col("neighbor_id").asc()],
+        k,
+        rank_col="rank",
+    ).select("query_id", "neighbor_id", "rank")
+
+
 def embedding_near_pairs_blocked(
     corpus: DataFrame,
     threshold: float = 0.4,

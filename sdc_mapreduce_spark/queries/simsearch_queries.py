@@ -207,6 +207,30 @@ ORDER BY eq.query_id
 """
 
 
+def simsearch_ann_ivf_index_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The persisted-IVF-index path, recall-checked end-to-end: build the
+    seeded quantizer, write the index (corpus partitioned one directory per
+    cell + centroids), then serve top-k FROM DISK with static partition
+    pruning (cosine_topk_ivf_from_index) and score recall against exact
+    brute force. Same centroids ⇒ same answer as the in-memory IVF path, so
+    it shares SIMSEARCH_ANN_IVF_RECALL_SQL — the driver hash certifies that
+    the round-trip through the pruned on-disk layout loses nothing."""
+    import hashlib
+    import tempfile
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = S.seeded_centroids(emb, n_cells=IVF_CELLS)
+    assigned = S.assign_cells(emb, cents)
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:12]
+    path = f"{tempfile.gettempdir()}/sdcms_ivf_index_{tag}"
+    S.write_ivf_index(assigned, cents, path)
+    ann = S.cosine_topk_ivf_from_index(
+        spark, path, QUERY_IDS, k=TOP_K, n_probe=IVF_PROBE
+    )
+    exact = S.cosine_topk_bruteforce(emb, QUERY_IDS, k=TOP_K)
+    return _recall_vs_exact(ann, exact)
+
+
 ANN_PLANES = 6
 
 
@@ -331,6 +355,9 @@ QUERIES: dict[str, QuerySpec] = {
     "simsearch_ann_ivf": QuerySpec(simsearch_ann_ivf, None),
     "simsearch_ann_ivf_recall": QuerySpec(
         simsearch_ann_ivf_recall, SIMSEARCH_ANN_IVF_RECALL_SQL
+    ),
+    "simsearch_ann_ivf_index_recall": QuerySpec(
+        simsearch_ann_ivf_index_recall, SIMSEARCH_ANN_IVF_RECALL_SQL
     ),
     "embedding_stats": QuerySpec(embedding_stats, EMBEDDING_STATS_SQL),
 }

@@ -158,3 +158,32 @@ def test_multimodal_embed_search_broadcasts_queries(spark, sf_dir):
     plan = _plan(multimodal_embed_search(spark, sf_dir))
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan, plan
     assert "SortMergeJoin" not in plan, plan
+
+
+def test_ivf_index_probe_prunes_partitions_and_matches_memory(spark, sf_dir, tmp_path):
+    """The persisted IVF index must (a) serve results identical to the
+    in-memory IVF path with the same seeded centroids and (b) plan the
+    candidate scan with a static __cell partition filter — i.e. a probe
+    reads only the probed cell directories, the property that makes the
+    layout 100 TB-serviceable."""
+    from sdc_mapreduce_spark.catalog import load_table
+    from sdc_mapreduce_spark.functions import simsearch as S
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = S.seeded_centroids(emb, n_cells=8)
+    assigned = S.assign_cells(emb, cents)
+    path = str(tmp_path / "ivf")
+    S.write_ivf_index(assigned, cents, path)
+
+    qids = list(range(10))
+    from_index = S.cosine_topk_ivf_from_index(spark, path, qids, k=5, n_probe=4)
+    in_memory = S.cosine_topk_ivf(emb, qids, k=5, n_probe=4, centroids=cents)
+    assert sorted(map(tuple, from_index.collect())) == sorted(
+        map(tuple, in_memory.collect())
+    )
+
+    # the probed-cell IN-filter must appear in a PartitionFilters clause
+    plan = _plan(from_index)
+    assert "PartitionFilters" in plan
+    clauses = plan.split("PartitionFilters")[1:]
+    assert any("__cell" in c[:300] for c in clauses)
