@@ -82,10 +82,13 @@ class JobQueue:
     src/util/zook.h:161-181).
     """
 
-    def __init__(self, state_dir: str | None = None) -> None:
+    def __init__(
+        self, state_dir: str | None = None, max_pending: int | None = None
+    ) -> None:
         self._jobs: dict[int, Job] = {}
         self._seq = 0
         self._lock = threading.Lock()
+        self._max_pending = max_pending
         self._state_dir = Path(state_dir) if state_dir else None
         if self._state_dir:
             self._state_dir.mkdir(parents=True, exist_ok=True)
@@ -139,6 +142,15 @@ class JobQueue:
         conf: dict[str, str] | None = None,
     ) -> int:
         with self._lock:
+            # the pending bound is enforced HERE, under the queue lock —
+            # a pre-submit backlog check outside the lock is advisory only
+            # (two concurrent submits could both pass it)
+            if self._max_pending is not None:
+                pending = sum(1 for j in self._jobs.values() if j.status == CREATED)
+                if pending >= self._max_pending:
+                    raise QueueFullError(
+                        f"job queue full ({pending} pending >= {self._max_pending})"
+                    )
             self._seq += 1
             job = Job(
                 job_id=self._seq, plan=plan, sink=sink, name=name, conf=conf or {}
@@ -226,6 +238,10 @@ class JobQueue:
         os.replace(tmp, final)
 
 
+class QueueFullError(RuntimeError):
+    """Raised by JobQueue.submit when the CREATED backlog is at its bound."""
+
+
 def _unrecoverable_plan(spark):
     raise RuntimeError("job recovered from disk; its plan is not re-runnable")
 
@@ -281,22 +297,26 @@ class JobRunner:
             job.status = RUNNING
             job.started_at = time.time()
         self.queue._persist(job)
-        # job-scoped confs: in effect for plan construction AND the action
-        # (file-split planning happens at action time), restored afterwards
-        # so one job's shard_size never leaks into the shared session
-        saved: dict[str, str | None] = {}
+        # Job-scoped confs live on a PER-JOB child session: SQL confs are
+        # session-scoped state, and spark.conf on the shared session is
+        # global — with concurrent workers, set/restore there races (one
+        # worker can snapshot another's override as the "old" value and
+        # resurrect it, silently changing e.g. file-split planning for the
+        # other job). newSession() shares the SparkContext and cache but
+        # isolates SQLConf, so per-job overrides never touch a neighbor;
+        # the session is discarded with the job, so nothing to restore.
+        session = self.spark.newSession() if job.conf else self.spark
         for k, v in job.conf.items():
-            saved[k] = self.spark.conf.get(k, None)
-            self.spark.conf.set(k, v)
+            session.conf.set(k, v)
         # job-group tag is thread-local (PySpark pinned-thread mode), so
         # concurrent workers tag only their own actions
         self.spark.sparkContext.setJobGroup(
             job.group_id, job.name or f"job {job.job_id}", interruptOnCancel=True
         )
         try:
-            df = job.plan(self.spark)
+            df = job.plan(session)
             if job.cancel_requested:  # cancelled before the action registered
-                raise RuntimeError("cancelled before action")
+                raise _CancelledBeforeAction("cancelled before action")
             if job.sink is not None:
                 job.sink(df)
             else:
@@ -304,11 +324,14 @@ class JobRunner:
                 # returns results inline; completion IS the result).
                 job.result_rows = df.count()
             job.status = COMPLETED
-        except Exception:
-            if job.cancel_requested:
+        except Exception as exc:
+            if job.cancel_requested and _is_cancellation(exc):
                 job.error = "cancelled while running"
                 job.status = CANCELLED
             else:
+                # A genuine failure stays FAILED with its traceback even if
+                # a cancel happened to be requested around the same moment —
+                # only the cancellation interrupt itself maps to CANCELLED.
                 # error before status: status is the publish flag a
                 # concurrent reader polls on, so every field it implies
                 # must land first
@@ -316,10 +339,24 @@ class JobRunner:
                 job.status = FAILED
         finally:
             self.spark.sparkContext.setJobGroup("", "")
-            for k, old in saved.items():
-                if old is None:
-                    self.spark.conf.unset(k)
-                else:
-                    self.spark.conf.set(k, old)
             job.finished_at = time.time()
             self.queue._persist(job)
+
+
+class _CancelledBeforeAction(RuntimeError):
+    """Sentinel raised when the pre-action cancel_requested check fires."""
+
+
+def _is_cancellation(exc: Exception) -> bool:
+    """True iff the exception is the cancellation interrupt itself (the
+    sentinel, or the Py4J-wrapped SparkException raised when cancelJobGroup
+    kills the in-flight action) — not an unrelated failure that raced a
+    cancel: a Python-side error whose message merely mentions "cancel"
+    must stay FAILED with its real traceback."""
+    if isinstance(exc, _CancelledBeforeAction):
+        return True
+    cls = type(exc)
+    if not cls.__module__.startswith(("py4j", "pyspark")):
+        return False
+    msg = str(exc).lower()
+    return "cancel" in msg or "interrupt" in msg

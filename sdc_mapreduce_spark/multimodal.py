@@ -345,6 +345,12 @@ def resize_media(df: DataFrame, target: tuple[int, int] = (224, 224)) -> DataFra
                 if parsed is None or parsed[0] != "image":
                     continue
                 _, width, height, channels = parsed
+                if width == 0 or height == 0 or channels == 0:
+                    # header parses but declares a zero-size axis: treat as
+                    # malformed and drop (np.resize would produce an empty
+                    # buffer and the row-index below would IndexError,
+                    # failing the whole task instead of skipping the row)
+                    continue
                 body = np.frombuffer(payload, dtype=np.uint8, offset=HEADER_LEN)
                 pixels = np.resize(body, (height, width, channels))
                 rows = (np.arange(t_h) * height // t_h)

@@ -302,19 +302,23 @@ WITH b AS (
             FOR i IN range(1, CAST(n AS INT) + 1)]) AS byte
   FROM b
 ), sums AS (
-  SELECT doc_id, n, CAST(SUM(byte) AS BIGINT) AS byte_sum
-  FROM e GROUP BY doc_id, n
+  SELECT doc_id, CAST(SUM(byte) AS BIGINT) AS byte_sum
+  FROM e GROUP BY doc_id
 )
-SELECT doc_id AS media_id,
-       CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
-       CAST(16 + (doc_id * 7919) % 240 AS INT) AS width,
-       CAST(16 + (doc_id * 104729) % 240 AS INT) AS height,
-       CAST(1 + (doc_id // 3) % 3 AS INT) AS n_channels,
-       CAST(n AS BIGINT) AS body_bytes,
-       byte_sum,
-       CASE WHEN n > 0 THEN FLOOR(byte_sum / n * 1e6 + 0.5) / 1e6
+-- drive from the base docs CTE, not sums: UNNEST of an empty body yields
+-- no e/sums rows, but the Spark kernel still emits the doc with
+-- body_bytes=0/byte_sum=0/mean_byte=0.0 — LEFT JOIN + COALESCE keeps the
+-- engines aligned on zero-length texts
+SELECT b.doc_id AS media_id,
+       CASE b.doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
+       CAST(16 + (b.doc_id * 7919) % 240 AS INT) AS width,
+       CAST(16 + (b.doc_id * 104729) % 240 AS INT) AS height,
+       CAST(1 + (b.doc_id // 3) % 3 AS INT) AS n_channels,
+       CAST(b.n AS BIGINT) AS body_bytes,
+       COALESCE(s.byte_sum, 0) AS byte_sum,
+       CASE WHEN b.n > 0 THEN FLOOR(s.byte_sum / b.n * 1e6 + 0.5) / 1e6
             ELSE 0.0 END AS mean_byte
-FROM sums
+FROM b LEFT JOIN sums s ON s.doc_id = b.doc_id
 ORDER BY media_id
 """
 
@@ -445,9 +449,13 @@ def multimodal_embed_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     media = synthesize_framed_media(load_table(spark, sf_dir, "documents"))
     hist = byte_bin_histogram(media)
     v = F.col("feature").cast("array<double>")
+    # drop zero-norm (empty-body) vectors: they have no cosine direction,
+    # and the DuckDB twin's bin-join drops them implicitly (an empty text
+    # yields no bins rows) — without this filter an empty doc would surface
+    # here as a NaN-scored row the oracle never produces
     prepared = hist.select(
         "media_id", v.alias("__v"), dot(v, v).alias("__nn")
-    )
+    ).filter(F.col("__nn") > 0)
     queries = prepared.filter(F.col("media_id").isin([0, 1, 2, 3, 4])).select(
         F.col("media_id").alias("query_id"),
         F.col("__v").alias("__q"),

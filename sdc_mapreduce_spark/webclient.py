@@ -42,7 +42,7 @@ from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 from pyspark.sql import SparkSession
 
 from sdc_mapreduce_spark import mapreduce as mr
-from sdc_mapreduce_spark.jobs import JobQueue, JobRunner
+from sdc_mapreduce_spark.jobs import JobQueue, JobRunner, QueueFullError
 
 
 def _wordcount_plan(files: list[str]):
@@ -99,11 +99,14 @@ class _Handler(BaseHTTPRequestHandler):
             return self._submit_query()
         if self.path.rstrip("/") not in ("", "/"):
             return self._reply(404, {"error": "not found"})
-        if self.server.backlog_full():
-            return self._reply(429, {"error": "job queue full"})
+        # read (drain) the body BEFORE any 429: replying while the request
+        # body sits unread resets the connection on non-trivial payloads,
+        # so the client sees a broken pipe instead of the clean 429
         body = self._read_json()
         if body is None:
             return None
+        if self.server.backlog_full():
+            return self._reply(429, {"error": "job queue full"})
         # field validation with the reference's exact messages
         # (webclient.cpp:23-28)
         if "reducer_count" not in body:
@@ -125,14 +128,20 @@ class _Handler(BaseHTTPRequestHandler):
         output_path = body.get("output_path")
 
         sink = _kv_sink(output_path, reducer_count) if output_path else None
-        job_id = self.server.queue.submit(
-            _wordcount_plan([str(f) for f in files]),
-            sink=sink,
-            name=body.get("name", "wordcount"),
-            # the reference's per-job shard_size, applied job-scoped by the
-            # runner (input bytes per map task) and restored afterwards
-            conf={"spark.sql.files.maxPartitionBytes": str(shard_size)},
-        )
+        try:
+            job_id = self.server.queue.submit(
+                _wordcount_plan([str(f) for f in files]),
+                sink=sink,
+                name=body.get("name", "wordcount"),
+                # the reference's per-job shard_size, applied job-scoped by
+                # the runner on an isolated child session (input bytes per
+                # map task)
+                conf={"spark.sql.files.maxPartitionBytes": str(shard_size)},
+            )
+        except QueueFullError:
+            # the authoritative, lock-held bound (backlog_full() above is
+            # only an advisory fast path — concurrent submits race it)
+            return self._reply(429, {"error": "job queue full"})
         self.server.wake.set()
         return self._reply(
             200,
@@ -164,11 +173,11 @@ class _Handler(BaseHTTPRequestHandler):
         word count; here the control plane fronts the full query surface).
         Results land as parquet at output_path, or the job completes with
         result_rows only."""
-        if self.server.backlog_full():
-            return self._reply(429, {"error": "job queue full"})
-        body = self._read_json()
+        body = self._read_json()  # drain before any 429 (see do_POST)
         if body is None:
             return None
+        if self.server.backlog_full():
+            return self._reply(429, {"error": "job queue full"})
         from sdc_mapreduce_spark.catalog import DEFAULT_SF_DIR
         from sdc_mapreduce_spark.queries import REGISTRY
 
@@ -189,7 +198,10 @@ class _Handler(BaseHTTPRequestHandler):
             def sink(df, _out=str(output_path)):
                 df.write.mode("overwrite").parquet(_out)
 
-        job_id = self.server.queue.submit(plan, sink=sink, name=f"query:{name}")
+        try:
+            job_id = self.server.queue.submit(plan, sink=sink, name=f"query:{name}")
+        except QueueFullError:
+            return self._reply(429, {"error": "job queue full"})
         self.server.wake.set()
         return self._reply(
             200,
@@ -252,7 +264,7 @@ class JobServer(ThreadingHTTPServer):
         max_pending: int | None = None,
     ) -> None:
         super().__init__((host, port), _Handler)
-        self.queue = JobQueue(state_dir=state_dir)
+        self.queue = JobQueue(state_dir=state_dir, max_pending=max_pending)
         self.runner = JobRunner(spark, self.queue)
         self.max_concurrent = max(1, int(max_concurrent))
         self.max_pending = max_pending

@@ -140,3 +140,60 @@ def test_recover_skips_corrupt_record(spark, tmp_path):
     q2 = JobQueue(state_dir=str(state))
     assert q2.status(ok) == "COMPLETED"
     assert 50 not in {j.job_id for j in q2.all()}
+
+
+def test_submit_enforces_pending_bound_atomically():
+    """The CREATED-backlog bound lives in submit, under the queue lock —
+    the (N+1)th pending submit raises QueueFullError even with no HTTP
+    pre-check in front of it."""
+    import pytest
+
+    q = J.JobQueue(max_pending=2)
+    q.submit(lambda s: None, name="a")
+    q.submit(lambda s: None, name="b")
+    with pytest.raises(J.QueueFullError):
+        q.submit(lambda s: None, name="c")
+    # draining one slot reopens the bound
+    q.job(1).status = J.CANCELLED
+    assert q.submit(lambda s: None, name="c") == 3
+
+
+def test_genuine_failure_during_cancel_stays_failed(spark):
+    """A plan that raises an unrelated error while cancel_requested happens
+    to be set must record FAILED with the real traceback — only the
+    cancellation interrupt itself maps to CANCELLED."""
+    q = J.JobQueue()
+    runner = J.JobRunner(spark, q)
+
+    def bad_plan(s):
+        # simulate a cancel racing in just before the genuine failure
+        q.job(jid).cancel_requested = True
+        raise ValueError("plan bug, not a cancellation")
+
+    jid = q.submit(bad_plan, name="bad")
+    runner.run_pending()
+    job = q.job(jid)
+    assert job.status == J.FAILED
+    assert "plan bug" in job.error
+
+
+def test_job_conf_isolated_per_job_session(spark):
+    """Job-scoped confs run on a child session: the shared session's value
+    is untouched during and after a job that overrides it."""
+    key = "spark.sql.files.maxPartitionBytes"
+    before = spark.conf.get(key)
+    seen = {}
+
+    def plan(s):
+        seen["in_job"] = s.conf.get(key)
+        seen["shared_during"] = spark.conf.get(key)
+        return s.range(1)
+
+    q = J.JobQueue()
+    runner = J.JobRunner(spark, q)
+    jid = q.submit(plan, name="conf", conf={key: "12345678"})
+    runner.run_pending()
+    assert q.job(jid).status == J.COMPLETED
+    assert seen["in_job"] == "12345678"
+    assert seen["shared_during"] == before
+    assert spark.conf.get(key) == before

@@ -166,3 +166,22 @@ def test_resize_media_nearest_neighbor_exact(spark):
         [[1, 1, 2, 2], [1, 1, 2, 2], [3, 3, 4, 4], [3, 3, 4, 4]], dtype=np.uint8
     )
     assert (body.reshape(4, 4) == expect).all()
+
+
+def test_resize_media_drops_zero_dim_payloads(spark):
+    """A payload whose header is structurally valid but declares a
+    zero-size axis (width/height/channels = 0) is malformed: the kernel
+    must DROP the row — matching the malformed-payload policy — rather than
+    crash the whole task on an empty pixel buffer."""
+    import numpy as np
+
+    good = np.array([[1, 2], [3, 4]], dtype=np.uint8)
+    rows = [
+        (1, bytearray(M.frame_header("image", 0, 2, 1) + b"xy")),
+        (2, bytearray(M.frame_header("image", 2, 0, 1) + b"xy")),
+        (3, bytearray(M.frame_header("image", 2, 2, 0) + b"xy")),
+        (4, bytearray(M.frame_header("image", 2, 2, 1) + good.tobytes())),
+    ]
+    df = spark.createDataFrame(rows, "media_id long, content binary")
+    out = M.resize_media(df, target=(4, 4)).collect()
+    assert [r["media_id"] for r in out] == [4]
