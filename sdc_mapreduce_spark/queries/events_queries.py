@@ -72,28 +72,9 @@ def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     inactivity. lag → new-session flag → running count = session id; then
     per-session aggregates. Two window passes over one shuffle key
     (user_id) — Spark reuses the partitioning between them."""
-    ev = load_table(spark, sf_dir, "events")
-    w_order = Window.partitionBy("user_id").orderBy(
-        F.col("ts").asc(), F.col("event_id").asc()
-    )
-    prev_ts = F.lag("ts").over(w_order)
-    is_new = F.when(
-        prev_ts.isNull()
-        | (F.col("ts") > prev_ts + F.expr("INTERVAL '30' MINUTE")),
-        1,
-    ).otherwise(0)
-    w_cum = w_order.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    with_session = ev.withColumn("__new", is_new).withColumn(
-        "session_id", F.sum("__new").over(w_cum)
-    )
-    return (
-        with_session.groupBy("user_id", "session_id")
-        .agg(
-            F.count(F.lit(1)).alias("n_events"),
-            F.min("ts").alias("session_start"),
-            F.max("ts").alias("session_end"),
-        )
-    )
+    from sdc_mapreduce_spark.operators.skew import sessionize_plain
+
+    return sessionize_plain(load_table(spark, sf_dir, "events"), gap_minutes=30)
 
 
 EVENTS_SESSIONIZE_SQL = """

@@ -365,12 +365,15 @@ def window_rank_topn_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_table(spark, sf_dir, "orders")
     from sdc_mapreduce_spark.operators.relational import top_k_per_group_salted
 
+    # the unique o_orderkey tie-break supplies an arithmetic salt — same
+    # uniformity as hashing, ~1/3 the window cost (see operator docstring)
     return top_k_per_group_salted(
         orders.select("o_custkey", "o_orderkey", "o_totalprice"),
         ["o_custkey"],
         [F.col("o_totalprice").desc(), F.col("o_orderkey").asc()],
         3,
         rank_col="rn",
+        salt_expr=F.col("o_orderkey"),
     )
 
 

@@ -214,3 +214,33 @@ def test_salted_topk_equals_plain_on_hot_group(spark):
     exchanges = [l for l in plan.splitlines() if "Exchange hashpartitioning" in l]
     assert len(exchanges) == 2, plan
     assert "__salt" in exchanges[1] and "__salt" not in exchanges[0], plan
+
+
+def test_topk_salted_isolated_and_salt_expr_parity(spark):
+    """All three top-k forms (plain window, uniformly salted with an
+    arithmetic salt_expr, isolated hot-group salting) must be row-identical
+    on a skewed frame where one group dwarfs the rest."""
+    from sdc_mapreduce_spark.operators.relational import (
+        top_k_per_group,
+        top_k_per_group_salted,
+        top_k_per_group_salted_isolated,
+    )
+
+    rows = [(0, i, float((i * 7919) % 1000)) for i in range(5000)]  # hot group
+    rows += [(g, 100_000 + g * 100 + i, float(i)) for g in range(1, 40) for i in range(8)]
+    df = spark.createDataFrame(rows, "g int, id int, v double")
+    args = (["g"], [F.col("v").desc(), F.col("id").asc()], 5)
+    plain = sorted(map(tuple, top_k_per_group(df, *args).collect()))
+    salted = sorted(
+        map(tuple, top_k_per_group_salted(df, *args, salt_expr=F.col("id")).collect())
+    )
+    isolated = sorted(
+        map(
+            tuple,
+            top_k_per_group_salted_isolated(
+                df, *args, salt_expr=F.col("id"), hot_threshold=100
+            ).collect(),
+        )
+    )
+    assert plain == salted == isolated
+    assert len(plain) == 5 + 39 * 5

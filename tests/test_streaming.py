@@ -451,3 +451,39 @@ def test_kvtext_kill_and_resume_mid_stream_exactly_once(spark, tmp_path):
         ), f"second resume wrong: {sink_rows()}"
     finally:
         q.stop()
+
+
+def test_tumbling_throughput_floor(spark, sf_dir, tmp_path):
+    """Throughput canary: the tumbling-window pipeline must stay JVM-side.
+    Replicates the fixture stream ~30x (so per-row work dominates fixed
+    micro-batch overhead) and asserts a deliberately generous events/sec
+    floor — a row-at-a-time Python regression in streaming/events.py is
+    ~2 orders of magnitude off this pace and trips it; normal CI noise
+    does not."""
+    import time
+
+    out = str(tmp_path / "events_big")
+    ev = load_table(spark, sf_dir, "events")
+    reps = spark.range(30).select(F.col("id").alias("__rep"))
+    big = (
+        ev.crossJoin(reps)
+        .withColumn("event_id", F.col("event_id") + F.col("__rep") * 10_000_000)
+        .drop("__rep")
+    )
+    n_events = big.count()
+    big.select(
+        "event_id",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("ts"),
+        "user_id",
+        "event_type",
+        "value",
+        "props",
+    ).repartition(8).write.mode("overwrite").json(out)
+
+    stream = read_events_stream(spark, out)
+    t0 = time.monotonic()
+    _run_to_memory(tumbling_counts(stream), "tumbling_floor_out", "append")
+    elapsed = time.monotonic() - t0
+    assert spark.sql("select count(*) from tumbling_floor_out").collect()[0][0] > 0
+    rate = n_events / elapsed
+    assert rate >= 2000, f"streaming throughput regressed: {rate:.0f} ev/s ({elapsed:.1f}s for {n_events})"
