@@ -40,72 +40,22 @@ for mod in (
 # driver-green row over time:
 #   round 1 window: flagship + LLM-pipeline + TPC-H head + surface head
 #   rounds 2-3 window: same set (registry was frozen — wasted rounds)
-#   round 4 window (this order): the 24 queries never driver-sampled in
-#     r1-r3, followed by 26 of the 46 queries last sampled in round 1.
-#   round 5 plan: rotate the remaining 20 r1-only queries plus the oldest
-#     of the r2/r3 window back to the front.
-_NEVER_SAMPLED_R1_R3: tuple[str, ...] = (
-    # TPC-H tail that fell outside every prior window
-    "q12_late_shipments",
-    "q17_small_quantity_revenue",
-    "q21_waiting_suppliers",
-    # join surface
-    "join_cross",
-    "join_full_outer_coalesce",
-    "join_null_safe",
-    "join_skew_salted",
-    # aggregation surface
-    "agg_collect_sets",
-    "agg_minmax_by",
-    "agg_salted_distinct",
-    "agg_stats_moments",
-    "agg_unpivot",
-    # window / set / scalar surface
-    "window_distribution_fns",
-    "set_except_all",
-    "set_intersect_all",
-    "scalar_regex_fns",
-    "table_profile",
-    # events suite tail
-    "events_cohort_retention",
-    "events_dedup_windowed",
-    "events_from_json_struct",
-    "events_funnel",
-    "events_monthly_rollup",
-    "events_range_join",
-    "latest_event_per_user",
-)
-# Queries whose oracle is NEW in round 4 (previously rows-only): no driver
-# hash row exists yet, so they outrank the r1-verified tail below.
-_NEW_ORACLES_R4: tuple[str, ...] = (
-    "multimodal_decode_profile",
-    "multimodal_embed_search",
-    "simsearch_ann_ivf_recall",
-    "events_sessionize_salted",
-    "multimodal_resize_audit",
-    "window_rank_topn_salted",
-)
-_R1_ONLY: tuple[str, ...] = (
-    "q1_pricing_summary",
-    "q3_shipping_priority",
-    "q4_order_priority",
-    "q5_local_supplier",
-    "q6_forecast_revenue",
-    "q7_nation_volume",
-    "q10_returned_items",
-    "q14_promo_share",
-    "q18_large_volume",
-    "q19_disjunctive_filters",
-    "q22_global_sales_opportunity",
-    "agg_pivot",
-    "agg_percentiles",
-    "agg_approx_sketches",
-    "udaf_geomean_pandas",
-    "grouped_zscore_pandas",
-    "subquery_above_nation_avg",
-    "sql_surface_correlated",
-    "join_inner",
-    "join_left_agg",
+#   round 4 window: the 24 queries never driver-sampled in r1-r3, 6 queries
+#     with oracles new in r4, then 20 of the 46 r1-only queries
+#     (q1_pricing_summary .. join_left_agg). Result: every registered query
+#     driver-sampled at least once; 119/123 green at latest sample.
+#   round 5 window (this order): the 26 r1-only queries NOT refreshed in
+#     round 4, then queries fixed/changed/added in round 5 —
+#     agg_collect_sets (canon-safe output), agg_approx_sketches (new
+#     bounds oracle), simsearch_ann_ivf_index_recall (new persisted-index
+#     path), the salted/sessionize/multimodal queries whose code or SQL
+#     changed this round, and the jaccard/simhash dedup queries that now
+#     default to hot-key caps. After round 5 every query's latest driver
+#     sample is ≤2 rounds old.
+#   round 6 plan: rotate the r4-only-refresh set (the 24 never-sampled +
+#     the 20 q1..join_left_agg block) back to the front.
+_ROTATE_R5_STALE: tuple[str, ...] = (
+    # r1-only tail not refreshed in round 4
     "join_semi",
     "join_anti",
     "join_broadcast_dim",
@@ -133,7 +83,78 @@ _R1_ONLY: tuple[str, ...] = (
     "events_map_fns",
     "events_asof_join",
 )
-_PRIORITY: tuple[str, ...] = (*_NEVER_SAMPLED_R1_R3, *_NEW_ORACLES_R4, *_R1_ONLY)
+_ROTATE_R5_CHANGED: tuple[str, ...] = (
+    # fixed / new-oracle / new in round 5
+    "agg_collect_sets",
+    "agg_approx_sketches",
+    "simsearch_ann_ivf_index_recall",
+    # code or oracle SQL touched in round 5 — re-certify
+    "window_rank_topn_salted",
+    "events_sessionize",
+    "events_sessionize_salted",
+    "multimodal_decode_profile",
+    "multimodal_embed_search",
+    "dedup_jaccard_pairs",
+    "dedup_simhash",
+)
+_ROTATE_R5_FILL: tuple[str, ...] = (
+    # refreshed in r4 (1 round old) — fill the window's remaining slots,
+    # oldest-risk first: queries sharing modules changed this round
+    "join_skew_salted",
+    "agg_salted_distinct",
+    "simsearch_ann_ivf_recall",
+    "multimodal_resize_audit",
+    "latest_event_per_user",
+    "events_range_join",
+    "events_dedup_windowed",
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q12_late_shipments",
+    "q17_small_quantity_revenue",
+    "q21_waiting_suppliers",
+    "join_cross",
+    "join_full_outer_coalesce",
+)
+_ROTATED_OUT: tuple[str, ...] = (
+    # everything below is 1 round old (r4) or shares no changed code path;
+    # kept registered, outside the 50-row window this round
+    "join_null_safe",
+    "agg_minmax_by",
+    "agg_stats_moments",
+    "agg_unpivot",
+    "window_distribution_fns",
+    "set_except_all",
+    "set_intersect_all",
+    "scalar_regex_fns",
+    "table_profile",
+    "events_cohort_retention",
+    "events_from_json_struct",
+    "events_funnel",
+    "events_monthly_rollup",
+    "q4_order_priority",
+    "q5_local_supplier",
+    "q6_forecast_revenue",
+    "q7_nation_volume",
+    "q10_returned_items",
+    "q14_promo_share",
+    "q18_large_volume",
+    "q19_disjunctive_filters",
+    "q22_global_sales_opportunity",
+    "agg_pivot",
+    "agg_percentiles",
+    "udaf_geomean_pandas",
+    "grouped_zscore_pandas",
+    "subquery_above_nation_avg",
+    "sql_surface_correlated",
+    "join_inner",
+    "join_left_agg",
+)
+_PRIORITY: tuple[str, ...] = (
+    *_ROTATE_R5_STALE,
+    *_ROTATE_R5_CHANGED,
+    *_ROTATE_R5_FILL,
+    *_ROTATED_OUT,
+)
 assert set(_PRIORITY) <= _ALL.keys(), set(_PRIORITY) - _ALL.keys()
 
 REGISTRY: dict[str, QuerySpec] = {name: _ALL[name] for name in _PRIORITY}
