@@ -364,6 +364,52 @@ def cosine_topk_ivf(
     ).select("query_id", "neighbor_id", "rank")
 
 
+def quantize_int8(
+    df: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding"
+) -> DataFrame:
+    """Symmetric per-vector int8 quantization — the standard 4x compression
+    for embedding storage/serving: ``scale = max|x| / 127``,
+    ``q_i = clamp(floor(x_i/scale + 0.5), -127, 127)`` (explicit half-up
+    rounding so any SQL engine replays the exact integers). Zero vectors
+    quantize to zeros with scale 0. A narrow per-row projection — no
+    shuffle, runs at scan speed, exactly what you'd fuse into an embedding
+    write at 100 TB.
+
+    Returns (id, scale, q) with ``q`` as array<int>; use
+    ``quantization_audit`` for the scalar-only oracle-checkable summary."""
+    v = _as_double(F.col(vec_col))
+    scale = F.aggregate(v, F.lit(0.0), lambda acc, x: F.greatest(acc, F.abs(x))) / 127.0
+    q = F.when(scale == 0.0, F.transform(v, lambda x: F.lit(0))).otherwise(
+        F.transform(
+            v,
+            lambda x: F.greatest(
+                F.lit(-127),
+                F.least(F.lit(127), F.floor(x / scale + F.lit(0.5)).cast("int")),
+            ),
+        )
+    )
+    return df.select(F.col(id_col), scale.alias("scale"), q.alias("q"))
+
+
+def quantization_audit(
+    df: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding"
+) -> DataFrame:
+    """Scalar audit of the int8 quantization, integer-exact and therefore
+    oracle-hashable: per vector the scale plus q's min/max/sum/sum-of-
+    squares. The integer moments pin every quantized value's arithmetic
+    cross-engine (a single off-by-one in any element changes qsum/qnorm2)."""
+    qd = quantize_int8(df, id_col=id_col, vec_col=vec_col)
+    q = F.col("q")
+    return qd.select(
+        F.col(id_col),
+        "scale",
+        F.array_min(q).alias("qmin"),
+        F.array_max(q).alias("qmax"),
+        F.aggregate(q, F.lit(0).cast("long"), lambda a, x: a + x).alias("qsum"),
+        F.aggregate(q, F.lit(0).cast("long"), lambda a, x: a + x * x).alias("qnorm2"),
+    )
+
+
 def write_ivf_index(assigned: DataFrame, centroids: DataFrame, path: str) -> None:
     """Persist an IVF index: the assigned corpus laid out one directory per
     cell (``partitionBy('__cell')`` — the on-disk analogue of FAISS's

@@ -171,6 +171,73 @@ def mix_rebalance_plan(
     )
 
 
+def corpus_shuffle(
+    df: DataFrame,
+    key: str,
+    n_shards: int = 8,
+    salt: str = "shuffle-v1",
+) -> DataFrame:
+    """Deterministic global corpus shuffle into training shards.
+
+    Training pipelines need the corpus in a pseudorandom order that is (a)
+    independent of ingest/partition layout, (b) reproducible from content
+    alone, and (c) auditable in any engine. ``orderBy(rand())`` is none of
+    these. Here every row gets a content hash ``md5(salt || key)``; the
+    shard is the hash's first 4 hex chars mod ``n_shards``, and the
+    position is the rank of the full hash within its shard (key as
+    tie-break). Changing ``salt`` is a fresh epoch-level reshuffle.
+
+    Scale: one shuffle on the shard id; each shard is ranked independently
+    (per-shard window), so ``n_shards`` is sized to make a shard a
+    reducer-sized unit (thousands at 100 TB) — the per-shard hash-rank sort
+    IS the shard file's write order, exactly how shuffled training shards
+    are laid down. No global window, no driver state."""
+    h = F.md5(F.concat(F.lit(salt), F.col(key).cast("string")))
+    from pyspark.sql import Window
+
+    shard = F.pmod(
+        F.conv(F.substring(F.col("__h"), 1, 4), 16, 10).cast("long"),
+        F.lit(n_shards),
+    ).cast("int")
+    w = Window.partitionBy("__shard").orderBy(F.col("__h").asc(), F.col(key).asc())
+    return (
+        df.withColumn("__h", h)
+        .withColumn("__shard", shard)
+        .withColumn("__pos", F.row_number().over(w) - 1)
+        .select(
+            F.col(key),
+            F.col("__shard").alias("shard"),
+            F.col("__pos").cast("long").alias("pos"),
+        )
+    )
+
+
+def corpus_shuffle_sql(
+    key_sql: str, table: str, n_shards: int = 8, salt: str = "shuffle-v1"
+) -> str:
+    """The same shuffle as ANSI SQL (DuckDB-ready): hex→int via strpos
+    arithmetic (no engine-specific conv)."""
+    h = f"md5('{salt}' || CAST({key_sql} AS VARCHAR))"
+    digit = (
+        "(strpos('0123456789abcdef', substring({h}, {i}, 1)) - 1)"
+    )
+    val = " + ".join(
+        f"{16 ** (4 - i)} * " + digit.format(h="h", i=i) for i in range(1, 5)
+    )
+    return f"""
+WITH hashed AS (
+  SELECT {key_sql} AS k, {h} AS h FROM {table}
+), sharded AS (
+  SELECT k, h, CAST(({val}) % {n_shards} AS INT) AS shard FROM hashed
+)
+SELECT k AS {key_sql}, shard,
+       CAST(ROW_NUMBER() OVER (PARTITION BY shard ORDER BY h ASC, k ASC) - 1
+            AS BIGINT) AS pos
+FROM sharded
+ORDER BY shard, pos
+"""
+
+
 def stratified_sample_sql_predicate(
     key_sql: str, group_sql: str, fractions: dict[str, float], salt: str = "strat-v1"
 ) -> str:

@@ -7,6 +7,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 from sdc_mapreduce_spark.catalog import load_table
 from sdc_mapreduce_spark.functions import simsearch as S
+from sdc_mapreduce_spark.functions.simsearch import quantization_audit
 from sdc_mapreduce_spark.queries.base import QuerySpec
 
 QUERY_IDS = list(range(10))
@@ -309,6 +310,45 @@ ORDER BY eq.query_id
 """
 
 
+def embedding_quantize_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Int8 symmetric quantization of the embeddings table, audited with
+    integer-exact per-vector moments (functions.simsearch.quantization_audit)
+    — the 4x-compression storage/serving form. Every quantized element's
+    arithmetic is pinned cross-engine through qsum/qnorm2; half-up rounding
+    is explicit floor(x/scale + 0.5) in both engines."""
+    return quantization_audit(load_table(spark, sf_dir, "embeddings")).orderBy(
+        "vec_id"
+    )
+
+
+EMBEDDING_QUANTIZE_SQL = """
+WITH v AS (
+  SELECT vec_id, embedding::DOUBLE[] AS x FROM embeddings
+), s AS (
+  SELECT vec_id, x,
+         list_aggregate(list_transform(x, e -> abs(e)), 'max') / 127.0 AS scale
+  FROM v
+), q AS (
+  SELECT vec_id, scale,
+         CASE WHEN scale = 0
+              THEN list_transform(x, e -> 0)
+              ELSE list_transform(
+                     x, e -> CAST(GREATEST(-127, LEAST(127,
+                              FLOOR(e / scale + 0.5))) AS INT))
+         END AS qv
+  FROM s
+)
+SELECT vec_id, scale,
+       list_aggregate(qv, 'min') AS qmin,
+       list_aggregate(qv, 'max') AS qmax,
+       CAST(list_aggregate(qv, 'sum') AS BIGINT) AS qsum,
+       CAST(list_aggregate(list_transform(qv, e -> e * e), 'sum') AS BIGINT)
+         AS qnorm2
+FROM q
+ORDER BY vec_id
+"""
+
+
 def embedding_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Vector norms aggregated per label: norm is an exact left-fold +
     IEEE sqrt; the group average goes through decimal accumulation."""
@@ -360,4 +400,7 @@ QUERIES: dict[str, QuerySpec] = {
         simsearch_ann_ivf_index_recall, SIMSEARCH_ANN_IVF_RECALL_SQL
     ),
     "embedding_stats": QuerySpec(embedding_stats, EMBEDDING_STATS_SQL),
+    "embedding_quantize_audit": QuerySpec(
+        embedding_quantize_audit, EMBEDDING_QUANTIZE_SQL
+    ),
 }

@@ -701,6 +701,25 @@ ORDER BY split, lang
 """
 
 
+def corpus_shuffle_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic global corpus shuffle into training shards
+    (functions.splits.corpus_shuffle): content-hash shard + within-shard
+    hash-rank position — the reproducible, layout-independent replacement
+    for orderBy(rand()) when laying down shuffled training files. Fully
+    replayed in the oracle (md5 + strpos hex arithmetic), so the exact
+    permutation is driver-certified."""
+    from sdc_mapreduce_spark.functions.splits import corpus_shuffle
+
+    docs = load_table(spark, sf_dir, "documents")
+    return corpus_shuffle(docs, key="doc_id", n_shards=8).orderBy("shard", "pos")
+
+
+def _corpus_shuffle_sql() -> str:
+    from sdc_mapreduce_spark.functions.splits import corpus_shuffle_sql
+
+    return corpus_shuffle_sql("doc_id", "documents", n_shards=8)
+
+
 def corpus_shard_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token-budget shard packing: assign documents to output shards of
     ~equal text budget via a running total over a stable global order
@@ -825,6 +844,7 @@ QUERIES: dict[str, QuerySpec] = {
     "agg_minmax_by": QuerySpec(agg_minmax_by, AGG_MINMAX_BY_SQL),
     "agg_stats_moments": QuerySpec(agg_stats_moments, AGG_STATS_MOMENTS_SQL),
     "split_assignment": QuerySpec(split_assignment, _split_assignment_sql()),
+    "corpus_shuffle_shards": QuerySpec(corpus_shuffle_shards, _corpus_shuffle_sql()),
     "corpus_shard_packing": QuerySpec(
         corpus_shard_packing, CORPUS_SHARD_PACKING_SQL
     ),

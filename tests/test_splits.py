@@ -161,3 +161,61 @@ def test_mix_rebalance_zero_target_drops_domain(spark):
     }
     assert plan["drop"]["keep_fraction"] == 0.0 and plan["drop"]["n_kept"] == 0
     assert plan["keep"]["keep_fraction"] == 1.0 and plan["keep"]["n_kept"] == 6
+
+
+def test_corpus_shuffle_is_layout_invariant_permutation(spark, sf_dir):
+    """The shuffle must be a true permutation (every doc exactly once,
+    positions contiguous per shard), identical under re-partitioning, and
+    epoch-fresh under a salt change."""
+    from sdc_mapreduce_spark.functions.splits import corpus_shuffle
+    from sdc_mapreduce_spark.catalog import load_table
+    from pyspark.sql import functions as F
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = corpus_shuffle(docs, key="doc_id", n_shards=8)
+    rows = out.collect()
+    n = docs.count()
+    assert len(rows) == n
+    assert {r["doc_id"] for r in rows} == {
+        r["doc_id"] for r in docs.select("doc_id").collect()
+    }
+    by_shard = {}
+    for r in rows:
+        by_shard.setdefault(r["shard"], []).append(r["pos"])
+    for shard, poss in by_shard.items():
+        assert sorted(poss) == list(range(len(poss))), f"shard {shard} gaps"
+    # layout invariance
+    again = corpus_shuffle(docs.repartition(13), key="doc_id", n_shards=8)
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, again.collect()))
+    # a different salt is a different permutation
+    other = corpus_shuffle(docs, key="doc_id", n_shards=8, salt="shuffle-v2")
+    assert sorted(map(tuple, rows)) != sorted(map(tuple, other.collect()))
+
+
+def test_quantize_int8_roundtrip_error_bound(spark, sf_dir):
+    """q in [-127,127]; dequantized values within scale/2 of the original
+    (half-up rounding bound); zero vectors quantize to zeros, scale 0."""
+    from sdc_mapreduce_spark.functions.simsearch import quantize_int8
+    from sdc_mapreduce_spark.catalog import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings").limit(50)
+    joined = (
+        quantize_int8(emb)
+        .join(emb.withColumnRenamed("embedding", "x"), "vec_id")
+        .collect()
+    )
+    assert joined
+    for r in joined:
+        q, scale, x = r["q"], r["scale"], [float(v) for v in r["x"]]
+        assert all(-127 <= qi <= 127 for qi in q)
+        if scale == 0:
+            assert all(qi == 0 for qi in q)
+            continue
+        for qi, xi in zip(q, x):
+            assert abs(qi * scale - xi) <= scale / 2 + 1e-12
+
+    zero = spark.createDataFrame(
+        [(99, [0.0, 0.0, 0.0])], "vec_id long, embedding array<double>"
+    )
+    zr = quantize_int8(zero).collect()[0]
+    assert zr["scale"] == 0.0 and list(zr["q"]) == [0, 0, 0]
