@@ -71,11 +71,16 @@ def top_k_per_group_salted(
     top-k).
 
     ``salt_expr`` supplies the raw salt value directly (the operator
-    applies ``pmod(..., n_salts)``); pass e.g. a unique numeric id column
-    when one exists — measured at bench scale, an arithmetic salt keeps
-    the phase-1 window at ~1.1x the plain window's cost, while hash
-    functions (xxhash64/murmur) as a window partition key cost ~2-3x.
-    Default stays xxhash64 (uniform on arbitrary rows)."""
+    applies ``pmod(..., n_salts)``); pass a unique numeric id column when
+    one exists. Measured at bench scale: a salt CORRELATED with the scan
+    order (``id % n`` on a monotonically-assigned id — cyclic through the
+    salt space) keeps the phase-1 sort at ~1.1x the plain window, while
+    any pseudorandom salt (xxhash64, murmur, or even arithmetic mixing)
+    costs ~2-2.5x — the sorter's comparator branches become unpredictable
+    once the salt decorrelates from the input order. Uniformity only needs
+    to hold across each GROUP's rows, which a modular unique-id salt
+    gives, so prefer it; the xxhash64 default remains for rows with no
+    usable id."""
     if salt_expr is None:
         salt_src = salt_cols if salt_cols is not None else df.columns
         salt_expr = F.xxhash64(*[F.col(c) for c in salt_src])
