@@ -1110,34 +1110,66 @@ def agg_approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
     engine-specific, so the REGISTERED columns are the exact aggregates
     plus booleans asserting each sketch is within its published error —
     HLL++ within 3×rsd (rsd=0.02 ⇒ ±6%) of the exact distinct count, and
-    the digest median between the exact 45th and 55th percentiles (rank
+    the digest median at a rank between 45% and 55% of the group (rank
     error ≤ 1/accuracy ≪ 0.05). The DuckDB twin emits the same exacts with
     literal TRUEs, so an out-of-bounds sketch hash-mismatches and turns the
     driver row red. Raw estimate values are exercised in
-    tests/test_operators.py."""
+    tests/test_operators.py.
+
+    The median check is RANK-based (count of values strictly below / at or
+    below the estimate, second pass with the tiny sketch table broadcast
+    back) rather than comparing against exact percentiles: exact
+    ``percentile()`` materializes every group's values in sort state — a
+    memory cliff at 100 TB — while conditional counts are map-side
+    combinable and bounded."""
     orders = load_table(spark, sf_dir, "orders")
-    agg = orders.groupBy("o_orderstatus").agg(
+    # exact COUNT(DISTINCT) runs as its OWN aggregation: mixing it into the
+    # sketch agg makes Catalyst plan the whole thing through the Expand
+    # distinct rewrite, re-evaluating the percentile digest over expanded
+    # rows (measured 6 s vs 0.9 s split at sf0.01); the two 3-row results
+    # join for free
+    sk = orders.groupBy("o_orderstatus").agg(
         F.approx_count_distinct("o_custkey", rsd=0.02).alias("approx_customers"),
-        F.count_distinct("o_custkey").alias("exact_customers"),
         F.expr("approx_percentile(o_totalprice, 0.5, 10000)").alias(
             "approx_median_price"
         ),
-        F.expr("percentile(o_totalprice, array(0.45, 0.55))").alias("p45_55"),
         F.count(F.lit(1)).alias("n"),
     )
+    exact_d = orders.groupBy("o_orderstatus").agg(
+        F.count_distinct("o_custkey").alias("exact_customers")
+    )
+    sk = sk.join(exact_d, "o_orderstatus")
+    med = F.col("approx_median_price")
+    ranks = (
+        orders.join(
+            F.broadcast(sk.select("o_orderstatus", "approx_median_price")),
+            "o_orderstatus",
+        )
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count(F.when(F.col("o_totalprice") < med, 1)).alias("__below"),
+            F.count(F.when(F.col("o_totalprice") <= med, 1)).alias("__at_or_below"),
+        )
+    )
     exact = F.col("exact_customers").cast("double")
-    return agg.select(
-        "o_orderstatus",
-        "n",
-        "exact_customers",
-        (
-            F.abs(F.col("approx_customers").cast("double") - exact) / exact <= F.lit(0.06)
-        ).alias("acd_within_bounds"),
-        (
-            (F.col("approx_median_price") >= F.col("p45_55")[0])
-            & (F.col("approx_median_price") <= F.col("p45_55")[1])
-        ).alias("median_within_bounds"),
-    ).orderBy("o_orderstatus")
+    n = F.col("n").cast("double")
+    return (
+        sk.join(ranks, "o_orderstatus")
+        .select(
+            "o_orderstatus",
+            "n",
+            "exact_customers",
+            (
+                F.abs(F.col("approx_customers").cast("double") - exact) / exact
+                <= F.lit(0.06)
+            ).alias("acd_within_bounds"),
+            (
+                (F.col("__below") <= n * 0.55)
+                & (F.col("__at_or_below") >= n * 0.45)
+            ).alias("median_within_bounds"),
+        )
+        .orderBy("o_orderstatus")
+    )
 
 
 AGG_APPROX_SKETCHES_SQL = """
