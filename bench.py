@@ -57,10 +57,15 @@ def _make_skewed_events(spark) -> str:
         )
         .drop("__rep")
     )
+    # hot rows = event_id % 100 < 50 (NOT parity): an even/odd split would
+    # leave hot groups with only the 8 even residues of the event_id-mod-16
+    # salt, halving the salted plan's fan-out exactly where it matters;
+    # dense 50-blocks cover every mod-16 residue (replication shifts are
+    # multiples of 100, preserving the selection)
     skewed = big.withColumn(
         "user_id",
         F.when(
-            F.col("event_id") % 2 == 0, F.pmod(F.col("user_id"), F.lit(n_hot))
+            F.col("event_id") % 100 < 50, F.pmod(F.col("user_id"), F.lit(n_hot))
         ).otherwise(F.col("user_id")),
     )
     skewed.select("event_id", "ts", "user_id", "event_type", "value").write.mode(

@@ -119,9 +119,12 @@ def jaccard_pairs(
     # shingle string — same join cardinality, a fraction of the shuffle
     # bytes and comparison cost (64-bit collisions are ~1e-7 at billions of
     # distinct shingles — far below any other error source).
-    sets = shingle_sets(df, n=n, text_col=text_col, id_col=id_col).persist(
-        StorageLevel.MEMORY_AND_DISK
-    )
+    sets = shingle_sets(df, n=n, text_col=text_col, id_col=id_col)
+    if max_df is None:
+        # only the uncapped path reads `sets` twice (inverted index AND
+        # sizes); the capped path derives sizes from the filtered index, so
+        # persisting the wide shingle arrays there would be dead weight
+        sets = sets.persist(StorageLevel.MEMORY_AND_DISK)
     inv = sets.select(
         F.col(id_col).alias("__id"),
         F.explode(

@@ -460,12 +460,19 @@ def cosine_topk_ivf_from_index(
         n_probe,
         rank_col="__prank",
     ).select("query_id", "__qunit", "__cell")
-    # O(queries * n_probe) ints to the driver — the price of a static
-    # partition filter; benign at any corpus scale.
-    cells = sorted({r["__cell"] for r in probes.select("__cell").distinct().collect()})
+    # Collect the probe table ONCE — O(queries * n_probe) rows, each a
+    # query unit vector + cell id — and rebuild it as a local DataFrame:
+    # this yields the static partition filter AND avoids re-executing the
+    # centroid-scoring window a second time inside the broadcast join.
+    probe_rows = probes.collect()
+    cells = sorted({r["__cell"] for r in probe_rows})
+    probes_local = spark.createDataFrame(
+        [(r["query_id"], list(r["__qunit"]), r["__cell"]) for r in probe_rows],
+        schema="query_id long, __qunit array<double>, __cell int",
+    )
     cands = (
         corpus.filter(F.col("__cell").isin(cells))
-        .join(F.broadcast(probes), "__cell")
+        .join(F.broadcast(probes_local), "__cell")
         .filter(F.col(id_col) != F.col("query_id"))
     )
     scored = cands.select(

@@ -348,15 +348,16 @@ class _CancelledBeforeAction(RuntimeError):
 
 
 def _is_cancellation(exc: Exception) -> bool:
-    """True iff the exception is the cancellation interrupt itself (the
-    sentinel, or the Py4J-wrapped SparkException raised when cancelJobGroup
-    kills the in-flight action) — not an unrelated failure that raced a
-    cancel: a Python-side error whose message merely mentions "cancel"
-    must stay FAILED with its real traceback."""
+    """True iff the exception is plausibly the cancellation interrupt (the
+    sentinel, or any Py4J/Spark-layer error while cancel_requested is set)
+    — not an unrelated PYTHON-side failure that raced a cancel: a plan bug
+    raised in Python land keeps FAILED with its real traceback. The
+    JVM-layer test is deliberately type-based, not message-based: the
+    interrupt can surface as a SparkException mentioning the cancelled job
+    group, but also as a bare Py4J connection/protocol error when the
+    killed call tears the gateway down — with a cancel in flight, any
+    py4j/pyspark-raised error is the cancellation with overwhelming
+    likelihood, while a message-substring check misses the latter form."""
     if isinstance(exc, _CancelledBeforeAction):
         return True
-    cls = type(exc)
-    if not cls.__module__.startswith(("py4j", "pyspark")):
-        return False
-    msg = str(exc).lower()
-    return "cancel" in msg or "interrupt" in msg
+    return type(exc).__module__.startswith(("py4j", "pyspark"))

@@ -119,15 +119,18 @@ def top_k_per_group_salted_isolated(
     the union is result-identical to ``top_k_per_group``. This is the shape
     that holds at 100 TB: the hot 1% never lands on one reducer, and the
     uniform 99% never pays for it."""
-    counts = (
+    hot_keys = (
         df.groupBy(*partition_cols)
         .agg(F.count(F.lit(1)).alias("__gcnt"))
         .filter(F.col("__gcnt") > hot_threshold)
-        .select(*partition_cols, F.lit(True).alias("__hot"))
+        .select(*partition_cols)
     )
-    tagged = df.join(F.broadcast(counts), partition_cols, "left")
-    hot = tagged.filter(F.col("__hot").isNotNull()).drop("__hot")
-    cold = tagged.filter(F.col("__hot").isNull()).drop("__hot")
+    # semi/anti against the broadcast hot-key set (rather than tagging with
+    # a left join both branches re-filter): each branch reads the base data
+    # once — three input scans total including the count pass, vs four with
+    # the tag-then-filter shape, and no intermediate to persist
+    hot = df.join(F.broadcast(hot_keys), partition_cols, "left_semi")
+    cold = df.join(F.broadcast(hot_keys), partition_cols, "left_anti")
     hot_topk = top_k_per_group_salted(
         hot, partition_cols, order_cols, k, rank_col, n_salts, salt_cols, salt_expr
     )

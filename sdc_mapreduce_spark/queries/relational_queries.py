@@ -1109,9 +1109,12 @@ def agg_approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
     Oracle strategy (bounds-check): the estimates themselves are
     engine-specific, so the REGISTERED columns are the exact aggregates
     plus booleans asserting each sketch is within its published error —
-    HLL++ within 3×rsd (rsd=0.02 ⇒ ±6%) of the exact distinct count, and
-    the digest median at a rank between 45% and 55% of the group (rank
-    error ≤ 1/accuracy ≪ 0.05). The DuckDB twin emits the same exacts with
+    HLL++ within 5×rsd (rsd=0.02 ⇒ ±10%) of the exact distinct count
+    (rsd is a STANDARD DEVIATION, not a hard bound: 3σ would flag ~0.3% of
+    perfectly healthy datasets; 5σ keeps the check meaningful — a wiring
+    bug is off by far more — while making a false red on a regenerated
+    fixture essentially impossible), and the digest median at a rank
+    between 45% and 55% of the group (rank error ≤ 1/accuracy ≪ 0.05). The DuckDB twin emits the same exacts with
     literal TRUEs, so an out-of-bounds sketch hash-mismatches and turns the
     driver row red. Raw estimate values are exercised in
     tests/test_operators.py.
@@ -1161,7 +1164,7 @@ def agg_approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
             "exact_customers",
             (
                 F.abs(F.col("approx_customers").cast("double") - exact) / exact
-                <= F.lit(0.06)
+                <= F.lit(0.10)
             ).alias("acd_within_bounds"),
             (
                 (F.col("__below") <= n * 0.55)

@@ -216,14 +216,16 @@ def simsearch_ann_ivf_index_recall(spark: SparkSession, sf_dir: str) -> DataFram
     brute force. Same centroids ⇒ same answer as the in-memory IVF path, so
     it shares SIMSEARCH_ANN_IVF_RECALL_SQL — the driver hash certifies that
     the round-trip through the pruned on-disk layout loses nothing."""
-    import hashlib
     import tempfile
 
     emb = load_table(spark, sf_dir, "embeddings")
     cents = S.seeded_centroids(emb, n_cells=IVF_CELLS)
     assigned = S.assign_cells(emb, cents)
-    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:12]
-    path = f"{tempfile.gettempdir()}/sdcms_ivf_index_{tag}"
+    # a FRESH directory per invocation: concurrent runs of this query (the
+    # job server executes registered queries on worker threads) must never
+    # overwrite each other's index mid-read; the path does not affect the
+    # result, so determinism is unaffected
+    path = tempfile.mkdtemp(prefix="sdcms_ivf_index_")
     S.write_ivf_index(assigned, cents, path)
     ann = S.cosine_topk_ivf_from_index(
         spark, path, QUERY_IDS, k=TOP_K, n_probe=IVF_PROBE
@@ -315,15 +317,21 @@ def embedding_quantize_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     integer-exact per-vector moments (functions.simsearch.quantization_audit)
     — the 4x-compression storage/serving form. Every quantized element's
     arithmetic is pinned cross-engine through qsum/qnorm2; half-up rounding
-    is explicit floor(x/scale + 0.5) in both engines."""
-    return quantization_audit(load_table(spark, sf_dir, "embeddings")).orderBy(
-        "vec_id"
-    )
+    is explicit floor(x/scale + 0.5) in both engines. Zero-LENGTH vectors
+    are dropped identically on both sides (a fold over an empty list is 0.0
+    in Spark but NULL via DuckDB list_aggregate — filtering malformed
+    empties is the cross-engine-stable treatment; zero-VALUED vectors of
+    normal length still flow through the scale=0 guard)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    from pyspark.sql import functions as F
+
+    return quantization_audit(emb.filter(F.size("embedding") > 0)).orderBy("vec_id")
 
 
 EMBEDDING_QUANTIZE_SQL = """
 WITH v AS (
   SELECT vec_id, embedding::DOUBLE[] AS x FROM embeddings
+  WHERE len(embedding) > 0
 ), s AS (
   SELECT vec_id, x,
          list_aggregate(list_transform(x, e -> abs(e)), 'max') / 127.0 AS scale

@@ -83,15 +83,23 @@ class _Handler(BaseHTTPRequestHandler):
         pass
 
     def _read_json(self) -> dict | None:
-        """Parse the request body; None means the 400 was already sent."""
+        """Parse the drained request body; None means the 400 was sent."""
         try:
-            length = int(self.headers.get("Content-Length", 0))
-            return json.loads(self.rfile.read(length) or b"{}")
-        except ValueError:  # bad length header or malformed JSON
+            return json.loads(self._body or b"{}")
+        except ValueError:  # malformed JSON
             self._reply(400, {"error": "invalid JSON"})
             return None
 
     def do_POST(self):
+        # drain the body FIRST, for every path: replying (404/409/429/...)
+        # while the request body sits unread resets the connection on
+        # non-trivial payloads, so the client sees a broken pipe instead of
+        # the status code
+        try:
+            length = int(self.headers.get("Content-Length", 0))
+        except ValueError:
+            length = 0
+        self._body = self.rfile.read(length) if length > 0 else b""
         parts = [p for p in self.path.split("/") if p]
         if len(parts) == 3 and parts[0] == "jobs" and parts[2] == "cancel":
             return self._cancel_job(parts[1])
@@ -99,9 +107,6 @@ class _Handler(BaseHTTPRequestHandler):
             return self._submit_query()
         if self.path.rstrip("/") not in ("", "/"):
             return self._reply(404, {"error": "not found"})
-        # read (drain) the body BEFORE any 429: replying while the request
-        # body sits unread resets the connection on non-trivial payloads,
-        # so the client sees a broken pipe instead of the clean 429
         body = self._read_json()
         if body is None:
             return None
@@ -173,7 +178,7 @@ class _Handler(BaseHTTPRequestHandler):
         word count; here the control plane fronts the full query surface).
         Results land as parquet at output_path, or the job completes with
         result_rows only."""
-        body = self._read_json()  # drain before any 429 (see do_POST)
+        body = self._read_json()  # body already drained by do_POST
         if body is None:
             return None
         if self.server.backlog_full():
