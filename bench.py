@@ -101,6 +101,10 @@ def _skew_suite(spark, path: str) -> dict:
     }
     runs: dict[str, list[float]] = {}
     for name, build in cases.items():
+        # untimed warm-up: the first execution of each plan pays whole-stage
+        # codegen compile (observed 2-4x outliers), which would land one
+        # cold sample in every median-of-3
+        build().write.format("noop").mode("overwrite").save()
         samples = []
         for _ in range(REPEATS):
             t0 = time.time()

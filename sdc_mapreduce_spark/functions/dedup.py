@@ -62,6 +62,36 @@ def normalized_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_i
     )
 
 
+def incremental_dedup(
+    new_batch: DataFrame,
+    existing: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Ingestion-time dedup: drop new documents whose content fingerprint
+    already exists in the corpus, then dedupe within the batch (lowest id
+    survives). Returns (id, n_copies_in_batch) for the kept docs.
+
+    The existing side reduces to DISTINCT 16-byte md5 fingerprints before
+    the anti-join — at 100 TB the corpus side is a fingerprint index, not
+    re-read documents, and the join shuffles fingerprints only (the new
+    batch is typically a sliver of the corpus, so at real scale the
+    fingerprint index is also the natural broadcast/bucket side)."""
+    def fps(df: DataFrame) -> DataFrame:
+        return df.select(F.col(id_col), F.md5(F.col(text_col)).alias("__fp"))
+
+    existing_fps = fps(existing).select("__fp").distinct()
+    fresh = fps(new_batch).join(existing_fps, "__fp", "left_anti")
+    return (
+        fresh.groupBy("__fp")
+        .agg(
+            F.min(id_col).alias(id_col),
+            F.count(F.lit(1)).alias("n_copies_in_batch"),
+        )
+        .select(id_col, "n_copies_in_batch")
+    )
+
+
 def shingle_sets(
     df: DataFrame, n: int = 3, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:

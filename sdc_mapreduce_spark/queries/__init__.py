@@ -90,6 +90,7 @@ _ROTATE_R5_CHANGED: tuple[str, ...] = (
     "simsearch_ann_ivf_index_recall",
     "corpus_shuffle_shards",
     "embedding_quantize_audit",
+    "dedup_incremental",
     # code or oracle SQL touched in round 5 — re-certify
     "window_rank_topn_salted",
     "events_sessionize",
@@ -113,11 +114,11 @@ _ROTATE_R5_FILL: tuple[str, ...] = (
     "q3_shipping_priority",
     "q12_late_shipments",
     "q17_small_quantity_revenue",
-    "q21_waiting_suppliers",
 )
 _ROTATED_OUT: tuple[str, ...] = (
     # everything below is 1 round old (r4) or shares no changed code path;
     # kept registered, outside the 50-row window this round
+    "q21_waiting_suppliers",
     "join_cross",
     "join_full_outer_coalesce",
     "join_null_safe",

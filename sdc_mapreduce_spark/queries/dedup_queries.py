@@ -42,6 +42,33 @@ ORDER BY doc_id
 """
 
 
+def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ingestion-shape dedup (functions.dedup.incremental_dedup): treat 20%
+    of the corpus (doc_id % 5 == 0) as the incoming batch and the other 80%
+    as the already-ingested corpus; keep batch docs whose content is new,
+    deduped within the batch. The corpus side participates only as a
+    distinct fingerprint set — the plan a continuously-ingesting 100 TB
+    pipeline runs on every delivery."""
+    docs = load_table(spark, sf_dir, "documents")
+    batch = docs.filter(F.col("doc_id") % 5 == 0)
+    existing = docs.filter(F.col("doc_id") % 5 != 0)
+    return D.incremental_dedup(batch, existing).orderBy("doc_id")
+
+
+DEDUP_INCREMENTAL_SQL = """
+WITH ex AS (
+  SELECT DISTINCT md5(text) AS fp FROM documents WHERE doc_id % 5 <> 0
+), nb AS (
+  SELECT doc_id, md5(text) AS fp FROM documents WHERE doc_id % 5 = 0
+)
+SELECT MIN(doc_id) AS doc_id, COUNT(*) AS n_copies_in_batch
+FROM nb
+WHERE fp NOT IN (SELECT fp FROM ex)
+GROUP BY fp
+ORDER BY doc_id
+"""
+
+
 # Shared exact-Jaccard oracle (inverted-index formulation, so the oracle
 # itself is O(co-occurring pairs), not O(n^2)).
 _JACCARD_SQL = """
@@ -202,6 +229,7 @@ ORDER BY id_a, id_b
 QUERIES: dict[str, QuerySpec] = {
     "dedup_exact": QuerySpec(dedup_exact, DEDUP_EXACT_SQL),
     "dedup_normalized": QuerySpec(dedup_normalized, DEDUP_NORMALIZED_SQL),
+    "dedup_incremental": QuerySpec(dedup_incremental, DEDUP_INCREMENTAL_SQL),
     "dedup_jaccard_pairs": QuerySpec(dedup_jaccard_pairs, _JACCARD_SQL),
     "dedup_minhash_lsh": QuerySpec(dedup_minhash_lsh, _JACCARD_SQL, bench=True),
     "dedup_simhash": QuerySpec(dedup_simhash, DEDUP_SIMHASH_SQL),

@@ -271,3 +271,26 @@ def test_simhash_max_block_cap(spark, sf_dir):
     )
     assert D.simhash_near_pairs(clones, max_hamming=3, max_block=10).count() == 0
     assert D.simhash_near_pairs(clones, max_hamming=3, max_block=None).count() == 190
+
+
+def test_incremental_dedup_semantics(spark):
+    """Batch docs with content already in the corpus are dropped; in-batch
+    duplicates collapse to the lowest id with the right copy count; genuinely
+    new content survives."""
+    existing = spark.createDataFrame(
+        [(1, "old content"), (2, "shared content")], "doc_id int, text string"
+    )
+    batch = spark.createDataFrame(
+        [
+            (10, "shared content"),   # already in corpus -> dropped
+            (11, "brand new"),        # new -> kept
+            (12, "brand new"),        # in-batch dup of 11 -> counted
+            (13, "also new"),         # new -> kept
+        ],
+        "doc_id int, text string",
+    )
+    got = {
+        r["doc_id"]: r["n_copies_in_batch"]
+        for r in D.incremental_dedup(batch, existing).collect()
+    }
+    assert got == {11: 2, 13: 1}
