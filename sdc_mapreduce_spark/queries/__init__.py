@@ -91,6 +91,8 @@ _ROTATE_R5_CHANGED: tuple[str, ...] = (
     "corpus_shuffle_shards",
     "embedding_quantize_audit",
     "dedup_incremental",
+    "q11_important_stock",
+    "q20_potential_promotion",
     # code or oracle SQL touched in round 5 — re-certify
     "window_rank_topn_salted",
     "events_sessionize",
@@ -112,12 +114,12 @@ _ROTATE_R5_FILL: tuple[str, ...] = (
     "events_dedup_windowed",
     "q1_pricing_summary",
     "q3_shipping_priority",
-    "q12_late_shipments",
-    "q17_small_quantity_revenue",
 )
 _ROTATED_OUT: tuple[str, ...] = (
     # everything below is 1 round old (r4) or shares no changed code path;
     # kept registered, outside the 50-row window this round
+    "q12_late_shipments",
+    "q17_small_quantity_revenue",
     "q21_waiting_suppliers",
     "join_cross",
     "join_full_outer_coalesce",

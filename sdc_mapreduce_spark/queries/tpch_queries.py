@@ -1,5 +1,7 @@
-"""Remaining TPC-H query shapes (Q2, Q8, Q9, Q13, Q15, Q16, Q17, Q21),
-adapted to the driver's star schema (FIXTURES.md Group B).
+"""Remaining TPC-H query shapes (Q2, Q8, Q9, Q11, Q13, Q15, Q16, Q17, Q20,
+Q21), adapted to the driver's star schema (FIXTURES.md Group B) — with
+relational_queries.py's Q1/Q3/Q4/Q5/Q6/Q7/Q10/Q12/Q14/Q18/Q19/Q22 this
+completes all 22 TPC-H shapes.
 
 The fixture set has no ``partsupp`` table, so the part↔supplier supply
 relation is reconstructed as ``SELECT DISTINCT l_partkey, l_suppkey FROM
@@ -538,6 +540,145 @@ ORDER BY l_returnflag
 """
 
 
+def q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape (adapted: no partsupp in the fixtures — supply value
+    is the lineitem revenue attributable to a nation's suppliers): per-part
+    value from NATION_7's suppliers, keeping parts whose value exceeds
+    TWICE the mean per-part value — the global-aggregate-as-scalar-filter
+    shape (HAVING > SUM(...)/COUNT(...) * k). The official Q11 divides its
+    fraction by SF for exactly this reason; the mean-relative form is
+    self-scaling at any SF. The supplier⋈nation side is broadcast; the
+    scalar total is a one-row cross join; sums are exact decimal and the
+    threshold is one division + one multiply in fixed order, so the >
+    comparison is engine-stable."""
+    li = load_table(spark, sf_dir, "lineitem")
+    nat_supp = (
+        load_table(spark, sf_dir, "supplier")
+        .join(
+            F.broadcast(
+                load_table(spark, sf_dir, "nation").filter(
+                    F.col("n_name") == "NATION_7"
+                )
+            ),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .select("s_suppkey")
+    )
+    joined = li.join(F.broadcast(nat_supp), F.col("l_suppkey") == F.col("s_suppkey"))
+    vals = joined.groupBy("l_partkey").agg(dsum("l_extendedprice", "value", 2))
+    total = joined.agg(
+        dsum("l_extendedprice", "total_value", 2),
+        F.countDistinct("l_partkey").alias("n_parts"),
+    )
+    return (
+        vals.crossJoin(F.broadcast(total))
+        .filter(F.col("value") > F.col("total_value") / F.col("n_parts") * 2.0)
+        .select(F.col("l_partkey").alias("ps_partkey"), "value")
+        .orderBy(F.col("value").desc(), F.col("ps_partkey").asc())
+    )
+
+
+Q11_SQL = f"""
+WITH joined AS (
+  SELECT l_partkey, l_extendedprice
+  FROM lineitem
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN nation ON s_nationkey = n_nationkey
+  WHERE n_name = 'NATION_7'
+), vals AS (
+  SELECT l_partkey, {sql_dsum('l_extendedprice', 'value', 2)}
+  FROM joined GROUP BY l_partkey
+), total AS (
+  SELECT {sql_dsum('l_extendedprice', 'total_value', 2)},
+         COUNT(DISTINCT l_partkey) AS n_parts
+  FROM joined
+)
+SELECT l_partkey AS ps_partkey, value
+FROM vals, total
+WHERE value > total_value / n_parts * 2.0
+ORDER BY value DESC, ps_partkey ASC
+"""
+
+
+def q20_potential_promotion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape (adapted: availqty has no fixture source — the
+    correlated threshold becomes shipment share): suppliers in NATION_3 who
+    shipped MORE THAN 20% of some 'small%' part's total 1995-1997 quantity —
+    the nested structure survives intact: filtered part list (broadcast),
+    date-ranged fact slice, per-part correlated threshold (group total
+    joined back), semi-join up to the supplier dimension, name-ordered.
+    Quantity sums are exact decimals, so the share comparison is
+    engine-stable."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part_f = (
+        load_table(spark, sf_dir, "part")
+        .filter(F.col("p_name").like("small%"))
+        .select("p_partkey")
+    )
+    sliced = (
+        li.filter(
+            (F.col("l_shipdate") >= "1995-01-01") & (F.col("l_shipdate") < "1997-01-01")
+        )
+        .join(F.broadcast(part_f), F.col("l_partkey") == F.col("p_partkey"))
+        .select("l_partkey", "l_suppkey", "l_quantity")
+    )
+    per_supp = sliced.groupBy("l_partkey", "l_suppkey").agg(
+        dsum("l_quantity", "supp_qty", 2)
+    )
+    per_part = sliced.groupBy("l_partkey").agg(dsum("l_quantity", "part_qty", 2))
+    qualified = (
+        per_supp.join(per_part, "l_partkey")
+        .filter(F.col("supp_qty") > F.col("part_qty") * 0.2)
+        .select("l_suppkey")
+        .distinct()
+    )
+    sup = (
+        load_table(spark, sf_dir, "supplier")
+        .join(
+            F.broadcast(
+                load_table(spark, sf_dir, "nation").filter(
+                    F.col("n_name") == "NATION_3"
+                )
+            ),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .select("s_suppkey", "s_name")
+    )
+    return (
+        sup.join(qualified, F.col("s_suppkey") == F.col("l_suppkey"), "left_semi")
+        .select("s_suppkey", "s_name")
+        .orderBy("s_name")
+    )
+
+
+Q20_SQL = f"""
+WITH sliced AS (
+  SELECT l_partkey, l_suppkey, l_quantity
+  FROM lineitem
+  JOIN part ON l_partkey = p_partkey
+  WHERE p_name LIKE 'small%'
+    AND l_shipdate >= TIMESTAMP '1995-01-01'
+    AND l_shipdate < TIMESTAMP '1997-01-01'
+), per_supp AS (
+  SELECT l_partkey, l_suppkey, {sql_dsum('l_quantity', 'supp_qty', 2)}
+  FROM sliced GROUP BY l_partkey, l_suppkey
+), per_part AS (
+  SELECT l_partkey, {sql_dsum('l_quantity', 'part_qty', 2)}
+  FROM sliced GROUP BY l_partkey
+), qualified AS (
+  SELECT DISTINCT s.l_suppkey
+  FROM per_supp s JOIN per_part p ON s.l_partkey = p.l_partkey
+  WHERE s.supp_qty > p.part_qty * 0.2
+)
+SELECT s_suppkey, s_name
+FROM supplier
+JOIN nation ON s_nationkey = n_nationkey
+WHERE n_name = 'NATION_3'
+  AND s_suppkey IN (SELECT l_suppkey FROM qualified)
+ORDER BY s_name
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     "q2_min_balance_supplier": QuerySpec(q2_min_balance_supplier, Q2_SQL),
     "q8_market_share": QuerySpec(q8_market_share, Q8_SQL),
@@ -548,4 +689,6 @@ QUERIES: dict[str, QuerySpec] = {
     "q17_small_quantity_revenue": QuerySpec(q17_small_quantity_revenue, Q17_SQL),
     "q21_waiting_suppliers": QuerySpec(q21_waiting_suppliers, Q21_SQL),
     "q12_late_shipments": QuerySpec(q12_late_shipments, Q12_SQL),
+    "q11_important_stock": QuerySpec(q11_important_stock, Q11_SQL),
+    "q20_potential_promotion": QuerySpec(q20_potential_promotion, Q20_SQL),
 }
