@@ -93,6 +93,7 @@ _ROTATE_R5_CHANGED: tuple[str, ...] = (
     "dedup_incremental",
     "q11_important_stock",
     "q20_potential_promotion",
+    "events_resample_gapfill",
     # code or oracle SQL touched in round 5 — re-certify
     "window_rank_topn_salted",
     "events_sessionize",
@@ -113,11 +114,11 @@ _ROTATE_R5_FILL: tuple[str, ...] = (
     "events_range_join",
     "events_dedup_windowed",
     "q1_pricing_summary",
-    "q3_shipping_priority",
 )
 _ROTATED_OUT: tuple[str, ...] = (
     # everything below is 1 round old (r4) or shares no changed code path;
     # kept registered, outside the 50-row window this round
+    "q3_shipping_priority",
     "q12_late_shipments",
     "q17_small_quantity_revenue",
     "q21_waiting_suppliers",

@@ -398,6 +398,65 @@ WHERE rn = 1
 """
 
 
+def events_resample_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series resample with gap-filling: hourly counts + value sums
+    per event type over the COMPLETE hour grid — buckets with no events
+    appear as explicit zeros (the downstream-join/charting contract a plain
+    groupBy breaks; hourly granularity so the fixture genuinely has empty
+    cells to fill). The grid is sequence(min_hour, max_hour) exploded
+    against the distinct types — tiny (hours x types) and broadcast; the
+    fact table contributes the single data-sized shuffle (one groupBy) at
+    any SF."""
+    ev = load_table(spark, sf_dir, "events")
+    hour = F.date_trunc("hour", F.col("ts"))
+    counts = ev.groupBy(hour.alias("hour"), "event_type").agg(
+        F.count(F.lit(1)).alias("cnt"), dsum("value", "sum_value")
+    )
+    bounds = ev.agg(F.min(hour).alias("__lo"), F.max(hour).alias("__hi"))
+    hours = bounds.select(
+        F.explode(
+            F.sequence(F.col("__lo"), F.col("__hi"), F.expr("INTERVAL '1' HOUR"))
+        ).alias("hour")
+    )
+    types = ev.select("event_type").distinct()
+    grid = hours.crossJoin(types)
+    return (
+        F.broadcast(grid)
+        .join(counts, ["hour", "event_type"], "left")
+        .select(
+            "hour",
+            "event_type",
+            F.coalesce(F.col("cnt"), F.lit(0)).alias("cnt"),
+            F.coalesce(F.col("sum_value"), F.lit(0.0)).alias("sum_value"),
+        )
+        .orderBy("hour", "event_type")
+    )
+
+
+EVENTS_RESAMPLE_GAPFILL_SQL = f"""
+WITH counts AS (
+  SELECT DATE_TRUNC('hour', CAST(ts AS TIMESTAMP)) AS hour,
+         event_type,
+         COUNT(*) AS cnt,
+         {sql_dsum('value', 'sum_value')}
+  FROM events GROUP BY 1, 2
+), bounds AS (
+  SELECT MIN(hour) AS lo, MAX(hour) AS hi FROM counts
+), hours AS (
+  SELECT UNNEST(generate_series(lo, hi, INTERVAL 1 HOUR)) AS hour FROM bounds
+), grid AS (
+  SELECT h.hour, t.event_type
+  FROM hours h CROSS JOIN (SELECT DISTINCT event_type FROM events) t
+)
+SELECT g.hour AS hour, g.event_type AS event_type,
+       COALESCE(c.cnt, 0) AS cnt,
+       COALESCE(c.sum_value, 0.0) AS sum_value
+FROM grid g
+LEFT JOIN counts c ON c.hour = g.hour AND c.event_type = g.event_type
+ORDER BY g.hour, g.event_type
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     "events_tumbling": QuerySpec(events_tumbling, EVENTS_TUMBLING_SQL, bench=True),
     "events_sliding": QuerySpec(events_sliding, EVENTS_SLIDING_SQL),
@@ -416,5 +475,8 @@ QUERIES: dict[str, QuerySpec] = {
     ),
     "events_dedup_windowed": QuerySpec(
         events_dedup_windowed, EVENTS_DEDUP_WINDOWED_SQL
+    ),
+    "events_resample_gapfill": QuerySpec(
+        events_resample_gapfill, EVENTS_RESAMPLE_GAPFILL_SQL
     ),
 }
