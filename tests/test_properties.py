@@ -265,3 +265,63 @@ def test_sessionize_chunked_equals_plain_on_random_streams(spark, events):
         )
 
     assert key(sessionize_chunked(ev)) == key(plain)
+
+
+@SETTINGS
+@given(
+    keys=st.lists(
+        st.integers(min_value=0, max_value=10_000), min_size=1, max_size=40, unique=True
+    ),
+    n_shards=st.integers(min_value=1, max_value=8),
+    parts=st.integers(min_value=1, max_value=5),
+)
+def test_corpus_shuffle_permutation_properties(spark, keys, n_shards, parts):
+    """For arbitrary key sets, the shuffle is a true permutation: every key
+    exactly once, shard ids in range, per-shard positions exactly
+    0..len(shard)-1, and the assignment is invariant to input partitioning."""
+    from sdc_mapreduce_spark.functions.splits import corpus_shuffle
+
+    df = spark.createDataFrame([(k,) for k in keys], "doc_id int")
+    out = corpus_shuffle(df, key="doc_id", n_shards=n_shards).collect()
+    assert {r["doc_id"] for r in out} == set(keys)
+    by_shard: dict[int, list[int]] = {}
+    for r in out:
+        assert 0 <= r["shard"] < n_shards
+        by_shard.setdefault(r["shard"], []).append(r["pos"])
+    for poss in by_shard.values():
+        assert sorted(poss) == list(range(len(poss)))
+    again = corpus_shuffle(df.repartition(parts), key="doc_id", n_shards=n_shards)
+    assert sorted(map(tuple, out)) == sorted(map(tuple, again.collect()))
+
+
+@SETTINGS
+@given(
+    vecs=st.lists(
+        st.lists(
+            st.floats(
+                min_value=-100, max_value=100, allow_nan=False, allow_infinity=False
+            ),
+            min_size=1,
+            max_size=6,
+        ),
+        min_size=1,
+        max_size=8,
+    )
+)
+def test_quantize_int8_properties(spark, vecs):
+    """For arbitrary finite vectors: q bounded in [-127,127], dequantized
+    values within scale/2 of the original, zero vectors -> zeros."""
+    from sdc_mapreduce_spark.functions.simsearch import quantize_int8
+
+    rows = [(i, v) for i, v in enumerate(vecs)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    got = {r["vec_id"]: r for r in quantize_int8(df).collect()}
+    for i, v in rows:
+        q, scale = list(got[i]["q"]), got[i]["scale"]
+        assert len(q) == len(v)
+        assert all(-127 <= qi <= 127 for qi in q)
+        if scale == 0.0:
+            assert all(qi == 0 for qi in q)
+        else:
+            for qi, xi in zip(q, v):
+                assert abs(qi * scale - xi) <= scale / 2 + 1e-9 * max(1.0, abs(xi))
