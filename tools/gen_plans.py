@@ -15,7 +15,15 @@ from sdc_mapreduce_spark.plans import formatted_plan
 from sdc_mapreduce_spark.queries import REGISTRY, bench_queries
 from sdc_mapreduce_spark.session import get_spark
 
-EXTRA_SHAPES = ["q2_min_balance_supplier", "q21_waiting_suppliers", "q8_market_share"]
+EXTRA_SHAPES = [
+    "q2_min_balance_supplier",
+    "q21_waiting_suppliers",
+    "q8_market_share",
+    "q11_important_stock",
+    "q20_potential_promotion",
+    "simsearch_ann_ivf_index_recall",
+    "corpus_shuffle_shards",
+]
 
 HEADER = """# PLANS — formatted physical plans of the headline bench queries plus the
 # adapted TPC-H subquery shapes (sf0.01)
