@@ -348,16 +348,27 @@ class _CancelledBeforeAction(RuntimeError):
 
 
 def _is_cancellation(exc: Exception) -> bool:
-    """True iff the exception is plausibly the cancellation interrupt (the
-    sentinel, or any Py4J/Spark-layer error while cancel_requested is set)
-    — not an unrelated PYTHON-side failure that raced a cancel: a plan bug
-    raised in Python land keeps FAILED with its real traceback. The
-    JVM-layer test is deliberately type-based, not message-based: the
-    interrupt can surface as a SparkException mentioning the cancelled job
-    group, but also as a bare Py4J connection/protocol error when the
-    killed call tears the gateway down — with a cancel in flight, any
-    py4j/pyspark-raised error is the cancellation with overwhelming
-    likelihood, while a message-substring check misses the latter form."""
+    """True iff the exception is plausibly the cancellation interrupt — not
+    an unrelated failure that raced a cancel. Three tiers:
+
+    - the pre-action sentinel: always the cancellation;
+    - gateway-level errors (module ``py4j.*``): the killed in-flight call
+      can tear the Py4J connection down, surfacing as a bare
+      protocol/network error with no 'cancel' in the message — with a
+      cancel in flight these are the interrupt with overwhelming
+      likelihood;
+    - Spark SEMANTIC errors (module ``pyspark.*`` — AnalysisException and
+      friends, which cancelJobGroup cannot cause) only count when their
+      message actually mentions the cancel/interrupt; a genuine plan bug
+      that raced the cancel keeps FAILED with its real traceback.
+
+    Pure-Python exceptions never classify as cancellation."""
     if isinstance(exc, _CancelledBeforeAction):
         return True
-    return type(exc).__module__.startswith(("py4j", "pyspark"))
+    mod = type(exc).__module__
+    if mod.startswith("py4j"):
+        return True
+    if mod.startswith("pyspark"):
+        msg = str(exc).lower()
+        return "cancel" in msg or "interrupt" in msg
+    return False

@@ -63,7 +63,7 @@ WITH ex AS (
 )
 SELECT MIN(doc_id) AS doc_id, COUNT(*) AS n_copies_in_batch
 FROM nb
-WHERE fp NOT IN (SELECT fp FROM ex)
+WHERE NOT EXISTS (SELECT 1 FROM ex WHERE ex.fp = nb.fp)
 GROUP BY fp
 ORDER BY doc_id
 """

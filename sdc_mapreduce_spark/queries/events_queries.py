@@ -404,9 +404,11 @@ def events_resample_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
     appear as explicit zeros (the downstream-join/charting contract a plain
     groupBy breaks; hourly granularity so the fixture genuinely has empty
     cells to fill). The grid is sequence(min_hour, max_hour) exploded
-    against the distinct types — tiny (hours x types) and broadcast; the
-    fact table contributes the single data-sized shuffle (one groupBy) at
-    any SF."""
+    against the distinct types; the fill join broadcasts the AGGREGATED
+    counts — the build side of the left join, itself bounded by the grid
+    size (a broadcast hint on the left/preserved side of a left-outer join
+    is a no-op: Spark can only broadcast the build side). The fact table
+    contributes the single data-sized shuffle (one groupBy) at any SF."""
     ev = load_table(spark, sf_dir, "events")
     hour = F.date_trunc("hour", F.col("ts"))
     counts = ev.groupBy(hour.alias("hour"), "event_type").agg(
@@ -421,8 +423,7 @@ def events_resample_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
     types = ev.select("event_type").distinct()
     grid = hours.crossJoin(types)
     return (
-        F.broadcast(grid)
-        .join(counts, ["hour", "event_type"], "left")
+        grid.join(F.broadcast(counts), ["hour", "event_type"], "left")
         .select(
             "hour",
             "event_type",

@@ -216,6 +216,7 @@ def simsearch_ann_ivf_index_recall(spark: SparkSession, sf_dir: str) -> DataFram
     brute force. Same centroids ⇒ same answer as the in-memory IVF path, so
     it shares SIMSEARCH_ANN_IVF_RECALL_SQL — the driver hash certifies that
     the round-trip through the pruned on-disk layout loses nothing."""
+    import shutil
     import tempfile
 
     emb = load_table(spark, sf_dir, "embeddings")
@@ -223,15 +224,21 @@ def simsearch_ann_ivf_index_recall(spark: SparkSession, sf_dir: str) -> DataFram
     assigned = S.assign_cells(emb, cents)
     # a FRESH directory per invocation: concurrent runs of this query (the
     # job server executes registered queries on worker threads) must never
-    # overwrite each other's index mid-read; the path does not affect the
-    # result, so determinism is unaffected
+    # overwrite each other's index mid-read; the recall result (10 rows) is
+    # then materialized EAGERLY so the index dir — a full corpus copy — can
+    # be deleted before returning instead of leaking per run
     path = tempfile.mkdtemp(prefix="sdcms_ivf_index_")
-    S.write_ivf_index(assigned, cents, path)
-    ann = S.cosine_topk_ivf_from_index(
-        spark, path, QUERY_IDS, k=TOP_K, n_probe=IVF_PROBE
-    )
-    exact = S.cosine_topk_bruteforce(emb, QUERY_IDS, k=TOP_K)
-    return _recall_vs_exact(ann, exact)
+    try:
+        S.write_ivf_index(assigned, cents, path)
+        ann = S.cosine_topk_ivf_from_index(
+            spark, path, QUERY_IDS, k=TOP_K, n_probe=IVF_PROBE
+        )
+        exact = S.cosine_topk_bruteforce(emb, QUERY_IDS, k=TOP_K)
+        result = _recall_vs_exact(ann, exact)
+        rows = result.collect()
+        return spark.createDataFrame(rows, schema=result.schema)
+    finally:
+        shutil.rmtree(path, ignore_errors=True)
 
 
 ANN_PLANES = 6

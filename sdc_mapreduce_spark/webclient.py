@@ -98,7 +98,10 @@ class _Handler(BaseHTTPRequestHandler):
         try:
             length = int(self.headers.get("Content-Length", 0))
         except ValueError:
-            length = 0
+            # can't drain without a parseable length — reply 400 and close
+            # the connection explicitly rather than guessing at the body
+            self.close_connection = True
+            return self._reply(400, {"error": "invalid Content-Length"})
         self._body = self.rfile.read(length) if length > 0 else b""
         parts = [p for p in self.path.split("/") if p]
         if len(parts) == 3 and parts[0] == "jobs" and parts[2] == "cancel":
