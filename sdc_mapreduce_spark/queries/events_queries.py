@@ -458,6 +458,72 @@ ORDER BY g.hour, g.event_type
 """
 
 
+def events_streaming_tumbling_certified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The REAL Structured Streaming engine, driver-certified: materialize
+    the events table as a replayable json file stream, run the streaming
+    tumbling-count pipeline to completion (availableNow trigger, COMPLETE
+    output mode so every window is emitted — no watermark-withheld tail),
+    and return its result for the oracle hash. This is the one registered
+    query whose answer is produced by the streaming runtime itself — micro-
+    batch planning, state store, event-time windows — rather than a batch
+    twin; a state-management bug that batch plans can't exhibit turns this
+    row red. Counts only (exact integers): streaming's double sums
+    accumulate in arrival order, so the deterministic value-sum surface
+    stays with the batch twins. Scratch stream/checkpoint dirs are removed
+    before returning; the tiny result is re-materialized as a local
+    DataFrame."""
+    import shutil
+    import tempfile
+    import uuid
+
+    from sdc_mapreduce_spark.streaming import read_events_stream
+
+    src = tempfile.mkdtemp(prefix="sdcms_stream_cert_src_")
+    ckpt = tempfile.mkdtemp(prefix="sdcms_stream_cert_ckpt_")
+    name = f"stream_cert_{uuid.uuid4().hex[:8]}"
+    try:
+        ev = load_table(spark, sf_dir, "events")
+        ev.select(
+            "event_id",
+            F.date_format("ts", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("ts"),
+            "user_id",
+            "event_type",
+            "value",
+            "props",
+        ).repartition(4).write.mode("overwrite").json(src)
+        stream = read_events_stream(spark, src)
+        agg = (
+            stream.groupBy(F.window("ts", "5 minutes").alias("w"), "event_type")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+            .select(F.col("w.start").alias("window_start"), "event_type", "cnt")
+        )
+        q = (
+            agg.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("complete")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+        result = spark.table(name).orderBy("window_start", "event_type")
+        rows = result.collect()
+        return spark.createDataFrame(rows, schema=result.schema)
+    finally:
+        shutil.rmtree(src, ignore_errors=True)
+        shutil.rmtree(ckpt, ignore_errors=True)
+
+
+EVENTS_STREAMING_TUMBLING_SQL = """
+SELECT time_bucket(INTERVAL '5 minutes', CAST(ts AS TIMESTAMP)) AS window_start,
+       event_type,
+       COUNT(*) AS cnt
+FROM events
+GROUP BY 1, 2
+ORDER BY window_start, event_type
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     "events_tumbling": QuerySpec(events_tumbling, EVENTS_TUMBLING_SQL, bench=True),
     "events_sliding": QuerySpec(events_sliding, EVENTS_SLIDING_SQL),
@@ -479,5 +545,8 @@ QUERIES: dict[str, QuerySpec] = {
     ),
     "events_resample_gapfill": QuerySpec(
         events_resample_gapfill, EVENTS_RESAMPLE_GAPFILL_SQL
+    ),
+    "events_streaming_tumbling_certified": QuerySpec(
+        events_streaming_tumbling_certified, EVENTS_STREAMING_TUMBLING_SQL
     ),
 }
