@@ -83,8 +83,59 @@ FROM lineitem GROUP BY l_returnflag
 """
 
 
+def kvtext_scan_certified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The custom ``kvtext`` Python DataSource (SURVEY.md O2/O6/O7/O15 — the
+    reference's byte-shard scan contract as a pluggable Spark 4 source),
+    driver-certified end-to-end: serialize lineitem to KV text files with
+    malformed lines interleaved, read them back through
+    ``spark.read.format('kvtext')`` with a shard size small enough to force
+    many byte-range shards and cross-file packing, grouped-sum the parsed
+    pairs, and hash against the oracle computed straight from the parquet
+    table. A boundary-alignment or malformed-drop bug in the DataSource
+    turns this row red. The small result is materialized eagerly so the
+    scratch files can be removed before returning."""
+    import shutil
+    import tempfile
+
+    from sdc_mapreduce_spark.datasource import register_kvtext
+
+    li = load_table(spark, sf_dir, "lineitem")
+    lines = li.select(
+        F.concat_ws(" ", F.col("l_returnflag"), F.col("l_linenumber")).alias("value")
+    )
+    malformed = spark.createDataFrame(
+        [("toofew",), ("way too many tokens here",), ("badint xyz",)], ["value"]
+    )
+    out = tempfile.mkdtemp(prefix="sdcms_kvtext_cert_")
+    try:
+        lines.unionByName(malformed).repartition(4).write.mode("overwrite").text(out)
+        register_kvtext(spark)
+        parsed = (
+            spark.read.format("kvtext")
+            .option("path", out)
+            .option("shard_size", 4096)
+            .load()
+        )
+        result = (
+            mr.group_reduce_sum(parsed)
+            .select(F.col("key"), F.col("value").alias("total"))
+            .orderBy("key")
+        )
+        rows = result.collect()
+        return spark.createDataFrame(rows, schema=result.schema)
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+
+
+KVTEXT_SCAN_SQL = """
+SELECT l_returnflag AS key, CAST(SUM(l_linenumber) AS BIGINT) AS total
+FROM lineitem GROUP BY l_returnflag ORDER BY key
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     "wordcount": QuerySpec(wordcount, WORDCOUNT_SQL, bench=True),
     "wordcount_pipe": QuerySpec(wordcount_pipe, WORDCOUNT_SQL),
     "kv_parse_sum": QuerySpec(kv_parse_sum, KV_PARSE_SUM_SQL),
+    "kvtext_scan_certified": QuerySpec(kvtext_scan_certified, KVTEXT_SCAN_SQL),
 }
