@@ -96,6 +96,7 @@ _ROTATE_R5_CHANGED: tuple[str, ...] = (
     "events_resample_gapfill",
     "events_streaming_tumbling_certified",
     "kvtext_scan_certified",
+    "kv_sink_certified",
     # code or oracle SQL touched in round 5 — re-certify
     "window_rank_topn_salted",
     "events_sessionize",
@@ -113,11 +114,11 @@ _ROTATE_R5_FILL: tuple[str, ...] = (
     "simsearch_ann_ivf_recall",
     "multimodal_resize_audit",
     "latest_event_per_user",
-    "events_range_join",
 )
 _ROTATED_OUT: tuple[str, ...] = (
     # everything below is 1 round old (r4) or shares no changed code path;
     # kept registered, outside the 50-row window this round
+    "events_range_join",
     "events_dedup_windowed",
     "q1_pricing_summary",
     "q3_shipping_priority",

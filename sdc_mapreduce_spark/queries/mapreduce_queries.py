@@ -133,9 +133,75 @@ FROM lineitem GROUP BY l_returnflag ORDER BY key
 """
 
 
+def kv_sink_certified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's partition-sorted KV-text SINK contract (SURVEY.md
+    O4/O14/Q4), driver-certified: grouped sums written through write_kv_text
+    (3 reduce partitions, keys hash-disjoint across files, sorted within
+    each), read back from the output files, and returned as the parsed
+    (key, total) rows plus booleans asserting the on-disk contract held —
+    at most 3 part files (Spark's text writer skips empty reduce
+    partitions, so with few distinct keys fewer files can appear — the
+    union-of-partitions comparison of quirk Q4), every file's keys sorted,
+    no key in two files.
+    The oracle recomputes the sums from parquet and emits literal TRUEs, so
+    a sink regression (lost sort, wrong partitioning, format drift)
+    hash-mismatches. File inspection is driver-side over 3 small files
+    (O(distinct keys) — the contract's own output size)."""
+    import glob
+    import shutil
+    import tempfile
+
+    li = load_table(spark, sf_dir, "lineitem")
+    sums = mr.group_reduce_sum(
+        li.select(
+            F.col("l_returnflag").alias("key"),
+            F.col("l_linenumber").alias("value"),
+        ),
+    )
+    out = tempfile.mkdtemp(prefix="sdcms_kvsink_cert_")
+    try:
+        mr.write_kv_text(sums, out, num_partitions=3)
+        files = sorted(glob.glob(f"{out}/part-*"))
+        parsed: list[tuple[str, int]] = []
+        sorted_ok = True
+        seen_in: dict[str, int] = {}
+        disjoint_ok = True
+        for fi, fp in enumerate(files):
+            keys = []
+            with open(fp, encoding="utf-8") as fh:
+                for line in fh:
+                    if not line.strip():
+                        continue
+                    k, v = line.rstrip("\n").split(" ", 1)
+                    keys.append(k)
+                    parsed.append((k, int(v)))
+                    if k in seen_in and seen_in[k] != fi:
+                        disjoint_ok = False
+                    seen_in[k] = fi
+            if keys != sorted(keys):
+                sorted_ok = False
+        rows = [
+            (k, v, 1 <= len(files) <= 3, sorted_ok and disjoint_ok)
+            for k, v in sorted(parsed)
+        ]
+        return spark.createDataFrame(
+            rows, "key string, total bigint, files_ok boolean, layout_ok boolean"
+        )
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+
+
+KV_SINK_CERT_SQL = """
+SELECT l_returnflag AS key, CAST(SUM(l_linenumber) AS BIGINT) AS total,
+       TRUE AS files_ok, TRUE AS layout_ok
+FROM lineitem GROUP BY l_returnflag ORDER BY key
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     "wordcount": QuerySpec(wordcount, WORDCOUNT_SQL, bench=True),
     "wordcount_pipe": QuerySpec(wordcount_pipe, WORDCOUNT_SQL),
     "kv_parse_sum": QuerySpec(kv_parse_sum, KV_PARSE_SUM_SQL),
     "kvtext_scan_certified": QuerySpec(kvtext_scan_certified, KVTEXT_SCAN_SQL),
+    "kv_sink_certified": QuerySpec(kv_sink_certified, KV_SINK_CERT_SQL),
 }
