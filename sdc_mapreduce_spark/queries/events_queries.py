@@ -410,7 +410,13 @@ def events_resample_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
     is a no-op: Spark can only broadcast the build side). The fact table
     contributes the single data-sized shuffle (one groupBy) at any SF."""
     ev = load_table(spark, sf_dir, "events")
-    hour = F.date_trunc("hour", F.col("ts"))
+    # zone-independent hour truncation: date_trunc would CAST the ntz ts to
+    # session-zone timestamp (this query runs in the driver's session,
+    # whose zone we don't control) — subtracting the wall-clock sub-hour
+    # fields keeps the value TIMESTAMP_NTZ end-to-end
+    hour = F.expr(
+        "ts - make_dt_interval(0, 0, extract(minute FROM ts), extract(second FROM ts))"
+    )
     counts = ev.groupBy(hour.alias("hour"), "event_type").agg(
         F.count(F.lit(1)).alias("cnt"), dsum("value", "sum_value")
     )
@@ -476,8 +482,6 @@ def events_streaming_tumbling_certified(spark: SparkSession, sf_dir: str) -> Dat
     import tempfile
     import uuid
 
-    from sdc_mapreduce_spark.streaming import read_events_stream
-
     src = tempfile.mkdtemp(prefix="sdcms_stream_cert_src_")
     ckpt = tempfile.mkdtemp(prefix="sdcms_stream_cert_ckpt_")
     name = f"stream_cert_{uuid.uuid4().hex[:8]}"
@@ -491,7 +495,19 @@ def events_streaming_tumbling_certified(spark: SparkSession, sf_dir: str) -> Dat
             "value",
             "props",
         ).repartition(4).write.mode("overwrite").json(src)
-        stream = read_events_stream(spark, src)
+        # parse ts as TIMESTAMP_NTZ: this query runs inside the DRIVER's
+        # session, whose timezone we don't control — a zone-dependent
+        # `timestamp` parse would shift window boundaries relative to the
+        # naive-timestamp DuckDB oracle
+        stream = (
+            spark.readStream.schema(
+                "event_id long, ts timestamp_ntz, user_id long, "
+                "event_type string, value double, props string"
+            )
+            .format("json")
+            .option("timestampNTZFormat", "yyyy-MM-dd HH:mm:ss.SSSSSS")
+            .load(src)
+        )
         agg = (
             stream.groupBy(F.window("ts", "5 minutes").alias("w"), "event_type")
             .agg(F.count(F.lit(1)).alias("cnt"))

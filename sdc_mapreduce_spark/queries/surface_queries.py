@@ -644,7 +644,11 @@ def agg_stats_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n",
         (F.col("sq") / n).alias("mean_qty"),
         F.sqrt(var_q).alias("std_qty"),
-        (cov_qp / F.sqrt(var_q * var_p)).alias("corr_qty_price"),
+        # corr is the deepest float expression here (5 exact sums combined
+        # through 9 double ops); engines can differ in the last 1-2 ULPs at
+        # some scales even with identical formulas, so both sides round to
+        # 12 decimals — far beyond statistical meaning, inside hash safety
+        F.round(cov_qp / F.sqrt(var_q * var_p), 12).alias("corr_qty_price"),
     ).orderBy("l_returnflag")
 
 
@@ -661,9 +665,9 @@ WITH m AS (
 SELECT l_returnflag, n,
        sq / CAST(n AS DOUBLE) AS mean_qty,
        sqrt((sqq - sq * sq / CAST(n AS DOUBLE)) / (CAST(n AS DOUBLE) - 1)) AS std_qty,
-       ((sqp - sq * sp / CAST(n AS DOUBLE)) / (CAST(n AS DOUBLE) - 1))
+       ROUND(((sqp - sq * sp / CAST(n AS DOUBLE)) / (CAST(n AS DOUBLE) - 1))
        / sqrt(((sqq - sq * sq / CAST(n AS DOUBLE)) / (CAST(n AS DOUBLE) - 1))
-              * ((spp - sp * sp / CAST(n AS DOUBLE)) / (CAST(n AS DOUBLE) - 1)))
+              * ((spp - sp * sp / CAST(n AS DOUBLE)) / (CAST(n AS DOUBLE) - 1))), 12)
          AS corr_qty_price
 FROM m
 ORDER BY l_returnflag
