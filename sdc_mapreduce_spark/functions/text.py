@@ -441,6 +441,73 @@ def chunk_documents(
     )
 
 
+def boilerplate_strip(
+    df: DataFrame,
+    window: int = 2,
+    max_df: int = 20,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Cross-document boilerplate removal (the CCNet / RefinedWeb dedup-at-
+    sub-document granularity step): segment every document into fixed
+    non-overlapping token windows, count each segment's document frequency
+    across the corpus, and drop segments shared by more than ``max_df``
+    documents (navigation chrome, license headers, cookie banners — spans
+    that repeat corpus-wide carry no training signal). Real corpora use
+    line granularity; the fixture corpus is single-line, so the registered
+    query exercises the same plan at token-window granularity.
+
+    Emits (doc_id, n_segments, n_kept, cleaned_fp) where cleaned_fp is the
+    md5 of the surviving segments rejoined in document order — the cleaned
+    body verified byte-for-byte without shuffling text.
+
+    Scale shape: the segment-frequency aggregate shuffles 16-byte md5 keys
+    with map-side partial counts; the over-threshold "hot" set is by
+    construction small (only corpus-wide repeats exceed max_df), so the
+    removal is a broadcast anti-join — the full corpus is never shuffled,
+    and the reassembly groupBy is the only row-weight exchange.
+    """
+    if window < 1 or max_df < 1:
+        raise ValueError("window and max_df must be >= 1")
+    base = df.select(F.col(id_col), tokens(text_col).alias("__t"))
+    t = F.col("__t")
+    n_segs = F.expr(f"(size(__t) + {window - 1}) div {window}").cast("int")
+    segarr = F.transform(
+        F.sequence(F.lit(0), n_segs - 1),
+        lambda i: F.array_join(F.slice(t, i * window + 1, window), " "),
+    )
+    with_segs = base.select(F.col(id_col), segarr.alias("__segs"))
+    seg_rows = with_segs.select(
+        F.col(id_col), F.posexplode("__segs").alias("seg_idx", "seg")
+    ).withColumn("__h", F.md5("seg"))
+    hot = (
+        seg_rows.groupBy("__h")
+        .agg(F.countDistinct(id_col).alias("__df"))
+        .filter(F.col("__df") > max_df)
+        .select("__h")
+    )
+    kept = seg_rows.join(F.broadcast(hot), "__h", "left_anti")
+    cleaned = kept.groupBy(id_col).agg(
+        F.count(F.lit(1)).cast("int").alias("n_kept"),
+        F.md5(
+            F.concat_ws(
+                " ",
+                F.transform(
+                    F.sort_array(F.collect_list(F.struct("seg_idx", "seg"))),
+                    lambda s: s["seg"],
+                ),
+            )
+        ).alias("cleaned_fp"),
+    )
+    totals = with_segs.select(F.col(id_col), F.size("__segs").alias("n_segments"))
+    return totals.join(cleaned, id_col, "left").select(
+        id_col,
+        "n_segments",
+        F.coalesce(F.col("n_kept"), F.lit(0)).alias("n_kept"),
+        F.coalesce(F.col("cleaned_fp"), F.md5(F.lit(""))).alias("cleaned_fp"),
+    )
+
+
 def top_ngrams(df: DataFrame, n: int = 2, k: int = 20, text_col: str = "text") -> DataFrame:
     """Global top-k token n-grams by frequency: build per-doc n-gram arrays
     with a transform over token positions (no Python), explode, count, top-k.

@@ -870,6 +870,45 @@ ORDER BY doc_id
 """
 
 
+def text_boilerplate_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document boilerplate removal (functions.text.boilerplate_strip):
+    segment docs into 2-token windows, drop segments shared by > 20 docs,
+    verify the cleaned body via md5 of the surviving segments in order.
+    window=2 so the tiny-vocabulary fixture actually has corpus-wide
+    repeats to strip; production corpora run the same plan at line
+    granularity."""
+    return T.boilerplate_strip(
+        load_table(spark, sf_dir, "documents"), window=2, max_df=20
+    ).orderBy("doc_id")
+
+
+TEXT_BOILERPLATE_SQL = """
+WITH t AS (
+  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks FROM documents
+), sa AS (
+  SELECT doc_id,
+         [array_to_string(toks[(i*2+1):(i*2+2)], ' ')
+          FOR i IN range(0, (len(toks) + 1) // 2)] AS segs
+  FROM t
+), seg AS (
+  SELECT doc_id, unnest(segs) AS seg, unnest(range(len(segs))) AS seg_idx FROM sa
+), hot AS (
+  SELECT md5(seg) AS h FROM seg GROUP BY 1 HAVING COUNT(DISTINCT doc_id) > 20
+), kept AS (
+  SELECT s.* FROM seg s WHERE md5(s.seg) NOT IN (SELECT h FROM hot)
+), agg AS (
+  SELECT doc_id, CAST(COUNT(*) AS INT) AS n_kept,
+         md5(string_agg(seg, ' ' ORDER BY seg_idx)) AS cleaned_fp
+  FROM kept GROUP BY doc_id
+)
+SELECT sa.doc_id, CAST(len(sa.segs) AS INT) AS n_segments,
+       COALESCE(agg.n_kept, 0) AS n_kept,
+       COALESCE(agg.cleaned_fp, md5('')) AS cleaned_fp
+FROM sa LEFT JOIN agg USING (doc_id)
+ORDER BY doc_id
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     "text_token_stats": QuerySpec(text_token_stats, TEXT_TOKEN_STATS_SQL),
     "text_quality": QuerySpec(text_quality, TEXT_QUALITY_SQL, bench=True),
@@ -886,6 +925,7 @@ QUERIES: dict[str, QuerySpec] = {
     "text_pii_redact": QuerySpec(text_pii_redact, TEXT_PII_REDACT_SQL),
     "text_contamination": QuerySpec(text_contamination, TEXT_CONTAMINATION_SQL),
     "text_chunking": QuerySpec(text_chunking, TEXT_CHUNKING_SQL),
+    "text_boilerplate_strip": QuerySpec(text_boilerplate_strip, TEXT_BOILERPLATE_SQL),
     "text_quality_gate_per_lang": QuerySpec(
         text_quality_gate_per_lang, TEXT_QUALITY_GATE_SQL
     ),

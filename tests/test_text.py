@@ -208,3 +208,38 @@ def test_chunk_documents_gap_stride_emits_no_phantom_chunks(spark):
     )
     assert rows == [(0, 2), (1, 2)]
     assert all(n > 0 for _, n in rows)
+
+
+def test_boilerplate_strip_drops_hot_segments_and_reassembles(spark):
+    # "x x" appears in 3 docs -> with max_df=2 it is boilerplate; unique
+    # segments survive and the cleaned fingerprint reflects document order.
+    rows = [
+        (1, "x x a b"),
+        (2, "x x c d"),
+        (3, "x x e f"),
+        (4, "g h i j"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {
+        r["doc_id"]: r
+        for r in T.boilerplate_strip(df, window=2, max_df=2).collect()
+    }
+    assert out[1]["n_segments"] == 2 and out[1]["n_kept"] == 1
+    assert out[4]["n_segments"] == 2 and out[4]["n_kept"] == 2
+    # cleaned body of doc 1 is just "a b"
+    one = spark.createDataFrame([(9, "a b")], ["doc_id", "text"])
+    expect = (
+        T.boilerplate_strip(one, window=2, max_df=2).collect()[0]["cleaned_fp"]
+    )
+    assert out[1]["cleaned_fp"] == expect
+
+
+def test_boilerplate_strip_fully_stripped_doc_keeps_row(spark):
+    rows = [(i, "z z") for i in range(1, 5)]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = T.boilerplate_strip(df, window=2, max_df=2).collect()
+    assert len(out) == 4
+    assert all(r["n_kept"] == 0 for r in out)
+    import hashlib
+    empty_md5 = hashlib.md5(b"").hexdigest()
+    assert all(r["cleaned_fp"] == empty_md5 for r in out)
