@@ -92,6 +92,107 @@ def incremental_dedup(
     )
 
 
+def _bloom_positions(fp: F.Column, m_bits: int, k: int) -> F.Column:
+    """The k bit positions of a fingerprint under portable double hashing
+    (Kirsch-Mitzenmacher: pos_i = h1 + i*h2 mod m). Both hashes derive from
+    md5 so any engine can replay them; h2 is forced odd so the k probes
+    never collapse onto one position when m is a power of two."""
+    h1 = token_hash60(fp)
+    h2 = token_hash60(F.concat(fp, F.lit("#bloom"))).bitwiseOR(F.lit(1))
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(k - 1)),
+        lambda i: F.pmod(h1 + i.cast("long") * h2, F.lit(m_bits)),
+    )
+
+
+def bloom_build(
+    fps: DataFrame, m_bits: int = 1 << 16, k: int = 5, fp_col: str = "__fp"
+) -> DataFrame:
+    """Aggregate a fingerprint set into a Bloom-filter bitmap stored as
+    (word, bits) rows of 32-bit words packed in longs: explode each key's k
+    positions, group by word index, OR the bits. Map-side partial bit_or
+    means the shuffle carries at most m_bits/32 rows per mapper regardless
+    of corpus size; the final bitmap is m_bits/8 bytes — megabytes for
+    billions of keys at ~10 bits/key — i.e. always broadcastable."""
+    pos = fps.select(
+        F.explode(_bloom_positions(F.col(fp_col), m_bits, k)).alias("__pos")
+    )
+    return (
+        pos.select(
+            (F.col("__pos") / 32).cast("int").alias("word"),
+            F.expr("shiftleft(1L, int(__pos % 32))").alias("__bit"),
+        )
+        .groupBy("word")
+        .agg(F.bit_or("__bit").alias("bits"))
+    )
+
+
+def bloom_probe(
+    probe: DataFrame,
+    bitmap: DataFrame,
+    m_bits: int = 1 << 16,
+    k: int = 5,
+    fp_col: str = "__fp",
+) -> DataFrame:
+    """Membership test against a built bitmap: a key is ``bloom_maybe`` iff
+    all k of its bits are set (no false negatives; false-positive rate
+    ~(1-e^{-kn/m})^k). The bitmap side is broadcast, so the probe is a
+    narrow per-row lookup — no shuffle of the probe set."""
+    pos = probe.select(
+        fp_col, F.explode(_bloom_positions(F.col(fp_col), m_bits, k)).alias("__pos")
+    ).select(
+        fp_col,
+        (F.col("__pos") / 32).cast("int").alias("word"),
+        (F.col("__pos") % 32).cast("int").alias("__b"),
+    )
+    hits = pos.join(F.broadcast(bitmap), "word", "left").select(
+        fp_col,
+        F.coalesce(
+            F.expr("int(shiftright(bits, __b) & 1)"), F.lit(0)
+        ).alias("__hit"),
+    )
+    return hits.groupBy(fp_col).agg(
+        (F.min("__hit") == 1).alias("bloom_maybe")
+    )
+
+
+def bloom_prefilter_dedup(
+    new_batch: DataFrame,
+    existing: DataFrame,
+    m_bits: int = 1 << 16,
+    k: int = 5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Bloom-prefiltered ingestion dedup: build the filter over the corpus
+    fingerprint index once, probe every incoming document, and report both
+    the filter's verdict and exact membership. At 100 TB the exact
+    fingerprint anti-join ([[incremental_dedup]]) shuffles the batch against
+    a billions-row index on every delivery; with the bitmap broadcast,
+    documents the filter rejects (the typical vast majority of a fresh
+    crawl) are proven new without touching the index, and only the
+    ``bloom_maybe`` sliver takes the exact join. Emitting both flags makes
+    the no-false-negative invariant (is_dup ⇒ bloom_maybe) and the
+    deterministic false-positive set part of the verified output."""
+    fp = F.md5(F.col(text_col)).alias("__fp")
+    existing_fps = existing.select(fp).distinct()
+    batch_fps = new_batch.select(F.col(id_col), fp)
+    bitmap = bloom_build(existing_fps, m_bits=m_bits, k=k)
+    verdicts = bloom_probe(
+        batch_fps.select("__fp").distinct(), bitmap, m_bits=m_bits, k=k
+    )
+    exact = existing_fps.withColumn("__is_dup", F.lit(True))
+    return (
+        batch_fps.join(F.broadcast(verdicts), "__fp", "left")
+        .join(exact, "__fp", "left")
+        .select(
+            id_col,
+            "bloom_maybe",
+            F.coalesce(F.col("__is_dup"), F.lit(False)).alias("is_dup"),
+        )
+    )
+
+
 def shingle_sets(
     df: DataFrame, n: int = 3, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:

@@ -69,6 +69,57 @@ ORDER BY doc_id
 """
 
 
+def dedup_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-prefiltered ingestion dedup (functions.dedup.bloom_prefilter_
+    dedup): same 20/80 batch/corpus split as dedup_incremental, but the
+    corpus fingerprint index is first compacted into a broadcastable
+    Bloom bitmap; each batch doc carries the filter's verdict next to exact
+    membership. m_bits=2048 is deliberately undersized for the fixture so
+    the false-positive path is exercised and hash-verified (the corpus has
+    no exact dups, so a right-sized filter would emit all-false rows);
+    production sizing is ~10 bits/key, at which the bitmap for a
+    billions-doc index is still only GBs → broadcast."""
+    docs = load_table(spark, sf_dir, "documents")
+    batch = docs.filter(F.col("doc_id") % 5 == 0)
+    existing = docs.filter(F.col("doc_id") % 5 != 0)
+    return D.bloom_prefilter_dedup(batch, existing, m_bits=2048, k=5).orderBy(
+        "doc_id"
+    )
+
+
+DEDUP_BLOOM_SQL = """
+WITH ex AS (
+  SELECT DISTINCT md5(text) AS fp FROM documents WHERE doc_id % 5 <> 0
+), nb AS (
+  SELECT doc_id, md5(text) AS fp FROM documents WHERE doc_id % 5 = 0
+), expos AS (
+  SELECT (h1 + r.i * h2) % 2048 AS pos FROM (
+    SELECT CAST(('0x' || substr(md5(fp), 1, 15)) AS BIGINT) AS h1,
+           CAST(('0x' || substr(md5(fp || '#bloom'), 1, 15)) AS BIGINT) | 1 AS h2
+    FROM ex) h, range(5) r(i)
+), words AS (
+  SELECT CAST(pos // 32 AS INT) AS word,
+         bit_or(1::BIGINT << CAST(pos % 32 AS INT)) AS bits
+  FROM expos GROUP BY 1
+), nbpos AS (
+  SELECT fp, (h1 + r.i * h2) % 2048 AS pos FROM (
+    SELECT DISTINCT fp,
+           CAST(('0x' || substr(md5(fp), 1, 15)) AS BIGINT) AS h1,
+           CAST(('0x' || substr(md5(fp || '#bloom'), 1, 15)) AS BIGINT) | 1 AS h2
+    FROM nb) h, range(5) r(i)
+), verdict AS (
+  SELECT fp,
+         MIN(COALESCE((w.bits >> CAST(pos % 32 AS INT)) & 1, 0)) = 1 AS bloom_maybe
+  FROM nbpos LEFT JOIN words w ON w.word = CAST(pos // 32 AS INT)
+  GROUP BY fp
+)
+SELECT nb.doc_id, v.bloom_maybe,
+       (nb.fp IN (SELECT fp FROM ex)) AS is_dup
+FROM nb JOIN verdict v USING (fp)
+ORDER BY doc_id
+"""
+
+
 # Shared exact-Jaccard oracle (inverted-index formulation, so the oracle
 # itself is O(co-occurring pairs), not O(n^2)).
 _JACCARD_SQL = """
@@ -230,6 +281,7 @@ QUERIES: dict[str, QuerySpec] = {
     "dedup_exact": QuerySpec(dedup_exact, DEDUP_EXACT_SQL),
     "dedup_normalized": QuerySpec(dedup_normalized, DEDUP_NORMALIZED_SQL),
     "dedup_incremental": QuerySpec(dedup_incremental, DEDUP_INCREMENTAL_SQL),
+    "dedup_bloom_prefilter": QuerySpec(dedup_bloom_prefilter, DEDUP_BLOOM_SQL),
     "dedup_jaccard_pairs": QuerySpec(dedup_jaccard_pairs, _JACCARD_SQL),
     "dedup_minhash_lsh": QuerySpec(dedup_minhash_lsh, _JACCARD_SQL, bench=True),
     "dedup_simhash": QuerySpec(dedup_simhash, DEDUP_SIMHASH_SQL),

@@ -294,3 +294,38 @@ def test_incremental_dedup_semantics(spark):
         for r in D.incremental_dedup(batch, existing).collect()
     }
     assert got == {11: 2, 13: 1}
+
+
+def test_bloom_prefilter_no_false_negatives_and_flags_dups(spark):
+    existing = spark.createDataFrame(
+        [(i, f"corpus document {i}") for i in range(50)], ["doc_id", "text"]
+    )
+    batch = spark.createDataFrame(
+        [(100, "corpus document 7"),   # exact dup of corpus
+         (101, "corpus document 23"),  # exact dup of corpus
+         (102, "a genuinely new doc"),
+         (103, "another new doc")],
+        ["doc_id", "text"],
+    )
+    out = {
+        r["doc_id"]: (r["bloom_maybe"], r["is_dup"])
+        for r in D.bloom_prefilter_dedup(batch, existing).collect()
+    }
+    assert out[100] == (True, True) and out[101] == (True, True)
+    assert out[102][1] is False and out[103][1] is False
+    # invariant: is_dup implies bloom_maybe (no false negatives)
+    assert all(maybe or not dup for maybe, dup in out.values())
+
+
+def test_bloom_right_sized_filter_has_no_false_positives_here(spark):
+    # 50 keys in a 2^16-bit filter: expected FP rate ~1e-13 -> every
+    # non-member must come back definite-new
+    existing = spark.createDataFrame(
+        [(i, f"corpus document {i}") for i in range(50)], ["doc_id", "text"]
+    )
+    batch = spark.createDataFrame(
+        [(200 + i, f"fresh doc {i}") for i in range(30)], ["doc_id", "text"]
+    )
+    out = D.bloom_prefilter_dedup(batch, existing, m_bits=1 << 16, k=5).collect()
+    assert len(out) == 30
+    assert all((not r["bloom_maybe"]) and (not r["is_dup"]) for r in out)
