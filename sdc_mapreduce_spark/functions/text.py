@@ -441,6 +441,51 @@ def chunk_documents(
     )
 
 
+def hashed_linear_score(
+    df: DataFrame,
+    n_buckets: int = 1024,
+    weight_seed: str = "w#",
+    threshold: float = 0.0,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Model-based quality filtering: score every document with a linear
+    classifier over the hashing trick (the fastText-style bag-of-buckets
+    model used for pipeline filters like CCNet's LM gate) and keep docs
+    above a threshold. Each token maps to ``token_hash60(tok) % n_buckets``
+    and each bucket to an integer milli-weight in [-1000, 1000] derived
+    from md5(seed || bucket); the doc score is the mean token weight. The
+    deterministic weight table stands in for trained coefficients — a real
+    deployment broadcasts a fitted weights array, and the plan is
+    identical: a narrow per-row fold, zero shuffle, zero Python.
+
+    Scoring accumulates exact integer millis (order-independent) and
+    divides once at the end, so the double score is bitwise reproducible
+    on any engine and partitioning.
+    """
+    t = tokens(text_col)
+    bucket = lambda x: F.pmod(token_hash60(x), F.lit(n_buckets))  # noqa: E731
+    weight = lambda x: (
+        F.pmod(
+            token_hash60(F.concat(F.lit(weight_seed), bucket(x).cast("string"))),
+            F.lit(2001),
+        )
+        - 1000
+    )
+    score_milli = F.aggregate(
+        t, F.lit(0).cast("long"), lambda acc, x: acc + weight(x)
+    )
+    scored = df.select(
+        F.col(id_col),
+        F.size(t).alias("n_tokens"),
+        (
+            score_milli.cast("double")
+            / (F.lit(1000.0) * F.size(t).cast("double"))
+        ).alias("score"),
+    )
+    return scored.withColumn("keep", F.col("score") >= threshold)
+
+
 def boilerplate_strip(
     df: DataFrame,
     window: int = 2,

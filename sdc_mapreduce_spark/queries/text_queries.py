@@ -870,6 +870,37 @@ ORDER BY doc_id
 """
 
 
+def text_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hashed-feature linear classifier inference (functions.text.
+    hashed_linear_score): fastText-style bag-of-buckets scoring with an
+    md5-derived deterministic weight table, mean-milliweight score, keep
+    gate at 0. Integer accumulation makes the double score bitwise
+    reproducible cross-engine."""
+    return T.hashed_linear_score(
+        load_table(spark, sf_dir, "documents"), n_buckets=1024, threshold=0.0
+    ).orderBy("doc_id")
+
+
+_H60 = "CAST(('0x' || substr(md5({x}), 1, 15)) AS BIGINT)"
+
+TEXT_QUALITY_CLASSIFIER_SQL = f"""
+WITH t AS (
+  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks FROM documents
+), s AS (
+  SELECT doc_id, len(toks) AS n_tokens,
+         list_sum(list_transform(toks, x ->
+           {_H60.format(x="'w#' || CAST(" + _H60.format(x='x') + " % 1024 AS VARCHAR)")}
+             % 2001 - 1000)) AS score_milli
+  FROM t
+)
+SELECT doc_id, CAST(n_tokens AS INT) AS n_tokens,
+       CAST(score_milli AS DOUBLE) / (1000.0 * n_tokens) AS score,
+       CAST(score_milli AS DOUBLE) / (1000.0 * n_tokens) >= 0.0 AS keep
+FROM s
+ORDER BY doc_id
+"""
+
+
 def text_boilerplate_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cross-document boilerplate removal (functions.text.boilerplate_strip):
     segment docs into 2-token windows, drop segments shared by > 20 docs,
@@ -926,6 +957,9 @@ QUERIES: dict[str, QuerySpec] = {
     "text_contamination": QuerySpec(text_contamination, TEXT_CONTAMINATION_SQL),
     "text_chunking": QuerySpec(text_chunking, TEXT_CHUNKING_SQL),
     "text_boilerplate_strip": QuerySpec(text_boilerplate_strip, TEXT_BOILERPLATE_SQL),
+    "text_quality_classifier": QuerySpec(
+        text_quality_classifier, TEXT_QUALITY_CLASSIFIER_SQL
+    ),
     "text_quality_gate_per_lang": QuerySpec(
         text_quality_gate_per_lang, TEXT_QUALITY_GATE_SQL
     ),

@@ -243,3 +243,20 @@ def test_boilerplate_strip_fully_stripped_doc_keeps_row(spark):
     import hashlib
     empty_md5 = hashlib.md5(b"").hexdigest()
     assert all(r["cleaned_fp"] == empty_md5 for r in out)
+
+
+def test_hashed_linear_score_matches_hand_computation(spark):
+    import hashlib
+
+    def h60(s: str) -> int:
+        return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+    toks = ["alpha", "beta", "alpha"]
+    expect_milli = sum(
+        h60("w#" + str(h60(tok) % 1024)) % 2001 - 1000 for tok in toks
+    )
+    df = spark.createDataFrame([(1, " ".join(toks))], ["doc_id", "text"])
+    r = T.hashed_linear_score(df).collect()[0]
+    assert r["n_tokens"] == 3
+    assert r["score"] == expect_milli / (1000.0 * 3)
+    assert r["keep"] == (r["score"] >= 0.0)
