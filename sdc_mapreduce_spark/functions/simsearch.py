@@ -364,6 +364,151 @@ def cosine_topk_ivf(
     ).select("query_id", "neighbor_id", "rank")
 
 
+def pq_codebooks(
+    corpus: DataFrame,
+    m_sub: int = 4,
+    n_codes: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Deterministic sampled product-quantization codebooks: subspace s's
+    codewords are the s-th subvectors of the first ``n_codes`` corpus unit
+    vectors (code id = sample vector id). Like ``seeded_centroids``, a
+    sampled codebook replaces a k-means-trained one so every engine can
+    recompute it from the corpus — which is what lets the PQ encoder and
+    its recall be oracle-checked end-to-end. Requires dim % m_sub == 0.
+
+    Returns (sub, code, cw, cc): codeword unit-subvector plus its
+    precomputed squared norm (distance ranking uses cc - 2·⟨x,cw⟩, the
+    x-independent part of ‖x-cw‖², so ‖x‖² never needs computing)."""
+    u = with_unit_vectors(
+        corpus.filter(F.col(id_col) < n_codes), vec_col=vec_col, out_col="__unit"
+    )
+    d_sub = F.expr(f"size(__unit) div {m_sub}")
+    subs = F.transform(
+        F.sequence(F.lit(0), F.lit(m_sub - 1)),
+        lambda s: F.slice(F.col("__unit"), s * d_sub + 1, d_sub),
+    )
+    long = u.select(
+        F.col(id_col).cast("int").alias("code"), F.posexplode(subs).alias("sub", "cw")
+    )
+    return long.select(
+        "sub", "code", "cw", dot(F.col("cw"), F.col("cw")).alias("cc")
+    )
+
+
+def _pq_nested(codebooks: DataFrame, m_sub: int) -> DataFrame:
+    """Fold the long-form codebooks into ONE row holding
+    array[sub][code] -> struct(cw, cc) — a constant-size (m_sub · n_codes
+    codewords) literal that broadcast-crossJoins onto any side with no
+    driver collect."""
+    flat = codebooks.groupBy().agg(
+        F.sort_array(F.collect_list(F.struct("sub", "code", "cw", "cc"))).alias(
+            "__all"
+        )
+    )
+    return flat.select(
+        F.transform(
+            F.sequence(F.lit(0), F.lit(m_sub - 1)),
+            lambda s: F.transform(
+                F.filter(F.col("__all"), lambda e: e["sub"] == s),
+                lambda e: F.struct(e["cw"].alias("cw"), e["cc"].alias("cc")),
+            ),
+        ).alias("__cb")
+    )
+
+
+def pq_encode(
+    corpus: DataFrame,
+    codebooks: DataFrame,
+    m_sub: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """PQ encoding as a narrow projection: per subspace, the code whose
+    ranking key cc - 2·⟨x_s, cw⟩ is minimal (ties to the lowest code id,
+    via array_position-of-min). The nested codebook row rides along via a
+    broadcast cross join, so encoding the corpus is shuffle-free — it runs
+    at scan speed and fuses into an embedding-table write, which is the
+    whole point of PQ at 100 TB: the stored index is m_sub bytes per
+    vector instead of 4·dim. Returns (id, __unit, __codes array<int>)."""
+    u = with_unit_vectors(corpus, vec_col=vec_col, out_col="__unit").select(
+        F.col(id_col), "__unit"
+    )
+    enc = u.crossJoin(F.broadcast(_pq_nested(codebooks, m_sub)))
+    d_sub = F.expr(f"size(__unit) div {m_sub}")
+
+    def keys(s):
+        x_s = F.slice(F.col("__unit"), s * d_sub + 1, d_sub)
+        return F.transform(
+            F.element_at(F.col("__cb"), s + 1),
+            lambda e: e["cc"] - 2 * dot(x_s, e["cw"]),
+        )
+
+    codes = F.transform(
+        F.sequence(F.lit(0), F.lit(m_sub - 1)),
+        lambda s: (F.array_position(keys(s), F.array_min(keys(s))) - 1).cast("int"),
+    )
+    return enc.select(F.col(id_col), "__unit", codes.alias("__codes"))
+
+
+def cosine_topk_pq(
+    corpus: DataFrame,
+    query_ids: list[int],
+    k: int = 5,
+    m_sub: int = 4,
+    n_codes: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k by asymmetric distance computation over PQ codes:
+    the query keeps its exact unit vector, every corpus vector is
+    represented only by its m_sub codes, and the score is
+    Σ_s ⟨q_s, cw[s][code_s]⟩ — the classic ADC scan (Jégou et al., PAMI
+    2011). The fold accumulates subspace dots in fixed order so scores are
+    bitwise reproducible. Scoring touches codes + a constant codebook, not
+    vectors: at scale the scan reads m_sub bytes/vector (32x smaller than
+    the float corpus at dim=64), and composes with IVF for candidate
+    pruning exactly as IVFPQ does."""
+    cbs = pq_codebooks(
+        corpus, m_sub=m_sub, n_codes=n_codes, id_col=id_col, vec_col=vec_col
+    )
+    encoded = pq_encode(corpus, cbs, m_sub=m_sub, id_col=id_col, vec_col=vec_col)
+    queries = (
+        encoded.filter(F.col(id_col).isin(query_ids))
+        .select(F.col(id_col).alias("query_id"), F.col("__unit").alias("__qunit"))
+    )
+    cands = (
+        encoded.select(F.col(id_col), "__codes")
+        .join(F.broadcast(queries))
+        .filter(F.col(id_col) != F.col("query_id"))
+        .crossJoin(F.broadcast(_pq_nested(cbs, m_sub)))
+    )
+    d_sub = F.expr(f"size(__qunit) div {m_sub}")
+    adc = F.aggregate(
+        F.sequence(F.lit(0), F.lit(m_sub - 1)),
+        F.lit(0.0),
+        lambda acc, s: acc
+        + dot(
+            F.slice(F.col("__qunit"), s * d_sub + 1, d_sub),
+            F.element_at(
+                F.element_at(F.col("__cb"), s + 1),
+                F.element_at(F.col("__codes"), s + 1) + 1,
+            )["cw"],
+        ),
+    )
+    scored = cands.select(
+        "query_id", F.col(id_col).alias("neighbor_id"), adc.alias("adc")
+    )
+    return top_k_per_group(
+        scored,
+        ["query_id"],
+        [F.col("adc").desc(), F.col("neighbor_id").asc()],
+        k,
+        rank_col="rank",
+    ).select("query_id", "neighbor_id", "rank")
+
+
 def quantize_int8(
     df: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding"
 ) -> DataFrame:

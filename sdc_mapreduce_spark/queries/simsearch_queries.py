@@ -208,6 +208,132 @@ ORDER BY eq.query_id
 """
 
 
+PQ_SUB = 4
+PQ_CODES = 8
+
+# Shared CTE prefix: unit vectors, sampled codebooks (subvectors of the
+# first PQ_CODES corpus unit vectors; dim is 64 at every fixture SF so each
+# of the 4 subspaces spans 16 dims), and the PQ encoding (per-vector,
+# per-subspace argmin of cc - 2*<x_s, cw>, ties to the lowest code id).
+_PQ_CTES = f"""
+WITH u AS (
+  SELECT vec_id,
+         list_transform(
+           embedding::DOUBLE[],
+           x -> x / sqrt(list_aggregate(
+                  list_transform(embedding::DOUBLE[], y -> y * y), 'sum'))
+         ) AS unit
+  FROM embeddings
+), cbn AS (
+  SELECT s.i AS sub, CAST(vec_id AS INT) AS code,
+         u.unit[(s.i*16+1):((s.i+1)*16)] AS cw,
+         list_inner_product(u.unit[(s.i*16+1):((s.i+1)*16)],
+                            u.unit[(s.i*16+1):((s.i+1)*16)]) AS cc
+  FROM u, range({PQ_SUB}) s(i) WHERE vec_id < {PQ_CODES}
+), enc AS (
+  SELECT vec_id, sub, code FROM (
+    SELECT u.vec_id, c.sub, c.code,
+           ROW_NUMBER() OVER (
+             PARTITION BY u.vec_id, c.sub
+             ORDER BY c.cc - 2*list_inner_product(
+                        u.unit[(c.sub*16+1):((c.sub+1)*16)], c.cw) ASC,
+                      c.code ASC) AS r
+    FROM u CROSS JOIN cbn c
+  ) WHERE r = 1
+)"""
+
+
+def simsearch_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The PQ encoder itself, oracle-certified on every vector: the
+    deterministic sampled codebooks (functions.simsearch.pq_codebooks)
+    make the per-subspace argmin replayable in DuckDB, so the full code
+    table — the thing a 100 TB deployment persists at m_sub bytes/vector —
+    hash-matches cross-engine as integers."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    cbs = S.pq_codebooks(emb, m_sub=PQ_SUB, n_codes=PQ_CODES)
+    enc = S.pq_encode(emb, cbs, m_sub=PQ_SUB)
+    from pyspark.sql import functions as F
+
+    return enc.select(
+        "vec_id",
+        *[
+            F.element_at("__codes", i + 1).alias(f"c{i}")
+            for i in range(PQ_SUB)
+        ],
+    ).orderBy("vec_id")
+
+
+SIMSEARCH_PQ_CODES_SQL = f"""{_PQ_CTES}
+SELECT vec_id,
+       MAX(CASE WHEN sub = 0 THEN code END) AS c0,
+       MAX(CASE WHEN sub = 1 THEN code END) AS c1,
+       MAX(CASE WHEN sub = 2 THEN code END) AS c2,
+       MAX(CASE WHEN sub = 3 THEN code END) AS c3
+FROM enc GROUP BY vec_id ORDER BY vec_id
+"""
+
+
+def simsearch_ann_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@k of the PQ/ADC search (functions.simsearch.cosine_topk_pq)
+    against exact brute force, fully oracle-checked: DuckDB replays
+    codebook sampling, encoding, the fixed-order ADC sum (explicitly
+    parenthesized to match Spark's left fold bitwise), ranking, and the
+    recall arithmetic."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    ann = S.cosine_topk_pq(
+        emb, QUERY_IDS, k=TOP_K, m_sub=PQ_SUB, n_codes=PQ_CODES
+    )
+    exact = S.cosine_topk_bruteforce(emb, QUERY_IDS, k=TOP_K)
+    return _recall_vs_exact(ann, exact)
+
+
+SIMSEARCH_ANN_PQ_RECALL_SQL = f"""{_PQ_CTES}
+, persub AS (
+  SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id, e.sub,
+         list_inner_product(q.unit[(e.sub*16+1):((e.sub+1)*16)], c.cw) AS s
+  FROM enc e
+  JOIN cbn c ON c.sub = e.sub AND c.code = e.code
+  CROSS JOIN u q
+  WHERE q.vec_id < 10 AND e.vec_id <> q.vec_id
+), adc AS (
+  SELECT query_id, neighbor_id,
+         ((MAX(CASE WHEN sub = 0 THEN s END)
+           + MAX(CASE WHEN sub = 1 THEN s END))
+          + MAX(CASE WHEN sub = 2 THEN s END))
+         + MAX(CASE WHEN sub = 3 THEN s END) AS score
+  FROM persub GROUP BY 1, 2
+), ann AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT query_id, neighbor_id,
+           ROW_NUMBER() OVER (PARTITION BY query_id
+                              ORDER BY score DESC, neighbor_id ASC) AS rank
+    FROM adc
+  ) WHERE rank <= {TOP_K}
+), exact AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT q2.vec_id AS query_id, u2.vec_id AS neighbor_id,
+           ROW_NUMBER() OVER (
+             PARTITION BY q2.vec_id
+             ORDER BY list_inner_product(q2.unit, u2.unit) DESC,
+                      u2.vec_id ASC) AS rank
+    FROM u q2 JOIN u u2 ON u2.vec_id <> q2.vec_id
+    WHERE q2.vec_id < 10
+  ) WHERE rank <= {TOP_K}
+), h AS (
+  SELECT a.query_id, COUNT(*) AS n
+  FROM ann a JOIN exact e
+    ON e.query_id = a.query_id AND e.neighbor_id = a.neighbor_id
+  GROUP BY a.query_id
+)
+SELECT eq.query_id,
+       CAST(COALESCE(h.n, 0) AS INT) AS n_hits,
+       COALESCE(h.n, 0) / {TOP_K}.0 AS recall_at_k
+FROM (SELECT DISTINCT query_id FROM exact) eq
+LEFT JOIN h ON h.query_id = eq.query_id
+ORDER BY eq.query_id
+"""
+
+
 def simsearch_ann_ivf_index_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The persisted-IVF-index path, recall-checked end-to-end: build the
     seeded quantizer, write the index (corpus partitioned one directory per
@@ -413,6 +539,10 @@ QUERIES: dict[str, QuerySpec] = {
     ),
     "simsearch_ann_ivf_index_recall": QuerySpec(
         simsearch_ann_ivf_index_recall, SIMSEARCH_ANN_IVF_RECALL_SQL
+    ),
+    "simsearch_pq_codes": QuerySpec(simsearch_pq_codes, SIMSEARCH_PQ_CODES_SQL),
+    "simsearch_ann_pq_recall": QuerySpec(
+        simsearch_ann_pq_recall, SIMSEARCH_ANN_PQ_RECALL_SQL
     ),
     "embedding_stats": QuerySpec(embedding_stats, EMBEDDING_STATS_SQL),
     "embedding_quantize_audit": QuerySpec(

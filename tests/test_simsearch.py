@@ -161,3 +161,35 @@ def test_arrow_near_pairs_equal_declarative(spark, sf_dir):
 
     with pytest.raises(ValueError, match="max_vectors"):
         S.embedding_near_pairs_arrow(emb, threshold=0.4, max_vectors=10)
+
+
+def test_pq_codes_shape_and_codeword_self_encoding(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    cbs = S.pq_codebooks(emb, m_sub=4, n_codes=8)
+    enc = S.pq_encode(emb, cbs, m_sub=4)
+    rows = enc.collect()
+    assert len(rows) == emb.count()
+    for r in rows:
+        assert len(r["__codes"]) == 4
+        assert all(0 <= c < 8 for c in r["__codes"])
+    # the sampled vectors ARE the codewords: each must encode to its own
+    # code in every subspace (its distance key is exactly -cc, the minimum)
+    seeds = {r["vec_id"]: r["__codes"] for r in rows if r["vec_id"] < 8}
+    for vid, codes in seeds.items():
+        assert codes == [vid] * 4, (vid, codes)
+
+
+def test_pq_adc_recall_beats_random(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    ann = S.cosine_topk_pq(emb, QUERY_IDS, k=K, m_sub=4, n_codes=8)
+    exact = S.cosine_topk_bruteforce(emb, QUERY_IDS, k=K)
+    got = {
+        (r["query_id"], r["neighbor_id"]) for r in ann.collect()
+    }
+    want = {
+        (r["query_id"], r["neighbor_id"]) for r in exact.collect()
+    }
+    recall = len(got & want) / len(want)
+    # random pick of 5 from the corpus would land ~0.01; ADC over 8x4
+    # sampled codes on random vectors (PQ's worst case) still clears 0.1
+    assert recall >= 0.1, recall
