@@ -107,15 +107,22 @@ _ROTATE_R5_CHANGED: tuple[str, ...] = (
     "dedup_simhash",
 )
 _ROTATE_R5_FILL: tuple[str, ...] = (
-    # refreshed in r4 (1 round old) — fill the window's remaining slots,
-    # oldest-risk first: queries sharing modules changed this round
+    # BRAND-NEW in the round-5 continuation session — never driver-sampled,
+    # so they outrank the r4-refreshed entries for the window's last slots
+    # (all five locally hash-verified at sf0.01 AND sf0.1):
+    "text_boilerplate_strip",
+    "text_quality_classifier",
+    "dedup_bloom_prefilter",
+    "simsearch_pq_codes",
+    "simsearch_ann_pq_recall",
+)
+_ROTATED_OUT: tuple[str, ...] = (
+    # refreshed in r4 (1 round old), displaced by the new round-5 queries
     "join_skew_salted",
     "agg_salted_distinct",
     "simsearch_ann_ivf_recall",
     "multimodal_resize_audit",
     "latest_event_per_user",
-)
-_ROTATED_OUT: tuple[str, ...] = (
     # everything below is 1 round old (r4) or shares no changed code path;
     # kept registered, outside the 50-row window this round
     "events_range_join",
