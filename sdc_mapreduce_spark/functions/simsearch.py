@@ -509,6 +509,94 @@ def cosine_topk_pq(
     ).select("query_id", "neighbor_id", "rank")
 
 
+def _adc_score(m_sub: int) -> "F.Column":
+    """ADC score Σ_s ⟨q_s, cw[s][code_s]⟩ over columns __qunit, __codes,
+    __cb — a fixed-order left fold so the double is bitwise reproducible."""
+    d_sub = F.expr(f"size(__qunit) div {m_sub}")
+    return F.aggregate(
+        F.sequence(F.lit(0), F.lit(m_sub - 1)),
+        F.lit(0.0),
+        lambda acc, s: acc
+        + dot(
+            F.slice(F.col("__qunit"), s * d_sub + 1, d_sub),
+            F.element_at(
+                F.element_at(F.col("__cb"), s + 1),
+                F.element_at(F.col("__codes"), s + 1) + 1,
+            )["cw"],
+        ),
+    )
+
+
+def cosine_topk_ivfpq(
+    corpus: DataFrame,
+    query_ids: list[int],
+    k: int = 5,
+    n_cells: int = 8,
+    n_probe: int = 4,
+    m_sub: int = 4,
+    n_codes: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroids: DataFrame | None = None,
+) -> DataFrame:
+    """IVFPQ — the composition that serves billion-vector ANN in practice
+    (FAISS IndexIVFPQ): the coarse quantizer prunes candidates to the
+    query's n_probe cells, then PQ/ADC scores the survivors from their
+    codes alone. Per query the work is |corpus|·n_probe/n_cells candidate
+    rows of m_sub bytes each — both the row count AND the bytes per row
+    shrink, which is what makes the scan viable at 100 TB. Both stages use
+    the deterministic sampled quantizers (``seeded_centroids`` +
+    ``pq_codebooks``), so the whole pipeline replays in an external
+    engine."""
+    cents = (
+        centroids
+        if centroids is not None
+        else seeded_centroids(corpus, n_cells=n_cells, id_col=id_col, vec_col=vec_col)
+    )
+    assigned = assign_cells(corpus, cents, id_col=id_col, vec_col=vec_col)
+    cbs = pq_codebooks(
+        corpus, m_sub=m_sub, n_codes=n_codes, id_col=id_col, vec_col=vec_col
+    )
+    encoded = pq_encode(corpus, cbs, m_sub=m_sub, id_col=id_col, vec_col=vec_col)
+    # the served index row: (id, cell, codes) — at scale this is written
+    # once (partitioned by cell, codes instead of vectors) and every query
+    # below reads only probed cells
+    index = assigned.select(F.col(id_col), "__cell").join(
+        encoded.select(F.col(id_col), "__codes"), id_col
+    )
+    queries = assigned.filter(F.col(id_col).isin(query_ids)).select(
+        F.col(id_col).alias("query_id"), F.col("__unit").alias("__qunit")
+    )
+    probe_scores = queries.join(F.broadcast(cents)).select(
+        "query_id",
+        "__qunit",
+        "__cell",
+        dot(F.col("__qunit"), F.col("__centroid")).alias("__cscore"),
+    )
+    probes = top_k_per_group(
+        probe_scores,
+        ["query_id"],
+        [F.col("__cscore").desc(), F.col("__cell").asc()],
+        n_probe,
+        rank_col="__prank",
+    ).select("query_id", "__qunit", "__cell")
+    cands = (
+        index.join(F.broadcast(probes), "__cell")
+        .filter(F.col(id_col) != F.col("query_id"))
+        .crossJoin(F.broadcast(_pq_nested(cbs, m_sub)))
+    )
+    scored = cands.select(
+        "query_id", F.col(id_col).alias("neighbor_id"), _adc_score(m_sub).alias("adc")
+    )
+    return top_k_per_group(
+        scored,
+        ["query_id"],
+        [F.col("adc").desc(), F.col("neighbor_id").asc()],
+        k,
+        rank_col="rank",
+    ).select("query_id", "neighbor_id", "rank")
+
+
 def quantize_int8(
     df: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding"
 ) -> DataFrame:

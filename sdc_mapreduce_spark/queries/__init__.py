@@ -98,7 +98,9 @@ _ROTATE_R5_CHANGED: tuple[str, ...] = (
     "kvtext_scan_certified",
     "kv_sink_certified",
     # code or oracle SQL touched in round 5 — re-certify
-    "window_rank_topn_salted",
+    # (window_rank_topn_salted was displaced to _ROTATED_OUT to make room
+    # for the new IVFPQ query: its r5 change is plan-level only, it was
+    # driver-green in r4, and it is locally certified at both SFs)
     "events_sessionize",
     "events_sessionize_salted",
     "multimodal_decode_profile",
@@ -115,9 +117,11 @@ _ROTATE_R5_FILL: tuple[str, ...] = (
     "dedup_bloom_prefilter",
     "simsearch_pq_codes",
     "simsearch_ann_pq_recall",
+    "simsearch_ann_ivfpq_recall",
 )
 _ROTATED_OUT: tuple[str, ...] = (
     # refreshed in r4 (1 round old), displaced by the new round-5 queries
+    "window_rank_topn_salted",
     "join_skew_salted",
     "agg_salted_distinct",
     "simsearch_ann_ivf_recall",

@@ -334,6 +334,100 @@ ORDER BY eq.query_id
 """
 
 
+def simsearch_ann_ivfpq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@k of the composed IVFPQ search (functions.simsearch.
+    cosine_topk_ivfpq): IVF probing prunes candidates, PQ/ADC scores them
+    from codes alone — the FAISS-style serving plan for billion-vector
+    corpora. Both quantizers are the deterministic sampled ones, so DuckDB
+    replays cell assignment, probe selection, encoding, ADC ranking and
+    the recall arithmetic end-to-end."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = S.seeded_centroids(emb, n_cells=IVF_CELLS)
+    ann = S.cosine_topk_ivfpq(
+        emb,
+        QUERY_IDS,
+        k=TOP_K,
+        n_cells=IVF_CELLS,
+        n_probe=IVF_PROBE,
+        m_sub=PQ_SUB,
+        n_codes=PQ_CODES,
+        centroids=cents,
+    )
+    exact = S.cosine_topk_bruteforce(emb, QUERY_IDS, k=TOP_K)
+    return _recall_vs_exact(ann, exact)
+
+
+SIMSEARCH_ANN_IVFPQ_RECALL_SQL = f"""{_PQ_CTES}
+, cent AS (
+  SELECT CAST(vec_id AS INT) AS cell, unit AS c FROM u WHERE vec_id < {IVF_CELLS}
+), assigned AS (
+  SELECT vec_id, cell FROM (
+    SELECT u.vec_id, cent.cell,
+           ROW_NUMBER() OVER (
+             PARTITION BY u.vec_id
+             ORDER BY list_inner_product(u.unit, cent.c) DESC, cent.cell ASC
+           ) AS r
+    FROM u CROSS JOIN cent
+  ) WHERE r = 1
+), probes AS (
+  SELECT query_id, cell FROM (
+    SELECT u.vec_id AS query_id, cent.cell,
+           ROW_NUMBER() OVER (
+             PARTITION BY u.vec_id
+             ORDER BY list_inner_product(u.unit, cent.c) DESC, cent.cell ASC
+           ) AS r
+    FROM u CROSS JOIN cent WHERE u.vec_id < 10
+  ) WHERE r <= {IVF_PROBE}
+), cand AS (
+  SELECT DISTINCT p.query_id, a.vec_id AS neighbor_id
+  FROM probes p JOIN assigned a ON a.cell = p.cell
+  WHERE a.vec_id <> p.query_id
+), persub AS (
+  SELECT c.query_id, c.neighbor_id, e.sub,
+         list_inner_product(qu.unit[(e.sub*16+1):((e.sub+1)*16)], cb2.cw) AS s
+  FROM cand c
+  JOIN enc e ON e.vec_id = c.neighbor_id
+  JOIN cbn cb2 ON cb2.sub = e.sub AND cb2.code = e.code
+  JOIN u qu ON qu.vec_id = c.query_id
+), adc AS (
+  SELECT query_id, neighbor_id,
+         ((MAX(CASE WHEN sub = 0 THEN s END)
+           + MAX(CASE WHEN sub = 1 THEN s END))
+          + MAX(CASE WHEN sub = 2 THEN s END))
+         + MAX(CASE WHEN sub = 3 THEN s END) AS score
+  FROM persub GROUP BY 1, 2
+), ann AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT query_id, neighbor_id,
+           ROW_NUMBER() OVER (PARTITION BY query_id
+                              ORDER BY score DESC, neighbor_id ASC) AS rank
+    FROM adc
+  ) WHERE rank <= {TOP_K}
+), exact AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT q2.vec_id AS query_id, u2.vec_id AS neighbor_id,
+           ROW_NUMBER() OVER (
+             PARTITION BY q2.vec_id
+             ORDER BY list_inner_product(q2.unit, u2.unit) DESC,
+                      u2.vec_id ASC) AS rank
+    FROM u q2 JOIN u u2 ON u2.vec_id <> q2.vec_id
+    WHERE q2.vec_id < 10
+  ) WHERE rank <= {TOP_K}
+), h AS (
+  SELECT a.query_id, COUNT(*) AS n
+  FROM ann a JOIN exact e
+    ON e.query_id = a.query_id AND e.neighbor_id = a.neighbor_id
+  GROUP BY a.query_id
+)
+SELECT eq.query_id,
+       CAST(COALESCE(h.n, 0) AS INT) AS n_hits,
+       COALESCE(h.n, 0) / {TOP_K}.0 AS recall_at_k
+FROM (SELECT DISTINCT query_id FROM exact) eq
+LEFT JOIN h ON h.query_id = eq.query_id
+ORDER BY eq.query_id
+"""
+
+
 def simsearch_ann_ivf_index_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The persisted-IVF-index path, recall-checked end-to-end: build the
     seeded quantizer, write the index (corpus partitioned one directory per
@@ -543,6 +637,9 @@ QUERIES: dict[str, QuerySpec] = {
     "simsearch_pq_codes": QuerySpec(simsearch_pq_codes, SIMSEARCH_PQ_CODES_SQL),
     "simsearch_ann_pq_recall": QuerySpec(
         simsearch_ann_pq_recall, SIMSEARCH_ANN_PQ_RECALL_SQL
+    ),
+    "simsearch_ann_ivfpq_recall": QuerySpec(
+        simsearch_ann_ivfpq_recall, SIMSEARCH_ANN_IVFPQ_RECALL_SQL
     ),
     "embedding_stats": QuerySpec(embedding_stats, EMBEDDING_STATS_SQL),
     "embedding_quantize_audit": QuerySpec(

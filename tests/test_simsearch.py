@@ -193,3 +193,21 @@ def test_pq_adc_recall_beats_random(spark, sf_dir):
     # random pick of 5 from the corpus would land ~0.01; ADC over 8x4
     # sampled codes on random vectors (PQ's worst case) still clears 0.1
     assert recall >= 0.1, recall
+
+
+def test_ivfpq_prunes_but_keeps_recall_floor(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    ann = S.cosine_topk_ivfpq(
+        emb, QUERY_IDS, k=K, n_cells=8, n_probe=4, m_sub=4, n_codes=8
+    )
+    rows = ann.collect()
+    per_q = {}
+    for r in rows:
+        per_q.setdefault(r["query_id"], []).append(r["rank"])
+    assert set(per_q) == set(QUERY_IDS)
+    for q, ranks in per_q.items():
+        assert sorted(ranks) == list(range(1, K + 1)), (q, ranks)
+    exact = S.cosine_topk_bruteforce(emb, QUERY_IDS, k=K)
+    got = {(r["query_id"], r["neighbor_id"]) for r in rows}
+    want = {(r["query_id"], r["neighbor_id"]) for r in exact.collect()}
+    assert len(got & want) / len(want) >= 0.05
