@@ -104,7 +104,10 @@ _ROTATE_R5_CHANGED: tuple[str, ...] = (
     "events_sessionize",
     "events_sessionize_salted",
     "multimodal_decode_profile",
-    "multimodal_embed_search",
+    # (multimodal_embed_search displaced to _ROTATED_OUT for the new
+    # layout_zorder_keys: its r5 delta was an oracle-SQL-only latent-case
+    # fix, it was driver-green in r4, and decode_profile re-certifies the
+    # shared SQL pattern in-window)
     "dedup_jaccard_pairs",
     "dedup_simhash",
 )
@@ -118,10 +121,12 @@ _ROTATE_R5_FILL: tuple[str, ...] = (
     "simsearch_pq_codes",
     "simsearch_ann_pq_recall",
     "simsearch_ann_ivfpq_recall",
+    "layout_zorder_keys",
 )
 _ROTATED_OUT: tuple[str, ...] = (
     # refreshed in r4 (1 round old), displaced by the new round-5 queries
     "window_rank_topn_salted",
+    "multimodal_embed_search",
     "join_skew_salted",
     "agg_salted_distinct",
     "simsearch_ann_ivf_recall",

@@ -827,6 +827,48 @@ SELECT (SELECT COUNT(*) FROM signup) AS n_signup,
 """
 
 
+def layout_zorder_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order clustering keys (operators.layout.with_zvalue) over orders:
+    8-bit rank buckets of (o_custkey, o_totalprice) and their Morton
+    interleave — the sort key a `OPTIMIZE ZORDER BY` write clusters files
+    on. Pure integer/IEEE-fixed arithmetic, so every z-value hash-matches
+    cross-engine; write_zordered + the file-pruning property are covered
+    in tests/test_layout.py."""
+    from sdc_mapreduce_spark.operators.layout import with_zvalue
+
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        with_zvalue(orders, "o_custkey", "o_totalprice", bits=8)
+        .select("o_orderkey", "zx", "zy", "z")
+        .orderBy("o_orderkey")
+    )
+
+
+LAYOUT_ZORDER_SQL = """
+WITH b AS (
+  SELECT MIN(o_custkey) AS minx, MAX(o_custkey) AS maxx,
+         MIN(o_totalprice) AS miny, MAX(o_totalprice) AS maxy
+  FROM orders
+), z AS (
+  SELECT o_orderkey,
+         CASE WHEN b.maxx > b.minx THEN LEAST(255, CAST(floor(
+           (CAST(o_custkey AS DOUBLE) - CAST(b.minx AS DOUBLE))
+           / (CAST(b.maxx AS DOUBLE) - CAST(b.minx AS DOUBLE)) * 255.0
+         ) AS BIGINT)) ELSE 0 END AS zx,
+         CASE WHEN b.maxy > b.miny THEN LEAST(255, CAST(floor(
+           (o_totalprice - b.miny) / (b.maxy - b.miny) * 255.0
+         ) AS BIGINT)) ELSE 0 END AS zy
+  FROM orders, b
+)
+SELECT o_orderkey, zx, zy,
+       CAST(list_sum([((zx >> b) & 1) * (1::BIGINT << (2*b))
+                      + ((zy >> b) & 1) * (1::BIGINT << (2*b+1))
+                      FOR b IN range(0, 8)]) AS BIGINT) AS z
+FROM z
+ORDER BY o_orderkey
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     "window_distribution_fns": QuerySpec(
         window_distribution_fns, WINDOW_DISTRIBUTION_SQL
@@ -842,6 +884,7 @@ QUERIES: dict[str, QuerySpec] = {
         join_full_outer_coalesce, JOIN_FULL_OUTER_SQL
     ),
     "table_profile": QuerySpec(table_profile, TABLE_PROFILE_SQL),
+    "layout_zorder_keys": QuerySpec(layout_zorder_keys, LAYOUT_ZORDER_SQL),
     "join_skew_salted": QuerySpec(join_skew_salted, JOIN_SKEW_SALTED_SQL),
     "agg_salted_distinct": QuerySpec(agg_salted_distinct, AGG_SALTED_DISTINCT_SQL),
     "agg_collect_sets": QuerySpec(agg_collect_sets, AGG_COLLECT_SETS_SQL),
