@@ -281,7 +281,9 @@ QUERIES: dict[str, QuerySpec] = {
     "dedup_exact": QuerySpec(dedup_exact, DEDUP_EXACT_SQL),
     "dedup_normalized": QuerySpec(dedup_normalized, DEDUP_NORMALIZED_SQL),
     "dedup_incremental": QuerySpec(dedup_incremental, DEDUP_INCREMENTAL_SQL),
-    "dedup_bloom_prefilter": QuerySpec(dedup_bloom_prefilter, DEDUP_BLOOM_SQL),
+    "dedup_bloom_prefilter": QuerySpec(
+        dedup_bloom_prefilter, DEDUP_BLOOM_SQL, bench=True
+    ),
     "dedup_jaccard_pairs": QuerySpec(dedup_jaccard_pairs, _JACCARD_SQL),
     "dedup_minhash_lsh": QuerySpec(dedup_minhash_lsh, _JACCARD_SQL, bench=True),
     "dedup_simhash": QuerySpec(dedup_simhash, DEDUP_SIMHASH_SQL),

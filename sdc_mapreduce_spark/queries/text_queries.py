@@ -956,7 +956,9 @@ QUERIES: dict[str, QuerySpec] = {
     "text_pii_redact": QuerySpec(text_pii_redact, TEXT_PII_REDACT_SQL),
     "text_contamination": QuerySpec(text_contamination, TEXT_CONTAMINATION_SQL),
     "text_chunking": QuerySpec(text_chunking, TEXT_CHUNKING_SQL),
-    "text_boilerplate_strip": QuerySpec(text_boilerplate_strip, TEXT_BOILERPLATE_SQL),
+    "text_boilerplate_strip": QuerySpec(
+        text_boilerplate_strip, TEXT_BOILERPLATE_SQL, bench=True
+    ),
     "text_quality_classifier": QuerySpec(
         text_quality_classifier, TEXT_QUALITY_CLASSIFIER_SQL
     ),

@@ -23,6 +23,10 @@ EXTRA_SHAPES = [
     "q20_potential_promotion",
     "simsearch_ann_ivf_index_recall",
     "corpus_shuffle_shards",
+    "simsearch_pq_codes",
+    "simsearch_ann_ivfpq_recall",
+    "layout_zorder_keys",
+    "text_quality_classifier",
 ]
 
 HEADER = """# PLANS — formatted physical plans of the headline bench queries plus the
