@@ -522,9 +522,19 @@ def boilerplate_strip(
         lambda i: F.array_join(F.slice(t, i * window + 1, window), " "),
     )
     with_segs = base.select(F.col(id_col), segarr.alias("__segs"))
-    seg_rows = with_segs.select(
-        F.col(id_col), F.posexplode("__segs").alias("seg_idx", "seg")
-    ).withColumn("__h", F.md5("seg"))
+    # Three consumers walk the segment rows (df count, anti-join, totals);
+    # the tokenize + interpreted-lambda segment build is the expensive part,
+    # so persist the narrow exploded form rather than recompute it per
+    # branch (same discipline as the MinHash/SimHash signature stages).
+    from pyspark import StorageLevel
+
+    seg_rows = (
+        with_segs.select(
+            F.col(id_col), F.posexplode("__segs").alias("seg_idx", "seg")
+        )
+        .withColumn("__h", F.md5("seg"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
     hot = (
         seg_rows.groupBy("__h")
         .agg(F.countDistinct(id_col).alias("__df"))
@@ -544,12 +554,87 @@ def boilerplate_strip(
             )
         ).alias("cleaned_fp"),
     )
-    totals = with_segs.select(F.col(id_col), F.size("__segs").alias("n_segments"))
+    # every doc yields >= 1 segment (split('') is ['']), so totals can come
+    # from the persisted rows instead of re-walking the segment build
+    totals = seg_rows.groupBy(id_col).agg(
+        F.count(F.lit(1)).cast("int").alias("n_segments")
+    )
     return totals.join(cleaned, id_col, "left").select(
         id_col,
         "n_segments",
         F.coalesce(F.col("n_kept"), F.lit(0)).alias("n_kept"),
         F.coalesce(F.col("cleaned_fp"), F.md5(F.lit(""))).alias("cleaned_fp"),
+    )
+
+
+def countmin_token_freq(
+    df: DataFrame,
+    probe_k: int = 20,
+    depth: int = 3,
+    width: int = 1024,
+    text_col: str = "text",
+) -> DataFrame:
+    """Count-min sketch over the corpus token stream, probed at the true
+    top-``probe_k`` tokens: build the d×w counter table with one hashed
+    aggregation, then estimate each probe token's frequency as the MIN of
+    its d counters (Cormode & Muthukrishnan 2005). Emits (token, exact_cnt,
+    est_cnt, overcount) — the sketch can only overcount, so
+    ``est_cnt >= exact_cnt`` is an invariant the output makes verifiable,
+    and the exact overcounts are deterministic because the d hash rows
+    derive from md5 (engine-portable).
+
+    Scale shape: the sketch aggregation shuffles at most d·w counter rows
+    per mapper regardless of corpus size (map-side partial sums), and the
+    result is a constant-size table — the streaming-friendly alternative
+    to a full token groupBy when only heavy hitters matter. The probe join
+    broadcasts the d·w counters."""
+    toks = df.select(F.explode(tokens(text_col)).alias("tok"))
+    rows = toks.select(
+        "tok",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(depth - 1)),
+                lambda d: F.pmod(
+                    token_hash60(
+                        F.concat(F.lit("cm"), d.cast("string"), F.lit("#"), F.col("tok"))
+                    ),
+                    F.lit(width),
+                ),
+            )
+        ).alias("d", "pos"),
+    )
+    sketch = rows.groupBy("d", "pos").agg(F.count(F.lit(1)).alias("cnt"))
+    exact = (
+        toks.groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("exact_cnt"))
+        .orderBy(F.col("exact_cnt").desc(), F.col("tok").asc())
+        .limit(probe_k)
+    )
+    probe = exact.select(
+        "tok",
+        "exact_cnt",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(depth - 1)),
+                lambda d: F.pmod(
+                    token_hash60(
+                        F.concat(F.lit("cm"), d.cast("string"), F.lit("#"), F.col("tok"))
+                    ),
+                    F.lit(width),
+                ),
+            )
+        ).alias("d", "pos"),
+    )
+    est = (
+        probe.join(F.broadcast(sketch), ["d", "pos"])
+        .groupBy("tok", "exact_cnt")
+        .agg(F.min("cnt").alias("est_cnt"))
+    )
+    return est.select(
+        F.col("tok").alias("token"),
+        "exact_cnt",
+        "est_cnt",
+        (F.col("est_cnt") - F.col("exact_cnt")).alias("overcount"),
     )
 
 

@@ -108,7 +108,9 @@ _ROTATE_R5_CHANGED: tuple[str, ...] = (
     # layout_zorder_keys: its r5 delta was an oracle-SQL-only latent-case
     # fix, it was driver-green in r4, and decode_profile re-certifies the
     # shared SQL pattern in-window)
-    "dedup_jaccard_pairs",
+    # (dedup_jaccard_pairs displaced to _ROTATED_OUT for text_countmin_freq:
+    # its r5 delta is the same hot-key-cap family dedup_simhash re-certifies
+    # in-window, and both are locally certified at both SFs)
     "dedup_simhash",
 )
 _ROTATE_R5_FILL: tuple[str, ...] = (
@@ -122,11 +124,13 @@ _ROTATE_R5_FILL: tuple[str, ...] = (
     "simsearch_ann_pq_recall",
     "simsearch_ann_ivfpq_recall",
     "layout_zorder_keys",
+    "text_countmin_freq",
 )
 _ROTATED_OUT: tuple[str, ...] = (
     # refreshed in r4 (1 round old), displaced by the new round-5 queries
     "window_rank_topn_salted",
     "multimodal_embed_search",
+    "dedup_jaccard_pairs",
     "join_skew_salted",
     "agg_salted_distinct",
     "simsearch_ann_ivf_recall",

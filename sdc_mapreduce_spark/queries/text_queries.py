@@ -901,6 +901,46 @@ ORDER BY doc_id
 """
 
 
+def text_countmin_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch heavy-hitter estimation (functions.text.
+    countmin_token_freq), probed at the true top-20 tokens so the
+    over-count-only invariant (est_cnt >= exact_cnt) and the exact
+    deterministic overcounts are part of the hashed output. The exact
+    counts double as the verification harness; a production pipeline keeps
+    only the constant-size sketch."""
+    return T.countmin_token_freq(
+        load_table(spark, sf_dir, "documents"), probe_k=20, depth=3, width=1024
+    ).orderBy("token")
+
+
+TEXT_COUNTMIN_SQL = """
+WITH toks AS (
+  SELECT unnest(string_split_regex(trim(text), '\\s+')) AS tok FROM documents
+), pos AS (
+  SELECT tok, d.i AS d,
+         CAST(('0x' || substr(md5('cm' || CAST(d.i AS VARCHAR) || '#' || tok), 1, 15))
+              AS BIGINT) % 1024 AS pos
+  FROM toks, range(3) d(i)
+), sketch AS (
+  SELECT d, pos, COUNT(*) AS cnt FROM pos GROUP BY 1, 2
+), exact AS (
+  SELECT tok, COUNT(*) AS exact_cnt FROM toks GROUP BY tok
+  ORDER BY exact_cnt DESC, tok ASC LIMIT 20
+), probe AS (
+  SELECT e.tok, e.exact_cnt, d.i AS d,
+         CAST(('0x' || substr(md5('cm' || CAST(d.i AS VARCHAR) || '#' || e.tok), 1, 15))
+              AS BIGINT) % 1024 AS pos
+  FROM exact e, range(3) d(i)
+), est AS (
+  SELECT p.tok, p.exact_cnt, MIN(s.cnt) AS est_cnt
+  FROM probe p JOIN sketch s ON s.d = p.d AND s.pos = p.pos
+  GROUP BY 1, 2
+)
+SELECT tok AS token, exact_cnt, est_cnt, est_cnt - exact_cnt AS overcount
+FROM est ORDER BY token
+"""
+
+
 def text_boilerplate_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cross-document boilerplate removal (functions.text.boilerplate_strip):
     segment docs into 2-token windows, drop segments shared by > 20 docs,
@@ -962,6 +1002,7 @@ QUERIES: dict[str, QuerySpec] = {
     "text_quality_classifier": QuerySpec(
         text_quality_classifier, TEXT_QUALITY_CLASSIFIER_SQL
     ),
+    "text_countmin_freq": QuerySpec(text_countmin_freq, TEXT_COUNTMIN_SQL),
     "text_quality_gate_per_lang": QuerySpec(
         text_quality_gate_per_lang, TEXT_QUALITY_GATE_SQL
     ),

@@ -260,3 +260,19 @@ def test_hashed_linear_score_matches_hand_computation(spark):
     assert r["n_tokens"] == 3
     assert r["score"] == expect_milli / (1000.0 * 3)
     assert r["keep"] == (r["score"] >= 0.0)
+
+
+def test_countmin_overcounts_only_and_degenerate_width(spark):
+    df = spark.createDataFrame(
+        [(1, "a a a b b c"), (2, "a b c d")], ["doc_id", "text"]
+    )
+    rows = T.countmin_token_freq(df, probe_k=4, depth=3, width=1024).collect()
+    assert len(rows) == 4
+    exact = {"a": 4, "b": 3, "c": 2, "d": 1}
+    for r in rows:
+        assert r["exact_cnt"] == exact[r["token"]]
+        assert r["est_cnt"] >= r["exact_cnt"]
+        assert r["overcount"] == r["est_cnt"] - r["exact_cnt"]
+    # width=1: every token collides into one counter -> est = stream length
+    rows1 = T.countmin_token_freq(df, probe_k=4, depth=2, width=1).collect()
+    assert all(r["est_cnt"] == 10 for r in rows1)
