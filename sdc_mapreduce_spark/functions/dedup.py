@@ -541,6 +541,88 @@ def minhash_lsh_pairs(
     return verified
 
 
+def incremental_minhash_dedup(
+    new_batch: DataFrame,
+    existing: DataFrame,
+    num_hashes: int = 64,
+    bands: int = 16,
+    n: int = 3,
+    threshold: float = 0.8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Ingestion-shape NEAR-dup screening: the corpus's LSH band rows act
+    as the bucket index (at 100 TB persisted once, bucketed by
+    (band, bhash), and appended per delivery — never recomputed); the
+    incoming batch computes its own band rows, equi-joins the index, and
+    exact Jaccard verifies only the collisions. The exact-dup analogue is
+    [[incremental_dedup]]; this catches the re-crawled page with a new
+    timestamp that a fingerprint join misses.
+
+    Returns one row per batch document that has at least one corpus
+    near-dup at ``threshold``: (id, n_corpus_matches, best_match_id,
+    best_jaccard), best = highest Jaccard with ties to the lowest corpus
+    id — the reject list a curation pipeline anti-joins against the batch.
+
+    Scale shape: batch band rows ≪ corpus band rows, so the bucket join
+    broadcasts the batch side; candidates are a vanishing fraction and
+    broadcast into the shingle-verify joins, so the corpus shingle table
+    never shuffles."""
+    from pyspark import StorageLevel
+
+    sets_new = shingle_sets(new_batch, n=n, text_col=text_col, id_col=id_col).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    sets_ex = shingle_sets(existing, n=n, text_col=text_col, id_col=id_col).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    bands_new = _band_rows_arrow(
+        sets_new, num_hashes=num_hashes, bands=bands, id_col=id_col
+    ).withColumnRenamed(id_col, "__new_id")
+    bands_ex = _band_rows_arrow(
+        sets_ex, num_hashes=num_hashes, bands=bands, id_col=id_col
+    ).withColumnRenamed(id_col, "__ex_id")
+    cand = (
+        bands_ex.join(F.broadcast(bands_new), ["band", "bhash"])
+        .select("__new_id", "__ex_id")
+        .distinct()
+    )
+    sa = sets_new.select(
+        F.col(id_col).alias("__new_id"), F.col("shingles").alias("__sh_a")
+    )
+    sb = sets_ex.select(
+        F.col(id_col).alias("__ex_id"), F.col("shingles").alias("__sh_b")
+    )
+    verified = (
+        F.broadcast(cand)
+        .join(sa, "__new_id")
+        .join(sb, "__ex_id")
+        .select(
+            "__new_id",
+            "__ex_id",
+            (
+                F.size(F.array_intersect("__sh_a", "__sh_b"))
+                / F.size(F.array_union("__sh_a", "__sh_b"))
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+    best = F.max(F.struct(F.col("jaccard"), (-F.col("__ex_id")).alias("__neg")))
+    return (
+        verified.groupBy("__new_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_corpus_matches"),
+            best.alias("__best"),
+        )
+        .select(
+            F.col("__new_id").alias(id_col),
+            "n_corpus_matches",
+            (-F.col("__best.__neg")).cast("long").alias("best_match_id"),
+            F.col("__best.jaccard").alias("best_jaccard"),
+        )
+    )
+
+
 def near_dup_clusters(
     df: DataFrame,
     num_hashes: int = 128,

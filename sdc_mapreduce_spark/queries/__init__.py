@@ -101,7 +101,9 @@ _ROTATE_R5_CHANGED: tuple[str, ...] = (
     # (window_rank_topn_salted was displaced to _ROTATED_OUT to make room
     # for the new IVFPQ query: its r5 change is plan-level only, it was
     # driver-green in r4, and it is locally certified at both SFs)
-    "events_sessionize",
+    # (plain events_sessionize displaced to _ROTATED_OUT for the new
+    # dedup_incremental_minhash: the salted twin below shares the identical
+    # oracle SQL and exercises the r5-changed chunk-merge path)
     "events_sessionize_salted",
     "multimodal_decode_profile",
     # (multimodal_embed_search displaced to _ROTATED_OUT for the new
@@ -125,12 +127,14 @@ _ROTATE_R5_FILL: tuple[str, ...] = (
     "simsearch_ann_ivfpq_recall",
     "layout_zorder_keys",
     "text_countmin_freq",
+    "dedup_incremental_minhash",
 )
 _ROTATED_OUT: tuple[str, ...] = (
     # refreshed in r4 (1 round old), displaced by the new round-5 queries
     "window_rank_topn_salted",
     "multimodal_embed_search",
     "dedup_jaccard_pairs",
+    "events_sessionize",
     "join_skew_salted",
     "agg_salted_distinct",
     "simsearch_ann_ivf_recall",

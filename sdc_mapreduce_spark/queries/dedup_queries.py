@@ -120,6 +120,59 @@ ORDER BY doc_id
 """
 
 
+def dedup_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ingestion-shape NEAR-dup screening (functions.dedup.
+    incremental_minhash_dedup): same 20/80 batch/corpus split as
+    dedup_incremental, the corpus's LSH band rows as the bucket index, the
+    batch probing it, exact Jaccard verifying collisions. Emits the reject
+    list: batch docs with a corpus near-dup at >= 0.8, with the best match.
+    The oracle is the exact batch-vs-corpus Jaccard replay (inverted
+    index), so a banding recall miss would hash-mismatch."""
+    docs = load_table(spark, sf_dir, "documents")
+    batch = docs.filter(F.col("doc_id") % 5 == 0)
+    existing = docs.filter(F.col("doc_id") % 5 != 0)
+    return D.incremental_minhash_dedup(batch, existing, threshold=0.8).orderBy(
+        "doc_id"
+    )
+
+
+DEDUP_INCR_MINHASH_SQL = """
+WITH t AS (
+  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks FROM documents
+), sh AS (
+  SELECT doc_id,
+         list_distinct(CASE WHEN len(toks) >= 3
+           THEN [toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+                 FOR i IN range(1, len(toks) - 1)]
+           ELSE [array_to_string(toks, ' ')] END) AS shingles
+  FROM t
+), sz AS (
+  SELECT doc_id, len(shingles) AS sz FROM sh
+), inv AS (
+  SELECT doc_id, UNNEST(shingles) AS s FROM sh
+), common AS (
+  SELECT a.doc_id AS new_id, b.doc_id AS ex_id, COUNT(*) AS c
+  FROM inv a JOIN inv b ON a.s = b.s
+  WHERE a.doc_id % 5 = 0 AND b.doc_id % 5 <> 0
+  GROUP BY 1, 2
+), jac AS (
+  SELECT new_id, ex_id, c / (za.sz + zb.sz - c) AS jaccard
+  FROM common
+  JOIN sz za ON za.doc_id = new_id
+  JOIN sz zb ON zb.doc_id = ex_id
+  WHERE c / (za.sz + zb.sz - c) >= 0.8
+)
+SELECT doc_id, n_corpus_matches, best_match_id, best_jaccard FROM (
+  SELECT new_id AS doc_id, ex_id AS best_match_id, jaccard AS best_jaccard,
+         COUNT(*) OVER (PARTITION BY new_id) AS n_corpus_matches,
+         ROW_NUMBER() OVER (PARTITION BY new_id
+                            ORDER BY jaccard DESC, ex_id ASC) AS r
+  FROM jac
+) WHERE r = 1
+ORDER BY doc_id
+"""
+
+
 # Shared exact-Jaccard oracle (inverted-index formulation, so the oracle
 # itself is O(co-occurring pairs), not O(n^2)).
 _JACCARD_SQL = """
@@ -283,6 +336,9 @@ QUERIES: dict[str, QuerySpec] = {
     "dedup_incremental": QuerySpec(dedup_incremental, DEDUP_INCREMENTAL_SQL),
     "dedup_bloom_prefilter": QuerySpec(
         dedup_bloom_prefilter, DEDUP_BLOOM_SQL, bench=True
+    ),
+    "dedup_incremental_minhash": QuerySpec(
+        dedup_incremental_minhash, DEDUP_INCR_MINHASH_SQL
     ),
     "dedup_jaccard_pairs": QuerySpec(dedup_jaccard_pairs, _JACCARD_SQL),
     "dedup_minhash_lsh": QuerySpec(dedup_minhash_lsh, _JACCARD_SQL, bench=True),

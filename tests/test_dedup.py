@@ -329,3 +329,24 @@ def test_bloom_right_sized_filter_has_no_false_positives_here(spark):
     out = D.bloom_prefilter_dedup(batch, existing, m_bits=1 << 16, k=5).collect()
     assert len(out) == 30
     assert all((not r["bloom_maybe"]) and (not r["is_dup"]) for r in out)
+
+
+def test_incremental_minhash_flags_near_dup_against_corpus(spark):
+    base = " ".join(f"tok{i}" for i in range(40))
+    near = " ".join(f"tok{i}" for i in range(39)) + " changed"
+    existing = spark.createDataFrame(
+        [(1, base), (2, "completely different words here entirely")],
+        ["doc_id", "text"],
+    )
+    batch = spark.createDataFrame(
+        [(100, near), (101, "nothing like the corpus at all")],
+        ["doc_id", "text"],
+    )
+    out = {
+        r["doc_id"]: r
+        for r in D.incremental_minhash_dedup(batch, existing, threshold=0.8).collect()
+    }
+    assert 100 in out and 101 not in out
+    assert out[100]["best_match_id"] == 1
+    assert out[100]["n_corpus_matches"] == 1
+    assert 0.8 <= out[100]["best_jaccard"] < 1.0
