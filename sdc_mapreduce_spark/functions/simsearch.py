@@ -597,6 +597,65 @@ def cosine_topk_ivfpq(
     ).select("query_id", "neighbor_id", "rank")
 
 
+def label_centroid_rank(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+) -> DataFrame:
+    """Per-cluster centroids + every vector's cosine to its own centroid +
+    within-cluster rank — the working set of SemDeDup-style semantic
+    pruning (vectors ranked by centroid affinity inside each cluster; the
+    curation decision drops from the top of each ranking). Returns
+    (id, label, cos_to_centroid, rank_in_label).
+
+    Determinism: centroid components accumulate floor-quantized nano-units
+    (exact long integers — order-free, and boundary-free unlike a
+    double→decimal cast, whose rounding differs between engines that go
+    through the shortest string repr and engines that round the exact
+    binary value), divided once by the exact scaled count; the cosine is a
+    fixed-order fold. Every double replays bitwise in an external engine.
+    Scale shape: the component aggregation shuffles (labels × dim) narrow
+    rows with map-side partial sums; the centroid table is tiny →
+    broadcast back onto the corpus; the final rank is one shuffle on the
+    label key."""
+    v = F.col(vec_col).cast("array<double>")
+    comps = df.select(F.col(label_col), F.posexplode(v).alias("pos", "val"))
+    cs = comps.groupBy(label_col, "pos").agg(
+        F.sum(F.floor(F.col("val") * F.lit(1e9)).cast("long")).alias("__s"),
+        F.count(F.lit(1)).alias("__n"),
+    )
+    cent = (
+        cs.select(
+            F.col(label_col),
+            "pos",
+            (F.col("__s").cast("double") / (F.lit(1e9) * F.col("__n"))).alias("c"),
+        )
+        .groupBy(label_col)
+        .agg(
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("pos", "c"))), lambda e: e["c"]
+            ).alias("__cent")
+        )
+    )
+    scored = df.select(F.col(id_col), F.col(label_col), v.alias("__v")).join(
+        F.broadcast(cent), label_col
+    )
+    cos = dot(F.col("__v"), F.col("__cent")) / (
+        F.sqrt(dot(F.col("__v"), F.col("__v")))
+        * F.sqrt(dot(F.col("__cent"), F.col("__cent")))
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(label_col).orderBy(
+        F.col("cos_to_centroid").desc(), F.col(id_col).asc()
+    )
+    return (
+        scored.select(F.col(id_col), F.col(label_col), cos.alias("cos_to_centroid"))
+        .withColumn("rank_in_label", F.row_number().over(w))
+    )
+
+
 def quantize_int8(
     df: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding"
 ) -> DataFrame:

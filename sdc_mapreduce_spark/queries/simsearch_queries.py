@@ -618,6 +618,55 @@ FROM n GROUP BY label ORDER BY label
 """
 
 
+def embedding_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style per-cluster ranking (functions.simsearch.
+    label_centroid_rank): decimal-exact centroids per label, every vector's
+    cosine to its own centroid, rank within label. Both the doubles and
+    the ranking hash-verify cross-engine."""
+    return S.label_centroid_rank(load_table(spark, sf_dir, "embeddings")).orderBy(
+        "vec_id"
+    )
+
+
+EMBEDDING_LABEL_CENTROIDS_SQL = """
+WITH e AS (
+  SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings
+), comps AS (
+  SELECT label, unnest(range(len(v))) AS pos, unnest(v) AS val FROM e
+), cs AS (
+  -- floor-quantized nano-unit accumulation: exact integers, no
+  -- double->decimal cast (whose rounding is engine-dependent)
+  SELECT label, pos,
+         CAST(SUM(CAST(floor(val * 1e9) AS BIGINT)) AS DOUBLE)
+           / (1e9 * COUNT(*)) AS c
+  FROM comps GROUP BY 1, 2
+), cent AS (
+  SELECT label, list(c ORDER BY pos) AS cv FROM cs GROUP BY label
+), scored AS (
+  -- dot products as explicit left folds (list_reduce) so the accumulation
+  -- order matches Spark's aggregate() bitwise; list_inner_product sums in
+  -- a different order and drifts by ~1 ULP, which a full-precision hash
+  -- of the double catches
+  SELECT e.vec_id, e.label,
+         list_reduce(list_transform(range(1, len(e.v) + 1),
+                                    i -> e.v[i] * cent.cv[i]),
+                     (x, y) -> x + y)
+         / (sqrt(list_reduce(list_transform(range(1, len(e.v) + 1),
+                                            i -> e.v[i] * e.v[i]),
+                             (x, y) -> x + y))
+            * sqrt(list_reduce(list_transform(range(1, len(cent.cv) + 1),
+                                              i -> cent.cv[i] * cent.cv[i]),
+                               (x, y) -> x + y))) AS cos_to_centroid
+  FROM e JOIN cent USING (label)
+)
+SELECT vec_id, label, cos_to_centroid,
+       CAST(ROW_NUMBER() OVER (PARTITION BY label
+                               ORDER BY cos_to_centroid DESC, vec_id ASC)
+            AS INT) AS rank_in_label
+FROM scored ORDER BY vec_id
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     # the Arrow/BLAS path is the bench entry (~3x the JVM higher-order
     # -function form at bench SF, identical results/oracle)
@@ -644,5 +693,8 @@ QUERIES: dict[str, QuerySpec] = {
     "embedding_stats": QuerySpec(embedding_stats, EMBEDDING_STATS_SQL),
     "embedding_quantize_audit": QuerySpec(
         embedding_quantize_audit, EMBEDDING_QUANTIZE_SQL
+    ),
+    "embedding_label_centroids": QuerySpec(
+        embedding_label_centroids, EMBEDDING_LABEL_CENTROIDS_SQL
     ),
 }

@@ -211,3 +211,22 @@ def test_ivfpq_prunes_but_keeps_recall_floor(spark, sf_dir):
     got = {(r["query_id"], r["neighbor_id"]) for r in rows}
     want = {(r["query_id"], r["neighbor_id"]) for r in exact.collect()}
     assert len(got & want) / len(want) >= 0.05
+
+
+def test_label_centroid_rank_semantics(spark):
+    # two tight clusters: each vector's cosine to its own centroid is ~1,
+    # and ranks are a complete 1..n per label with deterministic ties
+    rows = [
+        (1, [1.0, 0.0, 0.0, 0.0], 0),
+        (2, [1.0, 0.01, 0.0, 0.0], 0),
+        (3, [0.0, 0.0, 1.0, 0.0], 1),
+        (4, [0.0, 0.01, 1.0, 0.0], 1),
+    ]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding", "label"])
+    out = S.label_centroid_rank(df).collect()
+    by_label = {}
+    for r in out:
+        by_label.setdefault(r["label"], []).append(r)
+        assert r["cos_to_centroid"] > 0.99
+    for label, rs in by_label.items():
+        assert sorted(x["rank_in_label"] for x in rs) == [1, 2]
