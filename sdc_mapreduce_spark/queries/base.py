@@ -11,6 +11,18 @@ back to double for a stable, engine-agnostic value:
 Averages are decimal-sum / count (one double division by an exact integer —
 bitwise deterministic). Per-row double arithmetic (products, differences)
 is IEEE-deterministic and safe as-is.
+
+CAVEAT (learned the hard way in round 5): the decimal-cast trick is only
+cross-engine-exact when the doubles are exactly representable at the target
+scale (money at scale 2, counts, ratios of ints). For ARBITRARY doubles the
+two engines can round the cast differently — Spark casts via the shortest
+decimal repr (BigDecimal.valueOf(double)), DuckDB rounds the exact binary
+value — and the results diverge at the last decimal place when digits
+beyond the scale straddle a half boundary. For such inputs accumulate
+explicit integer quantizations instead: sum(cast(floor(x * 1e9) as long))
+is order-free, exact, and boundary-free on both engines (floor of an exact
+binary product never consults a rounding mode). See
+functions.simsearch.label_centroid_rank for the pattern.
 """
 
 from __future__ import annotations

@@ -56,8 +56,11 @@ def simsearch_topk_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def simsearch_ann_srp(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate top-k via sign-random-projection buckets — candidates
-    restricted to the query's bucket, so recall < 1 by design: rows-only
-    check (no oracle); recall is asserted in unit tests."""
+    restricted to the query's bucket (+1-bit multi-probes). Fully
+    oracle-checked since round 5: the seeded hyperplanes are plan
+    literals, so DuckDB replays bucketing, probing, and the in-bucket
+    ranking and the approximate RESULT ITSELF hash-matches (not just its
+    recall twin)."""
     return S.cosine_topk_srp(
         load_table(spark, sf_dir, "embeddings"),
         QUERY_IDS,
@@ -539,6 +542,53 @@ ORDER BY eq.query_id
 """
 
 
+# Full oracle for simsearch_ann_srp itself (not just its recall): the same
+# plane/bucket/probe/candidate replay as SIMSEARCH_ANN_RECALL_SQL, with the
+# ANN ranking as the final output. n_planes/multi-probe match the
+# registered query's parameters exactly.
+SIMSEARCH_ANN_SRP_SQL = f"""
+WITH planes(pid, h) AS (
+  VALUES {_planes_values_sql()}
+), u AS (
+  SELECT vec_id,
+         list_transform(
+           embedding::DOUBLE[],
+           x -> x / sqrt(list_aggregate(
+                  list_transform(embedding::DOUBLE[], y -> y * y), 'sum'))
+         ) AS unit
+  FROM embeddings
+), b AS (
+  SELECT vec_id,
+         CAST(SUM(CASE WHEN list_inner_product(u.unit, planes.h) >= 0
+                       THEN 1 << pid ELSE 0 END) AS BIGINT) AS bucket
+  FROM u CROSS JOIN planes
+  GROUP BY vec_id
+), q AS (
+  SELECT vec_id AS query_id, bucket FROM b WHERE vec_id < 10
+), qprobes AS (
+  SELECT query_id, bucket AS probe FROM q
+  UNION ALL
+  SELECT query_id, xor(bucket, CAST(1 << pid AS BIGINT)) AS probe
+  FROM q CROSS JOIN planes
+), cands AS (
+  SELECT DISTINCT qp.query_id, b.vec_id AS neighbor_id
+  FROM qprobes qp JOIN b ON b.bucket = qp.probe
+  WHERE b.vec_id <> qp.query_id
+)
+SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank FROM (
+  SELECT c.query_id, c.neighbor_id,
+         ROW_NUMBER() OVER (
+           PARTITION BY c.query_id
+           ORDER BY list_inner_product(qu.unit, nu.unit) DESC,
+                    c.neighbor_id ASC) AS rank
+  FROM cands c
+  JOIN u qu ON qu.vec_id = c.query_id
+  JOIN u nu ON nu.vec_id = c.neighbor_id
+) WHERE rank <= {TOP_K}
+ORDER BY query_id, rank
+"""
+
+
 def embedding_quantize_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Int8 symmetric quantization of the embeddings table, audited with
     integer-exact per-vector moments (functions.simsearch.quantization_audit)
@@ -674,7 +724,7 @@ QUERIES: dict[str, QuerySpec] = {
     "simsearch_topk_arrow": QuerySpec(
         simsearch_topk_arrow, SIMSEARCH_TOPK_SQL, bench=True
     ),
-    "simsearch_ann_srp": QuerySpec(simsearch_ann_srp, None),
+    "simsearch_ann_srp": QuerySpec(simsearch_ann_srp, SIMSEARCH_ANN_SRP_SQL),
     "simsearch_ann_recall": QuerySpec(simsearch_ann_recall, SIMSEARCH_ANN_RECALL_SQL),
     "simsearch_ann_ivf": QuerySpec(simsearch_ann_ivf, None),
     "simsearch_ann_ivf_recall": QuerySpec(
