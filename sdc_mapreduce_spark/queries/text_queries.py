@@ -870,6 +870,60 @@ ORDER BY doc_id
 """
 
 
+def text_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact duplicated-span inventory — the sub-document granularity of
+    Lee et al.'s training-data dedup: 16-token windows (stride 12, same
+    chunking as text_chunking) occurring in >= 2 distinct documents, with
+    document reach and occurrence counts. This is the removal list an
+    exact-substring dedup pass consumes. Scale shape: one partial-agg
+    shuffle on 16-byte chunk fingerprints; only the duplicated sliver is
+    emitted, the corpus text never moves."""
+    chunks = T.chunk_documents(
+        load_table(spark, sf_dir, "documents"), chunk_size=16, stride=12
+    )
+    return (
+        chunks.groupBy("chunk_fp")
+        .agg(
+            F.countDistinct("doc_id").alias("n_docs"),
+            F.count(F.lit(1)).alias("n_occurrences"),
+            F.min("doc_id").alias("first_doc"),
+        )
+        .filter(F.col("n_docs") >= 2)
+        .orderBy("chunk_fp")
+    )
+
+
+TEXT_DUPLICATE_SPANS_SQL = """
+WITH t AS (
+  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks
+  FROM documents
+), c AS (
+  SELECT doc_id, toks,
+         CASE WHEN len(toks) <= 16 THEN 1
+              ELSE 1 + CAST(FLOOR((len(toks) - 16 + 12 - 1) / 12.0) AS INT)
+         END AS n_chunks
+  FROM t
+), e AS (
+  SELECT doc_id, toks,
+         unnest(generate_series(0, n_chunks - 1)) AS chunk_id
+  FROM c
+), ch AS (
+  SELECT doc_id,
+         md5(array_to_string(toks[chunk_id * 12 + 1 : chunk_id * 12 + 16], ' '))
+           AS chunk_fp
+  FROM e
+)
+SELECT chunk_fp,
+       COUNT(DISTINCT doc_id) AS n_docs,
+       COUNT(*) AS n_occurrences,
+       MIN(doc_id) AS first_doc
+FROM ch
+GROUP BY chunk_fp
+HAVING COUNT(DISTINCT doc_id) >= 2
+ORDER BY chunk_fp
+"""
+
+
 def text_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hashed-feature linear classifier inference (functions.text.
     hashed_linear_score): fastText-style bag-of-buckets scoring with an
@@ -1003,6 +1057,7 @@ QUERIES: dict[str, QuerySpec] = {
         text_quality_classifier, TEXT_QUALITY_CLASSIFIER_SQL
     ),
     "text_countmin_freq": QuerySpec(text_countmin_freq, TEXT_COUNTMIN_SQL),
+    "text_duplicate_spans": QuerySpec(text_duplicate_spans, TEXT_DUPLICATE_SPANS_SQL),
     "text_quality_gate_per_lang": QuerySpec(
         text_quality_gate_per_lang, TEXT_QUALITY_GATE_SQL
     ),

@@ -276,3 +276,28 @@ def test_countmin_overcounts_only_and_degenerate_width(spark):
     # width=1: every token collides into one counter -> est = stream length
     rows1 = T.countmin_token_freq(df, probe_k=4, depth=2, width=1).collect()
     assert all(r["est_cnt"] == 10 for r in rows1)
+
+
+def test_duplicate_spans_inventory(spark):
+    shared = " ".join(f"w{i}" for i in range(16))
+    rows = [
+        (1, shared + " unique-tail-one extra tokens here"),
+        (2, shared + " another completely different ending"),
+        (3, "no overlap with the others whatsoever at all"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    from sdc_mapreduce_spark.functions import text as T2
+    import pyspark.sql.functions as F2
+
+    chunks = T2.chunk_documents(df, chunk_size=16, stride=12)
+    inv = (
+        chunks.groupBy("chunk_fp")
+        .agg(
+            F2.countDistinct("doc_id").alias("n_docs"),
+            F2.min("doc_id").alias("first_doc"),
+        )
+        .filter(F2.col("n_docs") >= 2)
+        .collect()
+    )
+    assert len(inv) == 1
+    assert inv[0]["n_docs"] == 2 and inv[0]["first_doc"] == 1
