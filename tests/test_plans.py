@@ -187,3 +187,51 @@ def test_ivf_index_probe_prunes_partitions_and_matches_memory(spark, sf_dir, tmp
     assert "PartitionFilters" in plan
     clauses = plan.split("PartitionFilters")[1:]
     assert any("__cell" in c[:300] for c in clauses)
+
+
+def test_boilerplate_strip_uses_broadcast_anti_join(spark, sf_dir):
+    from sdc_mapreduce_spark.queries.text_queries import text_boilerplate_strip
+
+    plan = _plan(text_boilerplate_strip(spark, sf_dir))
+    # the hot-segment removal must be a broadcast LEFT ANTI, never a
+    # shuffled join of the full segment table against the hot set
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_bloom_prefilter_broadcasts_bitmap_and_index(spark, sf_dir):
+    from sdc_mapreduce_spark.queries.dedup_queries import dedup_bloom_prefilter
+
+    plan = _plan(dedup_bloom_prefilter(spark, sf_dir))
+    # bitmap probe, verdict attach, and exact-membership join are all
+    # broadcast — the batch never shuffles
+    assert plan.count("BroadcastHashJoin") >= 3
+    assert "SortMergeJoin" not in plan
+
+
+def test_pq_encode_is_shuffle_free(spark, sf_dir):
+    from sdc_mapreduce_spark.functions.simsearch import pq_codebooks, pq_encode
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cbs = pq_codebooks(emb, m_sub=4, n_codes=8)
+    plan = _plan(pq_encode(emb, cbs, m_sub=4).select("vec_id", "__codes"))
+    # encoding = scan + broadcast of the one-row nested codebook; the only
+    # exchanges allowed belong to building that single aggregated row
+    import re
+
+    exchanges = re.findall(r"Exchange (\w+)", plan)
+    # SinglePartition builds the one-row codebook; IdentityBroadcastMode is
+    # its broadcast. No hash/range exchange of the corpus is allowed.
+    assert all(
+        e in ("SinglePartition", "IdentityBroadcastMode") for e in exchanges
+    ), exchanges
+
+
+def test_label_centroids_broadcast_back_onto_corpus(spark, sf_dir):
+    from sdc_mapreduce_spark.queries.simsearch_queries import (
+        embedding_label_centroids,
+    )
+
+    plan = _plan(embedding_label_centroids(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
