@@ -27,6 +27,10 @@ EXTRA_SHAPES = [
     "simsearch_ann_ivfpq_recall",
     "layout_zorder_keys",
     "text_quality_classifier",
+    "dedup_incremental_minhash",
+    "embedding_label_centroids",
+    "text_duplicate_spans",
+    "text_countmin_freq",
 ]
 
 HEADER = """# PLANS — formatted physical plans of the headline bench queries plus the
