@@ -350,3 +350,42 @@ def test_incremental_minhash_flags_near_dup_against_corpus(spark):
     assert out[100]["best_match_id"] == 1
     assert out[100]["n_corpus_matches"] == 1
     assert 0.8 <= out[100]["best_jaccard"] < 1.0
+
+
+def test_incremental_dedup_fingerprint_index_bucket_join_no_shuffle(spark, sf_dir):
+    """The 100 TB ingestion plan made concrete: persist the corpus
+    fingerprint index BUCKETED on the fingerprint; a delivery whose batch
+    fingerprints are written into the same bucket layout anti-joins the
+    index with ZERO exchanges — the per-delivery dedup never reshuffles
+    the billions-row index."""
+    from sdc_mapreduce_spark import sources as io
+
+    docs = load_table(spark, sf_dir, "documents")
+    corpus_fps = (
+        docs.filter(F.col("doc_id") % 5 != 0)
+        .select(F.md5("text").alias("fp"))
+        .distinct()
+    )
+    batch_fps = docs.filter(F.col("doc_id") % 5 == 0).select(
+        "doc_id", F.md5("text").alias("fp")
+    )
+    io.write_bucketed_table(corpus_fps, "fp_index", ["fp"], num_buckets=8, sort_cols=["fp"])
+    io.write_bucketed_table(batch_fps, "fp_batch", ["fp"], num_buckets=8, sort_cols=["fp"])
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        fresh = spark.table("fp_batch").join(
+            spark.table("fp_index"), "fp", "left_anti"
+        )
+        plan = fresh._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan, f"index anti-join still shuffles:\n{plan}"
+        # semantics unchanged vs the logical incremental plan
+        expect = (
+            batch_fps.join(corpus_fps, "fp", "left_anti").count()
+        )
+        assert fresh.count() == expect
+    finally:
+        spark.conf.set(
+            "spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024)
+        )
+        spark.sql("DROP TABLE IF EXISTS fp_index")
+        spark.sql("DROP TABLE IF EXISTS fp_batch")
