@@ -268,3 +268,75 @@ def streaming_dedup(
     return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
         keys or ["event_id"]
     )
+
+
+def dedup_ingest(
+    docs_stream: DataFrame,
+    index_dir: str,
+    accepted_dir: str,
+    checkpoint_dir: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+):
+    """Continuous dedup ingestion — the streaming form of
+    functions.dedup.incremental_dedup: every micro-batch fingerprints its
+    documents, dedups within the batch (lowest id survives), anti-joins the
+    PERSISTED fingerprint index accumulated by all prior batches, then
+    lands the survivors and appends their fingerprints to the index.
+
+    Exactly-once across restarts without a transactional table format:
+    both sinks write into a ``batch=<id>`` subdirectory with overwrite, so
+    a replayed micro-batch rewrites identical content instead of
+    double-appending; the checkpoint guarantees batch ids are stable.
+
+    Scale shape per delivery: the index side is fingerprints only (32
+    bytes/doc, bucketable — see
+    test_incremental_dedup_fingerprint_index_bucket_join_no_shuffle), the
+    batch is the small side of the anti-join, and the index grows by one
+    append per batch — cost tracks the delivery, never the corpus.
+
+    Returns the started StreamingQuery; read ``accepted_dir`` with
+    ``spark.read.parquet`` at any time for the deduped corpus.
+    """
+
+    def land(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        fps = batch_df.select(
+            F.col(id_col), F.col(text_col), F.md5(F.col(text_col)).alias("__fp")
+        ).persist()
+        try:
+            winners = fps.groupBy("__fp").agg(F.min(id_col).alias(id_col))
+            in_batch = fps.join(winners, ["__fp", id_col])
+            try:
+                # exclude THIS batch's own partition: on replay the index
+                # already holds our fingerprints and an unfiltered
+                # anti-join would drop the whole batch (breaking the
+                # rewrite-identical-content idempotence)
+                existing = (
+                    spark.read.parquet(index_dir)
+                    .filter(F.col("batch") != batch_id)
+                    .select("__fp")
+                    .distinct()
+                )
+                fresh = in_batch.join(existing, "__fp", "left_anti")
+            except Exception:
+                fresh = in_batch  # first batch: no index yet
+            fresh = fresh.persist()
+            try:
+                fresh.drop("__fp").write.mode("overwrite").parquet(
+                    f"{accepted_dir}/batch={batch_id}"
+                )
+                fresh.select("__fp").write.mode("overwrite").parquet(
+                    f"{index_dir}/batch={batch_id}"
+                )
+            finally:
+                fresh.unpersist()
+        finally:
+            fps.unpersist()
+
+    return (
+        docs_stream.writeStream.foreachBatch(land)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

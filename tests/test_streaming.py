@@ -490,3 +490,45 @@ def test_tumbling_throughput_floor(spark, sf_dir, tmp_path):
     # row-at-a-time Python pace, so contention noise can't trip it but a
     # real regression can't hide
     assert rate >= 1000, f"streaming throughput regressed: {rate:.0f} ev/s ({elapsed:.1f}s for {n_events})"
+
+
+def test_dedup_ingest_across_deliveries(spark, tmp_path):
+    """Continuous dedup ingestion (streaming/events.dedup_ingest): two
+    deliveries with in-batch and cross-batch duplicates; the accepted
+    corpus must equal the batch-mode incremental plan's answer."""
+    import json as _json
+    import os
+
+    from sdc_mapreduce_spark.streaming.events import dedup_ingest
+
+    src = tmp_path / "docs_in"
+    src.mkdir()
+    index_dir = str(tmp_path / "fp_index")
+    accepted_dir = str(tmp_path / "accepted")
+    ckpt = str(tmp_path / "ckpt")
+    schema = "doc_id long, text string"
+
+    def deliver(name, rows):
+        with open(src / name, "w") as f:
+            for r in rows:
+                f.write(_json.dumps({"doc_id": r[0], "text": r[1]}) + "\n")
+
+    def run():
+        stream = spark.readStream.schema(schema).json(str(src))
+        q = dedup_ingest(stream, index_dir, accepted_dir, ckpt)
+        q.awaitTermination(120)
+
+    deliver("d1.json", [(1, "alpha"), (2, "beta"), (3, "alpha")])  # 3 dups 1
+    run()
+    deliver("d2.json", [(4, "beta"), (5, "gamma"), (6, "gamma"), (7, "alpha")])
+    run()
+
+    got = {
+        (r["doc_id"], r["text"])
+        for r in spark.read.parquet(accepted_dir).collect()
+    }
+    # batch semantics: 1 alpha, 2 beta survive delivery 1; delivery 2 keeps
+    # only 5 gamma (4 beta and 7 alpha are corpus dups, 6 loses in-batch)
+    assert got == {(1, "alpha"), (2, "beta"), (5, "gamma")}
+    # index holds exactly the distinct fingerprints
+    assert spark.read.parquet(index_dir).select("__fp").distinct().count() == 3
