@@ -251,3 +251,54 @@ def stratified_sample_sql_predicate(
             bound = format(min(int(round(frac * _SPACE)), _SPACE - 1), "04x")
             whens.append(f"WHEN {group_sql} = '{group}' THEN {bucket} < '{bound}'")
     return f"CASE {' '.join(whens)} ELSE FALSE END"
+
+
+def pack_sequences(
+    df: DataFrame,
+    seq_len: int = 128,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Fixed-context sequence packing with boundary crossing — the
+    GPT-style pretraining layout: concatenate all documents in a stable
+    global order and cut the token stream into sequences of ``seq_len``;
+    a document overlapping a cut is SPLIT across the adjacent sequences
+    (no padding waste, unlike first-fit whole-doc packing). Emits the full
+    placement map (id, seq_id, start_in_seq, n_tokens_in_seq) a data
+    loader consumes, with one row per (document, sequence) overlap.
+
+    All integer arithmetic over a distributed running sum
+    (operators.relational.global_running_sum — two-phase, never a
+    single-partition window), so the layout is exact, engine-replayable,
+    and the plan survives a corpus of any size. Row expansion is bounded:
+    a doc spans at most ceil(n_tokens/seq_len)+1 sequences.
+    """
+    if seq_len < 1:
+        raise ValueError("seq_len must be >= 1")
+    from sdc_mapreduce_spark.functions.text import tokens
+    from sdc_mapreduce_spark.operators.relational import global_running_sum
+
+    counts = df.select(F.col(id_col), F.size(tokens(text_col)).cast("long").alias("__n"))
+    cum = global_running_sum(counts, id_col, "__n", out_col="__cum")
+    L = F.lit(seq_len).cast("long")
+    start = (F.col("__cum") - F.col("__n")).alias("__start")
+    spans = cum.select(
+        F.col(id_col),
+        F.col("__n"),
+        F.col("__cum"),
+        start,
+        F.explode(
+            F.sequence(
+                F.expr(f"(__cum - __n) div {seq_len}"),
+                F.expr(f"(__cum - 1) div {seq_len}"),
+            )
+        ).alias("seq_id"),
+    )
+    start_in_seq = F.greatest(F.lit(0).cast("long"), F.col("__start") - F.col("seq_id") * L)
+    end_in_seq = F.least(L, F.col("__cum") - F.col("seq_id") * L)
+    return spans.select(
+        id_col,
+        F.col("seq_id").cast("long").alias("seq_id"),
+        start_in_seq.cast("long").alias("start_in_seq"),
+        (end_in_seq - start_in_seq).cast("long").alias("n_tokens_in_seq"),
+    )

@@ -827,6 +827,43 @@ SELECT (SELECT COUNT(*) FROM signup) AS n_signup,
 """
 
 
+def corpus_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GPT-style fixed-context sequence packing (functions.splits.
+    pack_sequences, seq_len=128): the exact (doc, sequence, offset, span)
+    placement map with boundary-crossing splits, built on the two-phase
+    distributed running sum. Pure integer arithmetic — hash-exact."""
+    from sdc_mapreduce_spark.functions.splits import pack_sequences
+
+    return pack_sequences(
+        load_table(spark, sf_dir, "documents"), seq_len=128
+    ).orderBy("doc_id", "seq_id")
+
+
+CORPUS_PACK_SEQUENCES_SQL = """
+WITH t AS (
+  SELECT doc_id,
+         CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS n
+  FROM documents
+), r AS (
+  SELECT doc_id, n,
+         SUM(n) OVER (ORDER BY doc_id
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+  FROM t
+), e AS (
+  SELECT doc_id, n, cum, cum - n AS strt,
+         unnest(generate_series(CAST((cum - n) // 128 AS BIGINT),
+                                CAST((cum - 1) // 128 AS BIGINT))) AS seq_id
+  FROM r
+)
+SELECT doc_id, CAST(seq_id AS BIGINT) AS seq_id,
+       CAST(GREATEST(0, strt - seq_id * 128) AS BIGINT) AS start_in_seq,
+       CAST(LEAST(128, cum - seq_id * 128)
+            - GREATEST(0, strt - seq_id * 128) AS BIGINT) AS n_tokens_in_seq
+FROM e
+ORDER BY doc_id, seq_id
+"""
+
+
 def layout_zorder_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Z-order clustering keys (operators.layout.with_zvalue) over orders:
     8-bit rank buckets of (o_custkey, o_totalprice) and their Morton
@@ -885,6 +922,9 @@ QUERIES: dict[str, QuerySpec] = {
     ),
     "table_profile": QuerySpec(table_profile, TABLE_PROFILE_SQL),
     "layout_zorder_keys": QuerySpec(layout_zorder_keys, LAYOUT_ZORDER_SQL),
+    "corpus_pack_sequences": QuerySpec(
+        corpus_pack_sequences, CORPUS_PACK_SEQUENCES_SQL
+    ),
     "join_skew_salted": QuerySpec(join_skew_salted, JOIN_SKEW_SALTED_SQL),
     "agg_salted_distinct": QuerySpec(agg_salted_distinct, AGG_SALTED_DISTINCT_SQL),
     "agg_collect_sets": QuerySpec(agg_collect_sets, AGG_COLLECT_SETS_SQL),

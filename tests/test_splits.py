@@ -219,3 +219,36 @@ def test_quantize_int8_roundtrip_error_bound(spark, sf_dir):
     )
     zr = quantize_int8(zero).collect()[0]
     assert zr["scale"] == 0.0 and list(zr["q"]) == [0, 0, 0]
+
+
+def test_pack_sequences_conservation_and_fullness(spark):
+    from sdc_mapreduce_spark.functions.splits import pack_sequences
+
+    rows = [(i, " ".join(f"t{i}_{j}" for j in range(7 + (i * 13) % 29)))
+            for i in range(1, 40)]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = pack_sequences(df, seq_len=32).collect()
+
+    # conservation: every doc's spans sum to its token count
+    want = {i: len(t.split()) for i, t in rows}
+    per_doc = {}
+    for r in out:
+        per_doc[r["doc_id"]] = per_doc.get(r["doc_id"], 0) + r["n_tokens_in_seq"]
+    assert per_doc == want
+
+    # fullness: every sequence except the last holds exactly seq_len tokens,
+    # and spans within a sequence tile it contiguously
+    per_seq = {}
+    for r in out:
+        per_seq.setdefault(r["seq_id"], []).append(
+            (r["start_in_seq"], r["n_tokens_in_seq"])
+        )
+    last = max(per_seq)
+    for sid, spans in per_seq.items():
+        spans.sort()
+        pos = 0
+        for start, n in spans:
+            assert start == pos, (sid, spans)
+            pos = start + n
+        if sid != last:
+            assert pos == 32, (sid, pos)
