@@ -325,3 +325,59 @@ def test_quantize_int8_properties(spark, vecs):
         else:
             for qi, xi in zip(q, v):
                 assert abs(qi * scale - xi) <= scale / 2 + 1e-9 * max(1.0, abs(xi))
+
+
+@SETTINGS
+@given(
+    corpus=st.lists(
+        st.lists(st.text(alphabet="abcd", min_size=1, max_size=3),
+                 min_size=1, max_size=6).map(" ".join),
+        min_size=1, max_size=8, unique=True,
+    ),
+    batch=st.lists(
+        st.lists(st.text(alphabet="abcd", min_size=1, max_size=3),
+                 min_size=1, max_size=6).map(" ".join),
+        min_size=1, max_size=6,
+    ),
+)
+def test_bloom_prefilter_never_false_negative(spark, corpus, batch):
+    from sdc_mapreduce_spark.functions import dedup as D
+
+    existing = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(corpus)], ["doc_id", "text"]
+    )
+    probe = spark.createDataFrame(
+        [(100 + i, t) for i, t in enumerate(batch)], ["doc_id", "text"]
+    )
+    # tiny bitmap on purpose: false positives abound, false negatives never
+    out = D.bloom_prefilter_dedup(probe, existing, m_bits=64, k=3).collect()
+    assert len(out) == len(batch)
+    for r in out:
+        if r["is_dup"]:
+            assert r["bloom_maybe"], r
+
+
+@SETTINGS
+@given(
+    docs=st.lists(
+        st.lists(st.sampled_from([f"w{i}" for i in range(30)]),
+                 min_size=1, max_size=9).map(" ".join),
+        min_size=1, max_size=8,
+    )
+)
+def test_boilerplate_strip_is_identity_below_the_cap(spark, docs):
+    import hashlib
+
+    from sdc_mapreduce_spark.functions import text as T
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(docs)], ["doc_id", "text"]
+    )
+    # max_df above the corpus size: nothing is boilerplate, so every doc
+    # keeps all segments and the cleaned body re-joins to the original
+    out = {r["doc_id"]: r for r in
+           T.boilerplate_strip(df, window=2, max_df=len(docs) + 1).collect()}
+    for i, t in enumerate(docs):
+        r = out[i]
+        assert r["n_kept"] == r["n_segments"]
+        assert r["cleaned_fp"] == hashlib.md5(t.encode()).hexdigest()
