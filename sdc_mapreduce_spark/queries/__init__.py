@@ -52,8 +52,14 @@ for mod in (
 #     changed this round, and the jaccard/simhash dedup queries that now
 #     default to hot-key caps. After round 5 every query's latest driver
 #     sample is ≤2 rounds old.
-#   round 6 plan: rotate the r4-only-refresh set (the 24 never-sampled +
-#     the 20 q1..join_left_agg block) back to the front.
+#   round 6 plan, in priority order: (1) the round-5 additions that did
+#     not fit this round's window — embedding_label_centroids,
+#     text_duplicate_spans, corpus_pack_sequences, and simsearch_ann_srp
+#     (whose FULL result oracle is new in r5; its prior driver rows were
+#     rows-only) — plus the four re-certs displaced below
+#     (window_rank_topn_salted, multimodal_embed_search,
+#     dedup_jaccard_pairs, events_sessionize); (2) the r4-only-refresh set
+#     (the 24 never-sampled + the 20 q1..join_left_agg block).
 _ROTATE_R5_STALE: tuple[str, ...] = (
     # r1-only tail not refreshed in round 4
     "join_semi",
