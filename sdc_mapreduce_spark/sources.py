@@ -155,3 +155,36 @@ def write_bucketed_table(
     if sort_cols:
         w = w.sortBy(*sort_cols)
     w.saveAsTable(table_name)
+
+
+def compact_parquet(
+    spark,
+    src_path: str,
+    dst_path: str,
+    target_file_bytes: int = 128 * 1024 * 1024,
+    order_cols: list[str] | None = None,
+) -> int:
+    """Small-file compaction — the table-maintenance pass every long-lived
+    100 TB dataset needs (streaming sinks and per-batch ingests accrete
+    thousands of tiny files; each costs a task + an open at read time).
+    Bin-packs the directory into ceil(total_bytes / target) output files;
+    with ``order_cols`` the rewrite also range-clusters (an OPTIMIZE +
+    sort, so min/max pruning improves too). Sizing reads only filesystem
+    metadata (no data pass); the rewrite is one exchange. Returns the
+    output file count chosen.
+    """
+    jvm = spark.sparkContext._jvm
+    conf = spark.sparkContext._jsc.hadoopConfiguration()
+    p = jvm.org.apache.hadoop.fs.Path(src_path)
+    fs = p.getFileSystem(conf)
+    total = fs.getContentSummary(p).getLength()
+    n_files = max(1, -(-total // target_file_bytes))
+    df = spark.read.parquet(src_path)
+    if order_cols:
+        out = df.repartitionByRange(n_files, *order_cols).sortWithinPartitions(
+            *order_cols
+        )
+    else:
+        out = df.repartition(n_files)
+    out.write.mode("overwrite").parquet(dst_path)
+    return n_files

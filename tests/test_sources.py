@@ -135,3 +135,24 @@ def test_gzip_text_blob_scan(spark, tmp_path):
     assert df.rdd.getNumPartitions() == 2
     got = {r["word"]: r["cnt"] for r in mr.word_count(df).collect()}
     assert got == {"alpha": 2, "beta": 3, "gamma": 1}
+
+
+def test_compact_parquet_bin_packs_small_files(spark, tmp_path):
+    import glob
+
+    src = str(tmp_path / "fragmented")
+    dst = str(tmp_path / "compacted")
+    df = spark.range(20_000).select(
+        F.col("id"), (F.col("id") % 97).alias("k")
+    )
+    # simulate a streaming sink's accretion: 64 tiny files
+    df.repartition(64).write.mode("overwrite").parquet(src)
+    assert len(glob.glob(f"{src}/part-*.parquet")) == 64
+
+    n = io.compact_parquet(spark, src, dst, target_file_bytes=256 * 1024)
+    out_files = glob.glob(f"{dst}/part-*.parquet")
+    assert len(out_files) == n
+    assert len(out_files) < 16  # an order of magnitude fewer files
+    # content identical
+    a = {(r["id"], r["k"]) for r in spark.read.parquet(dst).collect()}
+    assert len(a) == 20_000
