@@ -567,6 +567,34 @@ def boilerplate_strip(
     )
 
 
+def vocab_ids(
+    df: DataFrame,
+    min_count: int = 5,
+    text_col: str = "text",
+) -> DataFrame:
+    """Vocabulary construction — the tokenizer-training prerequisite: count
+    every token, drop the sub-``min_count`` tail, and assign dense ids
+    1..V in (frequency desc, token asc) order. The global ranking runs as
+    a two-phase distributed running count (operators.relational.
+    global_running_sum over a composite (-freq, token) range key), NEVER a
+    single-partition window — ranking a billion-type vocabulary is exactly
+    where `row_number() over (order by freq desc)` falls off the cliff.
+    Returns (token, freq, vocab_id)."""
+    from sdc_mapreduce_spark.operators.relational import global_running_sum
+
+    counts = (
+        df.select(F.explode(tokens(text_col)).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .filter(F.col("freq") >= min_count)
+    )
+    ordered = counts.withColumn(
+        "__ord", F.struct((-F.col("freq")).alias("nf"), F.col("token").alias("t"))
+    ).withColumn("__one", F.lit(1).cast("long"))
+    ranked = global_running_sum(ordered, "__ord", "__one", out_col="vocab_id")
+    return ranked.select("token", "freq", F.col("vocab_id").alias("vocab_id"))
+
+
 def countmin_token_freq(
     df: DataFrame,
     probe_k: int = 20,

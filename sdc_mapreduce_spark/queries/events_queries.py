@@ -540,7 +540,79 @@ ORDER BY window_start, event_type
 """
 
 
+def events_change_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gaps-and-islands compression — the SCD2/state-history operator:
+    collapse each user's event stream into maximal intervals of constant
+    event_type, emitting (user, interval_id, event_type, valid_from,
+    valid_to, n_events). Change flag = lag over (ts, event_id); island id
+    = running sum of flags; both windows share one (user_id) exchange and
+    sort, and the interval aggregate groups on the same key — a single
+    shuffle end to end. Hot users hit the same per-user window cliff as
+    sessionize; the chunk-merge decomposition (operators.skew) applies
+    identically."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    prev = F.lag("event_type").over(w)
+    chg = F.when(prev.isNull() | (prev != F.col("event_type")), 1).otherwise(0)
+    islands = (
+        ev.withColumn("__chg", chg)
+        .withColumn(
+            "__island",
+            F.sum("__chg").over(
+                w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            ),
+        )
+    )
+    return (
+        islands.groupBy("user_id", "__island")
+        .agg(
+            F.min("event_type").alias("event_type"),
+            F.min("ts").alias("valid_from"),
+            F.max("ts").alias("valid_to"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .select(
+            "user_id",
+            F.col("__island").cast("int").alias("interval_id"),
+            "event_type",
+            "valid_from",
+            "valid_to",
+            "n_events",
+        )
+        .orderBy("user_id", "interval_id")
+    )
+
+
+EVENTS_CHANGE_INTERVALS_SQL = """
+WITH o AS (
+  SELECT user_id, event_type, ts, event_id,
+         CASE WHEN LAG(event_type) OVER w IS NULL
+                   OR LAG(event_type) OVER w <> event_type
+              THEN 1 ELSE 0 END AS chg
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), i AS (
+  SELECT user_id, event_type, ts,
+         SUM(chg) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS island
+  FROM o
+)
+SELECT user_id, CAST(island AS INT) AS interval_id,
+       MIN(event_type) AS event_type,
+       CAST(MIN(ts) AS TIMESTAMP) AS valid_from,
+       CAST(MAX(ts) AS TIMESTAMP) AS valid_to,
+       COUNT(*) AS n_events
+FROM i
+GROUP BY user_id, island
+ORDER BY user_id, interval_id
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
+    "events_change_intervals": QuerySpec(
+        events_change_intervals, EVENTS_CHANGE_INTERVALS_SQL
+    ),
     "events_tumbling": QuerySpec(events_tumbling, EVENTS_TUMBLING_SQL, bench=True),
     "events_sliding": QuerySpec(events_sliding, EVENTS_SLIDING_SQL),
     "events_sessionize": QuerySpec(events_sessionize, EVENTS_SESSIONIZE_SQL, bench=True),

@@ -870,6 +870,28 @@ ORDER BY doc_id
 """
 
 
+def text_vocab_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary construction (functions.text.vocab_ids): global token
+    counts, min_count cutoff, dense ids by (freq desc, token asc) via the
+    two-phase distributed ranking — no single-partition window."""
+    return T.vocab_ids(
+        load_table(spark, sf_dir, "documents"), min_count=5
+    ).orderBy("vocab_id")
+
+
+TEXT_VOCAB_IDS_SQL = """
+WITH toks AS (
+  SELECT unnest(string_split_regex(trim(text), '\\s+')) AS token FROM documents
+), c AS (
+  SELECT token, COUNT(*) AS freq FROM toks GROUP BY token HAVING COUNT(*) >= 5
+)
+SELECT token, freq,
+       ROW_NUMBER() OVER (ORDER BY freq DESC, token ASC) AS vocab_id
+FROM c
+ORDER BY vocab_id
+"""
+
+
 def text_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact duplicated-span inventory — the sub-document granularity of
     Lee et al.'s training-data dedup: 16-token windows (stride 12, same
@@ -1058,6 +1080,7 @@ QUERIES: dict[str, QuerySpec] = {
     ),
     "text_countmin_freq": QuerySpec(text_countmin_freq, TEXT_COUNTMIN_SQL),
     "text_duplicate_spans": QuerySpec(text_duplicate_spans, TEXT_DUPLICATE_SPANS_SQL),
+    "text_vocab_ids": QuerySpec(text_vocab_ids, TEXT_VOCAB_IDS_SQL),
     "text_quality_gate_per_lang": QuerySpec(
         text_quality_gate_per_lang, TEXT_QUALITY_GATE_SQL
     ),

@@ -181,3 +181,43 @@ def test_top_k_and_per_group(spark):
     per = top_k_per_group(df, ["g"], [F.col("v").desc()], 2)
     got = sorted((r["g"], r["v"]) for r in per.collect())
     assert got == [(0, 8), (0, 9), (1, 108), (1, 109), (2, 208), (2, 209)]
+
+
+def test_change_intervals_compress_state_history(spark):
+    from sdc_mapreduce_spark.queries.events_queries import (
+        events_change_intervals,  # noqa: F401 (query fn needs sf_dir)
+    )
+    from pyspark.sql import Window, functions as F
+
+    rows = [
+        (1, 100, "a", 1), (2, 100, "a", 2), (3, 100, "b", 3),
+        (4, 100, "a", 4), (5, 200, "x", 1),
+    ]
+    ev = spark.createDataFrame(rows, ["event_id", "user_id", "event_type", "t"])
+    ev = ev.withColumn("ts", F.to_timestamp(F.lit("2024-01-01 00:00:00")) + F.make_interval(mins=F.col("t")))
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    prev = F.lag("event_type").over(w)
+    chg = F.when(prev.isNull() | (prev != F.col("event_type")), 1).otherwise(0)
+    out = (
+        ev.withColumn("__chg", chg)
+        .withColumn("__island", F.sum("__chg").over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .groupBy("user_id", "__island")
+        .agg(F.min("event_type").alias("event_type"), F.count(F.lit(1)).alias("n"))
+        .collect()
+    )
+    got = sorted((r["user_id"], r["__island"], r["event_type"], r["n"]) for r in out)
+    assert got == [(100, 1, "a", 2), (100, 2, "b", 1), (100, 3, "a", 1), (200, 1, "x", 1)]
+
+
+def test_vocab_ids_rank_and_cutoff(spark):
+    from sdc_mapreduce_spark.functions.text import vocab_ids
+
+    df = spark.createDataFrame(
+        [(1, "b b b a a c"), (2, "a b z")], ["doc_id", "text"]
+    )
+    got = {
+        r["token"]: (r["freq"], r["vocab_id"])
+        for r in vocab_ids(df, min_count=2).collect()
+    }
+    # b:4 -> id 1, a:3 -> id 2; c and z fall below the cutoff
+    assert got == {"b": (4, 1), "a": (3, 2)}
