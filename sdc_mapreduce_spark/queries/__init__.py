@@ -54,7 +54,8 @@ for mod in (
 #     sample is ≤2 rounds old.
 #   round 6 plan, in priority order: (1) the round-5 additions that did
 #     not fit this round's window — embedding_label_centroids,
-#     text_duplicate_spans, corpus_pack_sequences, and simsearch_ann_srp
+#     text_duplicate_spans, corpus_pack_sequences, text_vocab_ids,
+#     events_change_intervals, and simsearch_ann_srp
 #     (whose FULL result oracle is new in r5; its prior driver rows were
 #     rows-only) — plus the four re-certs displaced below
 #     (window_rank_topn_salted, multimodal_embed_search,

@@ -235,3 +235,13 @@ def test_label_centroids_broadcast_back_onto_corpus(spark, sf_dir):
     plan = _plan(embedding_label_centroids(spark, sf_dir))
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_vocab_ranking_never_uses_single_partition_window(spark, sf_dir):
+    from sdc_mapreduce_spark.queries.text_queries import text_vocab_ids
+
+    plan = _plan(text_vocab_ids(spark, sf_dir))
+    assert "Window" in plan  # the two-phase running count is window-based
+    # ...but ONLY partitioned windows: a global ORDER BY window would shove
+    # the whole vocabulary through one partition
+    assert "Exchange SinglePartition" not in plan
