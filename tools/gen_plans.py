@@ -31,6 +31,9 @@ EXTRA_SHAPES = [
     "embedding_label_centroids",
     "text_duplicate_spans",
     "text_countmin_freq",
+    "corpus_pack_sequences",
+    "events_change_intervals",
+    "text_vocab_ids",
 ]
 
 HEADER = """# PLANS — formatted physical plans of the headline bench queries plus the
