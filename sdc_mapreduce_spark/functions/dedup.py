@@ -818,3 +818,86 @@ def simhash_near_pairs(
     return cand.select("id_a", "id_b", hamming.alias("hamming")).filter(
         F.col("hamming") <= max_hamming
     )
+
+
+def exact_substring_dedup(
+    df: DataFrame,
+    chunk_size: int = 16,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Apply-side of the duplicated-span inventory (the exact SUB-document
+    dedup of Lee et al., "Deduplicating Training Data Makes Language Models
+    Better"): split every document into DISJOINT ``chunk_size``-token
+    chunks, find chunk contents occurring more than once corpus-wide, keep
+    only the globally-first occurrence (min doc id, then min chunk id) of
+    each duplicated chunk, drop every other occurrence, and rebuild the
+    cleaned document. Returns one row per document:
+    (doc_id, n_chunks, n_dropped, n_tokens_kept, cleaned_fp) where
+    cleaned_fp is the md5 of the space-joined surviving tokens — the
+    byte-for-byte witness of the rebuilt text.
+
+    Scale shape: the corpus text never shuffles. The chunk inventory
+    explodes (doc_id, chunk_id, 16-byte fingerprint) rows — narrow until
+    the defined expansion — and aggregates on the fingerprint with map-side
+    partial counts; only the duplicated sliver survives the >= 2 filter.
+    The per-doc drop list (docs that lose at least one chunk x the ids
+    they lose) is broadcast back onto the scan, and the rebuild is a
+    per-row higher-order-function fold. At an extreme duplication rate the
+    drop list outgrows the broadcast threshold; the fallback is the same
+    plan with a shuffle join on doc_id — still sliver-sized, never
+    corpus-sized. The reference has no sub-document operator of any kind;
+    the nearest primitive is its hash-shuffle group-by (SURVEY.md O10-O13),
+    which is what the fingerprint aggregation compiles to.
+    """
+    if chunk_size < 1:
+        raise ValueError("chunk_size must be >= 1")
+    cs = F.lit(chunk_size)
+    t = tokens(text_col)
+    n_chunks = F.floor((F.size(t) + cs - 1) / cs).cast("int")
+    base = df.select(
+        F.col(id_col).alias("__id"), t.alias("__t"), n_chunks.alias("n_chunks")
+    )
+    chunks = base.select(
+        "__id",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.col("n_chunks") - 1),
+                lambda i: F.md5(F.concat_ws(" ", F.slice(F.col("__t"), i * cs + 1, cs))),
+            )
+        ).alias("chunk_id", "chunk_fp"),
+    )
+    # Globally-first occurrence per duplicated fingerprint: min (doc, chunk).
+    stats = chunks.groupBy("chunk_fp").agg(
+        F.count(F.lit(1)).alias("__cnt"),
+        F.min(F.struct("__id", "chunk_id")).alias("__w"),
+    )
+    drops = (
+        chunks.join(stats.filter(F.col("__cnt") >= 2), "chunk_fp")
+        .filter(
+            ~(
+                (F.col("__id") == F.col("__w.__id"))
+                & (F.col("chunk_id") == F.col("__w.chunk_id"))
+            )
+        )
+        .groupBy("__id")
+        .agg(F.sort_array(F.collect_list("chunk_id")).alias("__drop_ids"))
+    )
+    rebuilt = base.join(F.broadcast(drops), "__id", "left")
+    drop_ids = F.coalesce(F.col("__drop_ids"), F.array().cast("array<int>"))
+    kept = F.flatten(
+        F.transform(
+            F.filter(
+                F.sequence(F.lit(0), F.col("n_chunks") - 1),
+                lambda i: ~F.array_contains(drop_ids, i),
+            ),
+            lambda i: F.slice(F.col("__t"), i * cs + 1, cs),
+        )
+    )
+    return rebuilt.select(
+        F.col("__id").alias(id_col),
+        "n_chunks",
+        F.size(drop_ids).alias("n_dropped"),
+        F.size(kept).alias("n_tokens_kept"),
+        F.md5(F.concat_ws(" ", kept)).alias("cleaned_fp"),
+    )

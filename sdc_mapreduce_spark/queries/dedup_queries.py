@@ -305,6 +305,61 @@ ORDER BY id_a, id_b
 """
 
 
+def dedup_exact_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact SUB-document dedup applied (functions.dedup.
+    exact_substring_dedup): disjoint 16-token chunks, duplicated chunk
+    contents stripped everywhere except their globally-first occurrence,
+    documents rebuilt — the consumer of the text_duplicate_spans removal
+    list (Lee et al. exact substring dedup). cleaned_fp pins the surviving
+    text byte-for-byte cross-engine."""
+    return D.exact_substring_dedup(
+        load_table(spark, sf_dir, "documents"), chunk_size=16
+    ).orderBy("doc_id")
+
+
+DEDUP_EXACT_SUBSTRING_SQL = """
+WITH t AS (
+  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks FROM documents
+), c AS (
+  SELECT doc_id, toks,
+         CAST(FLOOR((len(toks) + 15) / 16.0) AS INT) AS n_chunks
+  FROM t
+), ch AS (
+  SELECT doc_id, n_chunks,
+         unnest(generate_series(0, n_chunks - 1)) AS chunk_id, toks
+  FROM c
+), fp AS (
+  SELECT doc_id, chunk_id,
+         md5(array_to_string(toks[chunk_id * 16 + 1 : chunk_id * 16 + 16], ' '))
+           AS chunk_fp
+  FROM ch
+), ranked AS (
+  SELECT doc_id, chunk_id,
+         ROW_NUMBER() OVER (PARTITION BY chunk_fp ORDER BY doc_id, chunk_id) AS rn,
+         COUNT(*) OVER (PARTITION BY chunk_fp) AS cnt
+  FROM fp
+), dl AS (
+  SELECT doc_id, list_sort(list(chunk_id)) AS drop_ids
+  FROM ranked WHERE cnt >= 2 AND rn > 1
+  GROUP BY doc_id
+), rebuilt AS (
+  SELECT c.doc_id, c.n_chunks,
+         COALESCE(dl.drop_ids, []) AS drop_ids,
+         COALESCE(flatten(list_transform(
+           list_filter(generate_series(0, c.n_chunks - 1),
+                       i -> NOT list_contains(COALESCE(dl.drop_ids, []), i)),
+           i -> c.toks[i * 16 + 1 : i * 16 + 16])), []) AS kept
+  FROM c LEFT JOIN dl USING (doc_id)
+)
+SELECT doc_id, n_chunks,
+       CAST(len(drop_ids) AS INT) AS n_dropped,
+       CAST(len(kept) AS INT) AS n_tokens_kept,
+       md5(COALESCE(array_to_string(kept, ' '), '')) AS cleaned_fp
+FROM rebuilt
+ORDER BY doc_id
+"""
+
+
 def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding near-dup pairs at cosine ≥ 0.4 (threshold chosen to be
     non-trivial on the fixture corpus, whose max off-diagonal cosine ≈ 0.5).
@@ -341,6 +396,9 @@ QUERIES: dict[str, QuerySpec] = {
         dedup_incremental_minhash, DEDUP_INCR_MINHASH_SQL
     ),
     "dedup_jaccard_pairs": QuerySpec(dedup_jaccard_pairs, _JACCARD_SQL),
+    "dedup_exact_substring": QuerySpec(
+        dedup_exact_substring, DEDUP_EXACT_SUBSTRING_SQL
+    ),
     "dedup_minhash_lsh": QuerySpec(dedup_minhash_lsh, _JACCARD_SQL, bench=True),
     "dedup_simhash": QuerySpec(dedup_simhash, DEDUP_SIMHASH_SQL),
     "dedup_clusters": QuerySpec(dedup_clusters, DEDUP_CLUSTERS_SQL),

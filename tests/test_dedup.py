@@ -389,3 +389,46 @@ def test_incremental_dedup_fingerprint_index_bucket_join_no_shuffle(spark, sf_di
         )
         spark.sql("DROP TABLE IF EXISTS fp_index")
         spark.sql("DROP TABLE IF EXISTS fp_batch")
+
+
+def test_exact_substring_dedup_policy(spark):
+    """Duplicated chunks survive only at their globally-first occurrence;
+    unique chunks are untouched; token counts are conserved."""
+    import hashlib
+
+    shared = " ".join(f"s{i}" for i in range(4))  # one full 4-token chunk
+    docs = [
+        (1, shared + " " + " ".join(f"a{i}" for i in range(4))),
+        (2, shared + " " + " ".join(f"b{i}" for i in range(4))),
+        (3, " ".join(f"c{i}" for i in range(4)) + " " + shared),
+        (4, "lone doc"),
+    ]
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    rows = {
+        r["doc_id"]: r
+        for r in D.exact_substring_dedup(df, chunk_size=4).collect()
+    }
+    # doc 1 holds the first occurrence of the shared chunk: keeps all 8.
+    assert rows[1]["n_dropped"] == 0 and rows[1]["n_tokens_kept"] == 8
+    md5 = lambda s: hashlib.md5(s.encode()).hexdigest()  # noqa: E731
+    assert rows[1]["cleaned_fp"] == md5(docs[0][1])
+    # docs 2 and 3 lose exactly the shared chunk, keep their own 4 tokens.
+    for d, keep in ((2, "b"), (3, "c")):
+        assert rows[d]["n_dropped"] == 1 and rows[d]["n_tokens_kept"] == 4
+        assert rows[d]["cleaned_fp"] == md5(" ".join(f"{keep}{i}" for i in range(4)))
+    # doc 4 (short tail chunk, no dups) is byte-identical.
+    assert rows[4]["n_dropped"] == 0
+    assert rows[4]["cleaned_fp"] == md5("lone doc")
+
+
+def test_exact_substring_dedup_within_doc_repetition(spark):
+    """A chunk repeated INSIDE one document keeps only its first copy —
+    sub-document granularity, not doc-level."""
+    chunk = " ".join(f"r{i}" for i in range(4))
+    df = spark.createDataFrame(
+        [(7, chunk + " " + chunk + " " + chunk)], ["doc_id", "text"]
+    )
+    row = D.exact_substring_dedup(df, chunk_size=4).collect()[0]
+    assert row["n_chunks"] == 3
+    assert row["n_dropped"] == 2
+    assert row["n_tokens_kept"] == 4
