@@ -687,3 +687,84 @@ def top_ngrams(df: DataFrame, n: int = 2, k: int = 20, text_col: str = "text") -
         .orderBy(F.col("cnt").desc(), F.col("ngram").asc())
         .limit(k)
     )
+
+
+def bigram_lm_scores(
+    df: DataFrame,
+    min_count: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Language-model fluency scoring — the perplexity-style quality filter
+    of CCNet-class pipelines (a KenLM score gate), expressed with the corpus
+    itself as the training text: a bigram model with add-one smoothing,
+    P(w2|w1) = (c(w1,w2) + 1) / (c(w1) + V), scored as each document's mean
+    negative log-likelihood per bigram. Low avg_nll = fluent under the
+    corpus distribution; high = out-of-distribution (the gate's drop side).
+
+    Determinism: each distinct bigram's -ln P is quantized ONCE to integer
+    milli-nats (round half-up), then accumulated exactly — per-doc sums are
+    order-independent longs and the final score is a single division, so
+    the doubles replay bitwise in an external engine (the repo-standard
+    integer-accumulation discipline; a raw float sum over bigrams would be
+    partitioning-dependent). Bigram counts below ``min_count`` fall back to
+    the unseen-bigram probability, bounding the model table.
+
+    Scale shape: this is the broadcast-LM plan (what CCNet does by shipping
+    the KenLM binary to every worker). The unigram and pruned bigram tables
+    are vocabulary-bounded aggregates — two partial-agg shuffles of narrow
+    rows — then broadcast; the corpus's bigram stream is scored with
+    map-side broadcast hash joins and reduced by doc with partial
+    aggregation, so document text never shuffles and per-doc traffic is one
+    (id, sum, count) row. At an unbounded vocabulary the standard fix is
+    top-V truncation with an OOV bucket before the broadcast; the join
+    shape is unchanged.
+
+    Returns (doc_id, n_bigrams, nll_milli, avg_nll): exact milli-nat sum
+    plus the mean in nats (NULL for docs with < 2 tokens).
+    """
+    t = tokens(text_col)
+    base = df.select(F.col(id_col).alias("__id"), t.alias("__t"))
+    n = F.size(F.col("__t"))
+    pairs = F.arrays_zip(
+        F.slice(F.col("__t"), 1, n - 1), F.slice(F.col("__t"), 2, n - 1)
+    )
+    docbi = base.select("__id", F.explode(pairs).alias("__p")).select(
+        "__id", F.col("__p.0").alias("w1"), F.col("__p.1").alias("w2")
+    )
+    uni = (
+        base.select(F.explode("__t").alias("w1"))
+        .groupBy("w1")
+        .agg(F.count(F.lit(1)).alias("__c1"))
+    )
+    vocab = uni.agg(F.count(F.lit(1)).alias("__v"))
+    big = (
+        docbi.groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("__c12"))
+        .filter(F.col("__c12") >= min_count)
+    )
+    scored = (
+        docbi.join(F.broadcast(uni), "w1")
+        .join(F.broadcast(big), ["w1", "w2"], "left")
+        .crossJoin(F.broadcast(vocab))
+    )
+    p = (F.coalesce(F.col("__c12"), F.lit(0)) + F.lit(1)).cast("double") / (
+        F.col("__c1") + F.col("__v")
+    ).cast("double")
+    nll_milli = F.round(F.lit(-1000.0) * F.log(p)).cast("long")
+    per_doc = scored.groupBy("__id").agg(
+        F.sum(nll_milli).alias("__nll"), F.count(F.lit(1)).alias("__nb")
+    )
+    return (
+        base.select("__id")
+        .join(per_doc, "__id", "left")
+        .select(
+            F.col("__id").alias(id_col),
+            F.coalesce(F.col("__nb"), F.lit(0)).cast("int").alias("n_bigrams"),
+            F.coalesce(F.col("__nll"), F.lit(0)).cast("long").alias("nll_milli"),
+            F.when(
+                F.col("__nb") > 0,
+                F.col("__nll").cast("double") / (F.lit(1000.0) * F.col("__nb")),
+            ).alias("avg_nll"),
+        )
+    )

@@ -1056,8 +1056,59 @@ ORDER BY doc_id
 """
 
 
+def text_bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram-LM fluency scoring (functions.text.bigram_lm_scores): add-one
+    smoothed corpus bigram model, per-doc mean negative log-likelihood in
+    nats — the CCNet-style perplexity quality gate. Milli-nat integer
+    accumulation makes the doubles engine-portable."""
+    return T.bigram_lm_scores(
+        load_table(spark, sf_dir, "documents"), min_count=2
+    ).orderBy("doc_id")
+
+
+TEXT_BIGRAM_LM_SQL = """
+WITH t AS (
+  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks FROM documents
+), tok AS (
+  SELECT unnest(toks) AS w1 FROM t
+), uni AS (
+  SELECT w1, COUNT(*) AS c1 FROM tok GROUP BY w1
+), v AS (
+  SELECT COUNT(*) AS vs FROM uni
+), db AS (
+  SELECT doc_id, unnest(generate_series(1, len(toks) - 1)) AS i, toks
+  FROM t WHERE len(toks) >= 2
+), docbi AS (
+  SELECT doc_id, toks[i] AS w1, toks[i + 1] AS w2 FROM db
+), big AS (
+  SELECT w1, w2, COUNT(*) AS c12 FROM docbi GROUP BY w1, w2
+  HAVING COUNT(*) >= 2
+), sc AS (
+  SELECT d.doc_id,
+         CAST(ROUND(-1000.0 * ln((COALESCE(b.c12, 0) + 1.0) / (u.c1 + v.vs)))
+              AS BIGINT) AS nll
+  FROM docbi d
+  JOIN uni u ON d.w1 = u.w1
+  LEFT JOIN big b ON d.w1 = b.w1 AND d.w2 = b.w2
+  CROSS JOIN v
+), pd AS (
+  SELECT doc_id, SUM(nll) AS nll_milli, COUNT(*) AS n_bigrams
+  FROM sc GROUP BY doc_id
+)
+SELECT t.doc_id,
+       CAST(COALESCE(pd.n_bigrams, 0) AS INT) AS n_bigrams,
+       CAST(COALESCE(pd.nll_milli, 0) AS BIGINT) AS nll_milli,
+       CASE WHEN pd.n_bigrams > 0
+            THEN CAST(pd.nll_milli AS DOUBLE) / (1000.0 * pd.n_bigrams)
+       END AS avg_nll
+FROM t LEFT JOIN pd USING (doc_id)
+ORDER BY t.doc_id
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     "text_token_stats": QuerySpec(text_token_stats, TEXT_TOKEN_STATS_SQL),
+    "text_bigram_lm_score": QuerySpec(text_bigram_lm_score, TEXT_BIGRAM_LM_SQL),
     "text_quality": QuerySpec(text_quality, TEXT_QUALITY_SQL, bench=True),
     "text_language_id": QuerySpec(text_language_id, TEXT_LANG_SQL),
     "text_fingerprint": QuerySpec(text_fingerprint, TEXT_FINGERPRINT_SQL),

@@ -301,3 +301,45 @@ def test_duplicate_spans_inventory(spark):
     )
     assert len(inv) == 1
     assert inv[0]["n_docs"] == 2 and inv[0]["first_doc"] == 1
+
+
+def test_bigram_lm_scores_exact_model(spark):
+    """Replicate the add-one-smoothed bigram model in Python and check the
+    milli-nat arithmetic exactly; fluency ordering and the no-bigram edge."""
+    import math
+    from collections import Counter
+
+    from sdc_mapreduce_spark.functions.text import bigram_lm_scores
+
+    docs = [
+        (1, "the cat sat on the mat"),
+        (2, "the cat sat on the rug"),
+        (3, "zq wv xj kp qz vw"),  # all-rare tokens, unseen bigrams
+        (4, "single"),  # no bigrams
+    ]
+    toks = {d: t.split() for d, t in docs}
+    uni = Counter(w for t in toks.values() for w in t)
+    bi = Counter((a, b) for t in toks.values() for a, b in zip(t, t[1:]))
+    V = len(uni)
+    min_count = 1  # keep every observed bigram in the model
+
+    def nll_milli(a, b):
+        p = (bi.get((a, b), 0) + 1) / (uni[a] + V)
+        # round-half-up like Spark F.round / DuckDB ROUND on positives
+        return math.floor(-1000.0 * math.log(p) + 0.5)
+
+    expect = {
+        d: sum(nll_milli(a, b) for a, b in zip(t, t[1:]))
+        for d, t in toks.items()
+    }
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    rows = {
+        r["doc_id"]: r
+        for r in bigram_lm_scores(df, min_count=min_count).collect()
+    }
+    for d, t in toks.items():
+        assert rows[d]["n_bigrams"] == max(0, len(t) - 1)
+        assert rows[d]["nll_milli"] == expect[d]
+    # fluent repeated phrasing scores lower than the all-rare doc
+    assert rows[1]["avg_nll"] < rows[3]["avg_nll"]
+    assert rows[4]["n_bigrams"] == 0 and rows[4]["avg_nll"] is None
