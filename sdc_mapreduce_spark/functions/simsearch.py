@@ -915,3 +915,65 @@ def embedding_near_pairs(
         .filter(F.col("cosine") >= threshold)
         .select("id_a", "id_b")
     )
+
+
+def nearest_centroid_classify(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+) -> DataFrame:
+    """Nearest-centroid classification over an embedding column: fit one
+    centroid per label (the same floor-quantized nano-unit integer sums as
+    :func:`label_centroid_rank`, so every centroid double replays bitwise
+    in an external engine), then assign every vector to the centroid with
+    the highest cosine — ties broken by label ascending. Returns
+    (id, label, pred_label, best_cos): the per-vector working set a
+    classification audit (confusion matrix, per-label accuracy) aggregates.
+
+    This is the inference half of taxonomy bucketing / topic routing in a
+    training-data pipeline (assign each document's embedding to the closest
+    topic centroid). Scale shape: the centroid fit shuffles (labels x dim)
+    narrow partial-summed rows; the centroid table is tiny and broadcast,
+    so scoring is a map-side nested-loop over n_labels candidates per
+    vector — the corpus never shuffles, and the argmax is a per-row
+    aggregation, not a window."""
+    v = F.col(vec_col).cast("array<double>")
+    comps = df.select(F.col(label_col), F.posexplode(v).alias("pos", "val"))
+    cs = comps.groupBy(label_col, "pos").agg(
+        F.sum(F.floor(F.col("val") * F.lit(1e9)).cast("long")).alias("__s"),
+        F.count(F.lit(1)).alias("__n"),
+    )
+    cent = (
+        cs.select(
+            F.col(label_col).alias("__cand"),
+            "pos",
+            (F.col("__s").cast("double") / (F.lit(1e9) * F.col("__n"))).alias("c"),
+        )
+        .groupBy("__cand")
+        .agg(
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("pos", "c"))), lambda e: e["c"]
+            ).alias("__cent")
+        )
+    )
+    scored = df.select(F.col(id_col), F.col(label_col), v.alias("__v")).crossJoin(
+        F.broadcast(cent)
+    )
+    cos = dot(F.col("__v"), F.col("__cent")) / (
+        F.sqrt(dot(F.col("__v"), F.col("__v")))
+        * F.sqrt(dot(F.col("__cent"), F.col("__cent")))
+    )
+    best = F.max(
+        F.struct(cos.alias("c"), (-F.col("__cand")).alias("nl"))
+    ).alias("__b")
+    return (
+        scored.groupBy(id_col, label_col)
+        .agg(best)
+        .select(
+            id_col,
+            label_col,
+            (-F.col("__b.nl")).cast("int").alias("pred_label"),
+            F.col("__b.c").alias("best_cos"),
+        )
+    )

@@ -4,6 +4,7 @@
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from sdc_mapreduce_spark.catalog import load_table
 from sdc_mapreduce_spark.functions import simsearch as S
@@ -717,10 +718,67 @@ FROM scored ORDER BY vec_id
 """
 
 
+def embedding_nearest_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest-centroid classification audit (functions.simsearch.
+    nearest_centroid_classify): every embedding assigned to its
+    argmax-cosine label centroid, aggregated into the confusion matrix
+    (label, pred_label, n_vectors, is_correct) — topic-routing inference
+    plus its quality report in one pass. Centroid doubles are nano-unit
+    integer sums, so the assignment replays exactly in the oracle."""
+    from sdc_mapreduce_spark.functions.simsearch import nearest_centroid_classify
+
+    assigned = nearest_centroid_classify(load_table(spark, sf_dir, "embeddings"))
+    return (
+        assigned.groupBy("label", "pred_label")
+        .agg(F.count(F.lit(1)).alias("n_vectors"))
+        .withColumn("is_correct", F.col("label") == F.col("pred_label"))
+        .orderBy("label", "pred_label")
+    )
+
+
+_FOLD_DOT = """list_reduce(list_transform(range(1, len({a}) + 1),
+                                    i -> {a}[i] * {b}[i]),
+                     (x, y) -> x + y)"""
+
+EMBEDDING_NEAREST_CENTROID_SQL = f"""
+WITH e AS (
+  SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings
+), comps AS (
+  SELECT label, unnest(range(len(v))) AS pos, unnest(v) AS val FROM e
+), cs AS (
+  SELECT label, pos,
+         CAST(SUM(CAST(floor(val * 1e9) AS BIGINT)) AS DOUBLE)
+           / (1e9 * COUNT(*)) AS c
+  FROM comps GROUP BY 1, 2
+), cent AS (
+  SELECT label AS cand, list(c ORDER BY pos) AS cv FROM cs GROUP BY label
+), scored AS (
+  SELECT e.vec_id, e.label, cent.cand,
+         {_FOLD_DOT.format(a="e.v", b="cent.cv")}
+         / (sqrt({_FOLD_DOT.format(a="e.v", b="e.v")})
+            * sqrt({_FOLD_DOT.format(a="cent.cv", b="cent.cv")})) AS cos
+  FROM e CROSS JOIN cent
+), ranked AS (
+  SELECT vec_id, label, cand,
+         ROW_NUMBER() OVER (PARTITION BY vec_id
+                            ORDER BY cos DESC, cand ASC) AS rn
+  FROM scored
+)
+SELECT label, CAST(cand AS INT) AS pred_label, COUNT(*) AS n_vectors,
+       label = cand AS is_correct
+FROM ranked WHERE rn = 1
+GROUP BY label, cand
+ORDER BY label, pred_label
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     # the Arrow/BLAS path is the bench entry (~3x the JVM higher-order
     # -function form at bench SF, identical results/oracle)
     "simsearch_topk": QuerySpec(simsearch_topk, SIMSEARCH_TOPK_SQL),
+    "embedding_nearest_centroid": QuerySpec(
+        embedding_nearest_centroid, EMBEDDING_NEAREST_CENTROID_SQL
+    ),
     "simsearch_topk_arrow": QuerySpec(
         simsearch_topk_arrow, SIMSEARCH_TOPK_SQL, bench=True
     ),

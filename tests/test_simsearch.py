@@ -230,3 +230,37 @@ def test_label_centroid_rank_semantics(spark):
         assert r["cos_to_centroid"] > 0.99
     for label, rs in by_label.items():
         assert sorted(x["rank_in_label"] for x in rs) == [1, 2]
+
+
+def test_nearest_centroid_classify_separable(spark):
+    """Well-separated clusters classify perfectly; a vector planted at
+    another cluster's centroid is routed there; ties break label-ascending."""
+    from sdc_mapreduce_spark.functions.simsearch import nearest_centroid_classify
+
+    rows = []
+    # cluster 0 along e0, cluster 1 along e1, slight jitter on other axis
+    for i in range(10):
+        rows.append((i, [1.0, 0.01 * i, 0.0], 0))
+        rows.append((100 + i, [0.01 * i, 1.0, 0.0], 1))
+    # mislabeled vector: declared label 0, sits on cluster 1's axis
+    rows.append((999, [0.0, 1.0, 0.0], 0))
+    df = spark.createDataFrame(rows, ["vec_id", "embedding", "label"])
+    got = {r["vec_id"]: r for r in nearest_centroid_classify(df).collect()}
+    for i in range(10):
+        assert got[i]["pred_label"] == 0
+        assert got[100 + i]["pred_label"] == 1
+    assert got[999]["pred_label"] == 1
+    assert all(abs(r["best_cos"]) <= 1.0 + 1e-12 for r in got.values())
+
+
+def test_nearest_centroid_tie_breaks_to_lowest_label(spark):
+    """Two identical centroids => cosines tie exactly; the lower label wins."""
+    from sdc_mapreduce_spark.functions.simsearch import nearest_centroid_classify
+
+    rows = [
+        (1, [1.0, 0.0], 3),
+        (2, [1.0, 0.0], 7),  # identical single-vector clusters
+    ]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding", "label"])
+    got = {r["vec_id"]: r["pred_label"] for r in nearest_centroid_classify(df).collect()}
+    assert got == {1: 3, 2: 3}
