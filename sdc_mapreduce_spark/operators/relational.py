@@ -316,3 +316,61 @@ def range_join_time(
         (F.col(right_time) >= F.col(left_time) + lo)
         & (F.col(right_time) <= F.col(left_time) + hi)
     )
+
+
+def robust_anomalies(
+    df: DataFrame,
+    group_cols: list[str],
+    value_col: str,
+    id_col: str,
+    n_mads: float = 3.5,
+) -> DataFrame:
+    """Robust outlier detection per group: median + MAD (median absolute
+    deviation) with the classic |value - median| > n_mads * MAD flag — the
+    heavy-tail-safe alternative to mean/stddev z-scores, whose moments an
+    outlier itself corrupts. Returns the anomalous rows with their group
+    median, MAD, and z score.
+
+    Determinism discipline: the median is the DISCRETE lower-middle element
+    (rank (n+1)/2 under (value, id) ordering), an exact selection of an
+    input double — no interpolation arithmetic, whose formula differs
+    between engines ((a+b)/2 vs a+(b-a)/2 can disagree in the last ULP).
+    MAD is the same selection over |v - med|. Every emitted double is
+    either an input value or a single IEEE op on two replayable doubles,
+    so the result hash-matches cross-engine.
+
+    Scale shape: two window passes shuffled on the group key (rank + count
+    per group), then the tiny per-group (median, MAD) table broadcasts back
+    onto the scan. Few hot groups are the window's skew hazard; at extreme
+    cardinality-skew the standard trade is approx_percentile (one pass,
+    partial-aggregable, no rank window) at the cost of the exactness this
+    audit form exists to provide."""
+    gc = [F.col(c) for c in group_cols]
+    w_cnt = Window.partitionBy(*gc)
+    w_val = w_cnt.orderBy(F.col(value_col), F.col(id_col))
+    mid = F.floor((F.count(F.lit(1)).over(w_cnt) + 1) / 2).cast("long")
+    med = (
+        df.withColumn("__rn", F.row_number().over(w_val))
+        .withColumn("__mid", mid)
+        .filter(F.col("__rn") == F.col("__mid"))
+        .select(*group_cols, F.col(value_col).alias("med"))
+    )
+    dev = df.join(F.broadcast(med), group_cols).withColumn(
+        "__dev", F.abs(F.col(value_col) - F.col("med"))
+    )
+    w_dev = w_cnt.orderBy(F.col("__dev"), F.col(id_col))
+    mad = (
+        dev.withColumn("__rn", F.row_number().over(w_dev))
+        .withColumn("__mid", mid)
+        .filter(F.col("__rn") == F.col("__mid"))
+        .select(*group_cols, F.col("__dev").alias("mad"))
+    )
+    flagged = dev.join(F.broadcast(mad), group_cols)
+    return (
+        flagged.filter(
+            (F.col("mad") > 0)
+            & (F.col("__dev") > F.lit(n_mads) * F.col("mad"))
+        )
+        .withColumn("z", (F.col(value_col) - F.col("med")) / F.col("mad"))
+        .drop("__dev")
+    )

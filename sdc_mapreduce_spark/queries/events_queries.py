@@ -609,9 +609,59 @@ ORDER BY user_id, interval_id
 """
 
 
+def events_anomaly_robust(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust per-type outlier audit (operators.relational.
+    robust_anomalies): discrete median + MAD per event_type, events beyond
+    3.5 MADs flagged with their z score. Exact-selection medians (no
+    interpolation arithmetic) keep every double engine-replayable."""
+    from sdc_mapreduce_spark.operators.relational import robust_anomalies
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "event_type", "value"
+    )
+    return robust_anomalies(
+        ev, ["event_type"], "value", "event_id", n_mads=3.5
+    ).orderBy("event_id")
+
+
+EVENTS_ANOMALY_ROBUST_SQL = """
+WITH e AS (
+  SELECT event_id, event_type, value FROM events
+), n AS (
+  SELECT event_type, COUNT(*) AS c FROM e GROUP BY 1
+), r AS (
+  SELECT e.*, ROW_NUMBER() OVER (PARTITION BY event_type
+                                 ORDER BY value, event_id) AS rn
+  FROM e
+), med AS (
+  SELECT r.event_type, r.value AS med
+  FROM r JOIN n USING (event_type) WHERE rn = (c + 1) // 2
+), d AS (
+  SELECT e.event_id, e.event_type, e.value, m.med,
+         abs(e.value - m.med) AS dev
+  FROM e JOIN med m USING (event_type)
+), r2 AS (
+  SELECT d.*, ROW_NUMBER() OVER (PARTITION BY event_type
+                                 ORDER BY dev, event_id) AS rn
+  FROM d
+), mad AS (
+  SELECT event_type, dev AS mad
+  FROM r2 JOIN n USING (event_type) WHERE rn = (c + 1) // 2
+)
+SELECT d.event_id, d.event_type, d.value, d.med, mad.mad,
+       (d.value - d.med) / mad.mad AS z
+FROM d JOIN mad USING (event_type)
+WHERE mad.mad > 0 AND d.dev > 3.5 * mad.mad
+ORDER BY d.event_id
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     "events_change_intervals": QuerySpec(
         events_change_intervals, EVENTS_CHANGE_INTERVALS_SQL
+    ),
+    "events_anomaly_robust": QuerySpec(
+        events_anomaly_robust, EVENTS_ANOMALY_ROBUST_SQL
     ),
     "events_tumbling": QuerySpec(events_tumbling, EVENTS_TUMBLING_SQL, bench=True),
     "events_sliding": QuerySpec(events_sliding, EVENTS_SLIDING_SQL),

@@ -221,3 +221,23 @@ def test_vocab_ids_rank_and_cutoff(spark):
     }
     # b:4 -> id 1, a:3 -> id 2; c and z fall below the cutoff
     assert got == {"b": (4, 1), "a": (3, 2)}
+
+
+def test_robust_anomalies_median_mad(spark):
+    """Discrete median/MAD selection and the n_mads gate, checked against a
+    hand-computed group; the outlier doesn't corrupt its own baseline."""
+    from sdc_mapreduce_spark.operators.relational import robust_anomalies
+
+    # group g: values 1..7 plus one wild outlier 100.
+    # sorted: 1,2,3,4,5,6,7,100 -> n=8, lower-middle rank 4 -> med=4
+    # devs: 3,2,1,0,1,2,3,96 -> sorted 0,1,1,2,2,3,3,96 -> mad (rank 4) = 2
+    # flag |v-4| > 3.5*2=7 -> only 100 (dev 96)
+    rows = [(i, "g", float(v)) for i, v in enumerate([1, 2, 3, 4, 5, 6, 7, 100])]
+    # constant group: mad = 0 -> nothing flagged even though devs are 0
+    rows += [(100 + i, "c", 5.0) for i in range(4)]
+    df = spark.createDataFrame(rows, ["event_id", "event_type", "value"])
+    got = robust_anomalies(df, ["event_type"], "value", "event_id").collect()
+    assert len(got) == 1
+    r = got[0]
+    assert r["value"] == 100.0 and r["med"] == 4.0 and r["mad"] == 2.0
+    assert r["z"] == 48.0
