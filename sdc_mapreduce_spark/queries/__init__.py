@@ -57,8 +57,11 @@ for mod in (
 #     text_duplicate_spans, corpus_pack_sequences, text_vocab_ids,
 #     events_change_intervals, and simsearch_ann_srp
 #     (whose FULL result oracle is new in r5; its prior driver rows were
-#     rows-only) — plus the four re-certs displaced below
-#     (window_rank_topn_salted, multimodal_embed_search,
+#     rows-only), the four operators added in the second round-5
+#     continuation (dedup_exact_substring, text_bigram_lm_score,
+#     embedding_nearest_centroid, events_anomaly_robust — each locally
+#     hash-verified at sf0.001/0.01/0.1), plus the four re-certs displaced
+#     below (window_rank_topn_salted, multimodal_embed_search,
 #     dedup_jaccard_pairs, events_sessionize); (2) the r4-only-refresh set
 #     (the 24 never-sampled + the 20 q1..join_left_agg block).
 _ROTATE_R5_STALE: tuple[str, ...] = (

@@ -245,3 +245,49 @@ def test_vocab_ranking_never_uses_single_partition_window(spark, sf_dir):
     # ...but ONLY partitioned windows: a global ORDER BY window would shove
     # the whole vocabulary through one partition
     assert "Exchange SinglePartition" not in plan
+
+
+def test_bigram_lm_joins_are_broadcast(spark, sf_dir):
+    """The LM tables (unigram, pruned bigram, vocab scalar) broadcast onto
+    the corpus bigram stream — document text never enters a shuffle join."""
+    from sdc_mapreduce_spark.functions.text import bigram_lm_scores
+
+    docs = load_table(spark, sf_dir, "documents")
+    plan = _plan(bigram_lm_scores(docs))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_nearest_centroid_broadcasts_centroids(spark, sf_dir):
+    """Scoring is a map-side nested loop over the broadcast centroid table;
+    the corpus side never shuffles for the argmax."""
+    from sdc_mapreduce_spark.functions.simsearch import nearest_centroid_classify
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    plan = _plan(nearest_centroid_classify(emb))
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_exact_substring_rebuild_broadcasts_drop_list(spark, sf_dir):
+    """The per-doc drop list (the duplicated sliver) broadcasts back onto
+    the scan; the corpus text side of the rebuild join never shuffles."""
+    from sdc_mapreduce_spark.functions.dedup import exact_substring_dedup
+
+    docs = load_table(spark, sf_dir, "documents")
+    plan = _plan(exact_substring_dedup(docs))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_robust_anomalies_broadcasts_group_stats(spark, sf_dir):
+    """The (median, MAD) per-group tables broadcast back onto the events
+    scan — no sort-merge join of the fact table against itself."""
+    from sdc_mapreduce_spark.operators.relational import robust_anomalies
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "event_type", "value"
+    )
+    plan = _plan(robust_anomalies(ev, ["event_type"], "value", "event_id"))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
