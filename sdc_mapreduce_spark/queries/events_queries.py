@@ -656,9 +656,78 @@ ORDER BY d.event_id
 """
 
 
+def events_streaming_dedup_certified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Second driver-certified streaming query: the streaming DEDUP state
+    store, run by the real micro-batch engine. The events table is
+    materialized as a replayable json stream, projected to the dedup key
+    (user_id, event_type, 10-minute bucket) BEFORE ``dropDuplicates`` — so
+    the output is the exact distinct-key set regardless of which physical
+    arrival survives — and streamed to completion with an availableNow
+    trigger in append mode. A state-store bug (key lost, key re-emitted,
+    hash collision) changes the emitted set and turns this row red against
+    the batch DISTINCT oracle. Exact-state dropDuplicates (no watermark
+    TTL) keeps the finite certification run deterministic; the
+    watermark-TTL form and its kill/resume exactly-once behavior are
+    covered in tests/test_streaming.py."""
+    import shutil
+    import tempfile
+    import uuid
+
+    src = tempfile.mkdtemp(prefix="sdcms_stream_dedup_src_")
+    ckpt = tempfile.mkdtemp(prefix="sdcms_stream_dedup_ckpt_")
+    name = f"stream_dedup_{uuid.uuid4().hex[:8]}"
+    try:
+        ev = load_table(spark, sf_dir, "events")
+        ev.select(
+            "event_id",
+            F.date_format("ts", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("ts"),
+            "user_id",
+            "event_type",
+        ).repartition(4).write.mode("overwrite").json(src)
+        stream = (
+            spark.readStream.schema(
+                "event_id long, ts timestamp_ntz, user_id long, event_type string"
+            )
+            .format("json")
+            .option("timestampNTZFormat", "yyyy-MM-dd HH:mm:ss.SSSSSS")
+            .load(src)
+        )
+        keys = stream.select(
+            "user_id",
+            "event_type",
+            F.window("ts", "10 minutes")["start"].alias("bucket_start"),
+        ).dropDuplicates(["user_id", "event_type", "bucket_start"])
+        q = (
+            keys.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+        result = spark.table(name).orderBy("bucket_start", "user_id", "event_type")
+        rows = result.collect()
+        return spark.createDataFrame(rows, schema=result.schema)
+    finally:
+        shutil.rmtree(src, ignore_errors=True)
+        shutil.rmtree(ckpt, ignore_errors=True)
+
+
+EVENTS_STREAMING_DEDUP_SQL = """
+SELECT DISTINCT user_id, event_type,
+       time_bucket(INTERVAL '10 minutes', CAST(ts AS TIMESTAMP)) AS bucket_start
+FROM events
+ORDER BY bucket_start, user_id, event_type
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     "events_change_intervals": QuerySpec(
         events_change_intervals, EVENTS_CHANGE_INTERVALS_SQL
+    ),
+    "events_streaming_dedup_certified": QuerySpec(
+        events_streaming_dedup_certified, EVENTS_STREAMING_DEDUP_SQL
     ),
     "events_anomaly_robust": QuerySpec(
         events_anomaly_robust, EVENTS_ANOMALY_ROBUST_SQL
