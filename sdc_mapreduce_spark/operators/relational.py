@@ -374,3 +374,49 @@ def robust_anomalies(
         .withColumn("z", (F.col(value_col) - F.col("med")) / F.col("mad"))
         .drop("__dev")
     )
+
+
+def equidepth_histogram(
+    df: DataFrame,
+    value_col: str,
+    id_col: str,
+    n_buckets: int = 8,
+    num_partitions: int = 32,
+) -> DataFrame:
+    """Exact equi-depth histogram — the optimizer-statistics / data-profiling
+    primitive (CBO histograms, skew diagnosis, quantile-bucket features):
+    rows ranked globally by (value, id) and cut into ``n_buckets`` buckets of
+    near-equal depth, bucket = floor((rank-1) * k / n). Returns one row per
+    bucket: (bucket, n_rows, lo, hi).
+
+    The global ranking is the two-phase :func:`global_running_sum` over the
+    (value, id) range key — NEVER ``row_number() over (order by value)``,
+    whose single-partition window is the scalability cliff this module
+    exists to avoid. Bucket cuts are integer arithmetic on exact ranks and
+    the emitted lo/hi are input doubles (exact selections, no interpolation),
+    so the result replays bitwise in an external engine. At 100 TB the
+    one-shot approximation is approx_percentile; this is the exact audit
+    form with the same distributed shape."""
+    ordered = df.select(
+        F.struct(F.col(value_col).alias("v"), F.col(id_col).alias("i")).alias(
+            "__ord"
+        ),
+        F.col(value_col).alias("__v"),
+    ).withColumn("__one", F.lit(1).cast("long"))
+    ranked = global_running_sum(
+        ordered, "__ord", "__one", out_col="__rank", num_partitions=num_partitions
+    )
+    n = ranked.agg(F.count(F.lit(1)).alias("__n"))
+    bucket = F.floor(
+        (F.col("__rank") - 1) * F.lit(n_buckets) / F.col("__n")
+    ).cast("int")
+    return (
+        ranked.crossJoin(F.broadcast(n))
+        .select(bucket.alias("bucket"), "__v")
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.min("__v").alias("lo"),
+            F.max("__v").alias("hi"),
+        )
+    )

@@ -906,7 +906,137 @@ ORDER BY o_orderkey
 """
 
 
+def table_histogram_equidepth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact equi-depth histogram of lineitem.l_extendedprice in 8 buckets
+    (operators.relational.equidepth_histogram): the CBO-statistics /
+    profiling primitive, ranked by the two-phase distributed running count
+    — no single-partition window. lo/hi are exact input doubles."""
+    from sdc_mapreduce_spark.operators.relational import equidepth_histogram
+
+    li = load_table(spark, sf_dir, "lineitem")
+    return equidepth_histogram(
+        li, "l_extendedprice", "l_orderkey", n_buckets=8
+    ).orderBy("bucket")
+
+
+TABLE_HISTOGRAM_SQL = """
+WITH r AS (
+  SELECT l_extendedprice AS v,
+         ROW_NUMBER() OVER (ORDER BY l_extendedprice, l_orderkey) AS rn,
+         COUNT(*) OVER () AS n
+  FROM lineitem
+)
+SELECT CAST(FLOOR((rn - 1) * 8.0 / n) AS INT) AS bucket,
+       COUNT(*) AS n_rows, MIN(v) AS lo, MAX(v) AS hi
+FROM r GROUP BY 1 ORDER BY bucket
+"""
+
+
+def table_integrity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative data-quality constraint suite (the Deequ/dbt-test shape a
+    production pipeline gates loads on): primary-key uniqueness,
+    referential integrity across the star schema, domain-range and
+    not-null checks — one row per constraint with checked/violation counts.
+    Each check is an independent scan-aggregate or join-aggregate; the
+    union of 1-row results costs nothing. Dimension-side FK probes
+    broadcast; the lineitem->orders probe is the one genuine shuffle join
+    and exactly the plan you'd run at 100 TB."""
+    orders = load_table(spark, sf_dir, "orders")
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    customer = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+
+    def _check(name: str, df: DataFrame, viol) -> DataFrame:
+        return df.agg(
+            F.lit(name).alias("constraint"),
+            F.count(F.lit(1)).alias("n_checked"),
+            F.sum(F.when(viol, 1).otherwise(0)).cast("long").alias("n_violations"),
+        )
+
+    pk = orders.agg(
+        F.lit("orders_pk_unique").alias("constraint"),
+        F.count(F.lit(1)).alias("n_checked"),
+        (F.count(F.lit(1)) - F.countDistinct("o_orderkey"))
+        .cast("long")
+        .alias("n_violations"),
+    )
+    fk_li = _check(
+        "lineitem_fk_orders",
+        lineitem.join(
+            orders.select(F.col("o_orderkey").alias("__ok")),
+            lineitem["l_orderkey"] == F.col("__ok"),
+            "left",
+        ),
+        F.col("__ok").isNull(),
+    )
+    fk_cust = _check(
+        "customer_fk_nation",
+        customer.join(
+            F.broadcast(nation.select(F.col("n_nationkey").alias("__nk"))),
+            customer["c_nationkey"] == F.col("__nk"),
+            "left",
+        ),
+        F.col("__nk").isNull(),
+    )
+    fk_ord = _check(
+        "orders_fk_customer",
+        orders.join(
+            customer.select(F.col("c_custkey").alias("__ck")),
+            orders["o_custkey"] == F.col("__ck"),
+            "left",
+        ),
+        F.col("__ck").isNull(),
+    )
+    rng = _check(
+        "lineitem_qty_range_1_50",
+        lineitem,
+        (F.col("l_quantity") < 1) | (F.col("l_quantity") > 50),
+    )
+    nn = _check("customer_name_not_null", customer, F.col("c_name").isNull())
+    out = pk.unionByName(fk_li).unionByName(fk_cust).unionByName(fk_ord)
+    out = out.unionByName(rng).unionByName(nn)
+    return out.withColumn("passed", F.col("n_violations") == 0).orderBy(
+        "constraint"
+    )
+
+
+TABLE_INTEGRITY_SQL = """
+WITH checks AS (
+  SELECT 'orders_pk_unique' AS constraint, COUNT(*) AS n_checked,
+         COUNT(*) - COUNT(DISTINCT o_orderkey) AS n_violations
+  FROM orders
+  UNION ALL
+  SELECT 'lineitem_fk_orders', COUNT(*),
+         SUM(CASE WHEN o.o_orderkey IS NULL THEN 1 ELSE 0 END)
+  FROM lineitem l LEFT JOIN orders o ON l.l_orderkey = o.o_orderkey
+  UNION ALL
+  SELECT 'customer_fk_nation', COUNT(*),
+         SUM(CASE WHEN n.n_nationkey IS NULL THEN 1 ELSE 0 END)
+  FROM customer c LEFT JOIN nation n ON c.c_nationkey = n.n_nationkey
+  UNION ALL
+  SELECT 'orders_fk_customer', COUNT(*),
+         SUM(CASE WHEN c.c_custkey IS NULL THEN 1 ELSE 0 END)
+  FROM orders o LEFT JOIN customer c ON o.o_custkey = c.c_custkey
+  UNION ALL
+  SELECT 'lineitem_qty_range_1_50', COUNT(*),
+         SUM(CASE WHEN l_quantity < 1 OR l_quantity > 50 THEN 1 ELSE 0 END)
+  FROM lineitem
+  UNION ALL
+  SELECT 'customer_name_not_null', COUNT(*),
+         SUM(CASE WHEN c_name IS NULL THEN 1 ELSE 0 END)
+  FROM customer
+)
+SELECT "constraint", n_checked, CAST(n_violations AS BIGINT) AS n_violations,
+       n_violations = 0 AS passed
+FROM checks ORDER BY "constraint"
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
+    "table_histogram_equidepth": QuerySpec(
+        table_histogram_equidepth, TABLE_HISTOGRAM_SQL
+    ),
+    "table_integrity_audit": QuerySpec(table_integrity_audit, TABLE_INTEGRITY_SQL),
     "window_distribution_fns": QuerySpec(
         window_distribution_fns, WINDOW_DISTRIBUTION_SQL
     ),

@@ -241,3 +241,58 @@ def test_robust_anomalies_median_mad(spark):
     r = got[0]
     assert r["value"] == 100.0 and r["med"] == 4.0 and r["mad"] == 2.0
     assert r["z"] == 48.0
+
+
+def test_equidepth_histogram_properties(spark):
+    """Depths differ by at most 1, buckets tile the value range in order,
+    and counts sum to n — on a skewed value set with heavy ties."""
+    from sdc_mapreduce_spark.operators.relational import equidepth_histogram
+
+    rows = [(i, float(v)) for i, v in enumerate([1] * 50 + list(range(2, 52)))]
+    df = spark.createDataFrame(rows, ["id", "v"])
+    got = sorted(
+        equidepth_histogram(df, "v", "id", n_buckets=4).collect(),
+        key=lambda r: r["bucket"],
+    )
+    assert [r["bucket"] for r in got] == [0, 1, 2, 3]
+    assert sum(r["n_rows"] for r in got) == 100
+    assert max(r["n_rows"] for r in got) - min(r["n_rows"] for r in got) <= 1
+    for a, b in zip(got, got[1:]):
+        assert a["hi"] <= b["lo"]
+    assert got[0]["lo"] == 1.0 and got[3]["hi"] == 51.0
+
+
+def test_integrity_audit_flags_planted_violations(spark, tmp_path):
+    """Plant an orphan lineitem, a duplicate order key, and an
+    out-of-range quantity in a scratch sf dir; the audit counts each."""
+    import shutil
+
+    from sdc_mapreduce_spark.catalog import TABLES, load_table
+    from sdc_mapreduce_spark.queries.surface_queries import table_integrity_audit
+
+    src = "/root/testdata/sf0.001"
+    dst = tmp_path / "sf_bad"
+    dst.mkdir()
+    for t in TABLES:
+        shutil.copy(f"{src}/{t}.parquet", dst / f"{t}.parquet")
+    orders = load_table(spark, src, "orders")
+    li = load_table(spark, src, "lineitem")
+    first_order = orders.limit(1).collect()[0]
+    bad_li = li.limit(1).collect()[0].asDict()
+    bad_li.update(l_orderkey=10**12, l_quantity=999.0)  # orphan + range
+    li.unionByName(spark.createDataFrame([bad_li], li.schema)).coalesce(
+        1
+    ).write.mode("overwrite").parquet(str(dst / "lineitem.parquet"))
+    orders.unionByName(
+        spark.createDataFrame([first_order], orders.schema)
+    ).coalesce(1).write.mode("overwrite").parquet(str(dst / "orders.parquet"))
+    got = {
+        r["constraint"]: r
+        for r in table_integrity_audit(spark, str(dst)).collect()
+    }
+    assert got["orders_pk_unique"]["n_violations"] == 1
+    assert got["lineitem_fk_orders"]["n_violations"] == 1
+    assert got["lineitem_qty_range_1_50"]["n_violations"] == 1
+    assert got["customer_fk_nation"]["n_violations"] == 0
+    assert not got["orders_pk_unique"]["passed"]
+    assert got["customer_name_not_null"]["passed"]
