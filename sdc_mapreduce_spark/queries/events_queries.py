@@ -722,9 +722,93 @@ ORDER BY bucket_start, user_id, event_type
 """
 
 
+def events_cogroup_asof_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join via COGROUPED applyInPandas — the cogroup member of the
+    Pandas-UDF API family (grouped-agg, grouped-map, and scalar forms are
+    covered elsewhere): each user's error and purchase frames arrive as a
+    pair of Arrow-backed pandas DataFrames and are merged with
+    ``pd.merge_asof``. Ties are made deterministic by sorting purchases by
+    (ts, purchase_event_id) — merge_asof(backward) takes the last tied row,
+    i.e. the max event id at the latest eligible timestamp — and the oracle
+    ranks with exactly that total order (no engine-defined ASOF tie choice).
+    Scale shape: one cogroup shuffle on user_id, Arrow-vectorized per-group
+    merges, output ∝ errors. The declarative union+window form
+    (events_asof_join) is the zero-Python twin; this query exists to pin
+    the cogroup API contract."""
+    import pandas as pd
+
+    ev = load_table(spark, sf_dir, "events")
+    errors = ev.filter(F.col("event_type") == "error").select(
+        "event_id", "user_id", "ts"
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        "ts",
+        F.col("event_id").alias("purchase_event_id"),
+        F.col("value").alias("purchase_value"),
+    )
+
+    def merge(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
+        if left.empty:
+            return pd.DataFrame(
+                columns=["event_id", "user_id", "purchase_event_id", "purchase_value"]
+            )
+        left = left.sort_values(["ts", "event_id"], kind="mergesort")
+        right = right.sort_values(
+            ["ts", "purchase_event_id"], kind="mergesort"
+        )
+        merged = pd.merge_asof(
+            left, right.drop(columns=["user_id"]), on="ts", direction="backward"
+        )
+        merged = merged.dropna(subset=["purchase_event_id"])
+        return pd.DataFrame(
+            {
+                "event_id": merged["event_id"].astype("int64"),
+                "user_id": merged["user_id"].astype("int64"),
+                "purchase_event_id": merged["purchase_event_id"].astype("int64"),
+                "purchase_value": merged["purchase_value"].astype("float64"),
+            }
+        )
+
+    out = (
+        errors.groupBy("user_id")
+        .cogroup(purchases.groupBy("user_id"))
+        .applyInPandas(
+            merge,
+            "event_id long, user_id long, purchase_event_id long, "
+            "purchase_value double",
+        )
+    )
+    return out.orderBy("event_id")
+
+
+EVENTS_COGROUP_ASOF_SQL = """
+WITH errors AS (
+  SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts
+  FROM events WHERE event_type = 'error'
+), purchases AS (
+  SELECT user_id, CAST(ts AS TIMESTAMP) AS ts,
+         event_id AS purchase_event_id, value AS purchase_value
+  FROM events WHERE event_type = 'purchase'
+), cand AS (
+  SELECT e.event_id, e.user_id, p.purchase_event_id, p.purchase_value,
+         ROW_NUMBER() OVER (PARTITION BY e.event_id
+                            ORDER BY p.ts DESC, p.purchase_event_id DESC) AS rn
+  FROM errors e JOIN purchases p
+    ON e.user_id = p.user_id AND p.ts <= e.ts
+)
+SELECT event_id, user_id, purchase_event_id, purchase_value
+FROM cand WHERE rn = 1
+ORDER BY event_id
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     "events_change_intervals": QuerySpec(
         events_change_intervals, EVENTS_CHANGE_INTERVALS_SQL
+    ),
+    "events_cogroup_asof_pandas": QuerySpec(
+        events_cogroup_asof_pandas, EVENTS_COGROUP_ASOF_SQL
     ),
     "events_streaming_dedup_certified": QuerySpec(
         events_streaming_dedup_certified, EVENTS_STREAMING_DEDUP_SQL

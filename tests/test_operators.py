@@ -296,3 +296,22 @@ def test_integrity_audit_flags_planted_violations(spark, tmp_path):
     assert got["customer_fk_nation"]["n_violations"] == 0
     assert not got["orders_pk_unique"]["passed"]
     assert got["customer_name_not_null"]["passed"]
+
+
+def test_cogroup_asof_matches_declarative(spark, sf_dir):
+    """The cogrouped-pandas merge_asof and the union+window asof_join agree
+    row-for-row on the fixture (ties included)."""
+    from sdc_mapreduce_spark.queries.events_queries import (
+        events_asof_join,
+        events_cogroup_asof_pandas,
+    )
+
+    pandas_rows = {
+        tuple(r)
+        for r in events_cogroup_asof_pandas(spark, sf_dir).collect()
+    }
+    decl = {
+        (r["event_id"], r["user_id"], r["purchase_event_id"], r["purchase_value"])
+        for r in events_asof_join(spark, sf_dir).collect()
+    }
+    assert pandas_rows == decl
