@@ -420,3 +420,56 @@ def equidepth_histogram(
             F.max("__v").alias("hi"),
         )
     )
+
+
+def interval_overlap_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    left_start: str,
+    left_end: str,
+    right_start: str,
+    right_end: str,
+    span_seconds: int = 3600,
+) -> DataFrame:
+    """Interval×interval overlap join — the general form of the time-range
+    join (range_join_time is point×interval): pairs with the same key whose
+    [start, end] intervals intersect (closed-interval semantics).
+
+    Spark plans a raw ``l.start <= r.end AND r.start <= l.end`` condition
+    as a nested loop; at scale the standard strategy is temporal bucketing:
+    each interval explodes to the ``span_seconds``-sized epoch buckets it
+    touches, the two sides equi-join on (key, bucket), and the exact
+    predicate runs full-precision on the native timestamps. Every
+    overlapping pair shares ≥1 bucket, so nothing is missed; to emit each
+    pair exactly ONCE without a distinct (a second shuffle), a pair is kept
+    only in its ALLOCATION bucket — the bucket of max(l_start, r_start),
+    which both coverage ranges contain whenever the intervals overlap (the
+    standard dedup-free allocation trick of distributed interval joins).
+    Cost tracks sum(interval_length)/span per side; pick ``span_seconds``
+    near the typical interval length.
+
+    Bucket ids come from second-truncated epochs (zone-consistent within
+    the query); truncation only widens coverage, never narrows it, and the
+    emitted rows are filtered by exact interval arithmetic."""
+    span = max(int(span_seconds), 1)
+
+    def _b(col):
+        return (F.unix_timestamp(F.col(col)) / span).cast("long")
+
+    lb = left.withColumn("__lsb", _b(left_start)).withColumn(
+        "__bucket", F.explode(F.sequence(F.col("__lsb"), _b(left_end)))
+    )
+    rb = right.withColumn("__rsb", _b(right_start)).withColumn(
+        "__bucket", F.explode(F.sequence(F.col("__rsb"), _b(right_end)))
+    )
+    joined = lb.join(rb, [on, "__bucket"])
+    alloc = F.greatest(F.col("__lsb"), F.col("__rsb"))
+    return (
+        joined.filter(F.col("__bucket") == alloc)
+        .filter(
+            (F.col(left_start) <= F.col(right_end))
+            & (F.col(right_start) <= F.col(left_end))
+        )
+        .drop("__bucket", "__lsb", "__rsb")
+    )

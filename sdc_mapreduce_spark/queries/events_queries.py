@@ -803,9 +803,132 @@ ORDER BY event_id
 """
 
 
+def events_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval×interval overlap join (operators.relational.
+    interval_overlap_join): each user's 30-minute-gap sessions intersected
+    with their constant-event-type regimes (the gaps-and-islands intervals)
+    — "which activity regimes does each session span", the temporal-join
+    shape behind attribution and incident analysis. Bucketed equi-join with
+    the allocation-bucket dedup, never a nested loop; overlap durations are
+    exact integer microseconds."""
+    from sdc_mapreduce_spark.operators.skew import sessionize_plain
+
+    ev = load_table(spark, sf_dir, "events")
+    sessions = sessionize_plain(ev).select(
+        "user_id", "session_id", "session_start", "session_end"
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    prev = F.lag("event_type").over(w)
+    chg = F.when(prev.isNull() | (prev != F.col("event_type")), 1).otherwise(0)
+    islands = (
+        ev.withColumn("__chg", chg)
+        .withColumn(
+            "__island",
+            F.sum("__chg").over(
+                w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            ),
+        )
+        .groupBy("user_id", "__island")
+        .agg(
+            F.min("event_type").alias("event_type"),
+            F.min("ts").alias("valid_from"),
+            F.max("ts").alias("valid_to"),
+        )
+        .select(
+            "user_id",
+            F.col("__island").cast("int").alias("interval_id"),
+            "event_type",
+            "valid_from",
+            "valid_to",
+        )
+    )
+    from sdc_mapreduce_spark.operators.relational import interval_overlap_join
+
+    pairs = interval_overlap_join(
+        sessions,
+        islands,
+        on="user_id",
+        left_start="session_start",
+        left_end="session_end",
+        right_start="valid_from",
+        right_end="valid_to",
+        span_seconds=3600,
+    )
+    # NTZ-safe exact duration: interval -> whole seconds (floor). unix_micros
+    # needs a zoned TIMESTAMP and a zone round-trip is DST-hazardous in the
+    # driver's uncontrolled session zone.
+    overlap_s = (
+        F.least(F.col("session_end"), F.col("valid_to"))
+        - F.greatest(F.col("session_start"), F.col("valid_from"))
+    ).cast("long")
+    return pairs.select(
+        "user_id",
+        "session_id",
+        "interval_id",
+        "event_type",
+        overlap_s.alias("overlap_seconds"),
+    ).orderBy("user_id", "session_id", "interval_id")
+
+
+EVENTS_INTERVAL_OVERLAP_SQL = """
+WITH flagged AS (
+  SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id,
+         CASE WHEN LAG(CAST(ts AS TIMESTAMP)) OVER w IS NULL
+                OR CAST(ts AS TIMESTAMP) >
+                   LAG(CAST(ts AS TIMESTAMP)) OVER w + INTERVAL '30 minutes'
+              THEN 1 ELSE 0 END AS is_new
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP) ASC,
+               event_id ASC)
+), sessions AS (
+  SELECT user_id,
+         CAST(SUM(is_new) OVER (PARTITION BY user_id
+                                ORDER BY ts ASC, event_id ASC
+                                ROWS BETWEEN UNBOUNDED PRECEDING
+                                AND CURRENT ROW) AS BIGINT) AS session_id,
+         ts
+  FROM flagged
+), sess AS (
+  SELECT user_id, session_id,
+         MIN(ts) AS session_start, MAX(ts) AS session_end
+  FROM sessions GROUP BY user_id, session_id
+), o AS (
+  SELECT user_id, event_type, CAST(ts AS TIMESTAMP) AS ts, event_id,
+         CASE WHEN LAG(event_type) OVER w IS NULL
+                   OR LAG(event_type) OVER w <> event_type
+              THEN 1 ELSE 0 END AS chg
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), i AS (
+  SELECT user_id, event_type, ts,
+         SUM(chg) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS island
+  FROM o
+), isl AS (
+  SELECT user_id, CAST(island AS INT) AS interval_id,
+         MIN(event_type) AS event_type,
+         MIN(ts) AS valid_from, MAX(ts) AS valid_to
+  FROM i GROUP BY user_id, island
+)
+SELECT s.user_id, s.session_id, isl.interval_id, isl.event_type,
+       (epoch_us(LEAST(s.session_end, isl.valid_to))
+         - epoch_us(GREATEST(s.session_start, isl.valid_from))) // 1000000
+         AS overlap_seconds
+FROM sess s JOIN isl
+  ON s.user_id = isl.user_id
+ AND s.session_start <= isl.valid_to
+ AND isl.valid_from <= s.session_end
+ORDER BY s.user_id, s.session_id, isl.interval_id
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     "events_change_intervals": QuerySpec(
         events_change_intervals, EVENTS_CHANGE_INTERVALS_SQL
+    ),
+    "events_interval_overlap": QuerySpec(
+        events_interval_overlap, EVENTS_INTERVAL_OVERLAP_SQL
     ),
     "events_cogroup_asof_pandas": QuerySpec(
         events_cogroup_asof_pandas, EVENTS_COGROUP_ASOF_SQL

@@ -315,3 +315,50 @@ def test_cogroup_asof_matches_declarative(spark, sf_dir):
         for r in events_asof_join(spark, sf_dir).collect()
     }
     assert pandas_rows == decl
+
+
+def test_interval_overlap_join_matches_naive(spark):
+    """Bucketed+allocation interval join equals the naive non-equi join on
+    adversarial intervals: bucket-boundary touching, containment, zero-length,
+    multi-bucket spans (each pair must appear EXACTLY once)."""
+    import datetime as dt
+
+    from sdc_mapreduce_spark.operators.relational import interval_overlap_join
+
+    t0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+
+    def ts(minutes, seconds=0):
+        return t0 + dt.timedelta(minutes=minutes, seconds=seconds)
+
+    left = [
+        (1, "L1", ts(0), ts(300)),      # spans 5 buckets (span=1h)
+        (1, "L2", ts(59), ts(61)),      # crosses one boundary
+        (1, "L3", ts(120), ts(120)),    # zero-length on a boundary
+        (2, "L4", ts(0), ts(30)),       # other key
+    ]
+    right = [
+        (1, "R1", ts(250), ts(400)),    # overlaps L1 mid-way
+        (1, "R2", ts(61), ts(61)),      # touches L2 at its end point
+        (1, "R3", ts(0), ts(1000)),     # contains everything on key 1
+        (2, "R4", ts(31), ts(40)),      # adjacent-but-disjoint from L4
+    ]
+    ldf = spark.createDataFrame(left, ["k", "lid", "ls", "le"])
+    rdf = spark.createDataFrame(right, ["k", "rid", "rs", "re"])
+    got = {
+        (r["lid"], r["rid"])
+        for r in interval_overlap_join(
+            ldf, rdf, "k", "ls", "le", "rs", "re", span_seconds=3600
+        ).collect()
+    }
+    naive = {
+        (l[1], r[1])
+        for l in left
+        for r in right
+        if l[0] == r[0] and l[2] <= r[3] and r[2] <= l[3]
+    }
+    assert got == naive
+    # exactly-once even for the 5-bucket x containing-interval pair
+    rows = interval_overlap_join(
+        ldf, rdf, "k", "ls", "le", "rs", "re", span_seconds=3600
+    ).collect()
+    assert len(rows) == len(naive)
