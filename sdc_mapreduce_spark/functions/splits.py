@@ -302,3 +302,73 @@ def pack_sequences(
         start_in_seq.cast("long").alias("start_in_seq"),
         (end_in_seq - start_in_seq).cast("long").alias("n_tokens_in_seq"),
     )
+
+
+def temperature_mix(
+    df: DataFrame,
+    group_col: str = "lang",
+    alpha: float = 0.3,
+    budget_frac: float = 0.5,
+    key: str = "doc_id",
+    salt: str = "tmix-v1",
+) -> DataFrame:
+    """Temperature-based corpus mixing (the mT5/XLM-R sampling rule):
+    group g is sampled with probability ∝ (n_g/N)^alpha — alpha < 1 boosts
+    rare groups relative to their natural share — under a total budget of
+    ``budget_frac`` × N documents. Returns the per-group plan AND its exact
+    realized effect: (group, n_docs, weight_micro, keep_frac, n_kept),
+    where n_kept counts the documents the deterministic content-hash
+    predicate actually keeps.
+
+    Determinism discipline: the one transcendental per group, (n_g/N)^alpha,
+    is quantized ONCE to integer micro-units (round half-up) — the repo's
+    milli-nat trick — so every downstream double (keep_frac, the 16-bit
+    keep boundary) is derived from exact integers by an identical operation
+    sequence in any engine. The keep decision hashes row CONTENT (md5 of
+    the key, as hash_split), so the sampled set is cluster-shape- and
+    engine-independent.
+
+    Scale shape: the plan is a group-cardinality aggregate plus two scalar
+    broadcasts; applying it is one broadcast join and a scan-local
+    predicate — no shuffle touches the corpus."""
+    counts = df.groupBy(group_col).agg(F.count(F.lit(1)).alias("n_docs"))
+    total = counts.agg(F.sum("n_docs").alias("__N"))
+    wc = counts.crossJoin(F.broadcast(total)).withColumn(
+        "weight_micro",
+        F.round(
+            F.lit(1e6)
+            * F.pow(F.col("n_docs").cast("double") / F.col("__N"), F.lit(alpha))
+        ).cast("long"),
+    )
+    sw = wc.agg(F.sum("weight_micro").alias("__SW"))
+    plan = wc.crossJoin(F.broadcast(sw)).withColumn(
+        "keep_frac",
+        F.least(
+            F.lit(1.0),
+            ((F.lit(budget_frac) * F.col("__N")) * F.col("weight_micro"))
+            / (F.col("__SW") * F.col("n_docs")),
+        ),
+    )
+    bucket = F.conv(
+        F.substring(F.md5(F.concat(F.lit(salt), F.col(key).cast("string"))), 1, 4),
+        16,
+        10,
+    ).cast("long")
+    bound = F.floor(F.col("keep_frac") * F.lit(65536.0)).cast("long")
+    kept = (
+        df.select(F.col(group_col), bucket.alias("__bucket"))
+        .join(F.broadcast(plan), group_col)
+        .filter((F.col("keep_frac") >= 1.0) | (F.col("__bucket") < bound))
+        .groupBy(group_col)
+        .agg(F.count(F.lit(1)).alias("n_kept"))
+    )
+    return (
+        plan.join(kept, group_col, "left")
+        .select(
+            group_col,
+            "n_docs",
+            "weight_micro",
+            "keep_frac",
+            F.coalesce(F.col("n_kept"), F.lit(0)).cast("long").alias("n_kept"),
+        )
+    )

@@ -1032,9 +1032,59 @@ FROM checks ORDER BY "constraint"
 """
 
 
+def corpus_mix_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-based language mixing (functions.splits.temperature_mix,
+    alpha=0.3, budget=N/2): the mT5 sampling rule with its realized
+    per-language kept counts under the deterministic content-hash
+    predicate. The per-group (n/N)^alpha is micro-quantized once, so plan
+    and outcome replay exactly cross-engine."""
+    from sdc_mapreduce_spark.functions.splits import temperature_mix
+
+    docs = load_table(spark, sf_dir, "documents")
+    return temperature_mix(
+        docs, group_col="lang", alpha=0.3, budget_frac=0.5
+    ).orderBy("lang")
+
+
+CORPUS_MIX_TEMPERATURE_SQL = """
+WITH c AS (
+  SELECT lang, COUNT(*) AS n_docs FROM documents GROUP BY lang
+), t AS (
+  SELECT SUM(n_docs) AS N FROM c
+), w AS (
+  SELECT lang, n_docs,
+         CAST(ROUND(1e6 * POW(CAST(n_docs AS DOUBLE) / (SELECT N FROM t), 0.3))
+              AS BIGINT) AS weight_micro
+  FROM c
+), sw AS (
+  SELECT SUM(weight_micro) AS SW FROM w
+), plan AS (
+  SELECT lang, n_docs, weight_micro,
+         LEAST(1.0, ((0.5 * (SELECT N FROM t)) * weight_micro)
+                      / ((SELECT SW FROM sw) * n_docs)) AS keep_frac
+  FROM w
+), kept AS (
+  SELECT d.lang, COUNT(*) AS n_kept
+  FROM documents d JOIN plan p USING (lang)
+  WHERE p.keep_frac >= 1.0
+     OR CAST(('0x' || SUBSTRING(md5('tmix-v1' || CAST(d.doc_id AS VARCHAR)),
+                                1, 4)) AS BIGINT)
+        < CAST(FLOOR(p.keep_frac * 65536.0) AS BIGINT)
+  GROUP BY d.lang
+)
+SELECT p.lang, p.n_docs, p.weight_micro, p.keep_frac,
+       COALESCE(k.n_kept, 0) AS n_kept
+FROM plan p LEFT JOIN kept k USING (lang)
+ORDER BY p.lang
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     "table_histogram_equidepth": QuerySpec(
         table_histogram_equidepth, TABLE_HISTOGRAM_SQL
+    ),
+    "corpus_mix_temperature": QuerySpec(
+        corpus_mix_temperature, CORPUS_MIX_TEMPERATURE_SQL
     ),
     "table_integrity_audit": QuerySpec(table_integrity_audit, TABLE_INTEGRITY_SQL),
     "window_distribution_fns": QuerySpec(

@@ -252,3 +252,26 @@ def test_pack_sequences_conservation_and_fullness(spark):
             pos = start + n
         if sid != last:
             assert pos == 32, (sid, pos)
+
+
+def test_temperature_mix_boosts_rare_groups(spark):
+    """alpha<1 gives rare groups a larger keep fraction than dominant ones;
+    realized kept counts track keep_frac * n within hash-sampling noise."""
+    from sdc_mapreduce_spark.functions.splits import temperature_mix
+
+    rows = (
+        [(i, "big") for i in range(2000)]
+        + [(10_000 + i, "mid") for i in range(400)]
+        + [(20_000 + i, "rare") for i in range(40)]
+    )
+    df = spark.createDataFrame(rows, ["doc_id", "lang"])
+    got = {r["lang"]: r for r in temperature_mix(df, budget_frac=0.5).collect()}
+    assert got["rare"]["keep_frac"] > got["mid"]["keep_frac"] > got["big"]["keep_frac"]
+    assert got["rare"]["keep_frac"] == 1.0  # tiny group fully kept
+    assert got["rare"]["n_kept"] == 40
+    for lang in ("big", "mid"):
+        expect = got[lang]["keep_frac"] * got[lang]["n_docs"]
+        assert abs(got[lang]["n_kept"] - expect) < 0.15 * got[lang]["n_docs"]
+    # total kept lands near the budget (half the corpus)
+    total_kept = sum(r["n_kept"] for r in got.values())
+    assert abs(total_kept - 1220) < 200  # 0.5 * 2440 docs
