@@ -198,7 +198,81 @@ FROM lineitem GROUP BY l_returnflag ORDER BY key
 """
 
 
+def csv_malformed_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PERMISSIVE-mode malformed-record contract, driver-certified: events
+    are materialized as CSV with a deterministic corruption rule (every
+    event_id % 97 == 0 row gets a non-numeric value field), read back with
+    an explicit schema + columnNameOfCorruptRecord, and audited per
+    event_type: rows, rows whose value parsed, rows quarantined in the
+    corrupt column. This is the ingest-robustness contract a production
+    loader relies on — bad rows must surface as data, not as task failures
+    — and the oracle recomputes the expected quarantine counts from the
+    clean table, so a parser that silently drops or mis-attributes rows
+    hash-mismatches. Per-row cost is the CSV parse itself; the audit is one
+    partial-agg shuffle on event_type."""
+    import shutil
+    import tempfile
+
+    scratch = tempfile.mkdtemp(prefix="sdcms_csv_audit_")
+    try:
+        ev = load_table(spark, sf_dir, "events")
+        value_field = F.when(
+            F.col("event_id") % 97 == 0, F.lit("xx")
+        ).otherwise(F.col("value").cast("string"))
+        lines = ev.select(
+            F.concat_ws(
+                ",",
+                F.col("event_id").cast("string"),
+                F.date_format("ts", "yyyy-MM-dd HH:mm:ss.SSSSSS"),
+                F.col("user_id").cast("string"),
+                F.col("event_type"),
+                value_field,
+            ).alias("value")
+        )
+        lines.repartition(4).write.mode("overwrite").text(scratch)
+        parsed = (
+            spark.read.schema(
+                "event_id long, ts timestamp_ntz, user_id long, "
+                "event_type string, value double, _bad string"
+            )
+            .option("mode", "PERMISSIVE")
+            .option("columnNameOfCorruptRecord", "_bad")
+            .option("timestampNTZFormat", "yyyy-MM-dd HH:mm:ss.SSSSSS")
+            .csv(scratch)
+        )
+        audit = (
+            parsed.groupBy("event_type")
+            .agg(
+                F.count(F.lit(1)).alias("n_rows"),
+                F.sum(F.when(F.col("value").isNotNull(), 1).otherwise(0))
+                .cast("long")
+                .alias("n_value_parsed"),
+                F.sum(F.when(F.col("_bad").isNotNull(), 1).otherwise(0))
+                .cast("long")
+                .alias("n_quarantined"),
+            )
+            .orderBy("event_type")
+        )
+        rows = audit.collect()
+        return spark.createDataFrame(rows, schema=audit.schema)
+    finally:
+        shutil.rmtree(scratch, ignore_errors=True)
+
+
+CSV_MALFORMED_SQL = """
+SELECT event_type, COUNT(*) AS n_rows,
+       CAST(SUM(CASE WHEN event_id % 97 <> 0 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_value_parsed,
+       CAST(SUM(CASE WHEN event_id % 97 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_quarantined
+FROM events
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
+    "csv_malformed_audit": QuerySpec(csv_malformed_audit, CSV_MALFORMED_SQL),
     "wordcount": QuerySpec(wordcount, WORDCOUNT_SQL, bench=True),
     "wordcount_pipe": QuerySpec(wordcount_pipe, WORDCOUNT_SQL),
     "kv_parse_sum": QuerySpec(kv_parse_sum, KV_PARSE_SUM_SQL),
