@@ -360,6 +360,79 @@ ORDER BY doc_id
 """
 
 
+def graph_pagerank_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-iteration integer PageRank (functions.graph.pagerank_integer)
+    over the exact near-dup graph (3-gram Jaccard ≥ 0.8): centrality inside
+    duplication neighborhoods — the "most-connected duplicate" signal a
+    curation pass can rank representatives by. Three iterations, every rank
+    an exact nano-unit long, so the whole fixed-point replays in the
+    oracle's unrolled SQL."""
+    from sdc_mapreduce_spark.functions.graph import pagerank_integer
+
+    docs = load_table(spark, sf_dir, "documents")
+    edges = D.jaccard_pairs(docs).select("id_a", "id_b")
+    return pagerank_integer(edges, iterations=3).orderBy("node")
+
+
+_PR_EDGES = """
+WITH t AS (
+  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks FROM documents
+), sh AS (
+  SELECT doc_id,
+         list_distinct(CASE WHEN len(toks) >= 3
+           THEN [toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+                 FOR i IN range(1, len(toks) - 1)]
+           ELSE [array_to_string(toks, ' ')] END) AS shingles
+  FROM t
+), sz AS (
+  SELECT doc_id, len(shingles) AS sz FROM sh
+), inv AS (
+  SELECT doc_id, UNNEST(shingles) AS s FROM sh
+), common AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS c
+  FROM inv a JOIN inv b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+), edges AS (
+  SELECT id_a, id_b FROM common
+  JOIN sz za ON za.doc_id = id_a
+  JOIN sz zb ON zb.doc_id = id_b
+  WHERE c / (za.sz + zb.sz - c) >= 0.8
+), und AS (
+  SELECT id_a AS src, id_b AS dst FROM edges
+  UNION ALL
+  SELECT id_b AS src, id_a AS dst FROM edges
+), deg AS (
+  SELECT src, CAST(COUNT(*) AS BIGINT) AS degree FROM und GROUP BY src
+), n AS (
+  SELECT COUNT(*) AS nn FROM deg
+)"""
+
+_PR_ITER = """, i{k} AS (
+  SELECT u.dst AS src, SUM(r.rank_nano // d.degree) AS inn
+  FROM und u JOIN deg d ON u.src = d.src JOIN r{p} r ON u.src = r.src
+  GROUP BY u.dst
+), r{k} AS (
+  SELECT deg.src,
+         CAST((15000000000 // (100 * (SELECT nn FROM n)))
+              + (85 * COALESCE(i{k}.inn, 0)) // 100 AS BIGINT) AS rank_nano
+  FROM deg LEFT JOIN i{k} ON deg.src = i{k}.src
+)"""
+
+GRAPH_PAGERANK_SQL = (
+    _PR_EDGES
+    + """, r0 AS (
+  SELECT src, CAST(1000000000 // (SELECT nn FROM n) AS BIGINT) AS rank_nano
+  FROM deg
+)"""
+    + "".join(_PR_ITER.format(k=k, p=k - 1) for k in (1, 2, 3))
+    + """
+SELECT deg.src AS node, deg.degree, r3.rank_nano
+FROM deg JOIN r3 ON deg.src = r3.src
+ORDER BY node
+"""
+)
+
+
 def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding near-dup pairs at cosine ≥ 0.4 (threshold chosen to be
     non-trivial on the fixture corpus, whose max off-diagonal cosine ≈ 0.5).
@@ -399,6 +472,7 @@ QUERIES: dict[str, QuerySpec] = {
     "dedup_exact_substring": QuerySpec(
         dedup_exact_substring, DEDUP_EXACT_SUBSTRING_SQL
     ),
+    "graph_pagerank_neardup": QuerySpec(graph_pagerank_neardup, GRAPH_PAGERANK_SQL),
     "dedup_minhash_lsh": QuerySpec(dedup_minhash_lsh, _JACCARD_SQL, bench=True),
     "dedup_simhash": QuerySpec(dedup_simhash, DEDUP_SIMHASH_SQL),
     "dedup_clusters": QuerySpec(dedup_clusters, DEDUP_CLUSTERS_SQL),

@@ -432,3 +432,32 @@ def test_exact_substring_dedup_within_doc_repetition(spark):
     assert row["n_chunks"] == 3
     assert row["n_dropped"] == 2
     assert row["n_tokens_kept"] == 4
+
+
+def test_pagerank_integer_matches_python_replica(spark):
+    """The all-integer PageRank on a star+path graph equals an exact Python
+    replay; the hub outranks leaves and symmetric leaves tie exactly."""
+    from sdc_mapreduce_spark.functions.graph import pagerank_integer
+
+    # star: 0-1, 0-2, 0-3; path tail: 3-4
+    edges = [(0, 1), (0, 2), (0, 3), (3, 4)]
+    df = spark.createDataFrame(edges, ["id_a", "id_b"])
+    got = {r["node"]: r for r in pagerank_integer(df, iterations=3).collect()}
+
+    und = edges + [(b, a) for a, b in edges]
+    deg = {}
+    for a, _ in und:
+        deg[a] = deg.get(a, 0) + 1
+    n = len(deg)
+    base = (15 * 10**9) // (100 * n)
+    rank = {v: 10**9 // n for v in deg}
+    for _ in range(3):
+        inc = {v: 0 for v in deg}
+        for a, b in und:
+            inc[b] += rank[a] // deg[a]
+        rank = {v: base + (85 * inc[v]) // 100 for v in deg}
+    for v in deg:
+        assert got[v]["rank_nano"] == rank[v], v
+        assert got[v]["degree"] == deg[v]
+    assert got[0]["rank_nano"] > max(got[1]["rank_nano"], got[4]["rank_nano"])
+    assert got[1]["rank_nano"] == got[2]["rank_nano"]  # symmetric leaves
