@@ -768,3 +768,76 @@ def bigram_lm_scores(
             ).alias("avg_nll"),
         )
     )
+
+
+def encode_with_vocab(
+    df: DataFrame,
+    vocab: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    oov_id: int = 0,
+) -> DataFrame:
+    """Tokenizer ENCODE step — the apply-side of :func:`vocab_ids`: map every
+    token of every document to its dense vocabulary id (``oov_id`` for
+    out-of-vocabulary), preserving order. Emits per document:
+    (doc_id, n_tokens, n_oov, ids_fp) where ids_fp is the md5 of the
+    space-joined id sequence — the byte-exact witness of the encoded stream
+    without shuffling it.
+
+    Scale shape: the vocabulary is collected once (vocab-bounded — the
+    min_count cutoff keeps it ~10M entries even at 100 TB) and shipped as a
+    broadcast variable into an Arrow-batched ``mapInPandas`` kernel, so
+    encoding is a pure scan-speed map stage with ZERO shuffle — the
+    standard broadcast-dictionary plan of production tokenizers. The
+    declarative twin (explode → broadcast join → re-assemble by position)
+    shuffles every (doc, pos, id) row for the re-assembly; that twin is the
+    oracle's formulation, and the two must agree exactly.
+
+    Tokenization parity: Java ``\\s`` (the engine's split) is the ASCII
+    class [ \\t\\n\\x0B\\f\\r]; the Python kernel splits on exactly that
+    class (Python's ``\\s`` is Unicode-aware and would diverge on exotic
+    whitespace)."""
+    import hashlib
+    import re
+
+    from pyspark.sql import functions as _F  # noqa: F401  (doc parity)
+
+    mapping = {
+        r["token"]: r["vocab_id"]
+        for r in vocab.select("token", "vocab_id").collect()
+    }
+    b = df.sparkSession.sparkContext.broadcast(mapping)
+    # Parity with tokens(): F.trim strips SPACES only (0x20), and F.split
+    # uses limit=-1 (keeps leading/trailing empty strings) — re.split with
+    # the ASCII \s class reproduces both.
+    splitter = re.compile(r"[ \t\n\x0b\x0c\r]+")
+
+    def encode(batches):
+        import pandas as pd
+
+        m = b.value
+        for pdf in batches:
+            ids_fp, n_tokens, n_oov = [], [], []
+            for text in pdf["__text"].astype(str):
+                toks = splitter.split(text.strip(" "))
+                ids = [m.get(t, oov_id) for t in toks]
+                n_tokens.append(len(ids))
+                n_oov.append(sum(1 for i in ids if i == oov_id))
+                ids_fp.append(
+                    hashlib.md5(" ".join(map(str, ids)).encode()).hexdigest()
+                )
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["__id"].astype("int64"),
+                    "n_tokens": pd.Series(n_tokens, dtype="int32"),
+                    "n_oov": pd.Series(n_oov, dtype="int32"),
+                    "ids_fp": ids_fp,
+                }
+            )
+
+    src = df.select(
+        F.col(id_col).alias("__id"), F.col(text_col).alias("__text")
+    )
+    return src.mapInPandas(
+        encode, "doc_id long, n_tokens int, n_oov int, ids_fp string"
+    )

@@ -1106,9 +1106,46 @@ ORDER BY t.doc_id
 """
 
 
+def text_vocab_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer encode (functions.text.encode_with_vocab): every document's
+    token stream mapped to dense vocab ids (OOV=0) through a broadcast
+    dictionary in an Arrow mapInPandas kernel — zero shuffle. The oracle is
+    the declarative twin (explode → join → positional re-assemble); ids_fp
+    pins the full encoded sequence byte-for-byte."""
+    docs = load_table(spark, sf_dir, "documents")
+    vocab = T.vocab_ids(docs, min_count=5)
+    return T.encode_with_vocab(docs, vocab).orderBy("doc_id")
+
+
+TEXT_VOCAB_ENCODE_SQL = """
+WITH toks_all AS (
+  SELECT unnest(string_split_regex(trim(text), '\\s+')) AS token FROM documents
+), c AS (
+  SELECT token, COUNT(*) AS freq FROM toks_all GROUP BY token
+  HAVING COUNT(*) >= 5
+), v AS (
+  SELECT token, ROW_NUMBER() OVER (ORDER BY freq DESC, token ASC) AS vocab_id
+  FROM c
+), t AS (
+  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks FROM documents
+), e AS (
+  SELECT doc_id, unnest(toks) AS tok, unnest(range(len(toks))) AS pos FROM t
+), j AS (
+  SELECT e.doc_id, e.pos, COALESCE(v.vocab_id, 0) AS id
+  FROM e LEFT JOIN v ON e.tok = v.token
+)
+SELECT doc_id, CAST(COUNT(*) AS INT) AS n_tokens,
+       CAST(SUM(CASE WHEN id = 0 THEN 1 ELSE 0 END) AS INT) AS n_oov,
+       md5(string_agg(CAST(id AS VARCHAR), ' ' ORDER BY pos)) AS ids_fp
+FROM j GROUP BY doc_id
+ORDER BY doc_id
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     "text_token_stats": QuerySpec(text_token_stats, TEXT_TOKEN_STATS_SQL),
     "text_bigram_lm_score": QuerySpec(text_bigram_lm_score, TEXT_BIGRAM_LM_SQL),
+    "text_vocab_encode": QuerySpec(text_vocab_encode, TEXT_VOCAB_ENCODE_SQL),
     "text_quality": QuerySpec(text_quality, TEXT_QUALITY_SQL, bench=True),
     "text_language_id": QuerySpec(text_language_id, TEXT_LANG_SQL),
     "text_fingerprint": QuerySpec(text_fingerprint, TEXT_FINGERPRINT_SQL),

@@ -343,3 +343,65 @@ def test_bigram_lm_scores_exact_model(spark):
     # fluent repeated phrasing scores lower than the all-rare doc
     assert rows[1]["avg_nll"] < rows[3]["avg_nll"]
     assert rows[4]["n_bigrams"] == 0 and rows[4]["avg_nll"] is None
+
+
+def test_encode_with_vocab_parity_and_oov(spark):
+    """mapInPandas encode equals the declarative explode+join+reassemble twin
+    on adversarial whitespace (tabs, newlines, edge spaces, empty text), and
+    OOV accounting is exact."""
+    import pyspark.sql.functions as F2
+
+    from sdc_mapreduce_spark.functions.text import encode_with_vocab, tokens
+
+    docs = [
+        (1, "aa bb aa cc"),
+        (2, "aa\tbb\ncc dd"),
+        (3, "  aa  bb  "),
+        (4, ""),
+        (5, "zz yy xx"),  # all OOV
+    ]
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    # vocab: tokens appearing >= 2 times across the corpus
+    from sdc_mapreduce_spark.functions.text import vocab_ids
+
+    vocab = vocab_ids(df, min_count=2)
+    got = {r["doc_id"]: r for r in encode_with_vocab(df, vocab).collect()}
+
+    # declarative twin inside Spark
+    v = vocab.select("token", "vocab_id")
+    e = df.select(
+        "doc_id", F2.posexplode(tokens("text")).alias("pos", "tok")
+    )
+    j = e.join(v, e["tok"] == v["token"], "left").select(
+        "doc_id", "pos", F2.coalesce("vocab_id", F2.lit(0)).alias("id")
+    )
+    twin = (
+        j.groupBy("doc_id")
+        .agg(
+            F2.count(F2.lit(1)).cast("int").alias("n_tokens"),
+            F2.sum(F2.when(F2.col("id") == 0, 1).otherwise(0))
+            .cast("int")
+            .alias("n_oov"),
+            F2.md5(
+                F2.concat_ws(
+                    " ",
+                    F2.transform(
+                        F2.sort_array(
+                            F2.collect_list(F2.struct("pos", "id"))
+                        ),
+                        lambda s: s["id"].cast("string"),
+                    ),
+                )
+            ).alias("ids_fp"),
+        )
+        .collect()
+    )
+    for r in twin:
+        g = got[r["doc_id"]]
+        assert (g["n_tokens"], g["n_oov"], g["ids_fp"]) == (
+            r["n_tokens"],
+            r["n_oov"],
+            r["ids_fp"],
+        ), r["doc_id"]
+    assert got[5]["n_oov"] == 3
+    assert got[4]["n_tokens"] == 1  # the empty-string token convention
