@@ -59,7 +59,11 @@ for mod in (
 #     (whose FULL result oracle is new in r5; its prior driver rows were
 #     rows-only), the four operators added in the second round-5
 #     continuation (dedup_exact_substring, text_bigram_lm_score,
-#     embedding_nearest_centroid, events_anomaly_robust — each locally
+#     embedding_nearest_centroid, events_anomaly_robust,
+#     events_streaming_dedup_certified, table_histogram_equidepth,
+#     table_integrity_audit, events_cogroup_asof_pandas,
+#     events_interval_overlap, corpus_mix_temperature, csv_malformed_audit,
+#     graph_pagerank_neardup, text_vocab_encode — each locally
 #     hash-verified at sf0.001/0.01/0.1), plus the four re-certs displaced
 #     below (window_rank_topn_salted, multimodal_embed_search,
 #     dedup_jaccard_pairs, events_sessionize); (2) the r4-only-refresh set
