@@ -113,6 +113,35 @@ def events_sessionize_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sessionize_chunked(load_table(spark, sf_dir, "events"))
 
 
+def events_sessionize_native(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark's NATIVE ``session_window`` operator (the merging-window
+    primitive Structured Streaming uses for session state), batch form,
+    certified against the manual lag→flag→running-count sessionization: it
+    must produce the identical session partition of every user's stream —
+    same oracle, same columns. session_window merges events closer than the
+    gap into one window; per-user session ids are recovered by ranking
+    window starts (one extra window pass on the same user key). A
+    divergence between the native operator's merge semantics and the
+    composition turns this row red."""
+    ev = load_table(spark, sf_dir, "events")
+    sessions = (
+        ev.groupBy("user_id", F.session_window("ts", "30 minutes").alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("session_end"),
+        )
+    )
+    w = Window.partitionBy("user_id").orderBy(F.col("w.start").asc())
+    return sessions.select(
+        "user_id",
+        F.row_number().over(w).cast("long").alias("session_id"),
+        "n_events",
+        "session_start",
+        "session_end",
+    )
+
+
 def events_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Daily-cohort retention matrix: users grouped by first-seen day,
     fraction active at day offsets 0..7. The canonical product-analytics
@@ -944,6 +973,9 @@ QUERIES: dict[str, QuerySpec] = {
     "events_sessionize": QuerySpec(events_sessionize, EVENTS_SESSIONIZE_SQL, bench=True),
     "events_sessionize_salted": QuerySpec(
         events_sessionize_salted, EVENTS_SESSIONIZE_SQL, bench=True
+    ),
+    "events_sessionize_native": QuerySpec(
+        events_sessionize_native, EVENTS_SESSIONIZE_SQL
     ),
     "events_json_extract": QuerySpec(events_json_extract, EVENTS_JSON_SQL),
     "events_map_fns": QuerySpec(events_map_fns, EVENTS_MAP_SQL),
