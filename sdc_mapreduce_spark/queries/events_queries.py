@@ -743,6 +743,114 @@ def events_streaming_dedup_certified(spark: SparkSession, sf_dir: str) -> DataFr
         shutil.rmtree(ckpt, ignore_errors=True)
 
 
+def events_streaming_stateful_certified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Third driver-certified streaming query: ARBITRARY STATE via
+    ``applyInPandasWithState``, run by the real micro-batch engine. Per-user
+    lifetime totals accumulate in exact integer micro-units (each value is
+    floor-quantized once, then summed as longs — order-free, so the result
+    is identical however the engine batches the files), and the final state
+    emission per user is recovered as the row with the largest n_events
+    (n strictly increases across a user's emissions, so this is
+    batching-invariant). The oracle is the plain per-user aggregate; a
+    state-store round-trip bug (lost/duplicated state between batches)
+    changes the totals and turns the row red."""
+    import shutil
+    import tempfile
+    import uuid
+
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    src = tempfile.mkdtemp(prefix="sdcms_stream_state_src_")
+    ckpt = tempfile.mkdtemp(prefix="sdcms_stream_state_ckpt_")
+    name = f"stream_state_{uuid.uuid4().hex[:8]}"
+    try:
+        ev = load_table(spark, sf_dir, "events")
+        ev.select(
+            "event_id",
+            F.date_format("ts", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("ts"),
+            "user_id",
+            F.floor(F.col("value") * 1e6).cast("long").alias("value_micro"),
+        ).repartition(4).write.mode("overwrite").json(src)
+        stream = (
+            spark.readStream.schema(
+                "event_id long, ts timestamp_ntz, user_id long, value_micro long"
+            )
+            .format("json")
+            .option("timestampNTZFormat", "yyyy-MM-dd HH:mm:ss.SSSSSS")
+            .load(src)
+        )
+
+        def update(key, pdfs, state):
+            n, total = state.get if state.exists else (0, 0)
+            for pdf in pdfs:
+                n += len(pdf)
+                total += int(pdf["value_micro"].sum())
+            state.update((n, total))
+            yield pd.DataFrame(
+                {
+                    "user_id": [key[0]],
+                    "n_events": [n],
+                    "value_micro_sum": [total],
+                }
+            )
+
+        # no watermark: NoTimeout state needs none, and withWatermark
+        # rejects TIMESTAMP_NTZ event time (the NTZ discipline the oracle
+        # comparison requires)
+        totals = (
+            stream.groupBy("user_id")
+            .applyInPandasWithState(
+                update,
+                outputStructType=(
+                    "user_id long, n_events long, value_micro_sum long"
+                ),
+                stateStructType="n long, total long",
+                outputMode="update",
+                timeoutConf=GroupStateTimeout.NoTimeout,
+            )
+        )
+        q = (
+            totals.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("update")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+        final = (
+            spark.table(name)
+            .groupBy("user_id")
+            .agg(
+                F.max(
+                    F.struct("n_events", "value_micro_sum")
+                ).alias("__f")
+            )
+            .select(
+                "user_id",
+                F.col("__f.n_events").alias("n_events"),
+                F.col("__f.value_micro_sum").alias("value_micro_sum"),
+            )
+            .orderBy("user_id")
+        )
+        rows = final.collect()
+        return spark.createDataFrame(rows, schema=final.schema)
+    finally:
+        shutil.rmtree(src, ignore_errors=True)
+        shutil.rmtree(ckpt, ignore_errors=True)
+
+
+EVENTS_STREAMING_STATEFUL_SQL = """
+SELECT user_id, COUNT(*) AS n_events,
+       CAST(SUM(CAST(FLOOR(value * 1e6) AS BIGINT)) AS BIGINT)
+         AS value_micro_sum
+FROM events
+GROUP BY user_id
+ORDER BY user_id
+"""
+
+
 EVENTS_STREAMING_DEDUP_SQL = """
 SELECT DISTINCT user_id, event_type,
        time_bucket(INTERVAL '10 minutes', CAST(ts AS TIMESTAMP)) AS bucket_start
@@ -964,6 +1072,9 @@ QUERIES: dict[str, QuerySpec] = {
     ),
     "events_streaming_dedup_certified": QuerySpec(
         events_streaming_dedup_certified, EVENTS_STREAMING_DEDUP_SQL
+    ),
+    "events_streaming_stateful_certified": QuerySpec(
+        events_streaming_stateful_certified, EVENTS_STREAMING_STATEFUL_SQL
     ),
     "events_anomaly_robust": QuerySpec(
         events_anomaly_robust, EVENTS_ANOMALY_ROBUST_SQL
