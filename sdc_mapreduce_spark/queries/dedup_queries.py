@@ -470,7 +470,7 @@ QUERIES: dict[str, QuerySpec] = {
     ),
     "dedup_jaccard_pairs": QuerySpec(dedup_jaccard_pairs, _JACCARD_SQL),
     "dedup_exact_substring": QuerySpec(
-        dedup_exact_substring, DEDUP_EXACT_SUBSTRING_SQL
+        dedup_exact_substring, DEDUP_EXACT_SUBSTRING_SQL, bench=True
     ),
     "graph_pagerank_neardup": QuerySpec(graph_pagerank_neardup, GRAPH_PAGERANK_SQL),
     "dedup_minhash_lsh": QuerySpec(dedup_minhash_lsh, _JACCARD_SQL, bench=True),

@@ -271,8 +271,55 @@ ORDER BY event_type
 """
 
 
+def orc_partitioned_certified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORC + hive-partitioned layout, driver-certified: lineitem written to
+    ORC partitioned by l_returnflag, read back with a partition filter
+    (which prunes directories at planning time — asserted in
+    tests/test_sources.py) plus a pushed row-group predicate, then
+    aggregated. The oracle computes the same slice from parquet, so a
+    round-trip fidelity bug in either the ORC writer, the partition
+    discovery, or the pushdown turns this row red."""
+    import shutil
+    import tempfile
+
+    out = tempfile.mkdtemp(prefix="sdcms_orc_cert_")
+    try:
+        li = load_table(spark, sf_dir, "lineitem")
+        li.write.mode("overwrite").partitionBy("l_returnflag").orc(out)
+        back = (
+            spark.read.orc(out)
+            .filter((F.col("l_returnflag") == "R") & (F.col("l_quantity") >= 25))
+            .groupBy("l_linestatus")
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum(F.col("l_linenumber")).cast("long").alias("sum_lines"),
+                F.min("l_quantity").alias("min_qty"),
+                F.max("l_quantity").alias("max_qty"),
+            )
+            .orderBy("l_linestatus")
+        )
+        rows = back.collect()
+        return spark.createDataFrame(rows, schema=back.schema)
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+
+
+ORC_PARTITIONED_SQL = """
+SELECT l_linestatus, COUNT(*) AS n,
+       CAST(SUM(l_linenumber) AS BIGINT) AS sum_lines,
+       MIN(l_quantity) AS min_qty, MAX(l_quantity) AS max_qty
+FROM lineitem
+WHERE l_returnflag = 'R' AND l_quantity >= 25
+GROUP BY l_linestatus
+ORDER BY l_linestatus
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     "csv_malformed_audit": QuerySpec(csv_malformed_audit, CSV_MALFORMED_SQL),
+    "orc_partitioned_certified": QuerySpec(
+        orc_partitioned_certified, ORC_PARTITIONED_SQL
+    ),
     "wordcount": QuerySpec(wordcount, WORDCOUNT_SQL, bench=True),
     "wordcount_pipe": QuerySpec(wordcount_pipe, WORDCOUNT_SQL),
     "kv_parse_sum": QuerySpec(kv_parse_sum, KV_PARSE_SUM_SQL),

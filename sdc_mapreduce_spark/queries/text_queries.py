@@ -1145,7 +1145,9 @@ ORDER BY doc_id
 QUERIES: dict[str, QuerySpec] = {
     "text_token_stats": QuerySpec(text_token_stats, TEXT_TOKEN_STATS_SQL),
     "text_bigram_lm_score": QuerySpec(text_bigram_lm_score, TEXT_BIGRAM_LM_SQL),
-    "text_vocab_encode": QuerySpec(text_vocab_encode, TEXT_VOCAB_ENCODE_SQL),
+    "text_vocab_encode": QuerySpec(
+        text_vocab_encode, TEXT_VOCAB_ENCODE_SQL, bench=True
+    ),
     "text_quality": QuerySpec(text_quality, TEXT_QUALITY_SQL, bench=True),
     "text_language_id": QuerySpec(text_language_id, TEXT_LANG_SQL),
     "text_fingerprint": QuerySpec(text_fingerprint, TEXT_FINGERPRINT_SQL),
