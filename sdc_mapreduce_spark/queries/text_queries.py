@@ -688,6 +688,73 @@ ORDER BY k.doc_id
 """.format(stops=_stop_list_sql(), scores=_SCORES, case=_CASE)
 
 
+def pipeline_pretrain_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The curation pass COMPOSED with the sampling plan — the full
+    pretraining-data decision chain in one DAG: quality + language +
+    repetition scoring, threshold gates, exact dedup, contamination screen
+    (pipeline.curate_full), then mT5-style temperature mixing over the
+    SURVIVORS' predicted languages (functions.splits.temperature_mix,
+    alpha=0.3, budget=half the curated corpus). Output is the per-language
+    plan and its exact realized kept counts — the end-to-end composition is
+    what the oracle replays, not the stages in isolation. The mixing adds
+    one group-cardinality aggregate and a broadcast join on top of
+    curate_full's two exchanges; nothing new touches the corpus text."""
+    from pyspark.sql import functions as F
+
+    from sdc_mapreduce_spark.functions.splits import temperature_mix
+    from sdc_mapreduce_spark.pipeline import curate_full
+
+    docs = load_table(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") % 97 == 0)
+    # mix over the declared language metadata: the heuristic lang_pred
+    # collapses to 'en' on this fixture's curated survivors, so the
+    # declared column is the meaningful mixing stratum
+    survivors = curate_full(docs, bench).select("doc_id")
+    strata = docs.join(survivors, "doc_id", "leftsemi").select("doc_id", "lang")
+    return temperature_mix(
+        strata, group_col="lang", alpha=0.3, budget_frac=0.5
+    ).orderBy("lang")
+
+
+def _pretrain_mix_sql() -> str:
+    return f"""
+WITH surv AS (
+  SELECT doc_id FROM ({PIPELINE_CURATION_FULL_SQL})
+), final AS (
+  SELECT d.doc_id, d.lang FROM documents d
+  WHERE d.doc_id IN (SELECT doc_id FROM surv)
+), c AS (
+  SELECT lang, COUNT(*) AS n_docs FROM final GROUP BY lang
+), t2 AS (
+  SELECT SUM(n_docs) AS N FROM c
+), w AS (
+  SELECT lang, n_docs,
+         CAST(ROUND(1e6 * POW(CAST(n_docs AS DOUBLE) / (SELECT N FROM t2), 0.3))
+              AS BIGINT) AS weight_micro
+  FROM c
+), sw AS (
+  SELECT SUM(weight_micro) AS SW FROM w
+), plan AS (
+  SELECT lang, n_docs, weight_micro,
+         LEAST(1.0, ((0.5 * (SELECT N FROM t2)) * weight_micro)
+                      / ((SELECT SW FROM sw) * n_docs)) AS keep_frac
+  FROM w
+), kept2 AS (
+  SELECT f.lang, COUNT(*) AS n_kept
+  FROM final f JOIN plan p USING (lang)
+  WHERE p.keep_frac >= 1.0
+     OR CAST(('0x' || SUBSTRING(md5('tmix-v1' || CAST(f.doc_id AS VARCHAR)),
+                                1, 4)) AS BIGINT)
+        < CAST(FLOOR(p.keep_frac * 65536.0) AS BIGINT)
+  GROUP BY f.lang
+)
+SELECT p.lang, p.n_docs, p.weight_micro, p.keep_frac,
+       COALESCE(k.n_kept, 0) AS n_kept
+FROM plan p LEFT JOIN kept2 k USING (lang)
+ORDER BY p.lang
+"""
+
+
 def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher-style repetition quality signals (distinct-token ratio, top
     token share, duplicate-2-gram fraction) — the repetition filters a
@@ -1181,6 +1248,7 @@ QUERIES: dict[str, QuerySpec] = {
     "pipeline_curation_full": QuerySpec(
         pipeline_curation_full, PIPELINE_CURATION_FULL_SQL
     ),
+    "pipeline_pretrain_mix": QuerySpec(pipeline_pretrain_mix, _pretrain_mix_sql()),
     "multimodal_meta": QuerySpec(multimodal_meta, MULTIMODAL_META_SQL),
     "multimodal_decode_profile": QuerySpec(
         multimodal_decode_profile, MULTIMODAL_DECODE_PROFILE_SQL
