@@ -291,3 +291,34 @@ def test_robust_anomalies_broadcasts_group_stats(spark, sf_dir):
     plan = _plan(robust_anomalies(ev, ["event_type"], "value", "event_id"))
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_interval_overlap_never_nested_loop(spark, sf_dir):
+    """The interval×interval join plans as a hash join on (key, bucket) —
+    never BroadcastNestedLoopJoin/CartesianProduct (what a raw non-equi
+    overlap condition degenerates to)."""
+    from sdc_mapreduce_spark.operators.relational import interval_overlap_join
+    from sdc_mapreduce_spark.operators.skew import sessionize_plain
+
+    ev = load_table(spark, sf_dir, "events")
+    s = sessionize_plain(ev).select(
+        "user_id", "session_id", "session_start", "session_end"
+    )
+    plan = _plan(
+        interval_overlap_join(
+            s,
+            s.select(
+                "user_id",
+                s["session_id"].alias("sid2"),
+                s["session_start"].alias("s2"),
+                s["session_end"].alias("e2"),
+            ),
+            on="user_id",
+            left_start="session_start",
+            left_end="session_end",
+            right_start="s2",
+            right_end="e2",
+        )
+    )
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
