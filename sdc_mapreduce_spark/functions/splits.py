@@ -372,3 +372,53 @@ def temperature_mix(
             F.coalesce(F.col("n_kept"), F.lit(0)).cast("long").alias("n_kept"),
         )
     )
+
+
+def weighted_sample(
+    df: DataFrame,
+    k: int,
+    weight_col: str,
+    key: str = "doc_id",
+    salt: str = "wsample-v1",
+) -> DataFrame:
+    """Weighted sampling WITHOUT replacement, distributed and deterministic —
+    the Efraimidis–Spirakis exponential-sort scheme: each row gets priority
+    u^(1/w) for a uniform u and weight w, and the global top-k priorities
+    are the sample. u comes from the row's content hash (16 hex chars of
+    md5 → uniform in (0,1)), so the drawn sample is cluster-shape-,
+    run- and engine-independent — the property `df.sample`'s per-partition
+    RNG cannot give. The priority is floor-quantized to NANO-units with a
+    key tie-break, so the one `pow` per row can never flip an ordering
+    cross-engine (nano keeps ~1e7 distinct levels even when large weights
+    push every priority toward 1, while a 1-ULP pow divergence moves
+    pri*1e9 by only ~2e-7 — finer quantization would trade that safety
+    margin away).
+
+    Scale shape: a scan-local projection followed by a global top-k, which
+    Catalyst plans as TakeOrdered (per-partition heaps + a k-row driver
+    merge) — no sort, no shuffle of the corpus. Zero-weight rows get
+    priority 0 (never sampled ahead of any positive weight)."""
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit(salt), F.col(key).cast("string"))), 1, 15
+            ),
+            16,
+            10,
+        ).cast("double")
+        + F.lit(0.5)
+    ) / F.lit(float(16**15))
+    w = F.col(weight_col).cast("double")
+    pri = F.when(w > 0, F.pow(u, F.lit(1.0) / w)).otherwise(F.lit(0.0))
+    pri_nano = F.floor(pri * F.lit(1e9)).cast("long")
+    return (
+        df.select(
+            F.col(key),
+            F.col(weight_col).alias("weight"),
+            pri_nano.alias("priority_nano"),
+        )
+        .orderBy(F.col("priority_nano").desc(), F.col(key).asc())
+        .limit(k)
+    )

@@ -1079,10 +1079,117 @@ ORDER BY p.lang
 """
 
 
+def sample_weighted_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted sampling without replacement (functions.splits.
+    weighted_sample): 25 documents drawn with probability ∝ n_chars via the
+    Efraimidis–Spirakis exponential sort over content-hash uniforms —
+    deterministic, engine-replayable, planned as TakeOrdered."""
+    from sdc_mapreduce_spark.functions.splits import weighted_sample
+
+    docs = load_table(spark, sf_dir, "documents")
+    return weighted_sample(docs, k=25, weight_col="n_chars").orderBy(
+        F.col("priority_nano").desc(), F.col("doc_id").asc()
+    )
+
+
+SAMPLE_WEIGHTED_SQL = """
+WITH pri AS (
+  SELECT doc_id, n_chars AS weight,
+         CASE WHEN n_chars > 0 THEN
+           CAST(FLOOR(POW(
+             (CAST(('0x' || SUBSTRING(md5('wsample-v1' || CAST(doc_id AS VARCHAR)),
+                                      1, 15)) AS BIGINT) + 0.5)
+               / 1152921504606846976.0,
+             1.0 / n_chars) * 1e9) AS BIGINT)
+         ELSE 0 END AS priority_nano
+  FROM documents
+)
+SELECT doc_id, weight, priority_nano
+FROM pri
+ORDER BY priority_nano DESC, doc_id ASC
+LIMIT 25
+"""
+
+
+def agg_bitwise_fns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bitwise aggregate + scalar surface: per-returnflag BIT_AND/BIT_OR/
+    BIT_XOR over line numbers plus a shifted-mask scalar — the
+    bitmap-building primitives (feature flags, bitset semijoins)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    masked = li.select(
+        "l_returnflag",
+        F.col("l_linenumber").cast("long").alias("ln"),
+        F.expr("CAST(shiftleft(1L, CAST(l_linenumber AS INT)) AS LONG)").alias(
+            "mask"
+        ),
+    )
+    return (
+        masked.groupBy("l_returnflag")
+        .agg(
+            F.bit_and("ln").alias("and_ln"),
+            F.bit_or("ln").alias("or_ln"),
+            F.bit_xor("ln").alias("xor_ln"),
+            F.bit_or("mask").alias("linenumber_bitmap"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+AGG_BITWISE_SQL = """
+SELECT l_returnflag,
+       CAST(BIT_AND(l_linenumber) AS BIGINT) AS and_ln,
+       CAST(BIT_OR(l_linenumber) AS BIGINT) AS or_ln,
+       CAST(BIT_XOR(l_linenumber) AS BIGINT) AS xor_ln,
+       CAST(BIT_OR(1::BIGINT << l_linenumber) AS BIGINT) AS linenumber_bitmap,
+       COUNT(*) AS n
+FROM lineitem
+GROUP BY l_returnflag
+ORDER BY l_returnflag
+"""
+
+
+def join_lateral_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LATERAL correlated-subquery join (the SQL-surface form of per-key
+    top-k): for every nation, its two highest-balance customers via a
+    LATERAL dependent subquery — Catalyst decorrelates this into the same
+    ranked-window shape as the DataFrame form, so the SQL surface costs
+    nothing extra at scale."""
+    load_table(spark, sf_dir, "nation").createOrReplaceTempView("nation_lv")
+    load_table(spark, sf_dir, "customer").createOrReplaceTempView("customer_lv")
+    return spark.sql(
+        """
+        SELECT n.n_name, t.c_name, t.c_acctbal
+        FROM nation_lv n,
+        LATERAL (
+          SELECT c_name, c_acctbal FROM customer_lv c
+          WHERE c.c_nationkey = n.n_nationkey
+          ORDER BY c_acctbal DESC, c_name ASC LIMIT 2
+        ) t
+        ORDER BY n.n_name, t.c_acctbal DESC, t.c_name
+        """
+    )
+
+
+JOIN_LATERAL_SQL = """
+SELECT n.n_name, t.c_name, t.c_acctbal
+FROM nation n,
+LATERAL (
+  SELECT c_name, c_acctbal FROM customer c
+  WHERE c.c_nationkey = n.n_nationkey
+  ORDER BY c_acctbal DESC, c_name ASC LIMIT 2
+) t
+ORDER BY n.n_name, t.c_acctbal DESC, t.c_name
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     "table_histogram_equidepth": QuerySpec(
         table_histogram_equidepth, TABLE_HISTOGRAM_SQL
     ),
+    "sample_weighted_topk": QuerySpec(sample_weighted_topk, SAMPLE_WEIGHTED_SQL),
+    "agg_bitwise_fns": QuerySpec(agg_bitwise_fns, AGG_BITWISE_SQL),
+    "join_lateral_topk": QuerySpec(join_lateral_topk, JOIN_LATERAL_SQL),
     "corpus_mix_temperature": QuerySpec(
         corpus_mix_temperature, CORPUS_MIX_TEMPERATURE_SQL
     ),

@@ -275,3 +275,30 @@ def test_temperature_mix_boosts_rare_groups(spark):
     # total kept lands near the budget (half the corpus)
     total_kept = sum(r["n_kept"] for r in got.values())
     assert abs(total_kept - 1220) < 200  # 0.5 * 2440 docs
+
+
+def test_weighted_sample_biases_toward_heavy_weights(spark):
+    """Heavy rows dominate the sample; k >= n degenerates to all rows;
+    zero-weight rows are never drawn ahead of positive ones."""
+    from sdc_mapreduce_spark.functions.splits import weighted_sample
+
+    rows = [(i, 1000) for i in range(50)] + [(100 + i, 1) for i in range(50)]
+    rows.append((999, 0))
+    df = spark.createDataFrame(rows, ["doc_id", "w"])
+    got = weighted_sample(df, k=30, weight_col="w").collect()
+    heavy = sum(1 for r in got if r["doc_id"] < 100)
+    assert heavy >= 25  # weight ratio 1000:1 -> sample is almost all heavy
+    assert all(r["doc_id"] != 999 for r in got)
+    everything = weighted_sample(df, k=200, weight_col="w").collect()
+    assert len(everything) == 101
+
+
+def test_weighted_sample_plans_take_ordered(spark, sf_dir):
+    from sdc_mapreduce_spark.catalog import load_table
+    from sdc_mapreduce_spark.functions.splits import weighted_sample
+    from sdc_mapreduce_spark.plans import executed_plan
+
+    docs = load_table(spark, sf_dir, "documents")
+    plan = executed_plan(weighted_sample(docs, k=25, weight_col="n_chars"))
+    assert "TakeOrderedAndProject" in plan
+    assert "Exchange rangepartitioning" not in plan
