@@ -142,6 +142,49 @@ def events_sessionize_native(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def events_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over each user's event stream:
+    counts and probabilities of event_type → next event_type (lag window
+    per user, then a global pair aggregate). The probability is an exact
+    count ratio, so the doubles hash cross-engine. One shuffle on user_id
+    for the ordering window, one tiny pair aggregate — the sequence-mining
+    shape behind next-action prediction features."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = (
+        ev.withColumn("prev_type", F.lag("event_type").over(w))
+        .filter(F.col("prev_type").isNotNull())
+        .groupBy("prev_type", F.col("event_type").alias("next_type"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    w_tot = Window.partitionBy("prev_type")
+    return (
+        pairs.withColumn(
+            "p", F.col("n") / F.sum("n").over(w_tot)
+        )
+        .orderBy("prev_type", "next_type")
+    )
+
+
+EVENTS_TRANSITION_SQL = """
+WITH o AS (
+  SELECT user_id, event_type,
+         LAG(event_type) OVER (PARTITION BY user_id
+                               ORDER BY CAST(ts AS TIMESTAMP), event_id)
+           AS prev_type
+  FROM events
+), pairs AS (
+  SELECT prev_type, event_type AS next_type, COUNT(*) AS n
+  FROM o WHERE prev_type IS NOT NULL
+  GROUP BY prev_type, event_type
+)
+SELECT prev_type, next_type, n,
+       CAST(n AS DOUBLE) / SUM(n) OVER (PARTITION BY prev_type) AS p
+FROM pairs
+ORDER BY prev_type, next_type
+"""
+
+
 def events_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Daily-cohort retention matrix: users grouped by first-seen day,
     fraction active at day offsets 0..7. The canonical product-analytics
@@ -1094,6 +1137,9 @@ QUERIES: dict[str, QuerySpec] = {
     "events_range_join": QuerySpec(events_range_join, EVENTS_RANGE_SQL),
     "events_monthly_rollup": QuerySpec(events_monthly_rollup, EVENTS_MONTHLY_SQL),
     "latest_event_per_user": QuerySpec(latest_event_per_user, LATEST_EVENT_SQL),
+    "events_transition_matrix": QuerySpec(
+        events_transition_matrix, EVENTS_TRANSITION_SQL
+    ),
     "events_cohort_retention": QuerySpec(
         events_cohort_retention, EVENTS_COHORT_RETENTION_SQL
     ),

@@ -315,10 +315,65 @@ ORDER BY l_linestatus
 """
 
 
+def parquet_schema_evolution_certified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-drift ingestion contract, driver-certified: two parquet
+    deliveries of the events feed — an old one WITHOUT the value column
+    (even event ids) and a new one WITH it (odd ids) — land in one dataset
+    directory and are read back with ``mergeSchema``; rows from the old
+    files must surface with value NULL, not fail or be dropped. The audit
+    counts per event_type total rows and value-bearing rows; the oracle
+    recomputes both from the clean table via the id-parity rule, so a
+    merge bug (lost rows, misaligned columns) hash-mismatches. This is the
+    append-only schema-evolution path a long-lived 100 TB dataset takes on
+    every producer upgrade."""
+    import shutil
+    import tempfile
+
+    scratch = tempfile.mkdtemp(prefix="sdcms_evo_cert_")
+    try:
+        ev = load_table(spark, sf_dir, "events")
+        old = ev.filter(F.col("event_id") % 2 == 0).select(
+            "event_id", "event_type"
+        )
+        new = ev.filter(F.col("event_id") % 2 == 1).select(
+            "event_id", "event_type", "value"
+        )
+        old.write.mode("overwrite").parquet(f"{scratch}/delivery=old")
+        new.write.mode("overwrite").parquet(f"{scratch}/delivery=new")
+        merged = spark.read.option("mergeSchema", "true").parquet(scratch)
+        audit = (
+            merged.groupBy("event_type")
+            .agg(
+                F.count(F.lit(1)).alias("n_rows"),
+                F.sum(F.when(F.col("value").isNotNull(), 1).otherwise(0))
+                .cast("long")
+                .alias("n_with_value"),
+            )
+            .orderBy("event_type")
+        )
+        rows = audit.collect()
+        return spark.createDataFrame(rows, schema=audit.schema)
+    finally:
+        shutil.rmtree(scratch, ignore_errors=True)
+
+
+PARQUET_EVOLUTION_SQL = """
+SELECT event_type, COUNT(*) AS n_rows,
+       CAST(SUM(CASE WHEN event_id % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_with_value
+FROM events
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     "csv_malformed_audit": QuerySpec(csv_malformed_audit, CSV_MALFORMED_SQL),
     "orc_partitioned_certified": QuerySpec(
         orc_partitioned_certified, ORC_PARTITIONED_SQL
+    ),
+    "parquet_schema_evolution_certified": QuerySpec(
+        parquet_schema_evolution_certified, PARQUET_EVOLUTION_SQL
     ),
     "wordcount": QuerySpec(wordcount, WORDCOUNT_SQL, bench=True),
     "wordcount_pipe": QuerySpec(wordcount_pipe, WORDCOUNT_SQL),
