@@ -63,7 +63,11 @@ for mod in (
 #     events_streaming_dedup_certified, table_histogram_equidepth,
 #     table_integrity_audit, events_cogroup_asof_pandas,
 #     events_interval_overlap, corpus_mix_temperature, csv_malformed_audit,
-#     graph_pagerank_neardup, text_vocab_encode — each locally
+#     graph_pagerank_neardup, text_vocab_encode, events_sessionize_native,
+#     events_streaming_stateful_certified, orc_partitioned_certified,
+#     pipeline_pretrain_mix, sample_weighted_topk, agg_bitwise_fns,
+#     join_lateral_topk, events_transition_matrix,
+#     parquet_schema_evolution_certified — each locally
 #     hash-verified at sf0.001/0.01/0.1), plus the four re-certs displaced
 #     below (window_rank_topn_salted, multimodal_embed_search,
 #     dedup_jaccard_pairs, events_sessionize); (2) the r4-only-refresh set
