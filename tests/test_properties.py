@@ -381,3 +381,99 @@ def test_boilerplate_strip_is_identity_below_the_cap(spark, docs):
         r = out[i]
         assert r["n_kept"] == r["n_segments"]
         assert r["cleaned_fp"] == hashlib.md5(t.encode()).hexdigest()
+
+
+@SETTINGS
+@given(
+    docs=st.lists(
+        st.lists(st.sampled_from("abcd"), min_size=1, max_size=12).map(" ".join),
+        min_size=1,
+        max_size=6,
+    )
+)
+def test_exact_substring_dedup_conservation(spark, docs):
+    """On arbitrary corpora: every duplicated chunk content survives exactly
+    once corpus-wide; token totals are conserved (kept + dropped chunks'
+    tokens = all tokens); docs without duplicated chunks are untouched."""
+    from collections import Counter
+
+    from sdc_mapreduce_spark.functions.dedup import exact_substring_dedup
+
+    cs = 3
+    rows = list(enumerate(docs))
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {r["doc_id"]: r for r in exact_substring_dedup(df, chunk_size=cs).collect()}
+
+    # python replica of the chunk inventory
+    chunk_occurrences: Counter[str] = Counter()
+    doc_chunks: dict[int, list[tuple[str, int]]] = {}
+    for i, text in rows:
+        toks = text.split()
+        chunks = [
+            (" ".join(toks[j * cs : (j + 1) * cs]), len(toks[j * cs : (j + 1) * cs]))
+            for j in range((len(toks) + cs - 1) // cs)
+        ]
+        doc_chunks[i] = chunks
+        for content, _ in chunks:
+            chunk_occurrences[content] += 1
+
+    for i, text in rows:
+        toks = text.split()
+        r = got[i]
+        assert r["n_chunks"] == (len(toks) + cs - 1) // cs
+        dropped_tokens = sum(n for _, n in doc_chunks[i]) - r["n_tokens_kept"]
+        assert dropped_tokens >= 0
+        if all(chunk_occurrences[c] == 1 for c, _ in doc_chunks[i]):
+            assert r["n_dropped"] == 0 and r["n_tokens_kept"] == len(toks)
+    # each duplicated content survives exactly once: total kept occurrences
+    # of content c across docs == 1 if dup else 1
+    total_kept_chunks = sum(
+        r["n_chunks"] - r["n_dropped"] for r in got.values()
+    )
+    assert total_kept_chunks == len(chunk_occurrences)
+
+
+@SETTINGS
+@given(
+    li=st.lists(
+        st.tuples(st.integers(0, 50), st.integers(0, 60), st.integers(0, 10)),
+        min_size=0,
+        max_size=8,
+    ),
+    ri=st.lists(
+        st.tuples(st.integers(0, 50), st.integers(0, 60), st.integers(0, 10)),
+        min_size=0,
+        max_size=8,
+    ),
+)
+def test_interval_overlap_random_equals_naive(spark, li, ri):
+    """Random keyed intervals (minute-scale starts/lengths vs a 10-minute
+    bucket span): the bucketed allocation join == the naive quadratic join,
+    exactly once per pair."""
+    import datetime as dt
+
+    from sdc_mapreduce_spark.operators.relational import interval_overlap_join
+
+    t0 = dt.datetime(2024, 3, 1)
+    mk = lambda m: t0 + dt.timedelta(minutes=m)  # noqa: E731
+    left = [
+        (k % 3, i, mk(s), mk(s + d)) for i, (s, d, k) in enumerate(li)
+    ]
+    right = [
+        (k % 3, 100 + i, mk(s), mk(s + d)) for i, (s, d, k) in enumerate(ri)
+    ]
+    if not left or not right:
+        return
+    ldf = spark.createDataFrame(left, ["k", "lid", "ls", "le"])
+    rdf = spark.createDataFrame(right, ["k", "rid", "rs", "re"])
+    rows = interval_overlap_join(
+        ldf, rdf, "k", "ls", "le", "rs", "re", span_seconds=600
+    ).collect()
+    got = sorted((r["lid"], r["rid"]) for r in rows)
+    naive = sorted(
+        (l[1], r[1])
+        for l in left
+        for r in right
+        if l[0] == r[0] and l[2] <= r[3] and r[2] <= l[3]
+    )
+    assert got == naive
