@@ -977,3 +977,42 @@ def nearest_centroid_classify(
             F.col("__b.c").alias("best_cos"),
         )
     )
+
+
+def cosine_range_search(
+    corpus: DataFrame,
+    query_ids: list[int],
+    threshold: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Radius (range) search — the FAISS ``range_search`` counterpart to
+    top-k: ALL corpus vectors with cosine ≥ ``threshold`` to each query,
+    not a fixed k. The right tool when the caller needs everything inside
+    a similarity radius (duplicate sweeps, recall-complete retrieval) and
+    the result size is data-dependent.
+
+    Scale shape: identical to the brute-force top-k — the few query rows
+    broadcast, the corpus streams through a scan-local score+filter, and
+    NO ranking window is needed at all (membership is per-row), so the
+    only shuffle is whatever consumes the result. The LSH/IVF bucketed
+    variants prune candidates the same way they do for top-k."""
+    v = _as_double(F.col(vec_col))
+    n = l2_norm(v)
+    prepared = corpus.select(
+        F.col(id_col),
+        F.transform(v, lambda x: x / n).alias("__unit"),
+    )
+    queries = prepared.filter(F.col(id_col).isin(query_ids)).select(
+        F.col(id_col).alias("query_id"), F.col("__unit").alias("__qunit")
+    )
+    pairs = prepared.join(F.broadcast(queries), F.col(id_col) != F.col("query_id"))
+    return (
+        pairs.select(
+            "query_id",
+            F.col(id_col).alias("neighbor_id"),
+            dot(F.col("__qunit"), F.col("__unit")).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= F.lit(threshold))
+        .select("query_id", "neighbor_id")
+    )

@@ -772,12 +772,38 @@ ORDER BY label, pred_label
 """
 
 
+def simsearch_range_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Radius search (functions.simsearch.cosine_range_search): every
+    neighbor within cosine ≥ 0.25 of query vectors 0..9 — the data-
+    dependent-result-size companion to top-k; no ranking window, membership
+    is a scan-local predicate."""
+    return S.cosine_range_search(
+        load_table(spark, sf_dir, "embeddings"), QUERY_IDS, threshold=0.25
+    ).orderBy("query_id", "neighbor_id")
+
+
+SIMSEARCH_RANGE_SQL = """
+WITH u AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+), q AS (
+  SELECT vec_id AS query_id, v AS qv FROM u WHERE vec_id < 10
+)
+SELECT q.query_id, u.vec_id AS neighbor_id
+FROM q JOIN u ON u.vec_id <> q.query_id
+WHERE list_cosine_similarity(q.qv, u.v) >= 0.25
+ORDER BY query_id, neighbor_id
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     # the Arrow/BLAS path is the bench entry (~3x the JVM higher-order
     # -function form at bench SF, identical results/oracle)
     "simsearch_topk": QuerySpec(simsearch_topk, SIMSEARCH_TOPK_SQL),
     "embedding_nearest_centroid": QuerySpec(
         embedding_nearest_centroid, EMBEDDING_NEAREST_CENTROID_SQL
+    ),
+    "simsearch_range_search": QuerySpec(
+        simsearch_range_search, SIMSEARCH_RANGE_SQL
     ),
     "simsearch_topk_arrow": QuerySpec(
         simsearch_topk_arrow, SIMSEARCH_TOPK_SQL, bench=True
