@@ -185,6 +185,62 @@ ORDER BY prev_type, next_type
 """
 
 
+def events_forward_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LOCF (last-observation-carried-forward) imputation — the standard
+    time-series gap repair: per-user streams with values deterministically
+    nulled (event_id % 7 == 0 simulates sensor dropouts) are forward-filled
+    with ``last_value(..., ignoreNulls)`` over an unbounded-preceding rows
+    frame. Emits the filled value plus was_filled; leading nulls (no prior
+    observation) stay NULL. One shuffle on the user key; filled values are
+    exact copies of input doubles — nothing to drift cross-engine."""
+    ev = load_table(spark, sf_dir, "events")
+    holed = ev.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.when(F.col("event_id") % 7 == 0, F.lit(None)).otherwise(
+            F.col("value")
+        ).alias("value_holed"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    filled = F.last("value_holed", ignorenulls=True).over(w)
+    return (
+        holed.select(
+            "event_id",
+            "user_id",
+            filled.alias("value_filled"),
+            (F.col("value_holed").isNull() & filled.isNotNull()).alias(
+                "was_filled"
+            ),
+        )
+        .orderBy("event_id")
+    )
+
+
+EVENTS_FORWARD_FILL_SQL = """
+WITH holed AS (
+  SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts,
+         CASE WHEN event_id % 7 = 0 THEN NULL ELSE value END AS value_holed
+  FROM events
+)
+SELECT event_id, user_id,
+       LAST_VALUE(value_holed IGNORE NULLS)
+         OVER (PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         AS value_filled,
+       value_holed IS NULL AND LAST_VALUE(value_holed IGNORE NULLS)
+         OVER (PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) IS NOT NULL
+         AS was_filled
+FROM holed
+ORDER BY event_id
+"""
+
+
 def events_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Daily-cohort retention matrix: users grouped by first-seen day,
     fraction active at day offsets 0..7. The canonical product-analytics
@@ -1140,6 +1196,7 @@ QUERIES: dict[str, QuerySpec] = {
     "events_transition_matrix": QuerySpec(
         events_transition_matrix, EVENTS_TRANSITION_SQL
     ),
+    "events_forward_fill": QuerySpec(events_forward_fill, EVENTS_FORWARD_FILL_SQL),
     "events_cohort_retention": QuerySpec(
         events_cohort_retention, EVENTS_COHORT_RETENTION_SQL
     ),
