@@ -34,6 +34,18 @@ EXTRA_SHAPES = [
     "corpus_pack_sequences",
     "events_change_intervals",
     "text_vocab_ids",
+    # round-5 continuation additions
+    "text_bigram_lm_score",
+    "embedding_nearest_centroid",
+    "events_anomaly_robust",
+    "events_interval_overlap",
+    "graph_pagerank_neardup",
+    "table_histogram_equidepth",
+    "corpus_mix_temperature",
+    "sample_weighted_topk",
+    "simsearch_range_search",
+    "events_forward_fill",
+    "pipeline_pretrain_mix",
 ]
 
 HEADER = """# PLANS — formatted physical plans of the headline bench queries plus the
