@@ -126,6 +126,13 @@ def pandas_canon_hazards(cols: list[str], rows: list[tuple]) -> str | None:
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--sf-dir", default="/root/testdata/sf0.01")
+    ap.add_argument(
+        "--tz",
+        default=None,
+        help="override spark.sql.session.timeZone (the driver's session "
+        "zone is outside our control; e.g. --tz Asia/Kolkata replays the "
+        "round-5 timezone-independence audit)",
+    )
     ap.add_argument("names", nargs="*")
     args = ap.parse_args()
 
@@ -136,6 +143,8 @@ def main() -> int:
     names = args.names or list(queries)
 
     spark = get_spark("check-oracle")
+    if args.tz:
+        spark.conf.set("spark.sql.session.timeZone", args.tz)
     con = duckdb.connect()
     for t in TABLES:
         con.execute(
