@@ -185,6 +185,48 @@ ORDER BY prev_type, next_type
 """
 
 
+def events_variant_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 VARIANT surface: the semi-structured props column parsed
+    with ``parse_json`` into a Variant and field-extracted with
+    ``try_variant_get`` — the open-schema JSON path that avoids both
+    schema-on-write (from_json needs the full struct up front) and
+    per-access string re-parsing (get_json_object). Aggregated per
+    event_type so the extracted ints are hash-pinned. Variant parse is a
+    scan-local map stage; the aggregate is the only shuffle."""
+    ev = load_table(spark, sf_dir, "events")
+    k = F.try_variant_get(F.parse_json("props"), "$.k", "long")
+    return (
+        ev.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.when(F.col("k").isNotNull(), 1).otherwise(0))
+            .cast("long")
+            .alias("n_with_k"),
+            F.min("k").alias("k_min"),
+            F.max("k").alias("k_max"),
+            F.sum("k").alias("k_sum"),
+        )
+        .orderBy("event_type")
+    )
+
+
+EVENTS_VARIANT_SQL = """
+WITH x AS (
+  SELECT event_type, TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+  FROM events
+)
+SELECT event_type, COUNT(*) AS n,
+       CAST(SUM(CASE WHEN k IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_with_k,
+       MIN(k) AS k_min, MAX(k) AS k_max,
+       CAST(SUM(k) AS BIGINT) AS k_sum
+FROM x
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+
 def events_forward_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LOCF (last-observation-carried-forward) imputation — the standard
     time-series gap repair: per-user streams with values deterministically
@@ -1197,6 +1239,7 @@ QUERIES: dict[str, QuerySpec] = {
         events_transition_matrix, EVENTS_TRANSITION_SQL
     ),
     "events_forward_fill": QuerySpec(events_forward_fill, EVENTS_FORWARD_FILL_SQL),
+    "events_variant_json": QuerySpec(events_variant_json, EVENTS_VARIANT_SQL),
     "events_cohort_retention": QuerySpec(
         events_cohort_retention, EVENTS_COHORT_RETENTION_SQL
     ),
