@@ -1183,11 +1183,115 @@ ORDER BY n.n_name, t.c_acctbal DESC, t.c_name
 """
 
 
+def scalar_url_fns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL-parsing scalar surface (``parse_url``): deterministic URLs
+    synthesized from document metadata, decomposed into protocol / host /
+    path / one query parameter — the log-processing extraction family. The
+    oracle replicates with anchored regexes (DuckDB has no parse_url), so
+    the decomposition semantics themselves are pinned."""
+    docs = load_table(spark, sf_dir, "documents")
+    url = F.concat(
+        F.lit("https://"),
+        F.col("source"),
+        F.lit(".example.org/corpus/item-"),
+        F.col("doc_id").cast("string"),
+        F.lit("?lang="),
+        F.col("lang"),
+        F.lit("&page="),
+        (F.col("doc_id") % 10).cast("string"),
+    )
+    return docs.select(
+        "doc_id",
+        F.parse_url(url, F.lit("PROTOCOL")).alias("protocol"),
+        F.parse_url(url, F.lit("HOST")).alias("host"),
+        F.parse_url(url, F.lit("PATH")).alias("path"),
+        F.parse_url(url, F.lit("QUERY"), F.lit("lang")).alias("q_lang"),
+        F.parse_url(url, F.lit("QUERY"), F.lit("page")).alias("q_page"),
+    ).orderBy("doc_id")
+
+
+SCALAR_URL_SQL = """
+WITH u AS (
+  SELECT doc_id,
+         'https://' || source || '.example.org/corpus/item-'
+           || CAST(doc_id AS VARCHAR) || '?lang=' || lang
+           || '&page=' || CAST(doc_id % 10 AS VARCHAR) AS url
+  FROM documents
+)
+SELECT doc_id,
+       regexp_extract(url, '^([a-z]+)://', 1) AS protocol,
+       regexp_extract(url, '^[a-z]+://([^/?#]+)', 1) AS host,
+       regexp_extract(url, '^[a-z]+://[^/?#]+([^?#]*)', 1) AS path,
+       regexp_extract(url, '[?&]lang=([^&#]*)', 1) AS q_lang,
+       regexp_extract(url, '[?&]page=([^&#]*)', 1) AS q_page
+FROM u
+ORDER BY doc_id
+"""
+
+
+def agg_sketch_reaggregate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch MERGEABILITY — the property that makes approximate aggregates
+    viable at 100 TB: per-nation HLL sketches of the customer population
+    (``hll_sketch_agg``) are re-aggregated to regions with
+    ``hll_union_agg`` and estimated — computing the fine grain once and
+    rolling it up WITHOUT revisiting rows, the datasketches pattern behind
+    every OLAP cube of distincts. Registered columns are the exact distinct
+    (decimal-free integers) plus a boolean asserting the merged estimate is
+    within HLL's published error (±5% at default lgK) — an out-of-bounds
+    union turns the row red; the oracle emits literal TRUEs."""
+    cust = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    per_nation = cust.groupBy("c_nationkey").agg(
+        F.hll_sketch_agg("c_custkey").alias("sk"),
+        F.countDistinct("c_custkey").alias("exact_n"),
+    )
+    merged = (
+        per_nation.join(
+            F.broadcast(nation.select("n_nationkey", "n_regionkey")),
+            per_nation["c_nationkey"] == F.col("n_nationkey"),
+        )
+        .groupBy("n_regionkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_nations_merged"),
+            F.sum("exact_n").cast("long").alias("exact_distinct"),
+            F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("__est"),
+        )
+    )
+    ok = (
+        F.abs(F.col("__est") - F.col("exact_distinct"))
+        <= F.lit(0.05) * F.col("exact_distinct")
+    )
+    return (
+        merged.select(
+            "n_regionkey",
+            "n_nations_merged",
+            "exact_distinct",
+            ok.alias("est_within_bounds"),
+        )
+        .orderBy("n_regionkey")
+    )
+
+
+AGG_SKETCH_REAGG_SQL = """
+SELECT n.n_regionkey,
+       COUNT(DISTINCT n.n_nationkey) AS n_nations_merged,
+       COUNT(DISTINCT c.c_custkey) AS exact_distinct,
+       TRUE AS est_within_bounds
+FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+GROUP BY n.n_regionkey
+ORDER BY n.n_regionkey
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     "table_histogram_equidepth": QuerySpec(
         table_histogram_equidepth, TABLE_HISTOGRAM_SQL
     ),
     "sample_weighted_topk": QuerySpec(sample_weighted_topk, SAMPLE_WEIGHTED_SQL),
+    "scalar_url_fns": QuerySpec(scalar_url_fns, SCALAR_URL_SQL),
+    "agg_sketch_reaggregate": QuerySpec(
+        agg_sketch_reaggregate, AGG_SKETCH_REAGG_SQL
+    ),
     "agg_bitwise_fns": QuerySpec(agg_bitwise_fns, AGG_BITWISE_SQL),
     "join_lateral_topk": QuerySpec(join_lateral_topk, JOIN_LATERAL_SQL),
     "corpus_mix_temperature": QuerySpec(
