@@ -67,8 +67,11 @@ for mod in (
 #     events_streaming_stateful_certified, orc_partitioned_certified,
 #     pipeline_pretrain_mix, sample_weighted_topk, agg_bitwise_fns,
 #     join_lateral_topk, events_transition_matrix,
-#     parquet_schema_evolution_certified — each locally
-#     hash-verified at sf0.001/0.01/0.1), plus the four re-certs displaced
+#     parquet_schema_evolution_certified, simsearch_range_search,
+#     events_forward_fill, events_variant_json, scalar_url_fns,
+#     agg_sketch_reaggregate — each locally
+#     hash-verified at sf0.001/0.01/0.1 AND under a non-UTC session zone
+#     (tools/check_oracle.py --tz Asia/Kolkata)), plus the four re-certs displaced
 #     below (window_rank_topn_salted, multimodal_embed_search,
 #     dedup_jaccard_pairs, events_sessionize); (2) the r4-only-refresh set
 #     (the 24 never-sampled + the 20 q1..join_left_agg block).
