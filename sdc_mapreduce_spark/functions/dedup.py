@@ -901,3 +901,64 @@ def exact_substring_dedup(
         F.size(kept).alias("n_tokens_kept"),
         F.md5(F.concat_ws(" ", kept)).alias("cleaned_fp"),
     )
+
+
+def containment_pairs(
+    df: DataFrame,
+    n: int = 3,
+    threshold: float = 0.8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_df: int | None = 1000,
+) -> DataFrame:
+    """Near-SUBSET detection: n-gram containment pairs, the asymmetric
+    companion to Jaccard. Containment of the smaller shingle set in the
+    larger, |A∩B| / min(|A|,|B|) ≥ threshold, catches quotes, excerpts and
+    wrapper documents that Jaccard misses entirely (a 10-line quote inside
+    a 1000-line page has Jaccard ≈ 0.01 but containment ≈ 1.0) — the
+    standard second screen of a substring-aware dedup pass.
+
+    Same inverted-index plan and hot-shingle ``max_df`` cap as
+    :func:`jaccard_pairs` (a shingle in d docs is d² candidate pairs);
+    containment is an exact int/int division — oracle-hashable. Returns
+    (id_a, id_b, containment) with id_a < id_b."""
+    inv = shingle_sets(df, n=n, text_col=text_col, id_col=id_col).select(
+        F.col(id_col).alias("__id"),
+        F.explode(F.transform("shingles", lambda s: F.xxhash64(s))).alias(
+            "__shingle"
+        ),
+    )
+    if max_df is not None:
+        hot = (
+            inv.groupBy("__shingle")
+            .agg(F.count(F.lit(1)).alias("__df"))
+            .filter(F.col("__df") > max_df)
+            .select("__shingle")
+        )
+        inv = inv.join(F.broadcast(hot), "__shingle", "left_anti")
+    inv = inv.localCheckpoint(eager=True)
+    sizes = inv.groupBy("__id").agg(F.count(F.lit(1)).alias("__sz"))
+    a = inv.select(F.col("__id").alias("id_a"), "__shingle")
+    b = inv.select(F.col("__id").alias("id_b"), "__shingle")
+    common = (
+        a.join(b, "__shingle")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("__common"))
+    )
+    with_sizes = (
+        common.join(
+            sizes.withColumnRenamed("__sz", "__sz_a"),
+            F.col("id_a") == F.col("__id"),
+        )
+        .drop("__id")
+        .join(
+            sizes.withColumnRenamed("__sz", "__sz_b"),
+            F.col("id_b") == F.col("__id"),
+        )
+        .drop("__id")
+    )
+    cont = F.col("__common") / F.least(F.col("__sz_a"), F.col("__sz_b"))
+    return with_sizes.select("id_a", "id_b", cont.alias("containment")).filter(
+        F.col("containment") >= threshold
+    )

@@ -360,6 +360,45 @@ ORDER BY doc_id
 """
 
 
+def dedup_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-subset pairs (functions.dedup.containment_pairs): 3-gram
+    containment ≥ 0.6 — the asymmetric screen that catches quotes/excerpts
+    Jaccard misses (planted-subset behavior proven in tests/test_dedup.py;
+    the fixture corpus itself contains no true subsets, so this surfaces
+    the same near-dup family at a containment score)."""
+    return D.containment_pairs(
+        load_table(spark, sf_dir, "documents"), threshold=0.6
+    ).orderBy("id_a", "id_b")
+
+
+DEDUP_CONTAINMENT_SQL = """
+WITH t AS (
+  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks FROM documents
+), sh AS (
+  SELECT doc_id,
+         list_distinct(CASE WHEN len(toks) >= 3
+           THEN [toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+                 FOR i IN range(1, len(toks) - 1)]
+           ELSE [array_to_string(toks, ' ')] END) AS shingles
+  FROM t
+), sz AS (
+  SELECT doc_id, len(shingles) AS sz FROM sh
+), inv AS (
+  SELECT doc_id, UNNEST(shingles) AS s FROM sh
+), common AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS c
+  FROM inv a JOIN inv b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT id_a, id_b, c / LEAST(za.sz, zb.sz) AS containment
+FROM common
+JOIN sz za ON za.doc_id = id_a
+JOIN sz zb ON zb.doc_id = id_b
+WHERE c / LEAST(za.sz, zb.sz) >= 0.6
+ORDER BY id_a, id_b
+"""
+
+
 def graph_pagerank_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fixed-iteration integer PageRank (functions.graph.pagerank_integer)
     over the exact near-dup graph (3-gram Jaccard ≥ 0.8): centrality inside
@@ -473,6 +512,9 @@ QUERIES: dict[str, QuerySpec] = {
         dedup_exact_substring, DEDUP_EXACT_SUBSTRING_SQL, bench=True
     ),
     "graph_pagerank_neardup": QuerySpec(graph_pagerank_neardup, GRAPH_PAGERANK_SQL),
+    "dedup_containment_pairs": QuerySpec(
+        dedup_containment_pairs, DEDUP_CONTAINMENT_SQL
+    ),
     "dedup_minhash_lsh": QuerySpec(dedup_minhash_lsh, _JACCARD_SQL, bench=True),
     "dedup_simhash": QuerySpec(dedup_simhash, DEDUP_SIMHASH_SQL),
     "dedup_clusters": QuerySpec(dedup_clusters, DEDUP_CLUSTERS_SQL),

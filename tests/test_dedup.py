@@ -461,3 +461,23 @@ def test_pagerank_integer_matches_python_replica(spark):
         assert got[v]["degree"] == deg[v]
     assert got[0]["rank_nano"] > max(got[1]["rank_nano"], got[4]["rank_nano"])
     assert got[1]["rank_nano"] == got[2]["rank_nano"]  # symmetric leaves
+
+
+def test_containment_finds_subsets_jaccard_misses(spark):
+    """A short quote embedded in a long page: containment ~1.0 while
+    Jaccard is far below any dedup threshold."""
+    from sdc_mapreduce_spark.functions.dedup import containment_pairs, jaccard_pairs
+
+    quote = " ".join(f"q{i}" for i in range(12))
+    page = quote + " " + " ".join(f"body{i}" for i in range(300))
+    df = spark.createDataFrame(
+        [(1, quote), (2, page), (3, "unrelated text entirely different")],
+        ["doc_id", "text"],
+    )
+    cont = {
+        (r["id_a"], r["id_b"]): r["containment"]
+        for r in containment_pairs(df, threshold=0.9).collect()
+    }
+    assert (1, 2) in cont and cont[(1, 2)] == 1.0
+    jac = jaccard_pairs(df, threshold=0.5).collect()
+    assert all({r["id_a"], r["id_b"]} != {1, 2} for r in jac)
