@@ -245,17 +245,24 @@ def asof_join(
     )
     unioned = tagged_left.unionByName(tagged_right)
 
+    # Tie-break among right rows sharing a timestamp: order by the value
+    # columns so `last()` carries a DETERMINISTIC row — backward picks the
+    # max (value-col) tuple at the latest eligible time, forward the min at
+    # the earliest (the desc ordering's last-seen row). Without this the
+    # carried row among equal-time rights is partition-order luck.
+    tiebreak_asc = [F.col(f"__r_{c}").asc() for c in right_value_cols]
+    tiebreak_desc = [F.col(f"__r_{c}").desc() for c in right_value_cols]
     if direction == "backward":
         # Right rows sort before left rows at equal time => "at or before".
         w = (
             Window.partitionBy("__key")
-            .orderBy(F.col("__t").asc(), F.col("__is_left").asc())
+            .orderBy(F.col("__t").asc(), F.col("__is_left").asc(), *tiebreak_asc)
             .rowsBetween(Window.unboundedPreceding, Window.currentRow)
         )
     else:
         w = (
             Window.partitionBy("__key")
-            .orderBy(F.col("__t").desc(), F.col("__is_left").asc())
+            .orderBy(F.col("__t").desc(), F.col("__is_left").asc(), *tiebreak_desc)
             .rowsBetween(Window.unboundedPreceding, Window.currentRow)
         )
     filled = unioned.select(

@@ -185,6 +185,59 @@ ORDER BY prev_type, next_type
 """
 
 
+def events_asof_join_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FORWARD as-of join (operators.relational.asof_join,
+    direction='forward'): each error matched to the same user's EARLIEST
+    purchase at or after it — the look-ahead twin of events_asof_join
+    (outcome attribution: "what did the user buy after the error"). Same
+    union+window composition, time ordering reversed; ties at equal
+    timestamps resolve to the minimum purchase id (deterministic window
+    tie-break), which the oracle ranks with the same total order."""
+    ev = load_table(spark, sf_dir, "events")
+    errors = ev.filter(F.col("event_type") == "error").select(
+        "event_id", "user_id", "ts"
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id"),
+        F.col("ts"),
+        F.col("event_id").alias("purchase_event_id"),
+        F.col("value").alias("purchase_value"),
+    )
+    joined = asof_join(
+        errors,
+        purchases,
+        on="user_id",
+        left_time="ts",
+        right_time="ts",
+        right_value_cols=["purchase_event_id", "purchase_value"],
+        direction="forward",
+    )
+    return joined.filter(F.col("purchase_event_id").isNotNull()).select(
+        "event_id", "user_id", "purchase_event_id", "purchase_value"
+    ).orderBy("event_id")
+
+
+EVENTS_ASOF_FORWARD_SQL = """
+WITH errors AS (
+  SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts
+  FROM events WHERE event_type = 'error'
+), purchases AS (
+  SELECT user_id, CAST(ts AS TIMESTAMP) AS ts,
+         event_id AS purchase_event_id, value AS purchase_value
+  FROM events WHERE event_type = 'purchase'
+), cand AS (
+  SELECT e.event_id, e.user_id, p.purchase_event_id, p.purchase_value,
+         ROW_NUMBER() OVER (PARTITION BY e.event_id
+                            ORDER BY p.ts ASC, p.purchase_event_id ASC) AS rn
+  FROM errors e JOIN purchases p
+    ON e.user_id = p.user_id AND p.ts >= e.ts
+)
+SELECT event_id, user_id, purchase_event_id, purchase_value
+FROM cand WHERE rn = 1
+ORDER BY event_id
+"""
+
+
 def events_variant_json(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Spark 4 VARIANT surface: the semi-structured props column parsed
     with ``parse_json`` into a Variant and field-extracted with
@@ -1240,6 +1293,9 @@ QUERIES: dict[str, QuerySpec] = {
     ),
     "events_forward_fill": QuerySpec(events_forward_fill, EVENTS_FORWARD_FILL_SQL),
     "events_variant_json": QuerySpec(events_variant_json, EVENTS_VARIANT_SQL),
+    "events_asof_join_forward": QuerySpec(
+        events_asof_join_forward, EVENTS_ASOF_FORWARD_SQL
+    ),
     "events_cohort_retention": QuerySpec(
         events_cohort_retention, EVENTS_COHORT_RETENTION_SQL
     ),
