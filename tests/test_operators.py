@@ -362,3 +362,53 @@ def test_interval_overlap_join_matches_naive(spark):
         ldf, rdf, "k", "ls", "le", "rs", "re", span_seconds=3600
     ).collect()
     assert len(rows) == len(naive)
+
+
+def test_new_operators_handle_empty_inputs(spark):
+    """Degenerate-input robustness: empty DataFrames must yield empty
+    results, not ANSI/sequence/window errors."""
+    import datetime as dt
+
+    from sdc_mapreduce_spark.functions.dedup import (
+        containment_pairs,
+        exact_substring_dedup,
+    )
+    from sdc_mapreduce_spark.functions.graph import pagerank_integer
+    from sdc_mapreduce_spark.functions.text import bigram_lm_scores
+    from sdc_mapreduce_spark.operators.relational import (
+        equidepth_histogram,
+        interval_overlap_join,
+        robust_anomalies,
+    )
+
+    no_docs = spark.createDataFrame([], "doc_id long, text string")
+    assert exact_substring_dedup(no_docs).count() == 0
+    assert containment_pairs(no_docs).count() == 0
+    assert bigram_lm_scores(no_docs).count() == 0
+
+    no_edges = spark.createDataFrame([], "id_a long, id_b long")
+    assert pagerank_integer(no_edges).count() == 0
+
+    no_vals = spark.createDataFrame([], "id long, v double")
+    assert equidepth_histogram(no_vals, "v", "id").count() == 0
+    no_ev = spark.createDataFrame([], "event_id long, event_type string, value double")
+    assert robust_anomalies(no_ev, ["event_type"], "value", "event_id").count() == 0
+
+    t0 = dt.datetime(2024, 1, 1)
+    iv = spark.createDataFrame(
+        [(1, t0, t0 + dt.timedelta(hours=1))], "k long, s timestamp_ntz, e timestamp_ntz"
+    )
+    no_iv = spark.createDataFrame([], "k long, s2 timestamp_ntz, e2 timestamp_ntz")
+    assert interval_overlap_join(iv, no_iv, "k", "s", "e", "s2", "e2").count() == 0
+    assert (
+        interval_overlap_join(
+            no_iv,
+            iv.select("k", F.col("s").alias("s3"), F.col("e").alias("e3")),
+            "k",
+            "s2",
+            "e2",
+            "s3",
+            "e3",
+        ).count()
+        == 0
+    )
