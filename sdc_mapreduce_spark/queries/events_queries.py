@@ -1045,6 +1045,105 @@ ORDER BY user_id
 """
 
 
+def events_streaming_join_certified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fourth driver-certified streaming query: a STREAM-STREAM time-bounded
+    inner join run by the real micro-batch engine (the remaining major
+    streaming operator family after windowed aggregation, dedup state, and
+    arbitrary state). One replayable json stream, filtered into error and
+    purchase sides, each watermarked, joined on user within a 1-hour
+    look-ahead — the bounded-state join plan. Watermarks require a zoned
+    event time, and the driver's session zone is uncontrolled, so the
+    stream's timestamp strings carry an EXPLICIT +0000 offset: the parsed
+    instants — and therefore the matched pair set — are identical in any
+    session zone, and the output is ids only. Oracle = the batch interval
+    predicate."""
+    import shutil
+    import tempfile
+    import uuid
+
+    src = tempfile.mkdtemp(prefix="sdcms_stream_join_src_")
+    ckpt = tempfile.mkdtemp(prefix="sdcms_stream_join_ckpt_")
+    name = f"stream_join_{uuid.uuid4().hex[:8]}"
+    try:
+        ev = load_table(spark, sf_dir, "events")
+        ev.select(
+            "event_id",
+            F.concat(
+                F.date_format("ts", "yyyy-MM-dd HH:mm:ss.SSSSSS"),
+                F.lit("+0000"),
+            ).alias("ts"),
+            "user_id",
+            "event_type",
+        ).repartition(4).write.mode("overwrite").json(src)
+        stream = (
+            spark.readStream.schema(
+                "event_id long, ts timestamp, user_id long, event_type string"
+            )
+            .format("json")
+            .option("timestampFormat", "yyyy-MM-dd HH:mm:ss.SSSSSSxx")
+            .load(src)
+        )
+        errors = (
+            stream.filter(F.col("event_type") == "error")
+            .select(
+                F.col("event_id").alias("error_event_id"),
+                "user_id",
+                F.col("ts").alias("error_ts"),
+            )
+            .withWatermark("error_ts", "2 hours")
+        )
+        purchases = (
+            stream.filter(F.col("event_type") == "purchase")
+            .select(
+                F.col("event_id").alias("purchase_event_id"),
+                F.col("user_id").alias("p_user_id"),
+                F.col("ts").alias("purchase_ts"),
+            )
+            .withWatermark("purchase_ts", "2 hours")
+        )
+        joined = errors.join(
+            purchases,
+            (F.col("user_id") == F.col("p_user_id"))
+            & (F.col("purchase_ts") >= F.col("error_ts"))
+            & (
+                F.col("purchase_ts")
+                <= F.col("error_ts") + F.expr("INTERVAL 1 HOUR")
+            ),
+        ).select("error_event_id", "purchase_event_id", "user_id")
+        q = (
+            joined.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+        result = spark.table(name).orderBy(
+            "error_event_id", "purchase_event_id"
+        )
+        rows = result.collect()
+        return spark.createDataFrame(rows, schema=result.schema)
+    finally:
+        shutil.rmtree(src, ignore_errors=True)
+        shutil.rmtree(ckpt, ignore_errors=True)
+
+
+EVENTS_STREAMING_JOIN_SQL = """
+WITH e AS (
+  SELECT event_id AS error_event_id, user_id, CAST(ts AS TIMESTAMP) AS ts
+  FROM events WHERE event_type = 'error'
+), p AS (
+  SELECT event_id AS purchase_event_id, user_id, CAST(ts AS TIMESTAMP) AS ts
+  FROM events WHERE event_type = 'purchase'
+)
+SELECT e.error_event_id, p.purchase_event_id, e.user_id
+FROM e JOIN p ON e.user_id = p.user_id
+ AND p.ts >= e.ts AND p.ts <= e.ts + INTERVAL '1 hour'
+ORDER BY e.error_event_id, p.purchase_event_id
+"""
+
+
 EVENTS_STREAMING_DEDUP_SQL = """
 SELECT DISTINCT user_id, event_type,
        time_bucket(INTERVAL '10 minutes', CAST(ts AS TIMESTAMP)) AS bucket_start
@@ -1269,6 +1368,9 @@ QUERIES: dict[str, QuerySpec] = {
     ),
     "events_streaming_stateful_certified": QuerySpec(
         events_streaming_stateful_certified, EVENTS_STREAMING_STATEFUL_SQL
+    ),
+    "events_streaming_join_certified": QuerySpec(
+        events_streaming_join_certified, EVENTS_STREAMING_JOIN_SQL
     ),
     "events_anomaly_robust": QuerySpec(
         events_anomaly_robust, EVENTS_ANOMALY_ROBUST_SQL
