@@ -39,6 +39,13 @@ DEFAULT_CONF: dict[str, str] = {
     "spark.sql.files.maxPartitionBytes": str(128 * 1024 * 1024),
     "spark.sql.parquet.filterPushdown": "true",
     "spark.sql.parquet.aggregatePushdown": "true",
+    # Runtime row-level semi-join pruning (Bloom filter injected on the
+    # probe side of selective joins — at 100 TB the difference between
+    # shuffling the whole fact table and the matching sliver) is left at
+    # its Spark-4 default (ON). NOTE: additionally forcing
+    # `runtimeFilter.semiJoinReduction.enabled` was tried and REVERTED — it
+    # sent planning time pathological on this query inventory (a 30 s
+    # subset had not finished after 11 minutes).
 }
 
 
