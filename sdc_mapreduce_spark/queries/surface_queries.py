@@ -1283,6 +1283,59 @@ ORDER BY n.n_regionkey
 """
 
 
+def agg_mode_deterministic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic MODE: the most frequent order priority per market
+    segment, as count-then-argmax with an explicit tie-break (max count,
+    then priority ascending) — the native ``mode()`` aggregate documents
+    arbitrary tie choice, which an oracle-hashed surface cannot tolerate.
+    Two stacked aggregations sharing one exchange family; group cardinality
+    bounds everything after the first partial-agg shuffle."""
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    counts = (
+        orders.join(
+            cust.select(
+                F.col("c_custkey").alias("o_custkey"), "c_mktsegment"
+            ),
+            "o_custkey",
+        )
+        .groupBy("c_mktsegment", "o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    # argmax with ascending string tie-break can't ride a single max(struct)
+    # (that would need a descending surrogate for the string); the portable
+    # form is max-count then min-priority-at-max — a second tiny aggregate.
+    max_n = counts.groupBy("c_mktsegment").agg(F.max("n").alias("__mx"))
+    return (
+        counts.join(F.broadcast(max_n), "c_mktsegment")
+        .filter(F.col("n") == F.col("__mx"))
+        .groupBy("c_mktsegment")
+        .agg(
+            F.min("o_orderpriority").alias("mode_priority"),
+            F.max("n").alias("mode_count"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
+AGG_MODE_SQL = """
+WITH counts AS (
+  SELECT c.c_mktsegment, o.o_orderpriority, COUNT(*) AS n
+  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+  GROUP BY 1, 2
+), mx AS (
+  SELECT c_mktsegment, MAX(n) AS mxn FROM counts GROUP BY 1
+)
+SELECT counts.c_mktsegment,
+       MIN(o_orderpriority) AS mode_priority,
+       MAX(n) AS mode_count
+FROM counts JOIN mx ON counts.c_mktsegment = mx.c_mktsegment
+WHERE n = mxn
+GROUP BY counts.c_mktsegment
+ORDER BY counts.c_mktsegment
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     "table_histogram_equidepth": QuerySpec(
         table_histogram_equidepth, TABLE_HISTOGRAM_SQL
@@ -1293,6 +1346,7 @@ QUERIES: dict[str, QuerySpec] = {
         agg_sketch_reaggregate, AGG_SKETCH_REAGG_SQL
     ),
     "agg_bitwise_fns": QuerySpec(agg_bitwise_fns, AGG_BITWISE_SQL),
+    "agg_mode_deterministic": QuerySpec(agg_mode_deterministic, AGG_MODE_SQL),
     "join_lateral_topk": QuerySpec(join_lateral_topk, JOIN_LATERAL_SQL),
     "corpus_mix_temperature": QuerySpec(
         corpus_mix_temperature, CORPUS_MIX_TEMPERATURE_SQL
