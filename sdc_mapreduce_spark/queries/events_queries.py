@@ -238,6 +238,59 @@ ORDER BY event_id
 """
 
 
+def events_rfm_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM feature engineering — the classic per-entity ML feature triple:
+    Recency (seconds from each user's last purchase to the corpus's global
+    last event), Frequency (purchase count), Monetary (decimal-exact value
+    sum), plus tenure (first-to-last purchase span). One partial-agg
+    shuffle on user_id; the global anchor timestamp is a broadcast scalar.
+    All durations are whole-second longs from NTZ interval casts — exact
+    and zone-free."""
+    ev = load_table(spark, sf_dir, "events")
+    anchor = ev.agg(F.max("ts").alias("__anchor"))
+    purchases = ev.filter(F.col("event_type") == "purchase")
+    per_user = purchases.groupBy("user_id").agg(
+        F.max("ts").alias("__last"),
+        F.min("ts").alias("__first"),
+        F.count(F.lit(1)).alias("frequency"),
+        dsum("value", "monetary"),
+    )
+    return (
+        per_user.crossJoin(F.broadcast(anchor))
+        .select(
+            "user_id",
+            (F.col("__anchor") - F.col("__last"))
+            .cast("long")
+            .alias("recency_seconds"),
+            "frequency",
+            "monetary",
+            (F.col("__last") - F.col("__first"))
+            .cast("long")
+            .alias("tenure_seconds"),
+        )
+        .orderBy("user_id")
+    )
+
+
+EVENTS_RFM_SQL = f"""
+WITH anchor AS (
+  SELECT MAX(CAST(ts AS TIMESTAMP)) AS a FROM events
+), p AS (
+  SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, value
+  FROM events WHERE event_type = 'purchase'
+)
+SELECT user_id,
+       (epoch_us((SELECT a FROM anchor)) - epoch_us(MAX(ts))) // 1000000
+         AS recency_seconds,
+       COUNT(*) AS frequency,
+       {sql_dsum('value', 'monetary')},
+       (epoch_us(MAX(ts)) - epoch_us(MIN(ts))) // 1000000 AS tenure_seconds
+FROM p
+GROUP BY user_id
+ORDER BY user_id
+"""
+
+
 def events_variant_json(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Spark 4 VARIANT surface: the semi-structured props column parsed
     with ``parse_json`` into a Variant and field-extracted with
@@ -1395,6 +1448,7 @@ QUERIES: dict[str, QuerySpec] = {
     ),
     "events_forward_fill": QuerySpec(events_forward_fill, EVENTS_FORWARD_FILL_SQL),
     "events_variant_json": QuerySpec(events_variant_json, EVENTS_VARIANT_SQL),
+    "events_rfm_features": QuerySpec(events_rfm_features, EVENTS_RFM_SQL),
     "events_asof_join_forward": QuerySpec(
         events_asof_join_forward, EVENTS_ASOF_FORWARD_SQL
     ),
