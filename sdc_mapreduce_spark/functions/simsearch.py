@@ -1016,3 +1016,62 @@ def cosine_range_search(
         .filter(F.col("cosine") >= F.lit(threshold))
         .select("query_id", "neighbor_id")
     )
+
+
+def power_iteration_top_component(
+    df: DataFrame,
+    iterations: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Distributed power iteration: the dominant right-singular vector of
+    the embedding matrix (top PCA axis of the uncentered Gram matrix
+    A^T A) — the linear-algebra primitive behind spectral embeddings and
+    variance-direction diagnostics, computed as Spark aggregations.
+
+    Each iteration is one scan: per row the scalar s_i = x_i · v (a
+    fixed-order fold against the broadcast literal v), then the
+    matrix-vector product w = Σ_i s_i·x_i as a (dim)-row partial-agg
+    aggregate of PER-TERM micro-quantized longs — order-free, so the
+    iteration replays bitwise in an external engine. The (dim)-sized w is
+    collected to the driver (bounded, like the centroid collects),
+    normalized exactly (norm² is an exact Python big-int of micro-units),
+    re-quantized to nano components, and fed back as literals. Returns
+    (pos, component_nano) — the unit vector in exact nano units.
+
+    Scale: per iteration one scan + one 64-row shuffle; driver state is
+    O(dim · iterations). The quantization noise (~1e-6 relative per
+    iteration) is far below power iteration's own convergence error at 3
+    iterations."""
+    import math
+
+    first = df.select(vec_col).first()
+    if first is None:
+        return df.sparkSession.createDataFrame(
+            [], "pos int, component_nano long"
+        )
+    dim = len(first[0])
+    v_nano = [10**9 // dim] * dim
+    vd = _as_double(F.col(vec_col))
+    for _ in range(iterations):
+        v_arr = F.array(*[F.lit(x / 1e9) for x in v_nano])
+        s = dot(vd, v_arr)
+        terms = df.select(
+            s.alias("__s"), F.posexplode(vd).alias("pos", "val")
+        ).select(
+            "pos",
+            F.floor(F.col("__s") * F.col("val") * F.lit(1e6))
+            .cast("long")
+            .alias("__t"),
+        )
+        w_rows = terms.groupBy("pos").agg(F.sum("__t").alias("__w")).collect()
+        w = {r["pos"]: int(r["__w"]) for r in w_rows}
+        wv = [w.get(j, 0) for j in range(dim)]
+        norm2 = sum(x * x for x in wv)  # exact big-int, order-free
+        if norm2 == 0:
+            break
+        norm = math.sqrt(float(norm2))
+        v_nano = [math.floor(float(x) / norm * 1e9) for x in wv]
+    return df.sparkSession.createDataFrame(
+        [(j, v_nano[j]) for j in range(dim)], "pos int, component_nano long"
+    )

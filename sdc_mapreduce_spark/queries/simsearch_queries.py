@@ -795,6 +795,70 @@ ORDER BY query_id, neighbor_id
 """
 
 
+def embedding_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed power iteration (functions.simsearch.
+    power_iteration_top_component): 3 iterations toward the dominant
+    right-singular vector of the embedding matrix, every iteration's
+    matrix-vector product an order-free micro-quantized aggregate — the
+    whole fixed-point unrolls in the oracle's SQL, so distributed linear
+    algebra itself is hash-verified."""
+    from sdc_mapreduce_spark.functions.simsearch import (
+        power_iteration_top_component,
+    )
+
+    return power_iteration_top_component(
+        load_table(spark, sf_dir, "embeddings"), iterations=3
+    ).orderBy("pos")
+
+
+def _power_iteration_sql(dim: int = 64, iterations: int = 3) -> str:
+    v0 = 10**9 // dim
+    parts = [
+        f"""
+WITH e AS (
+  SELECT embedding::DOUBLE[] AS v FROM embeddings
+), vl0 AS (
+  SELECT list_transform(range({dim}), j -> CAST({v0} AS DOUBLE) / 1e9) AS vl
+)"""
+    ]
+    for k in range(1, iterations + 1):
+        p = k - 1
+        parts.append(
+            f""", s{k} AS (
+  SELECT e.v,
+         list_reduce(list_transform(range(1, {dim} + 1),
+                                    j -> e.v[j] * vl{p}.vl[j]),
+                     (a, b) -> a + b) AS s
+  FROM e, vl{p}
+), w{k} AS (
+  SELECT u.j AS pos,
+         SUM(CAST(FLOOR(s.s * s.v[u.j + 1] * 1e6) AS BIGINT)) AS w
+  FROM s{k} s, range({dim}) u(j)
+  GROUP BY u.j
+), n{k} AS (
+  SELECT SUM(w * w) AS n2 FROM w{k}
+), v{k} AS (
+  SELECT pos,
+         CAST(FLOOR(CAST(w AS DOUBLE) / sqrt(CAST(n2 AS DOUBLE)) * 1e9)
+              AS BIGINT) AS vn
+  FROM w{k}, n{k}
+), vl{k} AS (
+  SELECT list(CAST(vn AS DOUBLE) / 1e9 ORDER BY pos) AS vl FROM v{k}
+)"""
+        )
+    parts.append(
+        f"""
+SELECT CAST(pos AS INT) AS pos, vn AS component_nano
+FROM v{iterations}
+ORDER BY pos
+"""
+    )
+    return "".join(parts)
+
+
+EMBEDDING_POWER_ITERATION_SQL = _power_iteration_sql()
+
+
 QUERIES: dict[str, QuerySpec] = {
     # the Arrow/BLAS path is the bench entry (~3x the JVM higher-order
     # -function form at bench SF, identical results/oracle)
@@ -804,6 +868,9 @@ QUERIES: dict[str, QuerySpec] = {
     ),
     "simsearch_range_search": QuerySpec(
         simsearch_range_search, SIMSEARCH_RANGE_SQL
+    ),
+    "embedding_power_iteration": QuerySpec(
+        embedding_power_iteration, EMBEDDING_POWER_ITERATION_SQL
     ),
     "simsearch_topk_arrow": QuerySpec(
         simsearch_topk_arrow, SIMSEARCH_TOPK_SQL, bench=True

@@ -264,3 +264,32 @@ def test_nearest_centroid_tie_breaks_to_lowest_label(spark):
     df = spark.createDataFrame(rows, ["vec_id", "embedding", "label"])
     got = {r["vec_id"]: r["pred_label"] for r in nearest_centroid_classify(df).collect()}
     assert got == {1: 3, 2: 3}
+
+
+def test_power_iteration_converges_to_numpy_eigenvector(spark):
+    """On a synthetic matrix with a dominant direction, 3 quantized
+    iterations align with numpy's top right-singular vector (|cos| > 0.99);
+    the result is an exact unit vector in nano units."""
+    import numpy as np
+
+    from sdc_mapreduce_spark.functions.simsearch import (
+        power_iteration_top_component,
+    )
+
+    rng = np.random.RandomState(7)
+    direction = rng.randn(16)
+    direction /= np.linalg.norm(direction)
+    rows = []
+    for i in range(200):
+        x = 5.0 * rng.randn() * direction + 0.3 * rng.randn(16)
+        rows.append((i, [float(v) for v in x], 0))
+    df = spark.createDataFrame(rows, ["vec_id", "embedding", "label"])
+    got = power_iteration_top_component(df, iterations=3).collect()
+    v = np.array(
+        [r["component_nano"] for r in sorted(got, key=lambda r: r["pos"])],
+        dtype=np.float64,
+    ) / 1e9
+    assert abs(np.linalg.norm(v) - 1.0) < 1e-6
+    A = np.array([r[1] for r in rows])
+    _, _, vt = np.linalg.svd(A, full_matrices=False)
+    assert abs(float(np.dot(v, vt[0]))) > 0.99
