@@ -1075,3 +1075,56 @@ def power_iteration_top_component(
     return df.sparkSession.createDataFrame(
         [(j, v_nano[j]) for j in range(dim)], "pos int, component_nano long"
     )
+
+
+def kmeans_lloyd_step(
+    corpus: DataFrame,
+    n_cells: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """One Lloyd refinement step of spherical k-means, fully distributed and
+    engine-replayable: assign every vector to its argmax-cosine centroid
+    (the deterministic seeded quantizer as the starting point), recompute
+    each cell's centroid as the nano-quantized mean of its members' unit
+    vectors, and report per cell the membership count and the cosine
+    between old and new centroid (the convergence/shift metric an EM loop
+    monitors). Returns (cell, n_members, cos_shift).
+
+    Scale shape per step: assignment is a broadcast nested-loop over
+    n_cells candidates (corpus never shuffles); the update is a
+    (cells × dim) partial-agg shuffle of exact longs — the textbook
+    distributed k-means iteration, here with every double derived from
+    exact integers so the whole step hash-verifies cross-engine (the
+    fitted-KMeans path cannot)."""
+    cents = seeded_centroids(corpus, n_cells, id_col, vec_col)
+    assigned = assign_cells(corpus, cents, id_col, vec_col)
+    comps = assigned.select("__cell", F.posexplode("__unit").alias("pos", "val"))
+    cs = comps.groupBy("__cell", "pos").agg(
+        F.sum(F.floor(F.col("val") * F.lit(1e9)).cast("long")).alias("__s"),
+        F.count(F.lit(1)).alias("__n"),
+    )
+    newc = (
+        cs.select(
+            "__cell",
+            "pos",
+            (F.col("__s").cast("double") / (F.lit(1e9) * F.col("__n"))).alias("c"),
+        )
+        .groupBy("__cell")
+        .agg(
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("pos", "c"))), lambda e: e["c"]
+            ).alias("__new")
+        )
+    )
+    counts = assigned.groupBy("__cell").agg(F.count(F.lit(1)).alias("n_members"))
+    joined = newc.join(F.broadcast(cents), "__cell").join(
+        F.broadcast(counts), "__cell"
+    )
+    cos = dot(F.col("__new"), F.col("__centroid")) / (
+        F.sqrt(dot(F.col("__new"), F.col("__new")))
+        * F.sqrt(dot(F.col("__centroid"), F.col("__centroid")))
+    )
+    return joined.select(
+        F.col("__cell").alias("cell"), "n_members", cos.alias("cos_shift")
+    )

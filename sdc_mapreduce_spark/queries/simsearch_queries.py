@@ -859,6 +859,66 @@ ORDER BY pos
 EMBEDDING_POWER_ITERATION_SQL = _power_iteration_sql()
 
 
+def embedding_kmeans_step(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One distributed Lloyd step of spherical k-means (functions.simsearch.
+    kmeans_lloyd_step, 8 cells): argmax-cosine assignment + nano-quantized
+    centroid update + per-cell shift metric — the EM-style clustering
+    iteration, hash-verified end to end (assignment, update, and shift all
+    replay in the oracle)."""
+    from sdc_mapreduce_spark.functions.simsearch import kmeans_lloyd_step
+
+    return kmeans_lloyd_step(
+        load_table(spark, sf_dir, "embeddings"), n_cells=8
+    ).orderBy("cell")
+
+
+EMBEDDING_KMEANS_STEP_SQL = f"""
+WITH u AS (
+  SELECT vec_id,
+         list_transform(
+           embedding::DOUBLE[],
+           x -> x / sqrt(list_aggregate(
+                  list_transform(embedding::DOUBLE[], y -> y * y), 'sum'))
+         ) AS unit
+  FROM embeddings
+), cents AS (
+  SELECT CAST(vec_id AS INT) AS cell, unit AS centroid FROM u WHERE vec_id < 8
+), scored AS (
+  SELECT u.vec_id, c.cell,
+         {_FOLD_DOT.format(a="u.unit", b="c.centroid")} AS sc
+  FROM u CROSS JOIN cents c
+), asg AS (
+  SELECT vec_id, cell FROM (
+    SELECT vec_id, cell,
+           ROW_NUMBER() OVER (PARTITION BY vec_id
+                              ORDER BY sc DESC, cell ASC) AS rn
+    FROM scored
+  ) WHERE rn = 1
+), comps AS (
+  SELECT a.cell, p.j AS pos, u.unit[p.j + 1] AS val
+  FROM asg a JOIN u USING (vec_id), range(64) p(j)
+), cs AS (
+  SELECT cell, pos,
+         SUM(CAST(FLOOR(val * 1e9) AS BIGINT)) AS s, COUNT(*) AS n
+  FROM comps GROUP BY 1, 2
+), newc AS (
+  SELECT cell, list(CAST(s AS DOUBLE) / (1e9 * n) ORDER BY pos) AS nc
+  FROM cs GROUP BY cell
+), cnt AS (
+  SELECT cell, COUNT(*) AS n_members FROM asg GROUP BY cell
+)
+SELECT newc.cell, cnt.n_members,
+       {_FOLD_DOT.format(a="newc.nc", b="cents.centroid")}
+       / (sqrt({_FOLD_DOT.format(a="newc.nc", b="newc.nc")})
+          * sqrt({_FOLD_DOT.format(a="cents.centroid", b="cents.centroid")}))
+         AS cos_shift
+FROM newc
+JOIN cents ON newc.cell = cents.cell
+JOIN cnt ON cnt.cell = newc.cell
+ORDER BY newc.cell
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     # the Arrow/BLAS path is the bench entry (~3x the JVM higher-order
     # -function form at bench SF, identical results/oracle)
@@ -871,6 +931,9 @@ QUERIES: dict[str, QuerySpec] = {
     ),
     "embedding_power_iteration": QuerySpec(
         embedding_power_iteration, EMBEDDING_POWER_ITERATION_SQL
+    ),
+    "embedding_kmeans_step": QuerySpec(
+        embedding_kmeans_step, EMBEDDING_KMEANS_STEP_SQL
     ),
     "simsearch_topk_arrow": QuerySpec(
         simsearch_topk_arrow, SIMSEARCH_TOPK_SQL, bench=True
