@@ -841,3 +841,80 @@ def encode_with_vocab(
     return src.mapInPandas(
         encode, "doc_id long, n_tokens int, n_oov int, ids_fp string"
     )
+
+
+def tfidf_cosine_pairs(
+    df: DataFrame,
+    threshold: float = 0.3,
+    max_df: int | None = 1000,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """SPARSE-vector similarity join: document pairs by TF-IDF cosine — the
+    bag-of-words complement to the dense embedding joins (catches lexical
+    similarity without any embedding model; the classic IR half of a hybrid
+    retrieval stack). Weights are tf × milli-quantized idf (the one
+    transcendental, ln(N/df_t), is rounded ONCE to integer milli-nats), so
+    per-pair dot products and per-doc norms² accumulate as exact longs —
+    order-free — and the final cosine is two exact-int square roots and a
+    division: hash-replayable cross-engine.
+
+    Plan: inverted-index equi-join on term (never all-pairs) with the same
+    hot-term ``max_df`` cap as jaccard_pairs (a term in d docs is d² pair
+    candidates; stop-words carry no signal); norms join back broadcast-side
+    from a doc-keyed aggregate. Cost tracks term co-occurrence — the sparse
+    analog of the LSH bucket join. Returns (id_a, id_b, cosine) ≥ threshold
+    with id_a < id_b."""
+    pairs_tf = (
+        df.select(F.col(id_col).alias("__id"), F.explode(tokens(text_col)).alias("t"))
+        .groupBy("__id", "t")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    dfreq = pairs_tf.groupBy("t").agg(F.count(F.lit(1)).alias("df_t"))
+    if max_df is not None:
+        dfreq = dfreq.filter(F.col("df_t") <= max_df)
+    n_docs = df.select(F.col(id_col)).distinct().agg(
+        F.count(F.lit(1)).alias("__n")
+    )
+    weighted = (
+        pairs_tf.join(dfreq, "t")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "__id",
+            "t",
+            (
+                F.col("tf")
+                * F.round(
+                    F.lit(1000.0) * F.log(F.col("__n") / F.col("df_t"))
+                ).cast("long")
+            ).alias("w"),
+        )
+        .filter(F.col("w") > 0)
+    )
+    norms = weighted.groupBy("__id").agg(
+        F.sum(F.col("w") * F.col("w")).alias("n2")
+    )
+    a = weighted.select(F.col("__id").alias("id_a"), "t", F.col("w").alias("wa"))
+    b = weighted.select(F.col("__id").alias("id_b"), "t", F.col("w").alias("wb"))
+    dots = (
+        a.join(b, "t")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.sum(F.col("wa") * F.col("wb")).alias("d"))
+    )
+    with_norms = (
+        dots.join(
+            norms.select(F.col("__id").alias("id_a"), F.col("n2").alias("na2")),
+            "id_a",
+        )
+        .join(
+            norms.select(F.col("__id").alias("id_b"), F.col("n2").alias("nb2")),
+            "id_b",
+        )
+    )
+    cos = F.col("d").cast("double") / (
+        F.sqrt(F.col("na2").cast("double")) * F.sqrt(F.col("nb2").cast("double"))
+    )
+    return with_norms.select("id_a", "id_b", cos.alias("cosine")).filter(
+        F.col("cosine") >= F.lit(threshold)
+    )

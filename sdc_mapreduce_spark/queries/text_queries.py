@@ -755,6 +755,55 @@ ORDER BY p.lang
 """
 
 
+def text_tfidf_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sparse-vector similarity join (functions.text.tfidf_cosine_pairs):
+    document pairs at TF-IDF cosine ≥ 0.9 via the weighted inverted index
+    — the bag-of-words half of a hybrid retrieval stack (the fixture
+    corpus is lexically homogeneous, so the threshold sits high to isolate
+    genuine near-dups). idf milli-quantization keeps every dot product and
+    norm an exact integer."""
+    return T.tfidf_cosine_pairs(
+        load_table(spark, sf_dir, "documents"), threshold=0.9
+    ).orderBy("id_a", "id_b")
+
+
+TEXT_TFIDF_COSINE_SQL = """
+WITH tf AS (
+  SELECT doc_id, t, COUNT(*) AS tf FROM (
+    SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS t
+    FROM documents
+  ) GROUP BY doc_id, t
+), dfreq AS (
+  SELECT t, COUNT(*) AS df_t FROM tf GROUP BY t HAVING COUNT(*) <= 1000
+), n AS (
+  SELECT COUNT(DISTINCT doc_id) AS nd FROM documents
+), w AS (
+  SELECT tf.doc_id, tf.t,
+         tf.tf * CAST(ROUND(1000.0 * ln(CAST(n.nd AS DOUBLE) / df_t)) AS BIGINT)
+           AS w
+  FROM tf JOIN dfreq USING (t), n
+  WHERE tf.tf * CAST(ROUND(1000.0 * ln(CAST(n.nd AS DOUBLE) / df_t)) AS BIGINT)
+        > 0
+), norms AS (
+  SELECT doc_id, SUM(w * w) AS n2 FROM w GROUP BY doc_id
+), dots AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, SUM(a.w * b.w) AS d
+  FROM w a JOIN w b ON a.t = b.t AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT id_a, id_b,
+       CAST(d AS DOUBLE)
+         / (sqrt(CAST(na.n2 AS DOUBLE)) * sqrt(CAST(nb.n2 AS DOUBLE)))
+         AS cosine
+FROM dots
+JOIN norms na ON na.doc_id = id_a
+JOIN norms nb ON nb.doc_id = id_b
+WHERE CAST(d AS DOUBLE)
+        / (sqrt(CAST(na.n2 AS DOUBLE)) * sqrt(CAST(nb.n2 AS DOUBLE))) >= 0.9
+ORDER BY id_a, id_b
+"""
+
+
 def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher-style repetition quality signals (distinct-token ratio, top
     token share, duplicate-2-gram fraction) — the repetition filters a
@@ -1225,6 +1274,9 @@ QUERIES: dict[str, QuerySpec] = {
     "text_udtf_sentences": QuerySpec(text_udtf_sentences, TEXT_UDTF_SENTENCES_SQL),
     "text_posexplode": QuerySpec(text_posexplode, TEXT_POSEXPLODE_SQL),
     "text_tfidf_top_terms": QuerySpec(text_tfidf_top_terms, TEXT_TFIDF_SQL),
+    "text_tfidf_cosine_pairs": QuerySpec(
+        text_tfidf_cosine_pairs, TEXT_TFIDF_COSINE_SQL
+    ),
     "text_repetition": QuerySpec(text_repetition, TEXT_REPETITION_SQL),
     "text_pii_redact": QuerySpec(text_pii_redact, TEXT_PII_REDACT_SQL),
     "text_contamination": QuerySpec(text_contamination, TEXT_CONTAMINATION_SQL),
