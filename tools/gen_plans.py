@@ -46,6 +46,10 @@ EXTRA_SHAPES = [
     "simsearch_range_search",
     "events_forward_fill",
     "pipeline_pretrain_mix",
+    "embedding_kmeans_step",
+    "text_tfidf_cosine_pairs",
+    "events_rfm_features",
+    "dedup_containment_pairs",
 ]
 
 HEADER = """# PLANS — formatted physical plans of the headline bench queries plus the
