@@ -293,3 +293,17 @@ def test_power_iteration_converges_to_numpy_eigenvector(spark):
     A = np.array([r[1] for r in rows])
     _, _, vt = np.linalg.svd(A, full_matrices=False)
     assert abs(float(np.dot(v, vt[0]))) > 0.99
+
+
+def test_kmeans_lloyd_step_invariants(spark, sf_dir):
+    """Memberships partition the corpus; shift cosines are valid cosines;
+    every seeded cell that wins at least one vector appears."""
+    from sdc_mapreduce_spark.catalog import load_table
+    from sdc_mapreduce_spark.functions.simsearch import kmeans_lloyd_step
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    n = emb.count()
+    rows = kmeans_lloyd_step(emb, n_cells=8).collect()
+    assert sum(r["n_members"] for r in rows) == n
+    assert all(-1.0 - 1e-9 <= r["cos_shift"] <= 1.0 + 1e-9 for r in rows)
+    assert len({r["cell"] for r in rows}) == len(rows)

@@ -405,3 +405,26 @@ def test_encode_with_vocab_parity_and_oov(spark):
         ), r["doc_id"]
     assert got[5]["n_oov"] == 3
     assert got[4]["n_tokens"] == 1  # the empty-string token convention
+
+
+def test_tfidf_cosine_pairs_identical_and_disjoint(spark):
+    """Identical documents score cosine 1.0; lexically disjoint ones never
+    pair; a shared-vocabulary pair lands strictly between."""
+    docs = [
+        (1, "alpha beta gamma delta"),
+        (2, "alpha beta gamma delta"),
+        (3, "epsilon zeta eta theta"),
+        (4, "alpha beta unrelated words"),
+    ]
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    from sdc_mapreduce_spark.functions.text import tfidf_cosine_pairs
+
+    got = {
+        (r["id_a"], r["id_b"]): r["cosine"]
+        for r in tfidf_cosine_pairs(df, threshold=0.01).collect()
+    }
+    # sqrt(n2)*sqrt(n2) rounds a hair above n2, so "identical" lands within
+    # 1 ULP of 1.0 (deterministically — the oracle computes the same value)
+    assert abs(got[(1, 2)] - 1.0) < 1e-12
+    assert not any({a, b} & {3} == {3} for a, b in got)
+    assert 0.01 <= got[(1, 4)] < 0.999
