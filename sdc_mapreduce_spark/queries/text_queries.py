@@ -804,6 +804,60 @@ ORDER BY id_a, id_b
 """
 
 
+def text_language_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classifier-evaluation shape for the heuristic language ID: the
+    (declared, predicted) confusion matrix with per-cell counts and the
+    row-relative rate — the quality report any model-based labeling stage
+    ships with. Rates are exact count ratios (hash-safe); one narrow scoring
+    pass plus a tiny pair aggregate."""
+    scored = T.language_id(load_table(spark, sf_dir, "documents"))
+    pairs = scored.groupBy("lang_declared", "lang_pred").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("lang_declared")
+    return (
+        pairs.withColumn("rate", F.col("n") / F.sum("n").over(w))
+        .withColumn("is_match", F.col("lang_declared") == F.col("lang_pred"))
+        .orderBy("lang_declared", "lang_pred")
+    )
+
+
+_CONF_SCORES = ",\n       ".join(
+    f"CAST(len(list_filter(toks, x -> x IN "
+    f"({', '.join(repr(m) for m in T.LANG_MARKERS[lang])}))) AS INT) AS score_{lang}"
+    for lang in sorted(T.LANG_MARKERS)
+)
+
+TEXT_LANG_CONFUSION_SQL = f"""
+WITH t AS (
+  SELECT doc_id, lang AS lang_declared,
+         string_split_regex(trim(text), '\\s+') AS toks
+  FROM documents
+), scored AS (
+  SELECT doc_id, lang_declared,
+       {_CONF_SCORES}
+  FROM t
+), best AS (
+  SELECT *, GREATEST(score_de, score_en, score_es, score_fr, score_zh) AS best
+  FROM scored
+), pred AS (
+  SELECT lang_declared,
+         CASE WHEN best > 0 THEN CASE {_CASE} END ELSE 'und' END AS lang_pred
+  FROM best
+), pairs AS (
+  SELECT lang_declared, lang_pred, COUNT(*) AS n
+  FROM pred GROUP BY 1, 2
+)
+SELECT lang_declared, lang_pred, n,
+       CAST(n AS DOUBLE) / SUM(n) OVER (PARTITION BY lang_declared) AS rate,
+       lang_declared = lang_pred AS is_match
+FROM pairs
+ORDER BY lang_declared, lang_pred
+"""
+
+
 def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher-style repetition quality signals (distinct-token ratio, top
     token share, duplicate-2-gram fraction) — the repetition filters a
@@ -1266,6 +1320,9 @@ QUERIES: dict[str, QuerySpec] = {
     ),
     "text_quality": QuerySpec(text_quality, TEXT_QUALITY_SQL, bench=True),
     "text_language_id": QuerySpec(text_language_id, TEXT_LANG_SQL),
+    "text_language_confusion": QuerySpec(
+        text_language_confusion, TEXT_LANG_CONFUSION_SQL
+    ),
     "text_fingerprint": QuerySpec(text_fingerprint, TEXT_FINGERPRINT_SQL),
     "text_rolling_fingerprint": QuerySpec(
         text_rolling_fingerprint, TEXT_ROLLING_FP_SQL
