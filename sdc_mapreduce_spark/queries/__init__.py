@@ -72,7 +72,8 @@ for mod in (
 #     agg_sketch_reaggregate, dedup_containment_pairs,
 #     events_asof_join_forward, events_streaming_join_certified,
 #     agg_mode_deterministic, events_rfm_features, embedding_power_iteration,
-#     embedding_kmeans_step, text_tfidf_cosine_pairs — each locally
+#     embedding_kmeans_step, text_tfidf_cosine_pairs,
+#     text_language_confusion — each locally
 #     hash-verified at sf0.001/0.01/0.1 AND under a non-UTC session zone
 #     (tools/check_oracle.py --tz Asia/Kolkata)), plus the four re-certs displaced
 #     below (window_rank_topn_salted, multimodal_embed_search,
