@@ -477,3 +477,81 @@ def test_interval_overlap_random_equals_naive(spark, li, ri):
         if l[0] == r[0] and l[2] <= r[3] and r[2] <= l[3]
     )
     assert got == naive
+
+
+@SETTINGS
+@given(
+    docs=st.lists(
+        st.lists(st.sampled_from(["aa", "bb", "cc", "dd"]), min_size=1, max_size=8).map(
+            " ".join
+        ),
+        min_size=1,
+        max_size=5,
+    )
+)
+def test_bigram_lm_matches_python_replica_on_random_corpora(spark, docs):
+    """The add-one-smoothed bigram model's milli-nat sums equal an exact
+    Python replay on arbitrary corpora (min_count=2 pruning included)."""
+    import math
+    from collections import Counter
+
+    from sdc_mapreduce_spark.functions.text import bigram_lm_scores
+
+    toks = {i: t.split() for i, t in enumerate(docs)}
+    uni = Counter(w for t in toks.values() for w in t)
+    bi = Counter((a, b) for t in toks.values() for a, b in zip(t, t[1:]))
+    V = len(uni)
+
+    def nll(a, b):
+        c12 = bi[(a, b)] if bi[(a, b)] >= 2 else 0
+        p = (c12 + 1) / (uni[a] + V)
+        return math.floor(-1000.0 * math.log(p) + 0.5)
+
+    expect = {
+        i: sum(nll(a, b) for a, b in zip(t, t[1:])) for i, t in toks.items()
+    }
+    df = spark.createDataFrame(list(enumerate(docs)), ["doc_id", "text"])
+    got = {r["doc_id"]: r["nll_milli"] for r in bigram_lm_scores(df).collect()}
+    assert got == expect
+
+
+@SETTINGS
+@given(
+    vals=st.lists(st.integers(-50, 50), min_size=1, max_size=40),
+    k=st.integers(2, 6),
+)
+def test_equidepth_histogram_random_multisets(spark, vals, k):
+    """Random multisets (heavy ties included): counts sum to n, depths are
+    balanced to within 1, and bucket ranges are monotone."""
+    from sdc_mapreduce_spark.operators.relational import equidepth_histogram
+
+    rows = [(i, float(v)) for i, v in enumerate(vals)]
+    df = spark.createDataFrame(rows, ["id", "v"])
+    got = sorted(
+        equidepth_histogram(df, "v", "id", n_buckets=k, num_partitions=4).collect(),
+        key=lambda r: r["bucket"],
+    )
+    assert sum(r["n_rows"] for r in got) == len(vals)
+    depths = [r["n_rows"] for r in got]
+    assert max(depths) - min(depths) <= 1
+    for a, b in zip(got, got[1:]):
+        assert a["hi"] <= b["lo"]
+
+
+@SETTINGS
+@given(
+    n=st.integers(5, 40),
+    parts=st.integers(1, 6),
+    k=st.integers(1, 10),
+)
+def test_weighted_sample_layout_invariant(spark, n, parts, k):
+    """The drawn sample is identical under any partition layout — the
+    content-hash property that per-partition RNG sampling lacks."""
+    from sdc_mapreduce_spark.functions.splits import weighted_sample
+
+    rows = [(i, 1 + (i * 7) % 13) for i in range(n)]
+    df1 = spark.createDataFrame(rows, ["doc_id", "w"]).repartition(parts)
+    df2 = spark.createDataFrame(list(reversed(rows)), ["doc_id", "w"]).coalesce(1)
+    s1 = sorted(r["doc_id"] for r in weighted_sample(df1, k, "w").collect())
+    s2 = sorted(r["doc_id"] for r in weighted_sample(df2, k, "w").collect())
+    assert s1 == s2 and len(s1) == min(k, n)
