@@ -41,132 +41,125 @@ for mod in (
 #   round 1 window: flagship + LLM-pipeline + TPC-H head + surface head
 #   rounds 2-3 window: same set (registry was frozen — wasted rounds)
 #   round 4 window: the 24 queries never driver-sampled in r1-r3, 6 queries
-#     with oracles new in r4, then 20 of the 46 r1-only queries
-#     (q1_pricing_summary .. join_left_agg). Result: every registered query
-#     driver-sampled at least once; 119/123 green at latest sample.
-#   round 5 window (this order): the 26 r1-only queries NOT refreshed in
-#     round 4, then queries fixed/changed/added in round 5 —
-#     agg_collect_sets (canon-safe output), agg_approx_sketches (new
-#     bounds oracle), simsearch_ann_ivf_index_recall (new persisted-index
-#     path), the salted/sessionize/multimodal queries whose code or SQL
-#     changed this round, and the jaccard/simhash dedup queries that now
-#     default to hot-key caps. After round 5 every query's latest driver
-#     sample is ≤2 rounds old.
-#   round 6 plan, in priority order: (1) the round-5 additions that did
-#     not fit this round's window — embedding_label_centroids,
-#     text_duplicate_spans, corpus_pack_sequences, text_vocab_ids,
-#     events_change_intervals, and simsearch_ann_srp
-#     (whose FULL result oracle is new in r5; its prior driver rows were
-#     rows-only), the four operators added in the second round-5
-#     continuation (dedup_exact_substring, text_bigram_lm_score,
-#     embedding_nearest_centroid, events_anomaly_robust,
-#     events_streaming_dedup_certified, table_histogram_equidepth,
-#     table_integrity_audit, events_cogroup_asof_pandas,
-#     events_interval_overlap, corpus_mix_temperature, csv_malformed_audit,
-#     graph_pagerank_neardup, text_vocab_encode, events_sessionize_native,
-#     events_streaming_stateful_certified, orc_partitioned_certified,
-#     pipeline_pretrain_mix, sample_weighted_topk, agg_bitwise_fns,
-#     join_lateral_topk, events_transition_matrix,
-#     parquet_schema_evolution_certified, simsearch_range_search,
-#     events_forward_fill, events_variant_json, scalar_url_fns,
-#     agg_sketch_reaggregate, dedup_containment_pairs,
-#     events_asof_join_forward, events_streaming_join_certified,
-#     agg_mode_deterministic, events_rfm_features, embedding_power_iteration,
-#     embedding_kmeans_step, text_tfidf_cosine_pairs,
-#     text_language_confusion — each locally
-#     hash-verified at sf0.001/0.01/0.1 AND under a non-UTC session zone
-#     (tools/check_oracle.py --tz Asia/Kolkata)), plus the four re-certs displaced
-#     below (window_rank_topn_salted, multimodal_embed_search,
-#     dedup_jaccard_pairs, events_sessionize); (2) the r4-only-refresh set
-#     (the 24 never-sampled + the 20 q1..join_left_agg block).
-_ROTATE_R5_STALE: tuple[str, ...] = (
-    # r1-only tail not refreshed in round 4
-    "join_semi",
-    "join_anti",
-    "join_broadcast_dim",
-    "agg_distinct",
-    "agg_rollup",
-    "agg_cube",
-    "agg_grouping_sets",
-    "window_rank_topn",
-    "window_running_sum",
-    "window_lag_delta",
-    "window_range_frame",
-    "sort_limit_topk",
-    "set_intersect",
-    "set_except",
-    "set_union",
-    "scalar_string_fns",
-    "scalar_datetime_fns",
-    "scalar_math_case",
-    "scalar_array_fns",
-    "scalar_null_fns",
-    "filter_project_pushdown",
-    "events_tumbling",
-    "events_sliding",
-    "events_json_extract",
-    "events_map_fns",
-    "events_asof_join",
+#     with oracles new in r4, then 20 of the 46 r1-only queries. Result:
+#     every then-registered query driver-sampled at least once.
+#   round 5 window: the 26 r1-only queries not refreshed in r4, the queries
+#     fixed/changed/added in r5, and 9 brand-new r5 queries. 49/49 green.
+#   round 6 window (this order): (1) the 41 round-5-continuation queries
+#     that have NEVER had a driver row (all locally hash-verified at
+#     sf0.001/0.01/0.1 and under --tz Asia/Kolkata); (2) the four re-certs
+#     displaced from the r5 window (window_rank_topn_salted,
+#     multimodal_embed_search, dedup_jaccard_pairs, events_sessionize) plus
+#     five high-value refreshes: dedup_minhash_lsh (band-bucket cap added
+#     this round), simsearch_ann_srp (FULL oracle new in r5, prior rows were
+#     rows-only), wordcount + kv_parse_sum (flagship mapreduce core), and
+#     pipeline_curation (r5 bench-drift watch). After r6 every registered
+#     query has a driver row; the r3-last-sampled block (39 queries) fronts
+#     the r7 window next.
+#   round 7 plan, in priority order: (1) the 39 r3-last-sampled queries at
+#     the head of _ROTATED_OUT (wordcount_pipe .. corpus_mix_rebalance);
+#     (2) any query whose code or oracle changes in round 7; (3) the
+#     r4-last-sampled block.
+_ROTATE_R6_NEVER: tuple[str, ...] = (
+    "csv_malformed_audit",
+    "orc_partitioned_certified",
+    "parquet_schema_evolution_certified",
+    "events_change_intervals",
+    "events_interval_overlap",
+    "events_cogroup_asof_pandas",
+    "events_streaming_dedup_certified",
+    "events_streaming_stateful_certified",
+    "events_streaming_join_certified",
+    "events_anomaly_robust",
+    "events_sessionize_native",
+    "events_transition_matrix",
+    "events_forward_fill",
+    "events_variant_json",
+    "events_rfm_features",
+    "events_asof_join_forward",
+    "text_bigram_lm_score",
+    "text_vocab_encode",
+    "text_language_confusion",
+    "text_tfidf_cosine_pairs",
+    "text_duplicate_spans",
+    "text_vocab_ids",
+    "pipeline_pretrain_mix",
+    "dedup_exact_substring",
+    "graph_pagerank_neardup",
+    "dedup_containment_pairs",
+    "embedding_nearest_centroid",
+    "simsearch_range_search",
+    "embedding_power_iteration",
+    "embedding_kmeans_step",
+    "embedding_label_centroids",
+    "table_histogram_equidepth",
+    "sample_weighted_topk",
+    "scalar_url_fns",
+    "agg_sketch_reaggregate",
+    "agg_bitwise_fns",
+    "agg_mode_deterministic",
+    "join_lateral_topk",
+    "corpus_mix_temperature",
+    "table_integrity_audit",
+    "corpus_pack_sequences",
 )
-_ROTATE_R5_CHANGED: tuple[str, ...] = (
-    # fixed / new-oracle / new in round 5
-    "agg_collect_sets",
-    "agg_approx_sketches",
-    "simsearch_ann_ivf_index_recall",
-    "corpus_shuffle_shards",
-    "embedding_quantize_audit",
-    "dedup_incremental",
-    "q11_important_stock",
-    "q20_potential_promotion",
-    "events_resample_gapfill",
-    "events_streaming_tumbling_certified",
-    "kvtext_scan_certified",
-    "kv_sink_certified",
-    # code or oracle SQL touched in round 5 — re-certify
-    # (window_rank_topn_salted was displaced to _ROTATED_OUT to make room
-    # for the new IVFPQ query: its r5 change is plan-level only, it was
-    # driver-green in r4, and it is locally certified at both SFs)
-    # (plain events_sessionize displaced to _ROTATED_OUT for the new
-    # dedup_incremental_minhash: the salted twin below shares the identical
-    # oracle SQL and exercises the r5-changed chunk-merge path)
-    "events_sessionize_salted",
-    "multimodal_decode_profile",
-    # (multimodal_embed_search displaced to _ROTATED_OUT for the new
-    # layout_zorder_keys: its r5 delta was an oracle-SQL-only latent-case
-    # fix, it was driver-green in r4, and decode_profile re-certifies the
-    # shared SQL pattern in-window)
-    # (dedup_jaccard_pairs displaced to _ROTATED_OUT for text_countmin_freq:
-    # its r5 delta is the same hot-key-cap family dedup_simhash re-certifies
-    # in-window, and both are locally certified at both SFs)
-    "dedup_simhash",
-)
-_ROTATE_R5_FILL: tuple[str, ...] = (
-    # BRAND-NEW in the round-5 continuation session — never driver-sampled,
-    # so they outrank the r4-refreshed entries for the window's last slots
-    # (all five locally hash-verified at sf0.01 AND sf0.1):
-    "text_boilerplate_strip",
-    "text_quality_classifier",
-    "dedup_bloom_prefilter",
-    "simsearch_pq_codes",
-    "simsearch_ann_pq_recall",
-    "simsearch_ann_ivfpq_recall",
-    "layout_zorder_keys",
-    "text_countmin_freq",
-    "dedup_incremental_minhash",
-)
-_ROTATED_OUT: tuple[str, ...] = (
-    # refreshed in r4 (1 round old), displaced by the new round-5 queries
+_ROTATE_R6_RECERT: tuple[str, ...] = (
     "window_rank_topn_salted",
     "multimodal_embed_search",
     "dedup_jaccard_pairs",
     "events_sessionize",
+    "dedup_minhash_lsh",
+    "simsearch_ann_srp",
+    "wordcount",
+    "kv_parse_sum",
+    "pipeline_curation",
+)
+_ROTATED_OUT: tuple[str, ...] = (
+    "wordcount_pipe",
+    "text_token_stats",
+    "text_quality",
+    "text_language_id",
+    "text_fingerprint",
+    "text_rolling_fingerprint",
+    "text_top_bigrams",
+    "text_udtf_sentences",
+    "text_posexplode",
+    "text_tfidf_top_terms",
+    "text_repetition",
+    "text_pii_redact",
+    "text_contamination",
+    "text_chunking",
+    "text_quality_gate_per_lang",
+    "pipeline_embedding_stats",
+    "pipeline_curation_full",
+    "multimodal_meta",
+    "multimodal_frame_stats",
+    "dedup_exact",
+    "dedup_normalized",
+    "dedup_clusters",
+    "dedup_embedding_cosine",
+    "simsearch_topk",
+    "simsearch_topk_arrow",
+    "simsearch_ann_recall",
+    "simsearch_ann_ivf",
+    "embedding_stats",
+    "q2_min_balance_supplier",
+    "q8_market_share",
+    "q9_profit_by_nation_year",
+    "q13_customer_distribution",
+    "q15_top_supplier",
+    "q16_supplier_count",
+    "split_assignment",
+    "corpus_shard_packing",
+    "sample_hash_bucket",
+    "sample_stratified",
+    "corpus_mix_rebalance",
+    # last driver sample r4 (2 rounds old after r6)
     "join_skew_salted",
     "agg_salted_distinct",
     "simsearch_ann_ivf_recall",
     "multimodal_resize_audit",
     "latest_event_per_user",
-    # everything below is 1 round old (r4) or shares no changed code path;
-    # kept registered, outside the 50-row window this round
     "events_range_join",
     "events_dedup_windowed",
     "q1_pricing_summary",
@@ -206,11 +199,61 @@ _ROTATED_OUT: tuple[str, ...] = (
     "sql_surface_correlated",
     "join_inner",
     "join_left_agg",
+    # last driver sample r5 (1 round old after r6)
+    "join_semi",
+    "join_anti",
+    "join_broadcast_dim",
+    "agg_distinct",
+    "agg_rollup",
+    "agg_cube",
+    "agg_grouping_sets",
+    "window_rank_topn",
+    "window_running_sum",
+    "window_lag_delta",
+    "window_range_frame",
+    "sort_limit_topk",
+    "set_intersect",
+    "set_except",
+    "set_union",
+    "scalar_string_fns",
+    "scalar_datetime_fns",
+    "scalar_math_case",
+    "scalar_array_fns",
+    "scalar_null_fns",
+    "filter_project_pushdown",
+    "events_tumbling",
+    "events_sliding",
+    "events_json_extract",
+    "events_map_fns",
+    "events_asof_join",
+    "agg_collect_sets",
+    "agg_approx_sketches",
+    "simsearch_ann_ivf_index_recall",
+    "corpus_shuffle_shards",
+    "embedding_quantize_audit",
+    "dedup_incremental",
+    "q11_important_stock",
+    "q20_potential_promotion",
+    "events_resample_gapfill",
+    "events_streaming_tumbling_certified",
+    "kvtext_scan_certified",
+    "kv_sink_certified",
+    "events_sessionize_salted",
+    "multimodal_decode_profile",
+    "dedup_simhash",
+    "text_boilerplate_strip",
+    "text_quality_classifier",
+    "dedup_bloom_prefilter",
+    "simsearch_pq_codes",
+    "simsearch_ann_pq_recall",
+    "simsearch_ann_ivfpq_recall",
+    "layout_zorder_keys",
+    "text_countmin_freq",
+    "dedup_incremental_minhash",
 )
 _PRIORITY: tuple[str, ...] = (
-    *_ROTATE_R5_STALE,
-    *_ROTATE_R5_CHANGED,
-    *_ROTATE_R5_FILL,
+    *_ROTATE_R6_NEVER,
+    *_ROTATE_R6_RECERT,
     *_ROTATED_OUT,
 )
 assert set(_PRIORITY) <= _ALL.keys(), set(_PRIORITY) - _ALL.keys()
