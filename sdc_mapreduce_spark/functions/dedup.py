@@ -460,6 +460,8 @@ def minhash_lsh_pairs(
     text_col: str = "text",
     id_col: str = "doc_id",
     signature_impl: str = "arrow",
+    max_bucket: int | None = 1000,
+    broadcast_max_candidates: int = 10_000_000,
 ) -> DataFrame:
     """MinHash + LSH banding near-dup candidates, verified with exact
     Jaccard. ``signature_impl``: 'arrow' (vectorized numpy minima — the
@@ -470,6 +472,20 @@ def minhash_lsh_pairs(
     come from an equi-join on (band_index, band_hash); exact Jaccard then
     filters false positives, computed only on candidates (array_intersect on
     the two shingle sets). Returns (id_a, id_b, jaccard).
+
+    Skew guards (the LSH twins of jaccard/simhash's hot-key caps): a
+    (band, bhash) bucket holding d docs yields d² candidate pairs, so an
+    adversarial/templated corpus where one bucket goes quadratic would
+    dominate the self-join. ``max_bucket`` drops band rows whose bucket
+    membership exceeds the cap BEFORE the join (hot buckets are by
+    definition few, so the drop set broadcasts); members of a dropped
+    bucket still collide in their other bands — recall only degrades for
+    pairs whose every matching band is corpus-hot, the same trade-off as
+    ``jaccard_pairs(max_df=...)``. The verify-side broadcast is likewise
+    gated: candidates are persisted, size-probed with a bounded
+    ``limit(N+1).count()``, and past ``broadcast_max_candidates`` the
+    verify joins fall back to plain shuffle joins instead of an unbounded
+    driver broadcast.
     """
     rows_per_band = num_hashes // bands
     # The shingle arrays feed three consumers (banding, and both sides of
@@ -512,6 +528,14 @@ def minhash_lsh_pairs(
     # signature stage once PER SIDE; band rows are 3 small columns x
     # (docs x bands) — far cheaper to store than recompute
     band_rows = raw_band_rows.persist(StorageLevel.MEMORY_AND_DISK)
+    if max_bucket is not None:
+        hot = (
+            band_rows.groupBy("band", "bhash")
+            .agg(F.count(F.lit(1)).alias("__n"))
+            .filter(F.col("__n") > max_bucket)
+            .select("band", "bhash")
+        )
+        band_rows = band_rows.join(F.broadcast(hot), ["band", "bhash"], "left_anti")
 
     cand = (
         band_rows.alias("x")
@@ -519,14 +543,21 @@ def minhash_lsh_pairs(
         .select(F.col("x.__id").alias("id_a"), F.col("y.__id").alias("id_b"))
         .filter(F.col("id_a") < F.col("id_b"))
         .distinct()
+        # persisted so the size probe and both verify joins share one
+        # materialization of the band self-join
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    # Bounded gate on the verify-side broadcast: candidates are usually a
+    # vanishing fraction of the corpus, but only a probe proves it.
+    probe = cand.select("id_a").limit(broadcast_max_candidates + 1).count()
+    cand_hinted = (
+        F.broadcast(cand) if probe <= broadcast_max_candidates else cand
     )
 
     sa = sets.select(F.col(id_col).alias("id_a"), F.col("shingles").alias("__sh_a"))
     sb = sets.select(F.col(id_col).alias("id_b"), F.col("shingles").alias("__sh_b"))
-    # Candidates are a vanishing fraction of the corpus — broadcast them so
-    # the shingle table never shuffles for verification.
     verified = (
-        F.broadcast(cand).join(sa, "id_a")
+        cand_hinted.join(sa, "id_a")
         .join(sb, "id_b")
         .select(
             "id_a",
@@ -825,6 +856,7 @@ def exact_substring_dedup(
     chunk_size: int = 16,
     text_col: str = "text",
     id_col: str = "doc_id",
+    broadcast_max_docs: int = 1_000_000,
 ) -> DataFrame:
     """Apply-side of the duplicated-span inventory (the exact SUB-document
     dedup of Lee et al., "Deduplicating Training Data Makes Language Models
@@ -842,14 +874,19 @@ def exact_substring_dedup(
     the defined expansion — and aggregates on the fingerprint with map-side
     partial counts; only the duplicated sliver survives the >= 2 filter.
     The per-doc drop list (docs that lose at least one chunk x the ids
-    they lose) is broadcast back onto the scan, and the rebuild is a
-    per-row higher-order-function fold. At an extreme duplication rate the
-    drop list outgrows the broadcast threshold; the fallback is the same
-    plan with a shuffle join on doc_id — still sliver-sized, never
-    corpus-sized. The reference has no sub-document operator of any kind;
-    the nearest primitive is its hash-shuffle group-by (SURVEY.md O10-O13),
-    which is what the fingerprint aggregation compiles to.
+    they lose) is broadcast back onto the scan when it is provably small:
+    the persisted list is probed with a bounded ``limit(N+1).count()`` (the
+    same gate pattern as ``embedding_near_pairs_arrow``), and past
+    ``broadcast_max_docs`` rows the rebuild falls back to the same plan
+    with a shuffle join on doc_id — still sliver-sized, never corpus-sized,
+    and safe at an extreme duplication rate where the drop list is a
+    corpus-scale fraction that would blow the 8 GB broadcast limit. The
+    reference has no sub-document operator of any kind; the nearest
+    primitive is its hash-shuffle group-by (SURVEY.md O10-O13), which is
+    what the fingerprint aggregation compiles to.
     """
+    from pyspark import StorageLevel
+
     if chunk_size < 1:
         raise ValueError("chunk_size must be >= 1")
     cs = F.lit(chunk_size)
@@ -882,8 +919,15 @@ def exact_substring_dedup(
         )
         .groupBy("__id")
         .agg(F.sort_array(F.collect_list("chunk_id")).alias("__drop_ids"))
+        # persisted so the size probe below and the rebuild join share one
+        # materialization of the inventory aggregation
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
-    rebuilt = base.join(F.broadcast(drops), "__id", "left")
+    # Bounded gate: the probe stops scanning the persisted list at N+1 rows;
+    # only a provably-small drop list earns the broadcast hint.
+    probe = drops.select("__id").limit(broadcast_max_docs + 1).count()
+    drops_hinted = F.broadcast(drops) if probe <= broadcast_max_docs else drops
+    rebuilt = base.join(drops_hinted, "__id", "left")
     drop_ids = F.coalesce(F.col("__drop_ids"), F.array().cast("array<int>"))
     kept = F.flatten(
         F.transform(

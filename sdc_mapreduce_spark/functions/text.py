@@ -776,6 +776,7 @@ def encode_with_vocab(
     text_col: str = "text",
     id_col: str = "doc_id",
     oov_id: int = 0,
+    max_vocab: int = 50_000_000,
 ) -> DataFrame:
     """Tokenizer ENCODE step — the apply-side of :func:`vocab_ids`: map every
     token of every document to its dense vocabulary id (``oov_id`` for
@@ -785,8 +786,13 @@ def encode_with_vocab(
     without shuffling it.
 
     Scale shape: the vocabulary is collected once (vocab-bounded — the
-    min_count cutoff keeps it ~10M entries even at 100 TB) and shipped as a
-    broadcast variable into an Arrow-batched ``mapInPandas`` kernel, so
+    min_count cutoff keeps it ~10M entries even at 100 TB; the collect is
+    HARD-gated by ``max_vocab`` via a bounded ``limit(N+1).count()`` probe
+    that refuses an unexpectedly-unbounded vocabulary instead of melting
+    the driver — past the cap, raise either the cutoff or the cap, or use
+    the declarative explode→join twin, whose shape is vocab-size-free) and
+    shipped as a broadcast variable into an Arrow-batched ``mapInPandas``
+    kernel, so
     encoding is a pure scan-speed map stage with ZERO shuffle — the
     standard broadcast-dictionary plan of production tokenizers. The
     declarative twin (explode → broadcast join → re-assemble by position)
@@ -802,6 +808,15 @@ def encode_with_vocab(
 
     from pyspark.sql import functions as _F  # noqa: F401  (doc parity)
 
+    # Bounded gate (embedding_near_pairs_arrow pattern): the probe stops at
+    # max_vocab+1 rows, so an oversized vocabulary is refused without ever
+    # pulling it to the driver.
+    probe = vocab.select("token").limit(max_vocab + 1).count()
+    if probe > max_vocab:
+        raise ValueError(
+            f"vocabulary exceeds max_vocab={max_vocab}; raise min_count "
+            "(or max_vocab), or use the declarative explode/join encode"
+        )
     mapping = {
         r["token"]: r["vocab_id"]
         for r in vocab.select("token", "vocab_id").collect()
