@@ -346,7 +346,12 @@ def temperature_mix(
         F.least(
             F.lit(1.0),
             ((F.lit(budget_frac) * F.col("__N")) * F.col("weight_micro"))
-            / (F.col("__SW") * F.col("n_docs")),
+            # __SW can reach n_groups*1e6 and n_docs is corpus-sized: a
+            # long*long product could wrap past int64 silently in non-ANSI
+            # Spark. One factor cast to double (the numerator's path — the
+            # division coerces to double anyway, so this is bit-identical
+            # wherever the long product doesn't wrap) makes wrap impossible.
+            / (F.col("__SW").cast("double") * F.col("n_docs")),
         ),
     )
     bucket = F.conv(

@@ -232,7 +232,18 @@ def asof_join(
         F.col(left_time).alias("__t"),
         F.lit(1).alias("__is_left"),
         F.struct(*lcols).alias("__left"),
-        *[F.lit(None).cast(dict(right.dtypes)[c]).alias(f"__r_{c}") for c in right_value_cols],
+        # The right payload travels as ONE struct so the carried row is
+        # always ATOMIC: carrying each value column through its own
+        # last(ignorenulls) would let a NULL field in the winning right row
+        # backfill from a DIFFERENT (earlier) right row, tearing the result
+        # row across two right rows.
+        F.lit(None)
+        .cast(
+            "struct<"
+            + ",".join(f"{c}:{dict(right.dtypes)[c]}" for c in right_value_cols)
+            + ">"
+        )
+        .alias("__rvals"),
     )
     tagged_right = right.select(
         F.col(on).alias("__key"),
@@ -241,41 +252,41 @@ def asof_join(
         F.lit(None).cast(
             tagged_left.schema["__left"].dataType.simpleString()
         ).alias("__left"),
-        *[F.col(c).alias(f"__r_{c}") for c in right_value_cols],
+        F.struct(*[F.col(c) for c in right_value_cols]).alias("__rvals"),
     )
     unioned = tagged_left.unionByName(tagged_right)
 
     # Tie-break among right rows sharing a timestamp: order by the value
-    # columns so `last()` carries a DETERMINISTIC row — backward picks the
+    # struct (field-lexicographic — identical to ordering by the columns in
+    # sequence) so `last()` carries a DETERMINISTIC row — backward picks the
     # max (value-col) tuple at the latest eligible time, forward the min at
     # the earliest (the desc ordering's last-seen row). Without this the
     # carried row among equal-time rights is partition-order luck.
-    tiebreak_asc = [F.col(f"__r_{c}").asc() for c in right_value_cols]
-    tiebreak_desc = [F.col(f"__r_{c}").desc() for c in right_value_cols]
     if direction == "backward":
         # Right rows sort before left rows at equal time => "at or before".
         w = (
             Window.partitionBy("__key")
-            .orderBy(F.col("__t").asc(), F.col("__is_left").asc(), *tiebreak_asc)
+            .orderBy(
+                F.col("__t").asc(), F.col("__is_left").asc(), F.col("__rvals").asc()
+            )
             .rowsBetween(Window.unboundedPreceding, Window.currentRow)
         )
     else:
         w = (
             Window.partitionBy("__key")
-            .orderBy(F.col("__t").desc(), F.col("__is_left").asc(), *tiebreak_desc)
+            .orderBy(
+                F.col("__t").desc(), F.col("__is_left").asc(), F.col("__rvals").desc()
+            )
             .rowsBetween(Window.unboundedPreceding, Window.currentRow)
         )
     filled = unioned.select(
         "__is_left",
         "__left",
-        *[
-            F.last(f"__r_{c}", ignorenulls=True).over(w).alias(f"__r_{c}")
-            for c in right_value_cols
-        ],
+        F.last("__rvals", ignorenulls=True).over(w).alias("__rvals"),
     )
     return filled.filter(F.col("__is_left") == 1).select(
         *[F.col(f"__left.{c}").alias(c) for c in lcols],
-        *[F.col(f"__r_{c}").alias(c) for c in right_value_cols],
+        *[F.col(f"__rvals.{c}").alias(c) for c in right_value_cols],
     )
 
 

@@ -381,10 +381,17 @@ WITH t AS (
                  FOR i IN range(1, len(toks) - 1)]
            ELSE [array_to_string(toks, ' ')] END) AS shingles
   FROM t
-), sz AS (
-  SELECT doc_id, len(shingles) AS sz FROM sh
-), inv AS (
+), inv0 AS (
   SELECT doc_id, UNNEST(shingles) AS s FROM sh
+), keep AS (
+  -- hot-shingle cap: mirror the Spark side's max_df=1000 (same pattern as
+  -- TEXT_TFIDF_COSINE_SQL's HAVING df <= 1000); set sizes are derived from
+  -- the CAPPED shingle set, matching containment_pairs exactly
+  SELECT s FROM inv0 GROUP BY s HAVING COUNT(*) <= 1000
+), inv AS (
+  SELECT doc_id, s FROM inv0 JOIN keep USING (s)
+), sz AS (
+  SELECT doc_id, COUNT(*) AS sz FROM inv GROUP BY doc_id
 ), common AS (
   SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS c
   FROM inv a JOIN inv b ON a.s = b.s AND a.doc_id < b.doc_id

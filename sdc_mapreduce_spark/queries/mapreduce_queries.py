@@ -218,14 +218,23 @@ def csv_malformed_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev = load_table(spark, sf_dir, "events")
         value_field = F.when(
             F.col("event_id") % 97 == 0, F.lit("xx")
-        ).otherwise(F.col("value").cast("string"))
+        ).otherwise(F.coalesce(F.col("value").cast("string"), F.lit("0.0")))
+        # concat_ws silently DROPS null fields — a null anywhere would emit
+        # a short line that PERMISSIVE mis-parses instead of quarantining,
+        # silently diverging from the oracle's event_id-parity rule. Every
+        # nullable field is therefore coalesced to an explicit sentinel
+        # that round-trips (and the oracle groups by the same coalesced
+        # event_type), so a future fixture with NULLs stays green.
         lines = ev.select(
             F.concat_ws(
                 ",",
                 F.col("event_id").cast("string"),
-                F.date_format("ts", "yyyy-MM-dd HH:mm:ss.SSSSSS"),
-                F.col("user_id").cast("string"),
-                F.col("event_type"),
+                F.coalesce(
+                    F.date_format("ts", "yyyy-MM-dd HH:mm:ss.SSSSSS"),
+                    F.lit("1970-01-01 00:00:00.000000"),
+                ),
+                F.coalesce(F.col("user_id").cast("string"), F.lit("-1")),
+                F.coalesce(F.col("event_type"), F.lit("__null__")),
                 value_field,
             ).alias("value")
         )
@@ -260,13 +269,13 @@ def csv_malformed_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 CSV_MALFORMED_SQL = """
-SELECT event_type, COUNT(*) AS n_rows,
+SELECT COALESCE(event_type, '__null__') AS event_type, COUNT(*) AS n_rows,
        CAST(SUM(CASE WHEN event_id % 97 <> 0 THEN 1 ELSE 0 END) AS BIGINT)
          AS n_value_parsed,
        CAST(SUM(CASE WHEN event_id % 97 = 0 THEN 1 ELSE 0 END) AS BIGINT)
          AS n_quarantined
 FROM events
-GROUP BY event_type
+GROUP BY COALESCE(event_type, '__null__')
 ORDER BY event_type
 """
 

@@ -412,3 +412,30 @@ def test_new_operators_handle_empty_inputs(spark):
         ).count()
         == 0
     )
+
+
+def test_asof_join_carried_row_is_atomic(spark):
+    """Round-6 fix of ADVICE r5 #4: the right payload travels as ONE struct,
+    so when the tie-break-winning right row has a NULL in one value column
+    that NULL must survive — never backfilled from an earlier right row
+    (which would tear the result across two right rows)."""
+    left = spark.createDataFrame(
+        [(1, ts(20), "L1")], "k int, t timestamp_ntz, lv string"
+    )
+    # Earlier right row has rv2 set; the winning (latest <= left) row has
+    # rv1 set but rv2 NULL. A per-column last(ignorenulls) would return
+    # (new, old2) — a row that never existed.
+    right = spark.createDataFrame(
+        [(1, ts(5), "old1", "old2"), (1, ts(10), "new1", None)],
+        "k int, t timestamp_ntz, rv1 string, rv2 string",
+    )
+    out = asof_join(
+        left,
+        right,
+        on="k",
+        left_time="t",
+        right_time="t",
+        right_value_cols=["rv1", "rv2"],
+    ).collect()
+    assert len(out) == 1
+    assert out[0]["rv1"] == "new1" and out[0]["rv2"] is None
