@@ -128,3 +128,62 @@ def test_reducer_input_fixture_sums(spark):
         for r in mr.group_reduce_sum(mr.parse_kv_lines(df)).collect()
     }
     assert got == expected
+
+
+REF_REDUCERS = "/root/reference/src/worker/reducers"
+
+
+@pytest.mark.skipif(not os.path.isdir(REF_REDUCERS), reason="reference not mounted")
+def test_kv_sink_reproduces_reference_run_artifact_properties(spark, tmp_path):
+    """The reference repo ships the committed output of a real 3-reducer run
+    (src/worker/reducers/final_{21,22,23}.txt, ~522-553 keys/file). Its
+    exact input isn't in the repo, so byte replay is impossible — but the
+    PROPERTIES those artifacts witness are the sink contract (SURVEY.md Q4,
+    worker.cpp:298-303): `key<space>count` lines, keys sorted within each
+    partition file, key sets hash-disjoint ACROSS partition files, and the
+    union of partitions equal to the full reduce. This test asserts the
+    artifacts actually witness those properties, then asserts the engine's
+    own 3-partition KV sink over the reference's other shipped input
+    (src/worker/myfile.txt) reproduces every one of them."""
+    # 1. The reference artifacts witness the contract.
+    ref_keysets = []
+    for i in (21, 22, 23):
+        keys = []
+        with open(os.path.join(REF_REDUCERS, f"final_{i}.txt")) as fh:
+            for line in fh:
+                parts = line.rstrip("\n").split(" ")
+                assert len(parts) == 2 and parts[1].isdigit(), (i, line)
+                keys.append(parts[0])
+        assert keys == sorted(keys), f"final_{i}.txt not key-sorted"
+        ref_keysets.append(set(keys))
+    assert not (ref_keysets[0] & ref_keysets[1])
+    assert not (ref_keysets[0] & ref_keysets[2])
+    assert not (ref_keysets[1] & ref_keysets[2])
+
+    # 2. The engine's sink over myfile.txt reproduces the same properties.
+    inp = "/root/reference/src/worker/myfile.txt"
+    counts = mr.word_count(mr.read_text(spark, [inp]))
+    expected = {r["word"]: r["cnt"] for r in counts.collect()}
+    out = str(tmp_path / "kv_out")
+    mr.write_kv_text(counts, out, key_col="word", value_col="cnt")
+
+    part_files = sorted(
+        os.path.join(out, f) for f in os.listdir(out) if f.startswith("part-")
+    )
+    assert len(part_files) == 3
+    got_union: dict[str, int] = {}
+    keysets = []
+    for pf in part_files:
+        keys = []
+        with open(pf) as fh:
+            for line in fh:
+                parts = line.rstrip("\n").split(" ")
+                assert len(parts) == 2 and parts[1].isdigit(), (pf, line)
+                keys.append(parts[0])
+                got_union[parts[0]] = got_union.get(parts[0], 0) + int(parts[1])
+        assert keys == sorted(keys), f"{pf} not key-sorted"
+        keysets.append(set(keys))
+    assert not (keysets[0] & keysets[1])
+    assert not (keysets[0] & keysets[2])
+    assert not (keysets[1] & keysets[2])
+    assert got_union == expected
