@@ -108,6 +108,8 @@ class _Handler(BaseHTTPRequestHandler):
             return self._cancel_job(parts[1])
         if self.path.rstrip("/") == "/queries":
             return self._submit_query()
+        if self.path.rstrip("/") == "/mapreduce":
+            return self._submit_legacy()
         if self.path.rstrip("/") not in ("", "/"):
             return self._reply(404, {"error": "not found"})
         body = self._read_json()
@@ -173,6 +175,45 @@ class _Handler(BaseHTTPRequestHandler):
             )
         status = self.server.runner.cancel(job_id)
         return self._reply(200, {"job_id": job_id, "status": status})
+
+    def _submit_legacy(self):
+        """POST /mapreduce — the reference's ALTERNATE (pre-ZooKeeper)
+        submitter (reference src/app.py:8-13): a Flask route taking FORM
+        fields ``shard_size`` and ``file`` and spawning the master as a
+        fire-and-forget subprocess, replying ``{"message": "Job
+        submitted"}`` with no job id. Same contract here — urlencoded form
+        body, same two fields, same reply — except the job goes through the
+        same bounded queue as every other submission instead of an
+        unsupervised process spawn (the reference superseded this path with
+        the ZK queue for exactly that reason)."""
+        from urllib.parse import parse_qs
+
+        form = {
+            k: v[-1]
+            for k, v in parse_qs(
+                (self._body or b"").decode("utf-8", "replace")
+            ).items()
+        }
+        # Flask's request.form['missing'] aborts with 400 — same here.
+        if "shard_size" not in form or "file" not in form:
+            return self._reply(400, {"error": "shard_size and file required"})
+        try:
+            shard_size = int(form["shard_size"])
+        except ValueError:
+            return self._reply(400, {"error": "shard_size must be an integer"})
+        if self.server.backlog_full():
+            return self._reply(429, {"error": "job queue full"})
+        try:
+            self.server.queue.submit(
+                _wordcount_plan([form["file"]]),
+                name="legacy-mapreduce",
+                conf={"spark.sql.files.maxPartitionBytes": str(shard_size)},
+            )
+        except QueueFullError:
+            return self._reply(429, {"error": "job queue full"})
+        self.server.wake.set()
+        # the legacy reply carries no job id (src/app.py:13) — byte-for-byte
+        return self._reply(200, {"message": "Job submitted"})
 
     def _submit_query(self):
         """POST /queries {name, sf_dir?, output_path?}: run ANY registered

@@ -414,3 +414,46 @@ def test_client_sdk_cancel(server):
     handle = JobHandle(base_url=f"http://127.0.0.1:{server.port}", job_id=jid)
     handle.cancel()
     assert handle.wait(timeout=60) == "CANCELLED"
+
+
+def test_legacy_flask_submitter_contract(server, tmp_path):
+    """The reference's ALTERNATE submitter (src/app.py:8-13): POST
+    /mapreduce with urlencoded form fields shard_size + file, fire-and-
+    forget, reply {"message": "Job submitted"} with no job id. The job
+    still runs (through the queue) and completes as a word count."""
+    import urllib.parse
+
+    inp = tmp_path / "legacy.txt"
+    inp.write_text("alpha beta alpha\n")
+    data = urllib.parse.urlencode(
+        {"shard_size": 1 << 20, "file": str(inp)}
+    ).encode()
+    req = urllib.request.Request(
+        f"http://127.0.0.1:{server.port}/mapreduce",
+        data=data,
+        headers={"Content-Type": "application/x-www-form-urlencoded"},
+        method="POST",
+    )
+    with urllib.request.urlopen(req, timeout=30) as resp:
+        assert resp.status == 200
+        assert json.loads(resp.read()) == {"message": "Job submitted"}
+
+    # the fire-and-forget job is real: newest job completes with 2 rows
+    job = server.queue.all()[-1]
+    assert job.name == "legacy-mapreduce"
+    assert server.wait_for(job.job_id, timeout=60.0) == "COMPLETED"
+    assert server.queue.job(job.job_id).result_rows == 2
+
+    # Flask's request.form[...] 400s on a missing field — same here
+    req = urllib.request.Request(
+        f"http://127.0.0.1:{server.port}/mapreduce",
+        data=urllib.parse.urlencode({"file": str(inp)}).encode(),
+        headers={"Content-Type": "application/x-www-form-urlencoded"},
+        method="POST",
+    )
+    try:
+        with urllib.request.urlopen(req, timeout=30) as resp:
+            code = resp.status
+    except urllib.error.HTTPError as err:
+        code = err.code
+    assert code == 400
