@@ -379,6 +379,60 @@ def temperature_mix(
     )
 
 
+def source_cap_mix(
+    df: DataFrame,
+    group_col: str = "source",
+    cap_frac: float = 0.3,
+    key: str = "doc_id",
+    salt: str = "scap-v1",
+) -> DataFrame:
+    """Hard per-group share cap (the C4/Gopher "domain cap" rule): no group
+    may contribute more than ``cap_frac`` of the corpus, so
+    keep_frac_g = min(1, cap_frac*N / n_g) — groups under the cap pass
+    whole, oversized groups are down-sampled to exactly the cap. The
+    asymmetric complement of :func:`temperature_mix` (which REWEIGHTS by a
+    power law; this TRUNCATES dominant sources — the rule crawl pipelines
+    apply to mega-domains before any temperature pass).
+
+    The keep decision hashes row CONTENT (md5 of the key, as hash_split),
+    so the sampled set is cluster-shape- and engine-independent, and
+    keep_frac is derived by the identical double-arithmetic sequence in
+    any engine (cap_frac*N is double before the division — no integer
+    product can wrap). Returns (group, n_docs, keep_frac, n_kept).
+
+    Scale shape: one group-cardinality aggregate, one scalar broadcast,
+    then a broadcast join + scan-local predicate — the corpus never
+    shuffles."""
+    counts = df.groupBy(group_col).agg(F.count(F.lit(1)).alias("n_docs"))
+    total = counts.agg(F.sum("n_docs").alias("__N"))
+    plan = counts.crossJoin(F.broadcast(total)).withColumn(
+        "keep_frac",
+        F.least(
+            F.lit(1.0),
+            (F.lit(cap_frac) * F.col("__N")) / F.col("n_docs"),
+        ),
+    )
+    bucket = F.conv(
+        F.substring(F.md5(F.concat(F.lit(salt), F.col(key).cast("string"))), 1, 4),
+        16,
+        10,
+    ).cast("long")
+    bound = F.floor(F.col("keep_frac") * F.lit(65536.0)).cast("long")
+    kept = (
+        df.select(F.col(group_col), bucket.alias("__bucket"))
+        .join(F.broadcast(plan), group_col)
+        .filter((F.col("keep_frac") >= 1.0) | (F.col("__bucket") < bound))
+        .groupBy(group_col)
+        .agg(F.count(F.lit(1)).alias("n_kept"))
+    )
+    return plan.join(kept, group_col, "left").select(
+        group_col,
+        "n_docs",
+        "keep_frac",
+        F.coalesce(F.col("n_kept"), F.lit(0)).cast("long").alias("n_kept"),
+    )
+
+
 def weighted_sample(
     df: DataFrame,
     k: int,

@@ -504,6 +504,66 @@ ORDER BY id_a, id_b
 """
 
 
+def dedup_embedding_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic near-dup pairs through SRP-LSH buckets
+    (functions.simsearch.embedding_near_pairs_blocked, 6 seeded planes,
+    1-bit multi-probe, cosine ≥ 0.4 verify) — the O(n²)-free scale path of
+    dedup_embedding_cosine, and the embedding-space twin of
+    dedup_minhash_lsh's banded token LSH: candidates come from an equi-join
+    on the bucket id (vectors pair only within their own or a 1-bit-adjacent
+    bucket), never an all-pairs join. Fully oracle-checked: the seeded
+    hyperplanes are plan literals, so DuckDB replays bucketing, probing,
+    candidate dedup, and the exact-cosine verify — the approximate result
+    ITSELF hash-matches."""
+    from sdc_mapreduce_spark.functions.simsearch import embedding_near_pairs_blocked
+
+    return embedding_near_pairs_blocked(
+        load_table(spark, sf_dir, "embeddings"),
+        threshold=0.4,
+        n_planes=6,
+        multi_probe_bits=1,
+    ).orderBy("id_a", "id_b")
+
+
+def _dedup_embedding_ann_sql() -> str:
+    from sdc_mapreduce_spark.queries.simsearch_queries import _planes_values_sql
+
+    return f"""
+WITH planes(pid, h) AS (
+  VALUES {_planes_values_sql()}
+), u AS (
+  SELECT vec_id,
+         list_transform(
+           embedding::DOUBLE[],
+           x -> x / sqrt(list_aggregate(
+                  list_transform(embedding::DOUBLE[], y -> y * y), 'sum'))
+         ) AS unit
+  FROM embeddings
+), b AS (
+  SELECT vec_id,
+         CAST(SUM(CASE WHEN list_inner_product(u.unit, planes.h) >= 0
+                       THEN 1 << pid ELSE 0 END) AS BIGINT) AS bucket
+  FROM u CROSS JOIN planes
+  GROUP BY vec_id
+), probes AS (
+  SELECT vec_id, bucket AS probe FROM b
+  UNION ALL
+  SELECT vec_id, xor(bucket, CAST(1 << pid AS BIGINT)) AS probe
+  FROM b CROSS JOIN planes
+), cands AS (
+  SELECT DISTINCT p.vec_id AS id_a, b2.vec_id AS id_b
+  FROM probes p JOIN b b2 ON b2.bucket = p.probe
+  WHERE p.vec_id < b2.vec_id
+)
+SELECT c.id_a, c.id_b
+FROM cands c
+JOIN u ua ON ua.vec_id = c.id_a
+JOIN u ub ON ub.vec_id = c.id_b
+WHERE list_inner_product(ua.unit, ub.unit) >= 0.4
+ORDER BY id_a, id_b
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     "dedup_exact": QuerySpec(dedup_exact, DEDUP_EXACT_SQL),
     "dedup_normalized": QuerySpec(dedup_normalized, DEDUP_NORMALIZED_SQL),
@@ -526,4 +586,5 @@ QUERIES: dict[str, QuerySpec] = {
     "dedup_simhash": QuerySpec(dedup_simhash, DEDUP_SIMHASH_SQL),
     "dedup_clusters": QuerySpec(dedup_clusters, DEDUP_CLUSTERS_SQL),
     "dedup_embedding_cosine": QuerySpec(dedup_embedding_cosine, DEDUP_EMBEDDING_SQL),
+    "dedup_embedding_ann": QuerySpec(dedup_embedding_ann, _dedup_embedding_ann_sql()),
 }

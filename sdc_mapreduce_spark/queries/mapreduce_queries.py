@@ -376,7 +376,91 @@ ORDER BY event_type
 """
 
 
+def bucketed_join_certified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sorted-bucketed co-located join, driver-certified: orders and
+    customer are persisted through sources.write_bucketed_table with the
+    SAME bucketing (8 buckets on the customer key), re-read from the
+    catalog, and joined — the query RAISES if any Exchange appears in the
+    join's physical plan, so the driver row witnesses that the join ran
+    with ZERO shuffle off bucket co-location (the persisted-data analog of
+    the reference's hash-partitioned intermediate files, SURVEY.md O10,
+    kept across jobs instead of per-job; at 100 TB this is the layout that
+    turns every recurring fact-dim join into a scan-local merge). The
+    oracle computes the same join + aggregate from the raw parquet, so
+    bucketing must also preserve the DATA exactly, not just the plan
+    shape."""
+    import shutil
+    import uuid
+
+    from sdc_mapreduce_spark.plans import executed_plan
+    from sdc_mapreduce_spark.queries.base import dsum
+    from sdc_mapreduce_spark.sources import write_bucketed_table
+
+    tag = uuid.uuid4().hex[:8]
+    t_orders = f"sdcms_bkt_orders_{tag}"
+    t_cust = f"sdcms_bkt_cust_{tag}"
+    prev_thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        write_bucketed_table(
+            load_table(spark, sf_dir, "orders").select(
+                "o_orderkey", "o_custkey", "o_totalprice"
+            ),
+            t_orders,
+            ["o_custkey"],
+            num_buckets=8,
+            sort_cols=["o_custkey"],
+        )
+        write_bucketed_table(
+            load_table(spark, sf_dir, "customer").select(
+                "c_custkey", "c_mktsegment"
+            ),
+            t_cust,
+            ["c_custkey"],
+            num_buckets=8,
+            sort_cols=["c_custkey"],
+        )
+        # disable auto-broadcast so the co-located sort-merge join is what
+        # gets planned (a broadcast would ALSO avoid the shuffle, but it is
+        # not the property being certified, and at real fact-fact scale it
+        # is not available)
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        o = spark.table(t_orders)
+        c = spark.table(t_cust)
+        joined = o.join(c, o["o_custkey"] == c["c_custkey"])
+        plan = executed_plan(joined)
+        if "Exchange" in plan:
+            raise AssertionError(
+                "bucketed co-located join planned a shuffle:\n" + plan
+            )
+        agg = (
+            joined.groupBy("c_mktsegment")
+            .agg(
+                F.count(F.lit(1)).alias("n_orders"),
+                dsum("o_totalprice", "total_price"),
+            )
+            .orderBy("c_mktsegment")
+        )
+        rows = agg.collect()
+        return spark.createDataFrame(rows, schema=agg.schema)
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev_thresh)
+        for t in (t_orders, t_cust):
+            spark.sql(f"DROP TABLE IF EXISTS {t}")
+        shutil.rmtree("spark-warehouse/" + t_orders, ignore_errors=True)
+        shutil.rmtree("spark-warehouse/" + t_cust, ignore_errors=True)
+
+
+BUCKETED_JOIN_SQL = """
+SELECT c_mktsegment, COUNT(*) AS n_orders,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(28,2))) AS DOUBLE) AS total_price
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY c_mktsegment
+ORDER BY c_mktsegment
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
+    "bucketed_join_certified": QuerySpec(bucketed_join_certified, BUCKETED_JOIN_SQL),
     "csv_malformed_audit": QuerySpec(csv_malformed_audit, CSV_MALFORMED_SQL),
     "orc_partitioned_certified": QuerySpec(
         orc_partitioned_certified, ORC_PARTITIONED_SQL

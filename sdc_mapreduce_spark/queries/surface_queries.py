@@ -1336,10 +1336,48 @@ ORDER BY counts.c_mktsegment
 """
 
 
+def corpus_source_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard per-group share cap (functions.splits.source_cap_mix over lang,
+    cap=30%): the C4/Gopher mega-domain truncation rule — the dominant
+    group (en, ~44% of the fixture corpus) is down-sampled to exactly the
+    cap via the deterministic content-hash predicate while every group
+    under the cap passes whole. The TRUNCATING complement of
+    corpus_mix_temperature's power-law REWEIGHTING."""
+    from sdc_mapreduce_spark.functions.splits import source_cap_mix
+
+    docs = load_table(spark, sf_dir, "documents")
+    return source_cap_mix(docs, group_col="lang", cap_frac=0.3).orderBy("lang")
+
+
+CORPUS_SOURCE_CAP_SQL = """
+WITH c AS (
+  SELECT lang, COUNT(*) AS n_docs FROM documents GROUP BY lang
+), t AS (
+  SELECT SUM(n_docs) AS N FROM c
+), plan AS (
+  SELECT lang, n_docs,
+         LEAST(1.0, (0.3 * (SELECT N FROM t)) / n_docs) AS keep_frac
+  FROM c
+), kept AS (
+  SELECT d.lang, COUNT(*) AS n_kept
+  FROM documents d JOIN plan p USING (lang)
+  WHERE p.keep_frac >= 1.0
+     OR CAST(('0x' || SUBSTRING(md5('scap-v1' || CAST(d.doc_id AS VARCHAR)),
+                                1, 4)) AS BIGINT)
+        < CAST(FLOOR(p.keep_frac * 65536.0) AS BIGINT)
+  GROUP BY d.lang
+)
+SELECT p.lang, p.n_docs, p.keep_frac, COALESCE(k.n_kept, 0) AS n_kept
+FROM plan p LEFT JOIN kept k USING (lang)
+ORDER BY p.lang
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
     "table_histogram_equidepth": QuerySpec(
         table_histogram_equidepth, TABLE_HISTOGRAM_SQL
     ),
+    "corpus_source_cap": QuerySpec(corpus_source_cap, CORPUS_SOURCE_CAP_SQL),
     "sample_weighted_topk": QuerySpec(sample_weighted_topk, SAMPLE_WEIGHTED_SQL),
     "scalar_url_fns": QuerySpec(scalar_url_fns, SCALAR_URL_SQL),
     "agg_sketch_reaggregate": QuerySpec(

@@ -302,3 +302,38 @@ def test_weighted_sample_plans_take_ordered(spark, sf_dir):
     plan = executed_plan(weighted_sample(docs, k=25, weight_col="n_chars"))
     assert "TakeOrderedAndProject" in plan
     assert "Exchange rangepartitioning" not in plan
+
+
+def test_source_cap_mix_truncates_only_over_cap(spark, sf_dir):
+    """Hard share cap: groups over cap_frac of the corpus get
+    keep_frac < 1 and land within one hash-bucket quantum of the cap;
+    groups under it pass whole (n_kept == n_docs). Deterministic across
+    runs."""
+    from sdc_mapreduce_spark.catalog import load_table
+    from sdc_mapreduce_spark.functions.splits import source_cap_mix
+
+    docs = load_table(spark, sf_dir, "documents")
+    total = docs.count()
+    rows = {
+        r["lang"]: r
+        for r in source_cap_mix(docs, group_col="lang", cap_frac=0.3).collect()
+    }
+    assert sum(r["n_docs"] for r in rows.values()) == total
+    over = {k for k, r in rows.items() if r["n_docs"] > 0.3 * total}
+    assert over, "fixture should have a dominant language"
+    for k, r in rows.items():
+        if k in over:
+            assert r["keep_frac"] < 1.0
+            assert r["n_kept"] < r["n_docs"]
+            # the 16-bit content-hash predicate lands within sampling noise
+            # of the cap target (binomial; generous 30% relative slack on a
+            # small fixture group)
+            target = r["keep_frac"] * r["n_docs"]
+            assert abs(r["n_kept"] - target) <= max(5, 0.3 * target)
+        else:
+            assert r["keep_frac"] == 1.0 and r["n_kept"] == r["n_docs"]
+    again = {
+        r["lang"]: r["n_kept"]
+        for r in source_cap_mix(docs, group_col="lang", cap_frac=0.3).collect()
+    }
+    assert again == {k: r["n_kept"] for k, r in rows.items()}
