@@ -179,21 +179,23 @@ def main() -> None:
         "events with ONE user holding ~60% of rows",
     )
     sf = SF_DIR.rstrip("/").split("/")[-1].replace("sf", "")
-    print(
-        json.dumps(
-            {
-                "metric": "headline_query_set_wall_clock",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "runs": runs,
-                "skew": skew,
-                "skew_hot_user": skew_hot_user,
-                "sf": float(sf) if sf else None,
-            }
-        )
+    payload = json.dumps(
+        {
+            "metric": "headline_query_set_wall_clock",
+            "value": total,
+            "unit": "sec",
+            "queries": timings,
+            "runs": runs,
+            "skew": skew,
+            "skew_hot_user": skew_hot_user,
+            "sf": float(sf) if sf else None,
+        }
     )
+    # Stop the JVM BEFORE printing: executor GC warnings ([gc,alloc] ...)
+    # share stdout, and one landing after the payload would break the
+    # "ONE JSON line, last" contract the driver parses.
     spark.stop()
+    print(payload)
 
 
 if __name__ == "__main__":

@@ -831,6 +831,81 @@ def embedding_near_pairs_blocked(
     )
 
 
+def incremental_embedding_dedup(
+    new_batch: DataFrame,
+    existing: DataFrame,
+    threshold: float = 0.4,
+    n_planes: int = 6,
+    multi_probe_bits: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+) -> DataFrame:
+    """Ingestion-shape SEMANTIC near-dup screening — the embedding-space
+    member of the incremental family (exact fingerprints:
+    ``dedup.incremental_dedup``; token LSH: ``dedup.incremental_minhash_dedup``;
+    this catches the paraphrased re-submission both of those miss). The
+    corpus's SRP buckets act as the index (at 100 TB persisted once,
+    bucketed/partitioned by bucket id, appended per delivery); the incoming
+    batch computes its own buckets, probes its home bucket plus every
+    1-bit-adjacent one, and exact cosine verifies only the collisions.
+
+    Returns one row per batch vector with at least one corpus near-dup at
+    ``threshold``: (id, n_corpus_matches, best_match_id, best_cosine_nano),
+    best = highest cosine with ties to the lowest corpus id. The cosine is
+    reported in half-up-rounded integer NANO-units (the repo's
+    oracle-replay discipline for derived doubles crossing engine
+    boundaries).
+
+    Scale shape: batch ≪ corpus, so the exploded batch probes broadcast
+    into the bucket equi-join — the corpus never shuffles and is touched
+    only in its probed buckets (partition-pruned when the index is stored
+    bucket-partitioned)."""
+    planes = _hyperplanes(dim, n_planes)
+
+    def prep(df: DataFrame) -> DataFrame:
+        v = _as_double(F.col(vec_col))
+        n = l2_norm(v)
+        return df.select(
+            F.col(id_col), F.transform(v, lambda x: x / n).alias("__unit")
+        ).withColumn("__bucket", srp_bucket(F.col("__unit"), planes))
+
+    newp = prep(new_batch)
+    exp = prep(existing)
+    probes = [F.col("__bucket")]
+    if multi_probe_bits >= 1:
+        probes += [
+            F.col("__bucket").bitwiseXOR(F.lit(1 << i).cast("long"))
+            for i in range(n_planes)
+        ]
+    newe = newp.select(
+        F.col(id_col).alias("__new_id"),
+        F.col("__unit").alias("__un"),
+        F.explode(F.array(*probes)).alias("__bucket"),
+    )
+    cand = exp.join(F.broadcast(newe), "__bucket").dropDuplicates(
+        ["__new_id", id_col]
+    )
+    scored = cand.select(
+        "__new_id",
+        F.col(id_col).alias("__ex_id"),
+        dot("__un", "__unit").alias("__cos"),
+    ).filter(F.col("__cos") >= threshold)
+    best = F.max(F.struct(F.col("__cos"), (-F.col("__ex_id")).alias("__neg")))
+    return (
+        scored.groupBy("__new_id")
+        .agg(F.count(F.lit(1)).alias("n_corpus_matches"), best.alias("__b"))
+        .select(
+            F.col("__new_id").alias(id_col),
+            "n_corpus_matches",
+            (-F.col("__b.__neg")).cast("long").alias("best_match_id"),
+            F.floor(F.col("__b.__cos") * F.lit(1e9) + F.lit(0.5))
+            .cast("long")
+            .alias("best_cosine_nano"),
+        )
+    )
+
+
 def embedding_near_pairs_arrow(
     corpus: DataFrame,
     threshold: float = 0.4,

@@ -56,10 +56,11 @@ for mod in (
 #     pipeline_curation (r5 bench-drift watch). After r6 every registered
 #     query has a driver row; the r3-last-sampled block (39 queries) fronts
 #     the r7 window next.
-#   round 7 plan, in priority order: (1) the three queries ADDED in round 6
-#     (bucketed_join_certified, dedup_embedding_ann, corpus_source_cap —
+#   round 7 plan, in priority order: (1) the five queries ADDED in round 6
+#     (bucketed_join_certified, compact_parquet_certified,
+#     dedup_embedding_ann, dedup_incremental_embedding, corpus_source_cap —
 #     registered after the r6 window so they never displace a certification
-#     slot; locally hash-verified at sf0.01 AND sf0.1 AND --tz
+#     slot; all locally hash-verified at sf0.01 AND sf0.1 AND --tz
 #     Asia/Kolkata); (2) the 39 r3-last-sampled queries at the head of
 #     _ROTATED_OUT (wordcount_pipe .. corpus_mix_rebalance); (3) any query
 #     whose code or oracle changes in round 7; (4) the r4-last-sampled

@@ -525,6 +525,73 @@ def dedup_embedding_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("id_a", "id_b")
 
 
+def dedup_incremental_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ingestion-shape SEMANTIC near-dup screening
+    (functions.simsearch.incremental_embedding_dedup): same 20/80
+    batch/corpus split as dedup_incremental_minhash, the corpus's SRP
+    buckets as the index, the batch probing home + 1-bit-adjacent buckets,
+    exact cosine verifying collisions. Emits the reject list: batch vectors
+    with a corpus near-dup at cosine ≥ 0.4, with the best match in integer
+    nano-units. The oracle replays buckets, probes, verify, and tie-break
+    from the plan-literal hyperplanes."""
+    from sdc_mapreduce_spark.functions.simsearch import incremental_embedding_dedup
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    batch = emb.filter(F.col("vec_id") % 5 == 0)
+    existing = emb.filter(F.col("vec_id") % 5 != 0)
+    return incremental_embedding_dedup(batch, existing, threshold=0.4).orderBy(
+        "vec_id"
+    )
+
+
+def _dedup_incremental_embedding_sql() -> str:
+    from sdc_mapreduce_spark.queries.simsearch_queries import _planes_values_sql
+
+    return f"""
+WITH planes(pid, h) AS (
+  VALUES {_planes_values_sql()}
+), u AS (
+  SELECT vec_id,
+         list_transform(
+           embedding::DOUBLE[],
+           x -> x / sqrt(list_aggregate(
+                  list_transform(embedding::DOUBLE[], y -> y * y), 'sum'))
+         ) AS unit
+  FROM embeddings
+), b AS (
+  SELECT vec_id,
+         CAST(SUM(CASE WHEN list_inner_product(u.unit, planes.h) >= 0
+                       THEN 1 << pid ELSE 0 END) AS BIGINT) AS bucket
+  FROM u CROSS JOIN planes
+  GROUP BY vec_id
+), probes AS (
+  SELECT vec_id, bucket AS probe FROM b WHERE vec_id % 5 = 0
+  UNION ALL
+  SELECT vec_id, xor(bucket, CAST(1 << pid AS BIGINT)) AS probe
+  FROM b CROSS JOIN planes WHERE vec_id % 5 = 0
+), cands AS (
+  SELECT DISTINCT p.vec_id AS new_id, e.vec_id AS ex_id
+  FROM probes p JOIN b e ON e.bucket = p.probe
+  WHERE e.vec_id % 5 <> 0
+), scored AS (
+  SELECT c.new_id, c.ex_id, list_inner_product(un.unit, ue.unit) AS cos
+  FROM cands c
+  JOIN u un ON un.vec_id = c.new_id
+  JOIN u ue ON ue.vec_id = c.ex_id
+  WHERE list_inner_product(un.unit, ue.unit) >= 0.4
+)
+SELECT vec_id, n_corpus_matches, best_match_id, best_cosine_nano FROM (
+  SELECT new_id AS vec_id, ex_id AS best_match_id,
+         CAST(FLOOR(cos * 1e9 + 0.5) AS BIGINT) AS best_cosine_nano,
+         COUNT(*) OVER (PARTITION BY new_id) AS n_corpus_matches,
+         ROW_NUMBER() OVER (PARTITION BY new_id
+                            ORDER BY cos DESC, ex_id ASC) AS r
+  FROM scored
+) WHERE r = 1
+ORDER BY vec_id
+"""
+
+
 def _dedup_embedding_ann_sql() -> str:
     from sdc_mapreduce_spark.queries.simsearch_queries import _planes_values_sql
 
@@ -587,4 +654,7 @@ QUERIES: dict[str, QuerySpec] = {
     "dedup_clusters": QuerySpec(dedup_clusters, DEDUP_CLUSTERS_SQL),
     "dedup_embedding_cosine": QuerySpec(dedup_embedding_cosine, DEDUP_EMBEDDING_SQL),
     "dedup_embedding_ann": QuerySpec(dedup_embedding_ann, _dedup_embedding_ann_sql()),
+    "dedup_incremental_embedding": QuerySpec(
+        dedup_incremental_embedding, _dedup_incremental_embedding_sql()
+    ),
 }

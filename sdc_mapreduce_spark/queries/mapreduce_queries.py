@@ -376,6 +376,67 @@ ORDER BY event_type
 """
 
 
+def compact_parquet_certified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-file compaction, driver-certified: lineitem is deliberately
+    scattered into 64 tiny files (the debris a per-batch ingest leaves),
+    compacted through sources.compact_parquet with l_shipdate clustering,
+    and re-read. The query RAISES unless the compacted directory holds
+    exactly the planned file count and strictly fewer files than the
+    debris, so the driver row witnesses the maintenance pass actually
+    consolidating; the oracle recomputes the same aggregate from the raw
+    table, so the rewrite must also be byte-faithful to the data. At
+    100 TB this is the OPTIMIZE pass that keeps scan task counts
+    proportional to bytes, not to ingest batch history."""
+    import glob as _glob
+    import shutil
+    import tempfile
+
+    from sdc_mapreduce_spark.queries.base import dsum
+    from sdc_mapreduce_spark.sources import compact_parquet
+
+    root = tempfile.mkdtemp(prefix="sdcms_compact_cert_")
+    src, dst = root + "/debris", root + "/compacted"
+    try:
+        li = load_table(spark, sf_dir, "lineitem").select(
+            "l_orderkey", "l_linenumber", "l_quantity", "l_returnflag", "l_shipdate"
+        )
+        li.repartition(64).write.mode("overwrite").parquet(src)
+        n_src = len(_glob.glob(src + "/part-*"))
+        planned = compact_parquet(
+            spark, src, dst, target_file_bytes=1 << 20, order_cols=["l_shipdate"]
+        )
+        n_dst = len(_glob.glob(dst + "/part-*"))
+        if n_dst != planned or n_dst >= n_src:
+            raise AssertionError(
+                f"compaction did not consolidate: {n_src} -> {n_dst} "
+                f"(planned {planned})"
+            )
+        back = (
+            spark.read.parquet(dst)
+            .groupBy("l_returnflag")
+            .agg(
+                F.count(F.lit(1)).alias("n_rows"),
+                F.sum("l_linenumber").cast("long").alias("sum_lines"),
+                dsum("l_quantity", "sum_qty"),
+            )
+            .orderBy("l_returnflag")
+        )
+        rows = back.collect()
+        return spark.createDataFrame(rows, schema=back.schema)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+COMPACT_PARQUET_SQL = """
+SELECT l_returnflag, COUNT(*) AS n_rows,
+       CAST(SUM(l_linenumber) AS BIGINT) AS sum_lines,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(28,2))) AS DOUBLE) AS sum_qty
+FROM lineitem
+GROUP BY l_returnflag
+ORDER BY l_returnflag
+"""
+
+
 def bucketed_join_certified(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sorted-bucketed co-located join, driver-certified: orders and
     customer are persisted through sources.write_bucketed_table with the
@@ -461,6 +522,9 @@ ORDER BY c_mktsegment
 
 QUERIES: dict[str, QuerySpec] = {
     "bucketed_join_certified": QuerySpec(bucketed_join_certified, BUCKETED_JOIN_SQL),
+    "compact_parquet_certified": QuerySpec(
+        compact_parquet_certified, COMPACT_PARQUET_SQL
+    ),
     "csv_malformed_audit": QuerySpec(csv_malformed_audit, CSV_MALFORMED_SQL),
     "orc_partitioned_certified": QuerySpec(
         orc_partitioned_certified, ORC_PARTITIONED_SQL

@@ -307,3 +307,35 @@ def test_kmeans_lloyd_step_invariants(spark, sf_dir):
     assert sum(r["n_members"] for r in rows) == n
     assert all(-1.0 - 1e-9 <= r["cos_shift"] <= 1.0 + 1e-9 for r in rows)
     assert len({r["cell"] for r in rows}) == len(rows)
+
+
+def test_incremental_embedding_dedup_flags_planted_near_dup(spark, sf_dir):
+    """A batch vector identical to a corpus vector must be flagged with that
+    vector as best match at cosine ≈ 1.0; a batch vector orthogonal to the
+    whole corpus must not appear."""
+    import pyspark.sql.functions as F2
+
+    from sdc_mapreduce_spark.catalog import load_table
+    from sdc_mapreduce_spark.functions.simsearch import incremental_embedding_dedup
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    corpus = emb.filter(F2.col("vec_id") < 1000)
+    donor = corpus.orderBy("vec_id").limit(1).collect()[0]
+    dim = len(donor["embedding"])
+    clone_id, ortho_id = 100_001, 100_002
+    # orthogonal-ish probe: one-hot on the last axis, then verify below
+    batch = spark.createDataFrame(
+        [
+            (clone_id, list(donor["embedding"])),
+            (ortho_id, [0.0] * (dim - 1) + [1.0]),
+        ],
+        "vec_id long, embedding array<float>",
+    )
+    out = {
+        r["vec_id"]: r
+        for r in incremental_embedding_dedup(batch, corpus, threshold=0.95).collect()
+    }
+    assert clone_id in out
+    assert out[clone_id]["best_match_id"] == donor["vec_id"]
+    assert out[clone_id]["best_cosine_nano"] >= 999_999_000
+    assert ortho_id not in out  # nothing in the corpus at cosine >= 0.95
