@@ -789,6 +789,8 @@ def embedding_near_pairs_blocked(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     dim: int = 64,
+    verify_impl: str = "jvm",
+    broadcast_max_candidates: int = 10_000_000,
 ) -> DataFrame:
     """SRP-blocked approximate near-pair detection — the scale path that
     replaces ``embedding_near_pairs``'s O(n²) self-join: vectors pair only
@@ -797,12 +799,33 @@ def embedding_near_pairs_blocked(
     n²·(collision probability) ≈ n²·(1 - θ/π)^planes — tune n_planes so
     per-bucket populations fit a shuffle partition. Approximate by nature
     (pairs crossing > multi_probe_bits sign flips are missed); recall vs
-    the exact operator is asserted in unit tests."""
+    the exact operator is asserted in unit tests.
+
+    Plan shape (the minhash_lsh_pairs discipline): the bucket self-join
+    runs on NARROW (id, bucket) rows — the 64-double unit vectors never
+    ride the exploded shuffle — and the surviving (id_a, id_b) candidates
+    are size-probed and broadcast back onto the unit table for the verify
+    (shuffle-join fallback past ``broadcast_max_candidates``).
+
+    ``verify_impl``: 'jvm' scores candidates with the declarative left-fold
+    ``dot()``; 'arrow' runs the same verify in a vectorized mapInPandas
+    kernel whose per-dimension accumulation reproduces the fold's IEEE
+    operation order BITWISE (see inline note), so both paths — and the
+    DuckDB oracle — agree on every threshold-boundary pair. At fixture
+    scale the two verify impls are within noise of each other (the verify
+    is not the bottleneck once the join is narrow); the Arrow path exists
+    for corpora where candidate volume dominates."""
+    from pyspark import StorageLevel
+
     v = _as_double(F.col(vec_col))
     n = l2_norm(v)
-    prepared = corpus.select(
-        F.col(id_col), F.transform(v, lambda x: x / n).alias("__unit")
-    ).withColumn("__bucket", srp_bucket(F.col("__unit"), _hyperplanes(dim, n_planes)))
+    # persisted: feeds the narrow band rows AND both verify sides, so the
+    # unit-normalization pass runs once
+    prepared = (
+        corpus.select(F.col(id_col), F.transform(v, lambda x: x / n).alias("__unit"))
+        .withColumn("__bucket", srp_bucket(F.col("__unit"), _hyperplanes(dim, n_planes)))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
     # multi-probe on ONE side only: each left row visits its own bucket plus
     # every 1-bit flip, so adjacent-bucket pairs meet exactly once
     probes = [F.col("__bucket")]
@@ -811,19 +834,56 @@ def embedding_near_pairs_blocked(
             F.col("__bucket").bitwiseXOR(F.lit(1 << i).cast("long"))
             for i in range(n_planes)
         ]
-    left = prepared.select(
-        F.col(id_col).alias("id_a"),
-        F.col("__unit").alias("__ua"),
-        F.explode(F.array(*probes)).alias("__bucket"),
+    # the bucket self-join carries ONLY (id, bucket): shipping the exploded
+    # unit arrays through the shuffle costs dim x 8 bytes x (1+planes) per
+    # vector and was the measured bottleneck of the naive formulation
+    band = prepared.select(F.col(id_col).alias("__id"), "__bucket")
+    left = band.select(
+        F.col("__id").alias("id_a"), F.explode(F.array(*probes)).alias("__bucket")
     )
-    right = prepared.select(
-        F.col(id_col).alias("id_b"), F.col("__unit").alias("__ub"), "__bucket"
-    )
-    cands = (
+    right = band.select(F.col("__id").alias("id_b"), "__bucket")
+    cand_ids = (
         left.join(right, "__bucket")
         .filter(F.col("id_a") < F.col("id_b"))
         .dropDuplicates(["id_a", "id_b"])
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
+    # bounded gate on the verify-side broadcast (minhash_lsh_pairs pattern)
+    probe_n = cand_ids.select("id_a").limit(broadcast_max_candidates + 1).count()
+    cand_hinted = (
+        F.broadcast(cand_ids) if probe_n <= broadcast_max_candidates else cand_ids
+    )
+    ua = prepared.select(F.col(id_col).alias("id_a"), F.col("__unit").alias("__ua"))
+    ub = prepared.select(F.col(id_col).alias("id_b"), F.col("__unit").alias("__ub"))
+    cands = cand_hinted.join(ua, "id_a").join(ub, "id_b")
+    if verify_impl == "arrow":
+        # Vectorized verify with BIT-IDENTICAL floats: `dot()` is a
+        # left-fold (((0+p0)+p1)+...), and numpy's np.dot/np.sum use
+        # pairwise/SIMD summation whose different rounding would break the
+        # cross-engine hash on threshold-boundary pairs. The kernel instead
+        # accumulates one dimension at a time across the whole candidate
+        # batch (acc += a[:, d] * b[:, d]) — the same IEEE add sequence per
+        # pair as the JVM fold and the DuckDB list_inner_product, just
+        # executed for every pair at once.
+        import pandas as pd
+
+        def kernel(batches):
+            for pdf in batches:
+                if pdf.empty:
+                    continue
+                a = np.asarray(list(pdf["__ua"]), dtype=np.float64)
+                b = np.asarray(list(pdf["__ub"]), dtype=np.float64)
+                acc = np.zeros(len(pdf), dtype=np.float64)
+                for d in range(a.shape[1]):
+                    acc += a[:, d] * b[:, d]
+                keep = acc >= threshold
+                yield pd.DataFrame(
+                    {"id_a": pdf["id_a"][keep], "id_b": pdf["id_b"][keep]}
+                )
+
+        return cands.select("id_a", "id_b", "__ua", "__ub").mapInPandas(
+            kernel, schema="id_a long, id_b long"
+        )
     return (
         cands.select("id_a", "id_b", dot("__ua", "__ub").alias("cosine"))
         .filter(F.col("cosine") >= threshold)

@@ -339,3 +339,25 @@ def test_incremental_embedding_dedup_flags_planted_near_dup(spark, sf_dir):
     assert out[clone_id]["best_match_id"] == donor["vec_id"]
     assert out[clone_id]["best_cosine_nano"] >= 999_999_000
     assert ortho_id not in out  # nothing in the corpus at cosine >= 0.95
+
+
+def test_blocked_pairs_arrow_verify_bitwise_equals_jvm(spark, sf_dir):
+    """The Arrow verify kernel must reproduce the JVM fold's results
+    EXACTLY (same pairs, including any threshold-boundary ones): its
+    per-dimension accumulation is the same IEEE add sequence per pair."""
+    from sdc_mapreduce_spark.catalog import load_table
+    from sdc_mapreduce_spark.functions.simsearch import embedding_near_pairs_blocked
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    jvm = sorted(
+        map(tuple, embedding_near_pairs_blocked(emb, n_planes=6).collect())
+    )
+    arrow = sorted(
+        map(
+            tuple,
+            embedding_near_pairs_blocked(
+                emb, n_planes=6, verify_impl="arrow"
+            ).collect(),
+        )
+    )
+    assert jvm == arrow and len(jvm) > 0
