@@ -698,12 +698,42 @@ def near_dup_clusters(
         text_col=text_col,
         id_col=id_col,
     ).select("id_a", "id_b")
+    return min_label_propagation(
+        df.select(id_col),
+        pairs,
+        id_col=id_col,
+        max_iterations=max_iterations,
+        check_every=check_every,
+    )
+
+
+def min_label_propagation(
+    nodes: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    max_iterations: int = 20,
+    check_every: int = 2,
+) -> DataFrame:
+    """Connected components over an undirected pair graph → (id, rep_id)
+    with rep = min id per component; singletons map to themselves. The
+    propagation engine behind :func:`near_dup_clusters`, reusable over ANY
+    near-dup pair source (token LSH, SimHash blocks, embedding ANN
+    buckets). ``pairs`` must have columns (id_a, id_b); ``nodes`` a single
+    ``id_col`` column covering every node (isolated ones included).
+
+    Same algorithm and cost notes as near_dup_clusters' docstring:
+    min-label rounds = O(component diameter), each shuffling only
+    (node, label); lineage truncated per round; batched convergence check.
+    """
+    if check_every < 1:
+        raise ValueError(f"check_every must be >= 1, got {check_every}")
     edges = (
-        pairs.union(pairs.select(F.col("id_b"), F.col("id_a")))
+        pairs.select("id_a", "id_b")
+        .union(pairs.select(F.col("id_b"), F.col("id_a")))
         .toDF("src", "dst")
         .persist()
     )
-    labels = df.select(
+    labels = nodes.select(
         F.col(id_col).alias("node"), F.col(id_col).alias("label")
     ).localCheckpoint(eager=True)
 

@@ -592,6 +592,72 @@ ORDER BY vec_id
 """
 
 
+def dedup_embedding_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-shape semantic dedup DECISION: SRP-blocked ANN pairs
+    (cosine ≥ 0.4) → connected components (functions.dedup.
+    min_label_propagation) → one representative (min vec_id) per cluster,
+    every vector mapped (singletons to themselves). The embedding-space
+    twin of dedup_clusters' token-LSH components; the keep-list a curation
+    pass anti-joins against. Oracle: recursive-CTE reachability over the
+    same plan-literal SRP pair graph."""
+    from sdc_mapreduce_spark.functions.dedup import min_label_propagation
+    from sdc_mapreduce_spark.functions.simsearch import embedding_near_pairs_blocked
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    pairs = embedding_near_pairs_blocked(emb, threshold=0.4, n_planes=6)
+    return min_label_propagation(
+        emb.select("vec_id"), pairs, id_col="vec_id"
+    ).orderBy("vec_id")
+
+
+def _dedup_embedding_clusters_sql() -> str:
+    from sdc_mapreduce_spark.queries.simsearch_queries import _planes_values_sql
+
+    return f"""
+WITH RECURSIVE planes(pid, h) AS (
+  VALUES {_planes_values_sql()}
+), u AS (
+  SELECT vec_id,
+         list_transform(
+           embedding::DOUBLE[],
+           x -> x / sqrt(list_aggregate(
+                  list_transform(embedding::DOUBLE[], y -> y * y), 'sum'))
+         ) AS unit
+  FROM embeddings
+), b AS (
+  SELECT vec_id,
+         CAST(SUM(CASE WHEN list_inner_product(u.unit, planes.h) >= 0
+                       THEN 1 << pid ELSE 0 END) AS BIGINT) AS bucket
+  FROM u CROSS JOIN planes
+  GROUP BY vec_id
+), probes AS (
+  SELECT vec_id, bucket AS probe FROM b
+  UNION ALL
+  SELECT vec_id, xor(bucket, CAST(1 << pid AS BIGINT)) AS probe
+  FROM b CROSS JOIN planes
+), cands AS (
+  SELECT DISTINCT p.vec_id AS id_a, b2.vec_id AS id_b
+  FROM probes p JOIN b b2 ON b2.bucket = p.probe
+  WHERE p.vec_id < b2.vec_id
+), pairs AS (
+  SELECT c.id_a, c.id_b
+  FROM cands c
+  JOIN u ua ON ua.vec_id = c.id_a
+  JOIN u ub ON ub.vec_id = c.id_b
+  WHERE list_inner_product(ua.unit, ub.unit) >= 0.4
+), edges AS (
+  SELECT id_a AS s, id_b AS t FROM pairs
+  UNION ALL
+  SELECT id_b, id_a FROM pairs
+), reach AS (
+  SELECT vec_id AS s, vec_id AS t FROM embeddings
+  UNION
+  SELECT r.s, e.t FROM reach r JOIN edges e ON r.t = e.s
+)
+SELECT s AS vec_id, MIN(t) AS rep_id FROM reach GROUP BY s ORDER BY vec_id
+"""
+
+
 def _dedup_embedding_ann_sql() -> str:
     from sdc_mapreduce_spark.queries.simsearch_queries import _planes_values_sql
 
@@ -656,5 +722,8 @@ QUERIES: dict[str, QuerySpec] = {
     "dedup_embedding_ann": QuerySpec(dedup_embedding_ann, _dedup_embedding_ann_sql()),
     "dedup_incremental_embedding": QuerySpec(
         dedup_incremental_embedding, _dedup_incremental_embedding_sql()
+    ),
+    "dedup_embedding_clusters": QuerySpec(
+        dedup_embedding_clusters, _dedup_embedding_clusters_sql()
     ),
 }
