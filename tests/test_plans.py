@@ -322,3 +322,37 @@ def test_interval_overlap_never_nested_loop(spark, sf_dir):
     )
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_blocked_pairs_bucket_join_is_narrow(spark, sf_dir):
+    """The SRP bucket self-join must carry ONLY (id, bucket): the 64-double
+    unit arrays riding the exploded shuffle was the measured bottleneck of
+    the naive formulation (r6). The verify joins re-attach units AFTER the
+    candidate set exists, with the candidate side broadcast."""
+    from sdc_mapreduce_spark.functions.simsearch import embedding_near_pairs_blocked
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    plan = _plan(embedding_near_pairs_blocked(emb, n_planes=6))
+    # every hash-partitioned exchange in this plan must be unit-free: the
+    # only shuffles are the narrow band join + distinct (units travel only
+    # through broadcast/persisted scans)
+    for line in plan.splitlines():
+        if "Exchange hashpartitioning" in line:
+            assert "__unit" not in line and "__ua" not in line and "__ub" not in line, line
+    assert "BroadcastHashJoin" in plan  # candidate ids broadcast into verify
+
+
+def test_incremental_embedding_batch_side_broadcast(spark, sf_dir):
+    """The batch probes must broadcast into the corpus bucket join — the
+    corpus never shuffles for incremental screening."""
+    import pyspark.sql.functions as F2
+
+    from sdc_mapreduce_spark.functions.simsearch import incremental_embedding_dedup
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    out = incremental_embedding_dedup(
+        emb.filter(F2.col("vec_id") % 5 == 0),
+        emb.filter(F2.col("vec_id") % 5 != 0),
+    )
+    plan = _plan(out)
+    assert "BroadcastHashJoin" in plan
