@@ -581,6 +581,7 @@ def incremental_minhash_dedup(
     threshold: float = 0.8,
     text_col: str = "text",
     id_col: str = "doc_id",
+    broadcast_max_candidates: int = 10_000_000,
 ) -> DataFrame:
     """Ingestion-shape NEAR-dup screening: the corpus's LSH band rows act
     as the bucket index (at 100 TB persisted once, bucketed by
@@ -596,9 +597,12 @@ def incremental_minhash_dedup(
     id — the reject list a curation pipeline anti-joins against the batch.
 
     Scale shape: batch band rows ≪ corpus band rows, so the bucket join
-    broadcasts the batch side; candidates are a vanishing fraction and
-    broadcast into the shingle-verify joins, so the corpus shingle table
-    never shuffles."""
+    broadcasts the batch side; candidates are usually a vanishing fraction
+    and broadcast into the shingle-verify joins (so the corpus shingle
+    table never shuffles) — but only a bounded size probe proves it: past
+    ``broadcast_max_candidates`` (a templated batch colliding with a
+    templated corpus region goes quadratic) the verify falls back to plain
+    shuffle joins instead of an unbounded driver broadcast."""
     from pyspark import StorageLevel
 
     sets_new = shingle_sets(new_batch, n=n, text_col=text_col, id_col=id_col).persist(
@@ -617,6 +621,11 @@ def incremental_minhash_dedup(
         bands_ex.join(F.broadcast(bands_new), ["band", "bhash"])
         .select("__new_id", "__ex_id")
         .distinct()
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    probe = cand.select("__new_id").limit(broadcast_max_candidates + 1).count()
+    cand_hinted = (
+        F.broadcast(cand) if probe <= broadcast_max_candidates else cand
     )
     sa = sets_new.select(
         F.col(id_col).alias("__new_id"), F.col("shingles").alias("__sh_a")
@@ -625,7 +634,7 @@ def incremental_minhash_dedup(
         F.col(id_col).alias("__ex_id"), F.col("shingles").alias("__sh_b")
     )
     verified = (
-        F.broadcast(cand)
+        cand_hinted
         .join(sa, "__new_id")
         .join(sb, "__ex_id")
         .select(

@@ -719,7 +719,9 @@ QUERIES: dict[str, QuerySpec] = {
     "dedup_simhash": QuerySpec(dedup_simhash, DEDUP_SIMHASH_SQL),
     "dedup_clusters": QuerySpec(dedup_clusters, DEDUP_CLUSTERS_SQL),
     "dedup_embedding_cosine": QuerySpec(dedup_embedding_cosine, DEDUP_EMBEDDING_SQL),
-    "dedup_embedding_ann": QuerySpec(dedup_embedding_ann, _dedup_embedding_ann_sql()),
+    "dedup_embedding_ann": QuerySpec(
+        dedup_embedding_ann, _dedup_embedding_ann_sql(), bench=True
+    ),
     "dedup_incremental_embedding": QuerySpec(
         dedup_incremental_embedding, _dedup_incremental_embedding_sql()
     ),

@@ -551,3 +551,21 @@ def test_minhash_lsh_verify_gate_fallback_identical(spark, sf_dir):
         ).collect()
     )
     assert base == fallback
+
+
+def test_incremental_minhash_verify_gate_fallback_identical(spark, sf_dir):
+    """Forcing the candidate-broadcast probe past its threshold must take
+    the shuffle-join verify path with identical screening output."""
+    docs = load_table(spark, sf_dir, "documents")
+    batch = docs.filter(F.col("doc_id") % 5 == 0)
+    existing = docs.filter(F.col("doc_id") % 5 != 0)
+    base = sorted(map(tuple, D.incremental_minhash_dedup(batch, existing).collect()))
+    fallback = sorted(
+        map(
+            tuple,
+            D.incremental_minhash_dedup(
+                batch, existing, broadcast_max_candidates=0
+            ).collect(),
+        )
+    )
+    assert base == fallback and len(base) > 0
