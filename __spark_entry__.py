@@ -39,12 +39,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 def oracle_sql() -> dict[str, str]:
     """DuckDB-runnable ANSI-SQL twin for every SQL-expressible query.
 
-    Omitted (rows-only check) for exactly 3 approximate-by-design queries:
-    simsearch_ann_srp / simsearch_ann_ivf (recall < 1 by construction —
-    but each family's recall@k IS oracle-checked, via simsearch_ann_recall
-    and simsearch_ann_ivf_recall) and agg_approx_sketches (HLL++/digest
-    estimates; exact twins inside agg_distinct/agg_percentiles are
-    oracle-checked). Each is also unit-tested against an exact reference
-    (tests/test_simsearch.py, test_operators.py).
+    Omitted (rows-only check) for exactly ONE query: simsearch_ann_ivf,
+    whose FITTED KMeans coarse quantizer no external engine can replay —
+    the IVF family is oracle-checked through simsearch_ann_ivf_recall and
+    simsearch_ann_ivf_index_recall (deterministic seeded quantizer), and
+    the fitted path is unit-tested against exact references
+    (tests/test_simsearch.py). Every other approximate query carries a
+    full-result or bounds oracle: simsearch_ann_srp and the SRP-blocked
+    dedup family replay their plan-literal hyperplanes end-to-end, and
+    agg_approx_sketches asserts each sketch inside its published error.
     """
     return qreg.oracle_sql()
