@@ -1406,7 +1406,53 @@ ORDER BY s.user_id, s.session_id, isl.interval_id
 """
 
 
+def events_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC / change-log apply with delete tombstones — the lakehouse MERGE
+    pattern: every event is an upsert of its user's row ('error' rows are
+    delete tombstones), and the applied table is latest-version-wins per
+    key. Implemented as ONE partial-aggregable max-struct aggregation —
+    F.max(struct(ts, event_id, ...)) picks the latest change atomically
+    (event_id uniqueness makes the order total), so applying a 100 TB
+    change log is a single map-side-combining shuffle of (key, last-row)
+    pairs, NOT a per-key row_number window (whose hot keys serialize).
+    Tombstoned keys are absent from the output; n_changes counts the key's
+    full change history."""
+    ev = load_table(spark, sf_dir, "events")
+    agg = ev.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_changes"),
+        F.max(F.struct("ts", "event_id", "event_type", "value")).alias("__last"),
+    )
+    return (
+        agg.filter(F.col("__last.event_type") != "error")
+        .select(
+            "user_id",
+            F.col("__last.event_id").alias("last_event_id"),
+            F.col("__last.event_type").alias("last_event_type"),
+            F.col("__last.value").alias("last_value"),
+            "n_changes",
+        )
+        .orderBy("user_id")
+    )
+
+
+EVENTS_CDC_APPLY_SQL = """
+WITH ranked AS (
+  SELECT user_id, event_id, event_type, value,
+         ROW_NUMBER() OVER (PARTITION BY user_id
+                            ORDER BY ts DESC, event_id DESC) AS rn,
+         COUNT(*) OVER (PARTITION BY user_id) AS n_changes
+  FROM events
+)
+SELECT user_id, event_id AS last_event_id, event_type AS last_event_type,
+       value AS last_value, n_changes
+FROM ranked
+WHERE rn = 1 AND event_type <> 'error'
+ORDER BY user_id
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
+    "events_cdc_apply": QuerySpec(events_cdc_apply, EVENTS_CDC_APPLY_SQL),
     "events_change_intervals": QuerySpec(
         events_change_intervals, EVENTS_CHANGE_INTERVALS_SQL
     ),

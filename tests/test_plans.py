@@ -356,3 +356,15 @@ def test_incremental_embedding_batch_side_broadcast(spark, sf_dir):
     )
     plan = _plan(out)
     assert "BroadcastHashJoin" in plan
+
+
+def test_cdc_apply_single_partial_agg_shuffle(spark, sf_dir):
+    """CDC apply must compile to ONE partial→final aggregation shuffle (the
+    max-struct form), never a per-key row_number window whose hot keys
+    serialize."""
+    from sdc_mapreduce_spark.queries.events_queries import events_cdc_apply
+
+    plan = _plan(events_cdc_apply(spark, sf_dir))
+    assert "Window" not in plan
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "partial_max" in plan or "partial_count" in plan
