@@ -439,3 +439,51 @@ def test_asof_join_carried_row_is_atomic(spark):
     ).collect()
     assert len(out) == 1
     assert out[0]["rv1"] == "new1" and out[0]["rv2"] is None
+
+
+def test_cdc_apply_partition_invariant_and_tombstones(spark, sf_dir):
+    """CDC apply must be independent of input partitioning (max-struct is
+    associative/commutative) and must drop exactly the keys whose LATEST
+    change is a tombstone."""
+    from sdc_mapreduce_spark.catalog import load_table
+    from sdc_mapreduce_spark.queries.events_queries import events_cdc_apply
+
+    base = sorted(map(tuple, events_cdc_apply(spark, sf_dir).collect()))
+
+    ev = load_table(spark, sf_dir, "events").repartition(17)
+    agg = ev.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_changes"),
+        F.max(F.struct("ts", "event_id", "event_type", "value")).alias("__last"),
+    )
+    shuffled = sorted(
+        map(
+            tuple,
+            agg.filter(F.col("__last.event_type") != "error")
+            .select(
+                "user_id",
+                F.col("__last.event_id").alias("last_event_id"),
+                F.col("__last.event_type").alias("last_event_type"),
+                F.col("__last.value").alias("last_value"),
+                "n_changes",
+            )
+            .orderBy("user_id")
+            .collect(),
+        )
+    )
+    assert base == shuffled
+
+    # python replica: latest by (ts, event_id); tombstone keys absent
+    rows = load_table(spark, sf_dir, "events").collect()
+    latest = {}
+    counts = {}
+    for r in rows:
+        counts[r["user_id"]] = counts.get(r["user_id"], 0) + 1
+        k = (r["ts"], r["event_id"])
+        if r["user_id"] not in latest or k > latest[r["user_id"]][0]:
+            latest[r["user_id"]] = (k, r)
+    expected = sorted(
+        (u, r["event_id"], r["event_type"], r["value"], counts[u])
+        for u, (_, r) in latest.items()
+        if r["event_type"] != "error"
+    )
+    assert base == expected
