@@ -133,6 +133,15 @@ def main() -> int:
         "zone is outside our control; e.g. --tz Asia/Kolkata replays the "
         "round-5 timezone-independence audit)",
     )
+    ap.add_argument(
+        "--head",
+        type=int,
+        default=None,
+        metavar="N",
+        help="check only the first N registry entries — exactly the "
+        "driver's bounded correctness window (N=50 replays next round's "
+        "sample)",
+    )
     ap.add_argument("names", nargs="*")
     args = ap.parse_args()
 
@@ -141,6 +150,8 @@ def main() -> int:
     queries = entrymod.queries()
     oracles = entrymod.oracle_sql()
     names = args.names or list(queries)
+    if args.head is not None:
+        names = names[: args.head]
 
     spark = get_spark("check-oracle")
     if args.tz:
