@@ -842,10 +842,17 @@ def embedding_near_pairs_blocked(
         F.col("__id").alias("id_a"), F.explode(F.array(*probes)).alias("__bucket")
     )
     right = band.select(F.col("__id").alias("id_b"), "__bucket")
+    # No candidate dedup needed: the probe buckets {home, home^bit_i} are
+    # all DISTINCT values and the right side keeps its single home bucket,
+    # so a pair meets through exactly one probe (equal buckets -> the
+    # identity probe; buckets differing by bit i -> that probe alone), and
+    # the id_a < id_b filter kills the mirrored ordering. Verified at
+    # sf0.1: join rows == distinct pairs (230,484 == 230,484). A
+    # dropDuplicates here would be a pure no-op shuffle of the candidate
+    # set — the largest intermediate in the plan.
     cand_ids = (
         left.join(right, "__bucket")
         .filter(F.col("id_a") < F.col("id_b"))
-        .dropDuplicates(["id_a", "id_b"])
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
     # bounded gate on the verify-side broadcast (minhash_lsh_pairs pattern)
@@ -943,9 +950,12 @@ def incremental_embedding_dedup(
         F.col("__unit").alias("__un"),
         F.explode(F.array(*probes)).alias("__bucket"),
     )
-    cand = exp.join(F.broadcast(newe), "__bucket").dropDuplicates(
-        ["__new_id", id_col]
-    )
+    # No (new, existing) dedup needed: a batch vector's probe buckets are
+    # all distinct values, so a corpus row (one fixed bucket) matches at
+    # most one probe row per batch vector. Skipping the dropDuplicates
+    # keeps the pipeline shuffle-FREE until the final groupBy — at 100 TB
+    # the corpus-side join output never re-shuffles for a no-op dedup.
+    cand = exp.join(F.broadcast(newe), "__bucket")
     scored = cand.select(
         "__new_id",
         F.col(id_col).alias("__ex_id"),

@@ -334,8 +334,9 @@ def test_blocked_pairs_bucket_join_is_narrow(spark, sf_dir):
     emb = load_table(spark, sf_dir, "embeddings")
     plan = _plan(embedding_near_pairs_blocked(emb, n_planes=6))
     # every hash-partitioned exchange in this plan must be unit-free: the
-    # only shuffles are the narrow band join + distinct (units travel only
-    # through broadcast/persisted scans)
+    # only shuffle is the narrow band join (units travel only through
+    # broadcast/persisted scans; candidate pairs are unique by probe-set
+    # construction, so there is no distinct stage)
     for line in plan.splitlines():
         if "Exchange hashpartitioning" in line:
             assert "__unit" not in line and "__ua" not in line and "__ub" not in line, line

@@ -126,6 +126,20 @@ def test_blocked_near_pairs_subset_with_recall(spark, sf_dir):
     assert len(approx & exact) / len(exact) >= 0.5
 
 
+def test_blocked_pairs_unique_without_dedup(spark, sf_dir):
+    """The one-sided multi-probe construction produces each candidate pair
+    exactly once — equal buckets meet through the identity probe, buckets
+    differing by bit i through that probe alone, and id_a < id_b kills the
+    mirror — so the operator carries NO dropDuplicates. This pins the
+    invariant the removal relies on: emitted pairs must be unique."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    pairs = [
+        (r["id_a"], r["id_b"])
+        for r in S.embedding_near_pairs_blocked(emb, n_planes=3).collect()
+    ]
+    assert len(pairs) == len(set(pairs)) and len(pairs) > 0
+
+
 def test_embedding_near_pairs_symmetric_threshold(spark):
     rows = [
         (1, [1.0, 0.0, 0.0, 0.0]),
