@@ -1293,7 +1293,38 @@ WHERE c_acctbal > nation_avg
 """
 
 
+def join_fuzzy_names(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity-resolution fuzzy join (functions.dedup.fuzzy_name_pairs):
+    near-duplicate part names within Levenshtein distance 4, blocked on the
+    first name token. The distinct-names-first + blocking + length-bound +
+    levenshtein-verify chain is the record-linkage plan that survives a
+    100 TB fact table: all quadratic work runs on the (tiny) distinct-name
+    set, and the verify is a codegen'd JVM built-in."""
+    from sdc_mapreduce_spark.functions.dedup import fuzzy_name_pairs
+
+    part = load_table(spark, sf_dir, "part")
+    return fuzzy_name_pairs(part, "p_name", max_dist=4).orderBy("name_a", "name_b")
+
+
+JOIN_FUZZY_NAMES_SQL = """
+WITH n AS (
+  SELECT p_name AS nm, COUNT(*) AS n_rows,
+         split_part(lower(p_name), ' ', 1) AS blk
+  FROM part GROUP BY p_name
+)
+SELECT a.nm AS name_a, b.nm AS name_b,
+       CAST(levenshtein(a.nm, b.nm) AS INT) AS dist,
+       a.n_rows AS rows_a, b.n_rows AS rows_b
+FROM n a JOIN n b
+  ON a.blk = b.blk AND a.nm < b.nm
+ AND abs(length(a.nm) - length(b.nm)) <= 4
+WHERE levenshtein(a.nm, b.nm) <= 4
+ORDER BY name_a, name_b
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
+    "join_fuzzy_names": QuerySpec(join_fuzzy_names, JOIN_FUZZY_NAMES_SQL),
     "q1_pricing_summary": QuerySpec(q1_pricing_summary, Q1_SQL, bench=True),
     "q3_shipping_priority": QuerySpec(q3_shipping_priority, Q3_SQL, bench=True),
     "q5_local_supplier": QuerySpec(q5_local_supplier, Q5_SQL, bench=True),

@@ -569,3 +569,34 @@ def test_incremental_minhash_verify_gate_fallback_identical(spark, sf_dir):
         )
     )
     assert base == fallback and len(base) > 0
+
+
+def test_fuzzy_name_pairs_blocking_and_verify(spark):
+    """Pairs form only within a block, pass the length bound, and verify
+    levenshtein <= max_dist; row support counts the un-collapsed rows."""
+    df = spark.createDataFrame(
+        [(1, "red bolt"), (2, "red bold"), (3, "red bolt"), (4, "red widget"),
+         (5, "blue bolt")],
+        ["id", "nm"],
+    )
+    rows = {
+        (r["name_a"], r["name_b"]): (r["dist"], r["rows_a"], r["rows_b"])
+        for r in D.fuzzy_name_pairs(df, "nm", max_dist=4).collect()
+    }
+    # "red bold" ~ "red bolt" (dist 1); widget is 5+ edits from both;
+    # "blue bolt" is in another block despite dist 2 from "red bolt"
+    assert rows == {("red bold", "red bolt"): (1, 1, 2)}
+
+
+def test_fuzzy_name_pairs_max_block_identity_and_prune(spark):
+    """Below the cap output is bit-identical to uncapped; a cap smaller
+    than a block's membership removes that block from the universe."""
+    df = spark.createDataFrame(
+        [(1, "red bolt"), (2, "red bold"), (3, "red boat")], ["id", "nm"]
+    )
+    capped = sorted(map(tuple, D.fuzzy_name_pairs(df, "nm").collect()))
+    uncapped = sorted(
+        map(tuple, D.fuzzy_name_pairs(df, "nm", max_block=None).collect())
+    )
+    assert capped == uncapped and len(capped) == 3
+    assert D.fuzzy_name_pairs(df, "nm", max_block=2).count() == 0
