@@ -491,3 +491,52 @@ def interval_overlap_join(
         )
         .drop("__bucket", "__lsb", "__rsb")
     )
+
+
+def scd2_history(
+    df: DataFrame,
+    key_col: str,
+    attr_col: str,
+    ts_col: str,
+    tiebreak_col: str,
+) -> DataFrame:
+    """Slowly-Changing-Dimension Type-2 history build: from an append-only
+    change log, the per-entity validity-interval table
+    (key, attr, valid_from, valid_to, version, is_current) — the lakehouse
+    dimension-history pattern (valid_to is NULL on the current row,
+    half-open intervals [valid_from, valid_to)).
+
+    Plan: ONE shuffle on the entity key; run-collapse (drop rows whose
+    attribute equals the previous row's) and interval stitching
+    (lead(valid_from)) are two window passes over the SAME
+    (key, time, tiebreak) partitioning+sort, so Catalyst reuses the
+    exchange — no second shuffle. ``tiebreak_col`` (a unique id) makes
+    equal-timestamp ordering deterministic; without it the collapsed run
+    boundaries are partition-order luck.
+
+    At 100 TB the window serializes per entity, which is the correct
+    semantics (history is inherently sequential per key) and safe for
+    dimension-shaped data (bounded rows per entity); a pathological hot
+    entity would need the chunked pre-aggregation treatment in
+    operators.skew, which run-collapse does not admit losslessly.
+    """
+    w = Window.partitionBy(key_col).orderBy(ts_col, tiebreak_col)
+    changes = (
+        df.withColumn("__prev", F.lag(attr_col).over(w))
+        .filter(F.col("__prev").isNull() | (F.col("__prev") != F.col(attr_col)))
+        .select(
+            key_col,
+            attr_col,
+            F.col(ts_col).alias("valid_from"),
+            tiebreak_col,
+        )
+    )
+    w2 = Window.partitionBy(key_col).orderBy("valid_from", tiebreak_col)
+    return changes.select(
+        key_col,
+        attr_col,
+        "valid_from",
+        F.lead("valid_from").over(w2).alias("valid_to"),
+        F.row_number().over(w2).alias("version"),
+        F.lead("valid_from").over(w2).isNull().alias("is_current"),
+    )

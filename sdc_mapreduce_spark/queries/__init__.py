@@ -56,11 +56,11 @@ for mod in (
 #     pipeline_curation (r5 bench-drift watch). After r6 every registered
 #     query has a driver row; the r3-last-sampled block (39 queries) fronts
 #     the r7 window next.
-#   round 7 plan, in priority order: (1) the eight queries ADDED in round 6
+#   round 7 plan, in priority order: (1) the queries ADDED in round 6
 #     (bucketed_join_certified, compact_parquet_certified,
 #     dedup_embedding_ann, dedup_incremental_embedding,
 #     dedup_embedding_clusters, corpus_source_cap, events_cdc_apply,
-#     join_fuzzy_names —
+#     join_fuzzy_names, events_scd2_history —
 #     registered after the r6 window so they never displace a certification
 #     slot; all locally hash-verified at sf0.01 AND sf0.1 AND --tz
 #     Asia/Kolkata); (2) the 39 r3-last-sampled queries at the head of

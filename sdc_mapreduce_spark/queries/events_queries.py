@@ -12,7 +12,11 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from sdc_mapreduce_spark.catalog import load_table
-from sdc_mapreduce_spark.operators.relational import asof_join, range_join_time
+from sdc_mapreduce_spark.operators.relational import (
+    asof_join,
+    range_join_time,
+    scd2_history,
+)
 from sdc_mapreduce_spark.queries.base import QuerySpec, dsum, sql_dsum
 
 
@@ -1451,7 +1455,43 @@ ORDER BY user_id
 """
 
 
+
+
+def events_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD Type-2 dimension-history build (operators.relational.scd2_history):
+    treat each user's event_type stream as a changing attribute and emit the
+    validity-interval table — consecutive identical states collapse into one
+    run, half-open [valid_from, valid_to) intervals, NULL valid_to + is_current
+    on the latest run. One shuffle on user_id; run-collapse and interval
+    stitching share the same window partitioning."""
+    ev = load_table(spark, sf_dir, "events")
+    return scd2_history(
+        ev, key_col="user_id", attr_col="event_type", ts_col="ts",
+        tiebreak_col="event_id",
+    ).orderBy("user_id", "version")
+
+
+EVENTS_SCD2_HISTORY_SQL = """
+WITH ordered AS (
+  SELECT user_id, event_type, ts, event_id,
+         lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+           AS prev_type
+  FROM events
+), changes AS (
+  SELECT user_id, event_type, ts AS valid_from, event_id
+  FROM ordered WHERE prev_type IS NULL OR prev_type <> event_type
+)
+SELECT user_id, event_type, valid_from,
+       lead(valid_from) OVER w AS valid_to,
+       CAST(row_number() OVER w AS INT) AS version,
+       (lead(valid_from) OVER w IS NULL) AS is_current
+FROM changes
+WINDOW w AS (PARTITION BY user_id ORDER BY valid_from, event_id)
+ORDER BY user_id, version
+"""
+
 QUERIES: dict[str, QuerySpec] = {
+    "events_scd2_history": QuerySpec(events_scd2_history, EVENTS_SCD2_HISTORY_SQL),
     "events_cdc_apply": QuerySpec(events_cdc_apply, EVENTS_CDC_APPLY_SQL),
     "events_change_intervals": QuerySpec(
         events_change_intervals, EVENTS_CHANGE_INTERVALS_SQL

@@ -487,3 +487,48 @@ def test_cdc_apply_partition_invariant_and_tombstones(spark, sf_dir):
         if r["event_type"] != "error"
     )
     assert base == expected
+
+
+def test_scd2_history_run_collapse_and_intervals(spark):
+    from sdc_mapreduce_spark.operators.relational import scd2_history
+
+    rows = [
+        # user 1: A A B A  -> runs A(t0) B(t2) A(t3)
+        (0, ts(0), 1, "A"),
+        (1, ts(1), 1, "A"),
+        (2, ts(2), 1, "B"),
+        (3, ts(3), 1, "A"),
+        # user 2: single run
+        (4, ts(0), 2, "X"),
+        (5, ts(5), 2, "X"),
+    ]
+    df = spark.createDataFrame(rows, ["event_id", "ts", "user_id", "state"]).repartition(7)
+    out = scd2_history(df, "user_id", "state", "ts", "event_id").collect()
+    got = {
+        (r["user_id"], r["version"]): (
+            r["state"], r["valid_from"], r["valid_to"], r["is_current"]
+        )
+        for r in out
+    }
+    assert got == {
+        (1, 1): ("A", ts(0), ts(2), False),
+        (1, 2): ("B", ts(2), ts(3), False),
+        (1, 3): ("A", ts(3), None, True),
+        (2, 1): ("X", ts(0), None, True),
+    }
+
+
+def test_scd2_history_equal_ts_tiebreak_deterministic(spark):
+    """Equal timestamps order by the tiebreak id, so the run boundaries and
+    the surviving states are stable under any partition layout."""
+    from sdc_mapreduce_spark.operators.relational import scd2_history
+
+    rows = [(i, ts(0), 1, s) for i, s in enumerate(["B", "A", "B"])]
+    df = spark.createDataFrame(rows, ["event_id", "ts", "user_id", "state"])
+    for n in (1, 5):
+        out = scd2_history(
+            df.repartition(n), "user_id", "state", "ts", "event_id"
+        ).collect()
+        assert [(r["version"], r["state"]) for r in sorted(out, key=lambda r: r["version"])] == [
+            (1, "B"), (2, "A"), (3, "B")
+        ]

@@ -369,3 +369,15 @@ def test_cdc_apply_single_partial_agg_shuffle(spark, sf_dir):
     assert "Window" not in plan
     assert plan.count("Exchange hashpartitioning") == 1
     assert "partial_max" in plan or "partial_count" in plan
+
+
+def test_scd2_history_single_shuffle(spark, sf_dir):
+    """Run-collapse and interval stitching are two window passes over the
+    SAME (key, time, tiebreak) ordering — the plan must contain exactly one
+    hash-partitioned exchange (on the entity key), proving Catalyst reuses
+    the shuffle across both windows."""
+    from sdc_mapreduce_spark.operators.relational import scd2_history
+
+    ev = load_table(spark, sf_dir, "events")
+    plan = _plan(scd2_history(ev, "user_id", "event_type", "ts", "event_id"))
+    assert plan.count("Exchange hashpartitioning") == 1, plan
