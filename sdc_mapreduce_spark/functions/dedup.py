@@ -1088,7 +1088,12 @@ def fuzzy_name_pairs(
         if block_col is not None
         else F.split_part(F.lower(F.col("__nm")), F.lit(" "), F.lit(1))
     )
-    names = names.withColumn("__blk", blk)
+    # The distinct-name set is read three times (hot-block count + both
+    # self-join sides): persist it so the row-level groupBy — the heaviest
+    # stage on a 100 TB fact table — runs exactly once.
+    from pyspark import StorageLevel
+
+    names = names.withColumn("__blk", blk).persist(StorageLevel.MEMORY_AND_DISK)
     if max_block is not None:
         hot = (
             names.groupBy("__blk")

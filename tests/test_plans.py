@@ -381,3 +381,14 @@ def test_scd2_history_single_shuffle(spark, sf_dir):
     ev = load_table(spark, sf_dir, "events")
     plan = _plan(scd2_history(ev, "user_id", "event_type", "ts", "event_id"))
     assert plan.count("Exchange hashpartitioning") == 1, plan
+
+
+def test_fuzzy_name_pairs_reuses_distinct_names(spark, sf_dir):
+    """The distinct-name aggregate (the heaviest stage at scale) must be
+    persisted and reused by the hot-block count and both self-join sides —
+    the plan reads the cache, never re-aggregating the row-level table."""
+    from sdc_mapreduce_spark.functions.dedup import fuzzy_name_pairs
+
+    part = load_table(spark, sf_dir, "part")
+    plan = _plan(fuzzy_name_pairs(part, "p_name"))
+    assert "InMemoryTableScan" in plan, plan

@@ -50,6 +50,14 @@ EXTRA_SHAPES = [
     "text_tfidf_cosine_pairs",
     "events_rfm_features",
     "dedup_containment_pairs",
+    # round-6 additions
+    "bucketed_join_certified",
+    "events_cdc_apply",
+    "dedup_incremental_embedding",
+    "dedup_embedding_clusters",
+    "corpus_source_cap",
+    "join_fuzzy_names",
+    "events_scd2_history",
 ]
 
 HEADER = """# PLANS — formatted physical plans of the headline bench queries plus the
