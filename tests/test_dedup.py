@@ -600,3 +600,39 @@ def test_fuzzy_name_pairs_max_block_identity_and_prune(spark):
     )
     assert capped == uncapped and len(capped) == 3
     assert D.fuzzy_name_pairs(df, "nm", max_block=2).count() == 0
+
+
+def test_fuzzy_name_pairs_matches_bruteforce(spark, sf_dir):
+    """Against the real part table: the blocked join must equal the
+    brute-force within-block answer exactly — a Python edit-distance
+    replica over all distinct-name pairs sharing a block, with the same
+    length bound and threshold."""
+    part = load_table(spark, sf_dir, "part")
+    got = {
+        (r["name_a"], r["name_b"]): r["dist"]
+        for r in D.fuzzy_name_pairs(part, "p_name", max_dist=4).collect()
+    }
+
+    def lev(a, b):
+        prev = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            cur = [i]
+            for j, cb in enumerate(b, 1):
+                cur.append(min(prev[j] + 1, cur[-1] + 1, prev[j - 1] + (ca != cb)))
+            prev = cur
+        return prev[-1]
+
+    names = sorted(
+        {r["p_name"] for r in part.select("p_name").distinct().collect()}
+    )
+    want = {}
+    for i, a in enumerate(names):
+        for b in names[i + 1 :]:
+            if a.lower().split(" ")[0] != b.lower().split(" ")[0]:
+                continue
+            if abs(len(a) - len(b)) > 4:
+                continue
+            d = lev(a, b)
+            if d <= 4:
+                want[(a, b)] = d
+    assert got == want and len(got) > 0

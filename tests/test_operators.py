@@ -532,3 +532,27 @@ def test_scd2_history_equal_ts_tiebreak_deterministic(spark):
         assert [(r["version"], r["state"]) for r in sorted(out, key=lambda r: r["version"])] == [
             (1, "B"), (2, "A"), (3, "B")
         ]
+
+
+def test_scd2_history_intervals_partition_time(spark, sf_dir):
+    """On real event data: per user, version numbers are dense from 1,
+    consecutive versions abut exactly (valid_to == next valid_from),
+    consecutive states differ (true run-collapse), and only the last
+    version is current with NULL valid_to."""
+    from sdc_mapreduce_spark.catalog import load_table
+    from sdc_mapreduce_spark.operators.relational import scd2_history
+
+    ev = load_table(spark, sf_dir, "events")
+    hist = scd2_history(ev, "user_id", "event_type", "ts", "event_id").collect()
+    by_user = {}
+    for r in hist:
+        by_user.setdefault(r["user_id"], []).append(r)
+    assert by_user
+    for user, rows in by_user.items():
+        rows.sort(key=lambda r: r["version"])
+        assert [r["version"] for r in rows] == list(range(1, len(rows) + 1))
+        for a, b in zip(rows, rows[1:]):
+            assert a["valid_to"] == b["valid_from"]
+            assert a["event_type"] != b["event_type"]
+            assert not a["is_current"]
+        assert rows[-1]["is_current"] and rows[-1]["valid_to"] is None
