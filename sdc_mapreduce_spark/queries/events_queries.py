@@ -1490,8 +1490,71 @@ WINDOW w AS (PARTITION BY user_id ORDER BY valid_from, event_id)
 ORDER BY user_id, version
 """
 
+
+
+def events_pit_enrichment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time enrichment — certifies that scd2_history and asof_join
+    COMPOSE: a 20% event sample is labeled with its containing SCD2 run
+    (state, version) and the strictly-next state transition, the churn-style
+    "time to next change" training label. One backward as-of join against
+    the history carries the run's (state, valid_to, version) struct
+    atomically; next_change_at is the containing run's valid_to — strictly
+    after ts by run-maximality — and NULL on each user's current run. Plan:
+    the history's single key shuffle feeds the as-of union window on the
+    same key; no interval blowup join anywhere."""
+    ev = load_table(spark, sf_dir, "events")
+    hist = scd2_history(
+        ev, key_col="user_id", attr_col="event_type", ts_col="ts",
+        tiebreak_col="event_id",
+    ).select(
+        "user_id", F.col("event_type").alias("state"), "valid_from",
+        "valid_to", "version",
+    )
+    sample = ev.filter(F.col("event_id") % 5 == 0).select(
+        "event_id", "user_id", "ts", "event_type"
+    )
+    out = asof_join(
+        sample, hist, on="user_id", left_time="ts", right_time="valid_from",
+        right_value_cols=["state", "valid_to", "version"],
+    )
+    return out.select(
+        "event_id", "user_id", "ts", "event_type", "state", "version",
+        F.col("valid_to").alias("next_change_at"),
+        (F.col("valid_to") - F.col("ts")).cast("long").alias("secs_to_change"),
+    ).orderBy("event_id")
+
+
+EVENTS_PIT_ENRICHMENT_SQL = """
+WITH ordered AS (
+  SELECT user_id, event_type, ts, event_id,
+         lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+           AS prev_type
+  FROM events
+), changes AS (
+  SELECT user_id, event_type, ts AS valid_from, event_id
+  FROM ordered WHERE prev_type IS NULL OR prev_type <> event_type
+), hist AS (
+  SELECT user_id, event_type AS state, valid_from,
+         lead(valid_from) OVER w AS valid_to,
+         CAST(row_number() OVER w AS INT) AS version
+  FROM changes
+  WINDOW w AS (PARTITION BY user_id ORDER BY valid_from, event_id)
+)
+SELECT e.event_id, e.user_id, e.ts, e.event_type, h.state, h.version,
+       h.valid_to AS next_change_at,
+       (epoch_us(CAST(h.valid_to AS TIMESTAMP))
+          - epoch_us(CAST(e.ts AS TIMESTAMP))) // 1000000 AS secs_to_change
+FROM (SELECT event_id, user_id, ts, event_type
+      FROM events WHERE event_id % 5 = 0) e
+JOIN hist h
+  ON e.user_id = h.user_id AND e.ts >= h.valid_from
+ AND (e.ts < h.valid_to OR h.valid_to IS NULL)
+ORDER BY event_id
+"""
+
 QUERIES: dict[str, QuerySpec] = {
     "events_scd2_history": QuerySpec(events_scd2_history, EVENTS_SCD2_HISTORY_SQL),
+    "events_pit_enrichment": QuerySpec(events_pit_enrichment, EVENTS_PIT_ENRICHMENT_SQL),
     "events_cdc_apply": QuerySpec(events_cdc_apply, EVENTS_CDC_APPLY_SQL),
     "events_change_intervals": QuerySpec(
         events_change_intervals, EVENTS_CHANGE_INTERVALS_SQL

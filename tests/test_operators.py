@@ -556,3 +556,23 @@ def test_scd2_history_intervals_partition_time(spark, sf_dir):
             assert a["event_type"] != b["event_type"]
             assert not a["is_current"]
         assert rows[-1]["is_current"] and rows[-1]["valid_to"] is None
+
+
+def test_pit_enrichment_invariants(spark, sf_dir):
+    """Every sampled event lands in the run it belongs to: the carried
+    state equals the event's own type (runs are maximal), next_change_at is
+    strictly after ts when present, and NULL exactly on current runs."""
+    from sdc_mapreduce_spark.queries.events_queries import events_pit_enrichment
+
+    rows = events_pit_enrichment(spark, sf_dir).collect()
+    assert rows
+    saw_null = saw_change = False
+    for r in rows:
+        assert r["state"] == r["event_type"]
+        if r["next_change_at"] is None:
+            assert r["secs_to_change"] is None
+            saw_null = True
+        else:
+            assert r["next_change_at"] > r["ts"] and r["secs_to_change"] >= 0
+            saw_change = True
+    assert saw_null and saw_change
