@@ -364,7 +364,12 @@ def test_bounded_concurrency_two_workers(spark):
         fast = srv.queue.submit(lambda s: s.range(5), name="fast")
         srv.wake.set()
         assert srv.wait_for(fast, timeout=60) == "COMPLETED"
-        assert srv.queue.status(slow) == "RUNNING"
+        # Overtaking is the claim: fast finished while slow is UNFINISHED.
+        # Slow may still read CREATED for an instant on a loaded machine
+        # (its worker thread hasn't flipped the status yet), so assert
+        # not-finished now and poll-wait for RUNNING before cancelling.
+        assert srv.queue.status(slow) in ("CREATED", "RUNNING")
+        assert _wait_status(srv, slow, "RUNNING")
         srv.runner.cancel(slow)
         assert srv.wait_for(slow, timeout=60) == "CANCELLED"
     finally:
