@@ -1552,7 +1552,134 @@ JOIN hist h
 ORDER BY event_id
 """
 
+
+
+def events_winsorize_clip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group winsorization — the robust-preprocessing enrichment: clip
+    each event's value to its event_type's [p1, p99] band and flag which
+    tail it came from. Two-pass plan that survives 100 TB: pass 1 is a
+    grouped percentile aggregate (O(groups) rows), pass 2 broadcasts those
+    bounds back onto the fact scan — no fact-side shuffle at all. Both
+    engines clip against the same round(.,4) bounds so the boundary
+    comparisons are bit-identical; at extreme scale swap the exact
+    percentile for approx_percentile (t-digest) and keep the same plan."""
+    ev = load_table(spark, sf_dir, "events")
+    pct = ev.groupBy("event_type").agg(
+        F.expr("round(percentile(value, 0.01), 4)").alias("p_lo"),
+        F.expr("round(percentile(value, 0.99), 4)").alias("p_hi"),
+    )
+    return (
+        ev.join(F.broadcast(pct), "event_type")
+        .select(
+            "event_id",
+            "event_type",
+            "value",
+            F.least(F.greatest(F.col("value"), F.col("p_lo")), F.col("p_hi"))
+            .alias("value_clipped"),
+            (F.col("value") < F.col("p_lo")).alias("clipped_low"),
+            (F.col("value") > F.col("p_hi")).alias("clipped_high"),
+        )
+        .orderBy("event_id")
+    )
+
+
+EVENTS_WINSORIZE_SQL = """
+WITH pct AS (
+  SELECT event_type,
+         ROUND(QUANTILE_CONT(value, 0.01), 4) AS p_lo,
+         ROUND(QUANTILE_CONT(value, 0.99), 4) AS p_hi
+  FROM events GROUP BY event_type
+)
+SELECT e.event_id, e.event_type, e.value,
+       LEAST(GREATEST(e.value, p.p_lo), p.p_hi) AS value_clipped,
+       (e.value < p.p_lo) AS clipped_low,
+       (e.value > p.p_hi) AS clipped_high
+FROM events e JOIN pct p USING (event_type)
+ORDER BY e.event_id
+"""
+
+
+
+def events_grouped_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group OLS regression of value on time plus Pearson r — the
+    closed-form distributed form: one partial-agg shuffle of six EXACT
+    moment sums, then O(groups) driver-free arithmetic. Determinism
+    discipline (see queries/base.py caveat): the double `value` is
+    quantized per-row to exact centi-units and the time axis to whole
+    seconds from a broadcast anchor, every sum accumulates in decimal
+    (order-independent), and both engines then run the IDENTICAL IEEE
+    double expression over those exact sums — so slope/intercept/r
+    hash-match despite being genuine floating-point statistics. At 100 TB
+    this is the only shape that works: moments are map-side combinable,
+    no global sort, no per-group state."""
+    ev = load_table(spark, sf_dir, "events")
+    t0 = ev.agg(F.min("ts").alias("__t0"))
+    base = ev.crossJoin(F.broadcast(t0)).select(
+        "event_type",
+        (F.col("ts") - F.col("__t0")).cast("long").alias("x"),
+        F.expr("cast(round(value * 100) as bigint)").alias("yc"),
+    )
+    s = base.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.expr("cast(sum(cast(x as decimal(28,0))) as double)").alias("sx"),
+        F.expr("cast(sum(cast(x*x as decimal(38,0))) as double)").alias("sxx"),
+        F.expr("cast(sum(cast(yc as decimal(28,0))) as double)").alias("syc"),
+        F.expr("cast(sum(cast(x*yc as decimal(38,0))) as double)").alias("sxyc"),
+        F.expr("cast(sum(cast(yc*yc as decimal(38,0))) as double)").alias("syyc"),
+    )
+    nn = F.col("n").cast("double")
+    den_x = nn * F.col("sxx") - F.col("sx") * F.col("sx")
+    den_y = nn * F.col("syyc") - F.col("syc") * F.col("syc")
+    cov_n = nn * F.col("sxyc") - F.col("sx") * F.col("syc")
+    slope = (cov_n / den_x) / F.lit(100.0)
+    return s.select(
+        "event_type",
+        "n",
+        slope.alias("slope"),
+        ((F.col("syc") / F.lit(100.0) - slope * F.col("sx")) / nn).alias(
+            "intercept"
+        ),
+        (cov_n / F.sqrt(den_x * den_y)).alias("r"),
+    ).orderBy("event_type")
+
+
+EVENTS_GROUPED_REGRESSION_SQL = """
+WITH t0 AS (SELECT min(ts) AS t0 FROM events),
+base AS (
+  SELECT event_type,
+         (epoch_us(CAST(ts AS TIMESTAMP))
+            - epoch_us(CAST((SELECT t0 FROM t0) AS TIMESTAMP))) // 1000000
+           AS x,
+         CAST(round(value * 100) AS BIGINT) AS yc
+  FROM events
+), s AS (
+  SELECT event_type, COUNT(*) AS n,
+         CAST(SUM(CAST(x AS DECIMAL(28,0))) AS DOUBLE) AS sx,
+         CAST(SUM(CAST(x*x AS DECIMAL(38,0))) AS DOUBLE) AS sxx,
+         CAST(SUM(CAST(yc AS DECIMAL(28,0))) AS DOUBLE) AS syc,
+         CAST(SUM(CAST(x*yc AS DECIMAL(38,0))) AS DOUBLE) AS sxyc,
+         CAST(SUM(CAST(yc*yc AS DECIMAL(38,0))) AS DOUBLE) AS syyc
+  FROM base GROUP BY event_type
+), d AS (
+  SELECT event_type, n, sx, syc,
+         (CAST(n AS DOUBLE) * sxx - sx * sx) AS den_x,
+         (CAST(n AS DOUBLE) * syyc - syc * syc) AS den_y,
+         (CAST(n AS DOUBLE) * sxyc - sx * syc) AS cov_n
+  FROM s
+), sl AS (
+  SELECT *, (cov_n / den_x) / 100.0 AS slope FROM d
+)
+SELECT event_type, n, slope,
+       (syc / 100.0 - slope * sx) / CAST(n AS DOUBLE) AS intercept,
+       cov_n / sqrt(den_x * den_y) AS r
+FROM sl ORDER BY event_type
+"""
+
 QUERIES: dict[str, QuerySpec] = {
+    "events_winsorize_clip": QuerySpec(events_winsorize_clip, EVENTS_WINSORIZE_SQL),
+    "events_grouped_regression": QuerySpec(
+        events_grouped_regression, EVENTS_GROUPED_REGRESSION_SQL
+    ),
     "events_scd2_history": QuerySpec(events_scd2_history, EVENTS_SCD2_HISTORY_SQL),
     "events_pit_enrichment": QuerySpec(events_pit_enrichment, EVENTS_PIT_ENRICHMENT_SQL),
     "events_cdc_apply": QuerySpec(events_cdc_apply, EVENTS_CDC_APPLY_SQL),

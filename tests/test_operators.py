@@ -576,3 +576,49 @@ def test_pit_enrichment_invariants(spark, sf_dir):
             assert r["next_change_at"] > r["ts"] and r["secs_to_change"] >= 0
             saw_change = True
     assert saw_null and saw_change
+
+
+def test_grouped_regression_matches_numpy(spark, sf_dir):
+    """Slope/intercept/r per group agree with a numpy closed-form replica
+    on the same quantized (x, yc) series to float tolerance."""
+    import numpy as np
+
+    from sdc_mapreduce_spark.catalog import load_table
+    from sdc_mapreduce_spark.queries.events_queries import events_grouped_regression
+
+    got = {r["event_type"]: r for r in events_grouped_regression(spark, sf_dir).collect()}
+    ev = load_table(spark, sf_dir, "events").select("event_type", "ts", "value").collect()
+    t0 = min(r["ts"] for r in ev)
+    series = {}
+    for r in ev:
+        x = int((r["ts"] - t0).total_seconds())
+        y = round(r["value"] * 100) / 100.0
+        series.setdefault(r["event_type"], []).append((x, y))
+    assert set(got) == set(series)
+    for et, pts in series.items():
+        xs = np.array([p[0] for p in pts], dtype=float)
+        ys = np.array([p[1] for p in pts], dtype=float)
+        slope, intercept = np.polyfit(xs, ys, 1)
+        r_np = np.corrcoef(xs, ys)[0, 1]
+        assert abs(got[et]["slope"] - slope) < 1e-9
+        assert abs(got[et]["intercept"] - intercept) < 1e-6
+        assert abs(got[et]["r"] - r_np) < 1e-9
+        assert got[et]["n"] == len(pts)
+
+
+def test_winsorize_clip_bounds(spark, sf_dir):
+    """Clipped values stay inside the per-group band, flags fire exactly on
+    tail rows, and unflagged rows pass through unchanged."""
+    from sdc_mapreduce_spark.queries.events_queries import events_winsorize_clip
+
+    rows = events_winsorize_clip(spark, sf_dir).collect()
+    assert rows
+    clipped = 0
+    for r in rows:
+        if r["clipped_low"] or r["clipped_high"]:
+            clipped += 1
+            assert r["value_clipped"] != r["value"]
+        else:
+            assert r["value_clipped"] == r["value"]
+    # ~2% of rows sit outside [p1, p99] by construction
+    assert 0 < clipped < len(rows) * 0.05
