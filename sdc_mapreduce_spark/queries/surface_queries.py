@@ -1373,7 +1373,82 @@ ORDER BY p.lang
 """
 
 
+
+
+def table_chisq_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-square test of independence between two categorical columns
+    (event_type x user cohort) — the feature-selection / drift-audit
+    primitive. Plan that survives 100 TB: ONE contingency groupBy over the
+    fact table (map-side combinable), then marginals and expected counts
+    derived from the O(cells) contingency table itself — broadcast joins
+    of cell-count aggregates, never a second fact scan. All counts are
+    exact longs; expected and the per-cell chi-square contribution are the
+    IDENTICAL IEEE double expression in both engines (no logs, no libm
+    variance), so the statistic hash-matches exactly."""
+    ev = load_table(spark, sf_dir, "events")
+    cells = (
+        ev.select("event_type", (F.col("user_id") % 5).alias("cohort"))
+        .groupBy("event_type", "cohort")
+        .agg(F.count(F.lit(1)).alias("observed"))
+    )
+    row_m = cells.groupBy("event_type").agg(F.sum("observed").alias("row_n"))
+    col_m = cells.groupBy("cohort").agg(F.sum("observed").alias("col_n"))
+    total = cells.agg(F.sum("observed").alias("grand_n"))
+    expected = (
+        F.col("row_n").cast("double")
+        * F.col("col_n").cast("double")
+        / F.col("grand_n").cast("double")
+    )
+    contrib = (
+        (F.col("observed").cast("double") - F.col("expected"))
+        * (F.col("observed").cast("double") - F.col("expected"))
+        / F.col("expected")
+    )
+    return (
+        cells.join(F.broadcast(row_m), "event_type")
+        .join(F.broadcast(col_m), "cohort")
+        .crossJoin(F.broadcast(total))
+        .withColumn("expected", expected)
+        .select(
+            "event_type",
+            "cohort",
+            "observed",
+            "expected",
+            contrib.alias("chisq_contrib"),
+        )
+        .orderBy("event_type", "cohort")
+    )
+
+
+TABLE_CHISQ_SQL = """
+WITH cells AS (
+  SELECT event_type, user_id % 5 AS cohort, COUNT(*) AS observed
+  FROM events GROUP BY event_type, user_id % 5
+), row_m AS (
+  SELECT event_type, SUM(observed) AS row_n FROM cells GROUP BY event_type
+), col_m AS (
+  SELECT cohort, SUM(observed) AS col_n FROM cells GROUP BY cohort
+), total AS (
+  SELECT SUM(observed) AS grand_n FROM cells
+), e AS (
+  SELECT c.event_type, c.cohort, c.observed,
+         CAST(row_n AS DOUBLE) * CAST(col_n AS DOUBLE)
+           / CAST(grand_n AS DOUBLE) AS expected
+  FROM cells c
+  JOIN row_m USING (event_type)
+  JOIN col_m USING (cohort)
+  CROSS JOIN total
+)
+SELECT event_type, cohort, observed, expected,
+       (CAST(observed AS DOUBLE) - expected)
+         * (CAST(observed AS DOUBLE) - expected) / expected AS chisq_contrib
+FROM e ORDER BY event_type, cohort
+"""
+
 QUERIES: dict[str, QuerySpec] = {
+    "table_chisq_independence": QuerySpec(
+        table_chisq_independence, TABLE_CHISQ_SQL
+    ),
     "table_histogram_equidepth": QuerySpec(
         table_histogram_equidepth, TABLE_HISTOGRAM_SQL
     ),

@@ -622,3 +622,31 @@ def test_winsorize_clip_bounds(spark, sf_dir):
             assert r["value_clipped"] == r["value"]
     # ~2% of rows sit outside [p1, p99] by construction
     assert 0 < clipped < len(rows) * 0.05
+
+
+def test_chisq_independence_matches_python_replica(spark, sf_dir):
+    """Per-cell expected counts and contributions agree with a pure-Python
+    contingency replica; marginals reconstruct; contributions nonnegative."""
+    from sdc_mapreduce_spark.catalog import load_table
+    from sdc_mapreduce_spark.queries.surface_queries import table_chisq_independence
+
+    got = table_chisq_independence(spark, sf_dir).collect()
+    ev = load_table(spark, sf_dir, "events").select("event_type", "user_id").collect()
+    obs = {}
+    for r in ev:
+        k = (r["event_type"], r["user_id"] % 5)
+        obs[k] = obs.get(k, 0) + 1
+    n = sum(obs.values())
+    rows = {}
+    cols = {}
+    for (x, y), c in obs.items():
+        rows[x] = rows.get(x, 0) + c
+        cols[y] = cols.get(y, 0) + c
+    assert {(r["event_type"], r["cohort"]) for r in got} == set(obs)
+    for r in got:
+        k = (r["event_type"], r["cohort"])
+        assert r["observed"] == obs[k]
+        exp = rows[k[0]] * cols[k[1]] / n
+        assert abs(r["expected"] - exp) < 1e-9 * exp
+        assert r["chisq_contrib"] >= 0
+        assert abs(r["chisq_contrib"] - (obs[k] - exp) ** 2 / exp) < 1e-9
