@@ -540,3 +540,85 @@ def scd2_history(
         F.row_number().over(w2).alias("version"),
         F.lead("valid_from").over(w2).isNull().alias("is_current"),
     )
+
+
+def ks_two_sample(
+    df: DataFrame,
+    value_col: str,
+    group_col: str,
+    group_a,
+    group_b,
+    num_partitions: int = 32,
+) -> DataFrame:
+    """Two-sample Kolmogorov-Smirnov statistic — the distribution-drift
+    detector: max |CDF_a(v) - CDF_b(v)| over the pooled value axis, with
+    the argmax value (ties broken toward the smallest value).
+
+    Scale shape: one map-side-combinable groupBy collapses the fact table
+    to (distinct value, count_a, count_b); both cumulative counts then run
+    through the SAME two-phase global cumsum used by global_running_sum —
+    range-partition once, per-partition prefix sums, O(num_partitions)
+    driver offsets broadcast back — so there is never a single-partition
+    window even when the metric has ~row-many distinct values. Counts are
+    exact longs; both engines derive the CDFs with the identical
+    cast-to-double division, so the statistic is hash-deterministic.
+    """
+    pts = (
+        df.filter(F.col(group_col).isin([group_a, group_b]))
+        .groupBy(F.col(value_col).alias("v"))
+        .agg(
+            F.sum(
+                F.when(F.col(group_col) == group_a, 1).otherwise(0)
+            ).alias("ca"),
+            F.sum(
+                F.when(F.col(group_col) == group_b, 1).otherwise(0)
+            ).alias("cb"),
+        )
+    )
+    ranged = (
+        pts.repartitionByRange(num_partitions, F.col("v"))
+        .withColumn("__pid", F.spark_partition_id())
+        .localCheckpoint(eager=True)
+    )
+    w = (
+        Window.partitionBy("__pid")
+        .orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    local = ranged.withColumn("__la", F.sum("ca").over(w)).withColumn(
+        "__lb", F.sum("cb").over(w)
+    )
+    totals = sorted(
+        (r["__pid"], r["__ta"], r["__tb"])
+        for r in ranged.groupBy("__pid")
+        .agg(F.sum("ca").alias("__ta"), F.sum("cb").alias("__tb"))
+        .collect()
+    )
+    offsets, acc_a, acc_b = [], 0, 0
+    for pid, ta, tb in totals:
+        offsets.append((pid, acc_a, acc_b))
+        acc_a += ta or 0
+        acc_b += tb or 0
+    n_a, n_b = acc_a, acc_b
+    spark = df.sparkSession
+    offset_df = spark.createDataFrame(
+        offsets, "__pid int, __oa bigint, __ob bigint"
+    )
+    cdf_a = (F.col("__la") + F.col("__oa")).cast("double") / F.lit(n_a).cast(
+        "double"
+    )
+    cdf_b = (F.col("__lb") + F.col("__ob")).cast("double") / F.lit(n_b).cast(
+        "double"
+    )
+    scored = (
+        local.join(F.broadcast(offset_df), "__pid")
+        .select(
+            F.col("v").alias("at_value"),
+            F.lit(n_a).cast("bigint").alias("n_a"),
+            F.lit(n_b).cast("bigint").alias("n_b"),
+            cdf_a.alias("cdf_a"),
+            cdf_b.alias("cdf_b"),
+            F.abs(cdf_a - cdf_b).alias("ks_stat"),
+        )
+    )
+    return scored.orderBy(F.col("ks_stat").desc(), F.col("at_value").asc()).limit(1)

@@ -15,6 +15,7 @@ from pyspark.sql import functions as F
 
 from sdc_mapreduce_spark.catalog import load_table
 from sdc_mapreduce_spark.queries.base import QuerySpec, dsum, sql_dsum
+from sdc_mapreduce_spark.operators.relational import ks_two_sample
 
 
 def window_distribution_fns(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1445,7 +1446,42 @@ SELECT event_type, cohort, observed, expected,
 FROM e ORDER BY event_type, cohort
 """
 
+
+
+def table_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution-drift audit (operators.relational.ks_two_sample): the
+    two-sample KS statistic between purchase and click value
+    distributions — max |CDF gap| with its argmax value and both sample
+    sizes. Never a single-partition window: the pooled value axis runs
+    through the two-phase global cumsum."""
+    ev = load_table(spark, sf_dir, "events")
+    return ks_two_sample(ev, "value", "event_type", "purchase", "click")
+
+
+TABLE_KS_DRIFT_SQL = """
+WITH pts AS (
+  SELECT value AS v,
+         SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS ca,
+         SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS cb
+  FROM events WHERE event_type IN ('purchase', 'click') GROUP BY value
+), c AS (
+  SELECT v,
+         SUM(ca) OVER (ORDER BY v) AS cum_a,
+         SUM(cb) OVER (ORDER BY v) AS cum_b,
+         (SELECT SUM(ca) FROM pts) AS na,
+         (SELECT SUM(cb) FROM pts) AS nb
+  FROM pts
+)
+SELECT v AS at_value, CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b,
+       CAST(cum_a AS DOUBLE) / CAST(na AS DOUBLE) AS cdf_a,
+       CAST(cum_b AS DOUBLE) / CAST(nb AS DOUBLE) AS cdf_b,
+       abs(CAST(cum_a AS DOUBLE) / CAST(na AS DOUBLE)
+             - CAST(cum_b AS DOUBLE) / CAST(nb AS DOUBLE)) AS ks_stat
+FROM c ORDER BY ks_stat DESC, at_value ASC LIMIT 1
+"""
+
 QUERIES: dict[str, QuerySpec] = {
+    "table_ks_drift": QuerySpec(table_ks_drift, TABLE_KS_DRIFT_SQL),
     "table_chisq_independence": QuerySpec(
         table_chisq_independence, TABLE_CHISQ_SQL
     ),

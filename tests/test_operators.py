@@ -650,3 +650,49 @@ def test_chisq_independence_matches_python_replica(spark, sf_dir):
         assert abs(r["expected"] - exp) < 1e-9 * exp
         assert r["chisq_contrib"] >= 0
         assert abs(r["chisq_contrib"] - (obs[k] - exp) ** 2 / exp) < 1e-9
+
+
+def test_ks_two_sample_matches_scipy_style_replica(spark, sf_dir):
+    """The two-phase KS equals a pure-Python CDF sweep over the pooled
+    distinct values (scipy-style two-sample statistic, right-continuous
+    CDFs), including the toward-smallest argmax tie-break."""
+    from sdc_mapreduce_spark.catalog import load_table
+    from sdc_mapreduce_spark.operators.relational import ks_two_sample
+
+    ev = load_table(spark, sf_dir, "events")
+    got = ks_two_sample(ev, "value", "event_type", "purchase", "click").collect()[0]
+    rows = ev.filter(F.col("event_type").isin(["purchase", "click"])).select(
+        "event_type", "value"
+    ).collect()
+    a = sorted(r["value"] for r in rows if r["event_type"] == "purchase")
+    b = sorted(r["value"] for r in rows if r["event_type"] == "click")
+    import bisect
+
+    best = (-1.0, None)
+    for v in sorted(set(a) | set(b)):
+        ca = bisect.bisect_right(a, v) / len(a)
+        cb = bisect.bisect_right(b, v) / len(b)
+        d = abs(ca - cb)
+        if d > best[0]:
+            best = (d, v)
+    assert got["n_a"] == len(a) and got["n_b"] == len(b)
+    assert abs(got["ks_stat"] - best[0]) < 1e-12
+    assert got["at_value"] == best[1]
+
+
+def test_ks_two_sample_partition_invariance(spark):
+    """Identical distributions give ks=0-ish regardless of layout; a
+    shifted group is detected with the same statistic at any partitioning."""
+    import random
+
+    rng = random.Random(7)
+    rows = [(i, "a", round(rng.uniform(0, 100), 2)) for i in range(2000)]
+    rows += [(i + 2000, "b", round(rng.uniform(10, 110), 2)) for i in range(2000)]
+    df = spark.createDataFrame(rows, ["id", "g", "v"])
+    from sdc_mapreduce_spark.operators.relational import ks_two_sample
+
+    stats = [
+        ks_two_sample(df.repartition(n), "v", "g", "a", "b").collect()[0]["ks_stat"]
+        for n in (1, 13)
+    ]
+    assert stats[0] == stats[1] and stats[0] > 0.05
