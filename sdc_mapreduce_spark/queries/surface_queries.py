@@ -1480,8 +1480,83 @@ SELECT v AS at_value, CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b,
 FROM c ORDER BY ks_stat DESC, at_value ASC LIMIT 1
 """
 
+
+
+def table_mutual_information(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mutual information between the same categorical pair as the
+    chi-square audit (event_type x user cohort) — the information-theoretic
+    feature-selection score. Same O(cells) plan: one contingency groupBy,
+    marginals from the contingency table. Determinism follows the repo's
+    milli-nat discipline (see text_bigram_lm_score): each cell's pointwise
+    MI ln-term is computed once on exact-count doubles and quantized to
+    integer micro-nats, contributions accumulate as exact longs, and the
+    final nats value is one identical double division — so a genuine
+    transcendental statistic hash-matches cross-engine."""
+    ev = load_table(spark, sf_dir, "events")
+    cells = (
+        ev.select("event_type", (F.col("user_id") % 5).alias("cohort"))
+        .groupBy("event_type", "cohort")
+        .agg(F.count(F.lit(1)).alias("n_xy"))
+    )
+    row_m = cells.groupBy("event_type").agg(F.sum("n_xy").alias("n_x"))
+    col_m = cells.groupBy("cohort").agg(F.sum("n_xy").alias("n_y"))
+    total = cells.agg(F.sum("n_xy").alias("n"))
+    joined = (
+        cells.join(F.broadcast(row_m), "event_type")
+        .join(F.broadcast(col_m), "cohort")
+        .crossJoin(F.broadcast(total))
+    )
+    pmi_micro = F.expr(
+        "cast(round(ln(cast(n_xy as double) * cast(n as double)"
+        " / (cast(n_x as double) * cast(n_y as double))) * 1000000) as bigint)"
+    )
+    contrib = joined.select(
+        (F.col("n_xy") * pmi_micro).alias("__c"), F.col("n")
+    )
+    return contrib.groupBy("n").agg(
+        F.sum("__c").alias("mi_micro"),
+    ).select(
+        F.col("n"),
+        "mi_micro",
+        (
+            F.col("mi_micro").cast("double")
+            / F.col("n").cast("double")
+            / F.lit(1000000.0)
+        ).alias("mi_nats"),
+    )
+
+
+TABLE_MI_SQL = """
+WITH cells AS (
+  SELECT event_type, user_id % 5 AS cohort, COUNT(*) AS n_xy
+  FROM events GROUP BY event_type, user_id % 5
+), row_m AS (
+  SELECT event_type, SUM(n_xy) AS n_x FROM cells GROUP BY event_type
+), col_m AS (
+  SELECT cohort, SUM(n_xy) AS n_y FROM cells GROUP BY cohort
+), total AS (
+  SELECT CAST(SUM(n_xy) AS BIGINT) AS n FROM cells
+), j AS (
+  SELECT c.n_xy, n_x, n_y, n,
+         CAST(round(ln(CAST(c.n_xy AS DOUBLE) * CAST(n AS DOUBLE)
+             / (CAST(n_x AS DOUBLE) * CAST(n_y AS DOUBLE))) * 1000000)
+           AS BIGINT) AS pmi_micro
+  FROM cells c
+  JOIN row_m USING (event_type)
+  JOIN col_m USING (cohort)
+  CROSS JOIN total
+)
+SELECT n, CAST(SUM(n_xy * pmi_micro) AS BIGINT) AS mi_micro,
+       CAST(CAST(SUM(n_xy * pmi_micro) AS BIGINT) AS DOUBLE)
+         / CAST(n AS DOUBLE) / 1000000.0 AS mi_nats
+FROM j GROUP BY n
+"""
+
 QUERIES: dict[str, QuerySpec] = {
     "table_ks_drift": QuerySpec(table_ks_drift, TABLE_KS_DRIFT_SQL),
+    "table_mutual_information": QuerySpec(
+        table_mutual_information, TABLE_MI_SQL
+    ),
     "table_chisq_independence": QuerySpec(
         table_chisq_independence, TABLE_CHISQ_SQL
     ),

@@ -696,3 +696,30 @@ def test_ks_two_sample_partition_invariance(spark):
         for n in (1, 13)
     ]
     assert stats[0] == stats[1] and stats[0] > 0.05
+
+
+def test_mutual_information_matches_python_replica(spark, sf_dir):
+    """mi_nats agrees with a pure-Python PMI accumulation over the same
+    contingency table using the same micro-nat quantization; a uniform
+    independent pair gives ~0."""
+    import math
+
+    from sdc_mapreduce_spark.catalog import load_table
+    from sdc_mapreduce_spark.queries.surface_queries import table_mutual_information
+
+    got = table_mutual_information(spark, sf_dir).collect()[0]
+    ev = load_table(spark, sf_dir, "events").select("event_type", "user_id").collect()
+    obs, rows, cols = {}, {}, {}
+    for r in ev:
+        k = (r["event_type"], r["user_id"] % 5)
+        obs[k] = obs.get(k, 0) + 1
+        rows[k[0]] = rows.get(k[0], 0) + 1
+        cols[k[1]] = cols.get(k[1], 0) + 1
+    n = len(ev)
+    mi_micro = sum(
+        c * round(math.log(c * n / (rows[x] * cols[y])) * 1_000_000)
+        for (x, y), c in obs.items()
+    )
+    assert got["n"] == n
+    assert got["mi_micro"] == mi_micro
+    assert abs(got["mi_nats"]) < 0.01  # near-independent fixture
