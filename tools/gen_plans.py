@@ -58,6 +58,12 @@ EXTRA_SHAPES = [
     "corpus_source_cap",
     "join_fuzzy_names",
     "events_scd2_history",
+    "events_pit_enrichment",
+    "events_winsorize_clip",
+    "events_grouped_regression",
+    "table_chisq_independence",
+    "table_ks_drift",
+    "table_mutual_information",
 ]
 
 HEADER = """# PLANS — formatted physical plans of the headline bench queries plus the
