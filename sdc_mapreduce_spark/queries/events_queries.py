@@ -1675,7 +1675,72 @@ SELECT event_type, n, slope,
 FROM sl ORDER BY event_type
 """
 
+
+
+def events_attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-touch attribution — the marketing-analytics enrichment: each
+    purchase is credited to the user's most recent PRECEDING non-purchase
+    event (the touch), with the touch's id/type/time and the whole-second
+    gap. One window over (user, time): the touch candidates ride a single
+    last(ignorenulls) struct so the carried row is atomic (the asof_join
+    discipline); purchases with no prior touch keep NULLs. One shuffle on
+    user_id, no self-join."""
+    ev = load_table(spark, sf_dir, "events")
+    touch = F.when(
+        F.col("event_type") != "purchase",
+        F.struct("event_id", "event_type", "ts"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        ev.withColumn("__touch", F.last(touch, ignorenulls=True).over(w))
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            "event_id",
+            "user_id",
+            "ts",
+            F.col("__touch.event_id").alias("touch_event_id"),
+            F.col("__touch.event_type").alias("touch_type"),
+            F.col("__touch.ts").alias("touch_ts"),
+            (F.col("ts") - F.col("__touch.ts")).cast("long").alias(
+                "secs_since_touch"
+            ),
+        )
+        .orderBy("event_id")
+    )
+
+
+EVENTS_ATTRIBUTION_SQL = """
+WITH carried AS (
+  SELECT event_id, user_id, ts, event_type,
+         last_value(CASE WHEN event_type <> 'purchase' THEN event_id END
+                    IGNORE NULLS)
+           OVER w AS touch_event_id,
+         last_value(CASE WHEN event_type <> 'purchase' THEN event_type END
+                    IGNORE NULLS)
+           OVER w AS touch_type,
+         last_value(CASE WHEN event_type <> 'purchase' THEN ts END
+                    IGNORE NULLS)
+           OVER w AS touch_ts
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+)
+SELECT event_id, user_id, ts, touch_event_id, touch_type, touch_ts,
+       (epoch_us(CAST(ts AS TIMESTAMP))
+          - epoch_us(CAST(touch_ts AS TIMESTAMP))) // 1000000
+         AS secs_since_touch
+FROM carried WHERE event_type = 'purchase'
+ORDER BY event_id
+"""
+
 QUERIES: dict[str, QuerySpec] = {
+    "events_attribution_last_touch": QuerySpec(
+        events_attribution_last_touch, EVENTS_ATTRIBUTION_SQL
+    ),
     "events_winsorize_clip": QuerySpec(events_winsorize_clip, EVENTS_WINSORIZE_SQL),
     "events_grouped_regression": QuerySpec(
         events_grouped_regression, EVENTS_GROUPED_REGRESSION_SQL

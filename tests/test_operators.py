@@ -723,3 +723,32 @@ def test_mutual_information_matches_python_replica(spark, sf_dir):
     assert got["n"] == n
     assert got["mi_micro"] == mi_micro
     assert abs(got["mi_nats"]) < 0.01  # near-independent fixture
+
+
+def test_attribution_last_touch_semantics(spark):
+    """The credited touch is the latest strictly-preceding non-purchase
+    row; purchases with no prior touch carry NULLs; purchase rows never
+    attribute to other purchases."""
+    from sdc_mapreduce_spark.queries import REGISTRY
+
+    fn = REGISTRY["events_attribution_last_touch"].fn
+    rows = [
+        (0, ts(0), 1, "view", 1.0, "{}"),
+        (1, ts(1), 1, "purchase", 2.0, "{}"),   # touch = 0 (view)
+        (2, ts(2), 1, "purchase", 3.0, "{}"),   # still 0 (skip purchase 1)
+        (3, ts(3), 1, "click", 4.0, "{}"),
+        (4, ts(4), 1, "purchase", 5.0, "{}"),   # touch = 3 (click)
+        (5, ts(0), 2, "purchase", 6.0, "{}"),   # no prior touch -> NULLs
+    ]
+    df = spark.createDataFrame(
+        rows, ["event_id", "ts", "user_id", "event_type", "value", "props"]
+    ).repartition(5)
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as d:
+        df.write.parquet(f"{d}/events.parquet")
+        got = {r["event_id"]: r for r in fn(spark, d).collect()}
+    assert got[1]["touch_event_id"] == 0 and got[1]["touch_type"] == "view"
+    assert got[2]["touch_event_id"] == 0
+    assert got[4]["touch_event_id"] == 3 and got[4]["secs_since_touch"] == 60
+    assert got[5]["touch_event_id"] is None and got[5]["secs_since_touch"] is None
