@@ -622,3 +622,46 @@ def ks_two_sample(
         )
     )
     return scored.orderBy(F.col("ks_stat").desc(), F.col("at_value").asc()).limit(1)
+
+
+def gini_concentration(
+    df: DataFrame,
+    value_col: str,
+    key_col: str,
+    num_partitions: int = 32,
+) -> DataFrame:
+    """Gini coefficient of a measure's concentration across keys — the
+    inequality / hot-key audit ("what fraction of revenue sits on how few
+    users"), via the rank formula G = (2·Σ rank·v − (n+1)·Σv) / (n·Σv).
+
+    Scale shape: one combinable groupBy collapses the fact table to
+    per-key centi-unit totals (exact longs); the global rank over
+    (total, key) is the two-phase :func:`global_running_sum` — never a
+    single-partition row_number window; the two moment sums accumulate in
+    decimal (order-free) and the final G is one identical IEEE double
+    expression in both engines. Returns one row:
+    (n_keys, total_centi, gini).
+    """
+    totals = df.groupBy(F.col(key_col).alias("__k")).agg(
+        F.expr(f"sum(cast(round({value_col} * 100) as bigint))").alias("vc")
+    )
+    ordered = totals.select(
+        F.struct(F.col("vc").alias("v"), F.col("__k").alias("k")).alias("__ord"),
+        "vc",
+    ).withColumn("__one", F.lit(1).cast("long"))
+    ranked = global_running_sum(
+        ordered, "__ord", "__one", out_col="__rank", num_partitions=num_partitions
+    )
+    return ranked.agg(
+        F.count(F.lit(1)).alias("n_keys"),
+        F.expr("cast(sum(cast(vc as decimal(38,0))) as bigint)").alias(
+            "total_centi"
+        ),
+        F.expr(
+            "(2.0 * cast(sum(cast(__rank * vc as decimal(38,0))) as double)"
+            " - (cast(count(1) as double) + 1.0)"
+            " * cast(sum(cast(vc as decimal(38,0))) as double))"
+            " / (cast(count(1) as double)"
+            " * cast(sum(cast(vc as decimal(38,0))) as double))"
+        ).alias("gini"),
+    )

@@ -15,7 +15,7 @@ from pyspark.sql import functions as F
 
 from sdc_mapreduce_spark.catalog import load_table
 from sdc_mapreduce_spark.queries.base import QuerySpec, dsum, sql_dsum
-from sdc_mapreduce_spark.operators.relational import ks_two_sample
+from sdc_mapreduce_spark.operators.relational import gini_concentration, ks_two_sample
 
 
 def window_distribution_fns(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1552,7 +1552,40 @@ SELECT n, CAST(SUM(n_xy * pmi_micro) AS BIGINT) AS mi_micro,
 FROM j GROUP BY n
 """
 
+
+
+def table_gini_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concentration audit (operators.relational.gini_concentration): the
+    Gini coefficient of event value across users — how much of the measure
+    the hottest keys hold. Per-key totals are exact centi-unit longs, the
+    global rank is the two-phase cumsum, and the closed-form G is one
+    identical double expression cross-engine."""
+    ev = load_table(spark, sf_dir, "events")
+    return gini_concentration(ev, "value", "user_id")
+
+
+TABLE_GINI_SQL = """
+WITH totals AS (
+  SELECT user_id AS k,
+         CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS vc
+  FROM events GROUP BY user_id
+), ranked AS (
+  SELECT vc, row_number() OVER (ORDER BY vc, k) AS r FROM totals
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_keys,
+       CAST(SUM(CAST(vc AS DECIMAL(38,0))) AS BIGINT) AS total_centi,
+       (2.0 * CAST(SUM(CAST(r * vc AS DECIMAL(38,0))) AS DOUBLE)
+          - (CAST(COUNT(*) AS DOUBLE) + 1.0)
+            * CAST(SUM(CAST(vc AS DECIMAL(38,0))) AS DOUBLE))
+         / (CAST(COUNT(*) AS DOUBLE)
+            * CAST(SUM(CAST(vc AS DECIMAL(38,0))) AS DOUBLE)) AS gini
+FROM ranked
+"""
+
 QUERIES: dict[str, QuerySpec] = {
+    "table_gini_concentration": QuerySpec(
+        table_gini_concentration, TABLE_GINI_SQL
+    ),
     "table_ks_drift": QuerySpec(table_ks_drift, TABLE_KS_DRIFT_SQL),
     "table_mutual_information": QuerySpec(
         table_mutual_information, TABLE_MI_SQL

@@ -752,3 +752,26 @@ def test_attribution_last_touch_semantics(spark):
     assert got[2]["touch_event_id"] == 0
     assert got[4]["touch_event_id"] == 3 and got[4]["secs_since_touch"] == 60
     assert got[5]["touch_event_id"] is None and got[5]["secs_since_touch"] is None
+
+
+def test_gini_concentration_known_values(spark):
+    """Equal totals give G=0; an extreme concentration approaches
+    (n-1)/n; values match the closed-form replica; layout-invariant."""
+    from sdc_mapreduce_spark.operators.relational import gini_concentration
+
+    equal = spark.createDataFrame(
+        [(k, 10.0) for k in range(8) for _ in range(3)], ["k", "v"]
+    )
+    r = gini_concentration(equal, "v", "k").collect()[0]
+    assert r["n_keys"] == 8 and abs(r["gini"]) < 1e-12
+
+    skewed = spark.createDataFrame(
+        [(0, 1000000.0)] + [(k, 0.01) for k in range(1, 10)], ["k", "v"]
+    )
+    r2 = gini_concentration(skewed, "v", "k").collect()[0]
+    assert r2["gini"] > 0.85
+
+    # partition-layout invariance of the exact statistic
+    for n in (1, 7):
+        r3 = gini_concentration(skewed.repartition(n), "v", "k").collect()[0]
+        assert r3["gini"] == r2["gini"]
