@@ -64,6 +64,8 @@ EXTRA_SHAPES = [
     "table_chisq_independence",
     "table_ks_drift",
     "table_mutual_information",
+    "events_attribution_last_touch",
+    "table_gini_concentration",
 ]
 
 HEADER = """# PLANS — formatted physical plans of the headline bench queries plus the
