@@ -392,3 +392,26 @@ def test_fuzzy_name_pairs_reuses_distinct_names(spark, sf_dir):
     part = load_table(spark, sf_dir, "part")
     plan = _plan(fuzzy_name_pairs(part, "p_name"))
     assert "InMemoryTableScan" in plan, plan
+
+
+def test_winsorize_fact_side_never_shuffles(spark, sf_dir):
+    """Only the O(groups) percentile aggregate hash-shuffles; the fact scan
+    receives the clip bounds through a broadcast join, so the enrichment
+    adds ZERO fact-side shuffle."""
+    from sdc_mapreduce_spark.queries.events_queries import events_winsorize_clip
+
+    plan = _plan(events_winsorize_clip(spark, sf_dir))
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan, plan
+
+
+def test_attribution_single_window_shuffle(spark, sf_dir):
+    """Last-touch attribution is one (user, time) window: exactly one hash
+    exchange (the window key), no self-join."""
+    from sdc_mapreduce_spark.queries.events_queries import (
+        events_attribution_last_touch,
+    )
+
+    plan = _plan(events_attribution_last_touch(spark, sf_dir))
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+    assert "Join" not in plan, plan
