@@ -555,3 +555,74 @@ def test_weighted_sample_layout_invariant(spark, n, parts, k):
     s1 = sorted(r["doc_id"] for r in weighted_sample(df1, k, "w").collect())
     s2 = sorted(r["doc_id"] for r in weighted_sample(df2, k, "w").collect())
     assert s1 == s2 and len(s1) == min(k, n)
+
+
+# ---- round-6 analytics operators ----------------------------------------
+
+_name = st.text(alphabet="ab ", min_size=1, max_size=8).map(lambda s: s.strip() or "a")
+
+
+@given(names=st.lists(_name, min_size=1, max_size=12))
+@SETTINGS
+def test_fuzzy_name_pairs_equals_bruteforce_property(spark, names):
+    """For arbitrary tiny name multisets: the blocked fuzzy join equals the
+    brute-force within-block sweep (same block key, length bound, verify)."""
+    from sdc_mapreduce_spark.functions.dedup import fuzzy_name_pairs
+
+    df = spark.createDataFrame(list(enumerate(names)), ["id", "nm"])
+    got = {
+        (r["name_a"], r["name_b"]): r["dist"]
+        for r in fuzzy_name_pairs(df, "nm", max_dist=2).collect()
+    }
+
+    def lev(a, b):
+        prev = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            cur = [i]
+            for j, cb in enumerate(b, 1):
+                cur.append(min(prev[j] + 1, cur[-1] + 1, prev[j - 1] + (ca != cb)))
+            prev = cur
+        return prev[-1]
+
+    uniq = sorted(set(names))
+    want = {}
+    for i, a in enumerate(uniq):
+        for b in uniq[i + 1 :]:
+            if a.lower().split(" ")[0] != b.lower().split(" ")[0]:
+                continue
+            if abs(len(a) - len(b)) > 2:
+                continue
+            d = lev(a, b)
+            if d <= 2:
+                want[(a, b)] = d
+    assert got == want
+
+
+@given(
+    states=st.lists(st.sampled_from("ABC"), min_size=1, max_size=10),
+    nparts=st.sampled_from([1, 3, 7]),
+)
+@SETTINGS
+def test_scd2_run_collapse_equals_itertools_property(spark, states, nparts):
+    """For an arbitrary single-entity state sequence under any partition
+    layout: SCD2 versions equal itertools.groupby run collapse."""
+    import itertools
+
+    from sdc_mapreduce_spark.operators.relational import scd2_history
+
+    rows = [(i, ts(0, i), 1, s) for i, s in enumerate(states)]
+    df = spark.createDataFrame(
+        rows, ["event_id", "t", "user_id", "state"]
+    ).repartition(nparts)
+    out = sorted(
+        ((r["version"], r["state"]) for r in
+         scd2_history(df, "user_id", "state", "t", "event_id").collect())
+    )
+    want = [(i + 1, k) for i, (k, _) in enumerate(itertools.groupby(states))]
+    assert out == want
+
+
+def ts(minute: int, second: int = 0):
+    import datetime as dt
+
+    return dt.datetime(2024, 1, 1, 10, minute, second)
