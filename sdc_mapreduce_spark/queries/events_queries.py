@@ -1737,7 +1737,64 @@ FROM carried WHERE event_type = 'purchase'
 ORDER BY event_id
 """
 
+
+
+def events_streaming_cdc_certified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The streaming CDC-upsert path, driver-certified end to end: the
+    events change log replays as a json file stream forced through
+    MULTIPLE micro-batches (maxFilesPerTrigger), each batch lands its
+    per-key latest-version delta via foreachBatch
+    (streaming.events.cdc_upsert_stream — idempotent batch-partitioned
+    deltas), and the compacted snapshot (read_cdc_snapshot) must equal the
+    BATCH CDC apply — it shares events_cdc_apply's oracle verbatim. A bug
+    in cross-batch upsert semantics (a later batch failing to supersede an
+    earlier version, tombstone mishandling, double-counted replays) turns
+    this row red in a way no batch plan can."""
+    import shutil
+    import tempfile
+
+    from sdc_mapreduce_spark.streaming.events import (
+        cdc_upsert_stream,
+        read_cdc_snapshot,
+    )
+
+    src_dir = tempfile.mkdtemp(prefix="sdcms_cdc_src_")
+    snap = tempfile.mkdtemp(prefix="sdcms_cdc_snap_")
+    ckpt = tempfile.mkdtemp(prefix="sdcms_cdc_ckpt_")
+    try:
+        ev = load_table(spark, sf_dir, "events")
+        ev.select(
+            "event_id",
+            F.date_format("ts", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("ts"),
+            "user_id",
+            "event_type",
+            "value",
+            "props",
+        ).repartition(8).write.mode("overwrite").json(src_dir)
+        stream = (
+            spark.readStream.schema(
+                "event_id long, ts timestamp_ntz, user_id long, "
+                "event_type string, value double, props string"
+            )
+            .format("json")
+            .option("timestampNTZFormat", "yyyy-MM-dd HH:mm:ss.SSSSSS")
+            .option("maxFilesPerTrigger", 2)
+            .load(src_dir)
+        )
+        q = cdc_upsert_stream(stream, snap, ckpt)
+        q.awaitTermination(300)
+        result = read_cdc_snapshot(spark, snap).orderBy("user_id")
+        rows = result.collect()
+        return spark.createDataFrame(rows, schema=result.schema)
+    finally:
+        shutil.rmtree(src_dir, ignore_errors=True)
+        shutil.rmtree(snap, ignore_errors=True)
+        shutil.rmtree(ckpt, ignore_errors=True)
+
 QUERIES: dict[str, QuerySpec] = {
+    "events_streaming_cdc_certified": QuerySpec(
+        events_streaming_cdc_certified, EVENTS_CDC_APPLY_SQL
+    ),
     "events_attribution_last_touch": QuerySpec(
         events_attribution_last_touch, EVENTS_ATTRIBUTION_SQL
     ),

@@ -532,3 +532,54 @@ def test_dedup_ingest_across_deliveries(spark, tmp_path):
     assert got == {(1, "alpha"), (2, "beta"), (5, "gamma")}
     # index holds exactly the distinct fingerprints
     assert spark.read.parquet(index_dir).select("__fp").distinct().count() == 3
+
+
+def test_cdc_upsert_supersession_and_replay_idempotent(spark, tmp_path):
+    """Cross-batch CDC semantics: a later delivery supersedes an earlier
+    version, a tombstone hides the key, a post-tombstone change revives it,
+    and replaying a landed batch (foreachBatch redelivery) leaves the
+    snapshot bit-identical instead of double-counting."""
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    from sdc_mapreduce_spark.streaming.events import read_cdc_snapshot
+
+    snap = str(tmp_path / "snap")
+
+    def land(rows, batch_id):
+        df = spark.createDataFrame(
+            rows, "event_id long, ts timestamp_ntz, user_id long, "
+            "event_type string, value double"
+        )
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        delta = (
+            df.groupBy("user_id")
+            .agg(
+                F.count(F.lit(1)).alias("n_changes"),
+                F.max(F.struct("ts", "event_id", "event_type", "value")).alias(
+                    "__last"
+                ),
+            )
+            .withColumn("__batch", F.lit(batch_id))
+        )
+        delta.write.mode("overwrite").partitionBy("__batch").parquet(snap)
+
+    t = lambda m: dt.datetime(2024, 1, 1, 10, m)
+    land([(0, t(0), 1, "view", 1.0), (1, t(1), 2, "click", 2.0)], 0)
+    # user 1 tombstoned, user 2 superseded
+    land([(2, t(2), 1, "error", 0.0), (3, t(3), 2, "purchase", 9.0)], 1)
+    # user 1 revived after the tombstone
+    land([(4, t(4), 1, "click", 7.0)], 2)
+
+    def state():
+        return sorted(map(tuple, read_cdc_snapshot(spark, snap).collect()))
+
+    first = state()
+    assert first == [
+        (1, 4, "click", 7.0, 3),
+        (2, 3, "purchase", 9.0, 2),
+    ]
+    # replay batch 1 (redelivery after failure): identical snapshot
+    land([(2, t(2), 1, "error", 0.0), (3, t(3), 2, "purchase", 9.0)], 1)
+    assert state() == first
