@@ -600,6 +600,12 @@ def ks_two_sample(
         acc_a += ta or 0
         acc_b += tb or 0
     n_a, n_b = acc_a, acc_b
+    if n_a == 0 or n_b == 0:
+        raise ValueError(
+            f"ks_two_sample: empty sample (n_a={n_a}, n_b={n_b}) — both "
+            "groups must contain rows; a silent NaN statistic would read "
+            "as 'no drift'"
+        )
     spark = df.sparkSession
     offset_df = spark.createDataFrame(
         offsets, "__pid int, __oa bigint, __ob bigint"
@@ -657,11 +663,13 @@ def gini_concentration(
         F.expr("cast(sum(cast(vc as decimal(38,0))) as bigint)").alias(
             "total_centi"
         ),
+        # nullif: an all-zero measure yields an explicit NULL gini, not a
+        # silent NaN that canonicalizes differently per engine
         F.expr(
             "(2.0 * cast(sum(cast(__rank * vc as decimal(38,0))) as double)"
             " - (cast(count(1) as double) + 1.0)"
             " * cast(sum(cast(vc as decimal(38,0))) as double))"
-            " / (cast(count(1) as double)"
-            " * cast(sum(cast(vc as decimal(38,0))) as double))"
+            " / nullif(cast(count(1) as double)"
+            " * cast(sum(cast(vc as decimal(38,0))) as double), 0.0)"
         ).alias("gini"),
     )

@@ -1577,8 +1577,8 @@ SELECT CAST(COUNT(*) AS BIGINT) AS n_keys,
        (2.0 * CAST(SUM(CAST(r * vc AS DECIMAL(38,0))) AS DOUBLE)
           - (CAST(COUNT(*) AS DOUBLE) + 1.0)
             * CAST(SUM(CAST(vc AS DECIMAL(38,0))) AS DOUBLE))
-         / (CAST(COUNT(*) AS DOUBLE)
-            * CAST(SUM(CAST(vc AS DECIMAL(38,0))) AS DOUBLE)) AS gini
+         / nullif(CAST(COUNT(*) AS DOUBLE)
+            * CAST(SUM(CAST(vc AS DECIMAL(38,0))) AS DOUBLE), 0.0) AS gini
 FROM ranked
 """
 

@@ -775,3 +775,22 @@ def test_gini_concentration_known_values(spark):
     for n in (1, 7):
         r3 = gini_concentration(skewed.repartition(n), "v", "k").collect()[0]
         assert r3["gini"] == r2["gini"]
+
+
+def test_ks_and_gini_degenerate_inputs(spark):
+    """An empty KS side raises instead of reporting NaN-as-no-drift; an
+    all-zero measure yields an explicit NULL gini, not NaN."""
+    import pytest
+
+    from sdc_mapreduce_spark.operators.relational import (
+        gini_concentration,
+        ks_two_sample,
+    )
+
+    df = spark.createDataFrame([(1, "a", 1.0)], ["id", "g", "v"])
+    with pytest.raises(ValueError, match="empty sample"):
+        ks_two_sample(df, "v", "g", "a", "missing").collect()
+
+    zeros = spark.createDataFrame([(k, 0.0) for k in range(3)], ["k", "v"])
+    r = gini_concentration(zeros, "v", "k").collect()[0]
+    assert r["total_centi"] == 0 and r["gini"] is None
