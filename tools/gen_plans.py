@@ -66,6 +66,7 @@ EXTRA_SHAPES = [
     "table_mutual_information",
     "events_attribution_last_touch",
     "table_gini_concentration",
+    "dedup_cluster_labels",
 ]
 
 HEADER = """# PLANS — formatted physical plans of the headline bench queries plus the
