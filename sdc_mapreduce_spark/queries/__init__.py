@@ -64,7 +64,8 @@ for mod in (
 #     events_winsorize_clip, events_grouped_regression,
 #     table_chisq_independence, table_ks_drift, table_mutual_information,
 #     events_attribution_last_touch, table_gini_concentration,
-#     events_streaming_cdc_certified, dedup_cluster_labels —
+#     events_streaming_cdc_certified, dedup_cluster_labels,
+#     text_score_distribution —
 #     registered after the r6 window so they never displace a certification
 #     slot; all locally hash-verified at sf0.01 AND sf0.1 AND --tz
 #     Asia/Kolkata); (2) the 39 r3-last-sampled queries at the head of

@@ -1312,7 +1312,86 @@ ORDER BY doc_id
 """
 
 
+
+
+def text_score_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model-score distribution monitoring — the filter-drift observability
+    op: histogram the hashed-linear classifier score (same model as
+    text_quality_classifier, functions.text.hashed_linear_score) into
+    fixed-width 0.1 bins with per-bin doc counts and the token-weighted
+    pooled score. Fixed-width binning needs NO global sort (unlike
+    quantile bins) and the pooled mean divides two exact long sums once —
+    so the doubles replay bitwise cross-engine. One combinable groupBy on
+    O(bins) keys; scoring itself is a zero-shuffle per-row fold."""
+    from sdc_mapreduce_spark.functions.text import token_hash60, tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    n_buckets = 1024
+    t = tokens("text")
+    bucket = lambda x: F.pmod(token_hash60(x), F.lit(n_buckets))  # noqa: E731
+    weight = lambda x: (  # noqa: E731
+        F.pmod(
+            token_hash60(F.concat(F.lit("w#"), bucket(x).cast("string"))),
+            F.lit(2001),
+        )
+        - 1000
+    )
+    score_milli = F.aggregate(
+        t, F.lit(0).cast("long"), lambda acc, x: acc + weight(x)
+    )
+    per_doc = docs.select(
+        score_milli.alias("score_milli"), F.size(t).alias("n_tokens")
+    )
+    score = F.col("score_milli").cast("double") / (
+        F.lit(1000.0) * F.col("n_tokens").cast("double")
+    )
+    binned = per_doc.withColumn(
+        "bin", F.floor(score * F.lit(10.0)).cast("int")
+    )
+    return (
+        binned.groupBy("bin")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("score_milli").alias("sum_score_milli"),
+            F.sum("n_tokens").alias("sum_tokens"),
+        )
+        .withColumn(
+            "pooled_score",
+            F.col("sum_score_milli").cast("double")
+            / (F.lit(1000.0) * F.col("sum_tokens").cast("double")),
+        )
+        .orderBy("bin")
+    )
+
+
+TEXT_SCORE_DISTRIBUTION_SQL = f"""
+WITH t AS (
+  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks FROM documents
+), s AS (
+  SELECT doc_id, len(toks) AS n_tokens,
+         list_sum(list_transform(toks, x ->
+           {_H60.format(x="'w#' || CAST(" + _H60.format(x='x') + " % 1024 AS VARCHAR)")}
+             % 2001 - 1000)) AS score_milli
+  FROM t
+), b AS (
+  SELECT CAST(floor((CAST(score_milli AS DOUBLE)
+           / (1000.0 * CAST(n_tokens AS DOUBLE))) * 10.0) AS INT) AS bin,
+         score_milli, n_tokens
+  FROM s
+)
+SELECT bin, COUNT(*) AS n_docs,
+       CAST(SUM(score_milli) AS BIGINT) AS sum_score_milli,
+       CAST(SUM(n_tokens) AS BIGINT) AS sum_tokens,
+       CAST(CAST(SUM(score_milli) AS BIGINT) AS DOUBLE)
+         / (1000.0 * CAST(CAST(SUM(n_tokens) AS BIGINT) AS DOUBLE))
+         AS pooled_score
+FROM b GROUP BY bin ORDER BY bin
+"""
+
 QUERIES: dict[str, QuerySpec] = {
+    "text_score_distribution": QuerySpec(
+        text_score_distribution, TEXT_SCORE_DISTRIBUTION_SQL
+    ),
     "text_token_stats": QuerySpec(text_token_stats, TEXT_TOKEN_STATS_SQL),
     "text_bigram_lm_score": QuerySpec(text_bigram_lm_score, TEXT_BIGRAM_LM_SQL),
     "text_vocab_encode": QuerySpec(

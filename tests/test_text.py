@@ -446,3 +446,29 @@ def test_encode_with_vocab_max_vocab_gate(spark):
         encode_with_vocab(df, vocab, max_vocab=2).collect()
     ok = encode_with_vocab(df, vocab, max_vocab=10).collect()
     assert len(ok) == 2
+
+
+def test_score_distribution_consistent_with_classifier(spark, sf_dir):
+    """Bin totals reconstruct the per-doc classifier output: doc counts sum
+    to the corpus, each doc's score lands in its bin, and the pooled score
+    is the token-weighted mean of its bin's docs."""
+    from sdc_mapreduce_spark.catalog import load_table
+    from sdc_mapreduce_spark.functions.text import hashed_linear_score
+    from sdc_mapreduce_spark.queries.text_queries import text_score_distribution
+
+    docs = load_table(spark, sf_dir, "documents")
+    per_doc = hashed_linear_score(docs).collect()
+    bins = {r["bin"]: r for r in text_score_distribution(spark, sf_dir).collect()}
+    assert sum(r["n_docs"] for r in bins.values()) == len(per_doc)
+    import math
+
+    want = {}
+    for r in per_doc:
+        b = math.floor(r["score"] * 10.0)
+        want[b] = want.get(b, 0) + 1
+    assert {b: r["n_docs"] for b, r in bins.items()} == want
+    for r in bins.values():
+        assert abs(
+            r["pooled_score"]
+            - r["sum_score_milli"] / (1000.0 * r["sum_tokens"])
+        ) < 1e-15
