@@ -17,6 +17,7 @@ from pyspark.sql import functions as F
 from sdc_mapreduce_spark.catalog import load_table
 from sdc_mapreduce_spark.functions import dedup as D
 from sdc_mapreduce_spark.functions.simsearch import embedding_near_pairs
+from sdc_mapreduce_spark.operators.relational import broadcast_if_small
 from sdc_mapreduce_spark.queries.base import QuerySpec
 
 
@@ -699,7 +700,12 @@ ORDER BY id_a, id_b
 
 
 
-def dedup_cluster_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
+def dedup_cluster_labels(
+    spark: SparkSession,
+    sf_dir: str,
+    broadcast_max_clusters: int = 2_000_000,
+    broadcast_max_terms: int = 10_000_000,
+) -> DataFrame:
     """Cluster labeling — the BERTopic/c-TF-IDF-style composition: name
     each multi-doc near-dup cluster by its top-3 characteristic terms.
     Composes near_dup_clusters (LSH pairs -> connected components) with a
@@ -708,8 +714,18 @@ def dedup_cluster_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
     (the repo's transcendental discipline) so scores accumulate and rank as
     exact longs; ties break on the term. Singleton clusters are excluded —
     they are the corpus bulk and carry no labeling signal. All stages are
-    combinable aggregates or broadcast joins over O(cluster-terms) rows;
-    the per-cluster ranking window touches only multi-doc clusters."""
+    combinable aggregates over O(cluster-terms) rows; the per-cluster
+    ranking window touches only multi-doc clusters.
+
+    Both small-side joins are PROBE-GATED (broadcast_if_small), not blindly
+    hinted: ``sizes`` is cluster-count-scale and ``cdf`` is vocab-scale on
+    a real corpus — the exact cardinality class text.py's max_vocab gate
+    exists to bound — so past the thresholds each falls back to a plain
+    shuffle join with identical output (fallback parity is tested with
+    thresholds forced to 0). The probed intermediates are persisted so the
+    gate's bounded count never re-runs the LSH/token-explode lineage."""
+    from pyspark import StorageLevel
+
     docs = load_table(spark, sf_dir, "documents")
     clusters = D.near_dup_clusters(
         docs, num_hashes=128, bands=32, n=3, threshold=0.8
@@ -718,8 +734,11 @@ def dedup_cluster_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
         clusters.groupBy("rep_id")
         .agg(F.count(F.lit(1)).alias("n_docs"))
         .filter(F.col("n_docs") >= 2)
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
-    members = clusters.join(F.broadcast(sizes), "rep_id")
+    members = clusters.join(
+        broadcast_if_small(sizes, broadcast_max_clusters), "rep_id"
+    )
     toks = docs.select(
         "doc_id",
         F.explode(F.split(F.trim("text"), "\\s+")).alias("term"),
@@ -728,11 +747,12 @@ def dedup_cluster_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
         members.join(toks, "doc_id")
         .groupBy("rep_id", "n_docs", "term")
         .agg(F.count(F.lit(1)).alias("tf"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     cdf = tf.groupBy("term").agg(F.count(F.lit(1)).alias("cdf"))
     ncl = sizes.agg(F.count(F.lit(1)).alias("n_clusters"))
     scored = (
-        tf.join(F.broadcast(cdf), "term")
+        tf.join(broadcast_if_small(cdf, broadcast_max_terms), "term")
         .crossJoin(F.broadcast(ncl))
         .withColumn(
             "score_milli",

@@ -1513,9 +1513,17 @@ def events_pit_enrichment(spark: SparkSession, sf_dir: str) -> DataFrame:
     sample = ev.filter(F.col("event_id") % 5 == 0).select(
         "event_id", "user_id", "ts", "event_type"
     )
+    # version LEADS the carried struct: asof_join's equal-timestamp
+    # tie-break is struct-lexicographic, and two SCD2 runs share valid_from
+    # exactly when a user changes state twice at the same ts — the
+    # zero-length [t, t) run must LOSE to the later (higher-version) run,
+    # which is what the oracle's containment predicate (ts < valid_to)
+    # selects. Leading with state would let a lexicographically-large state
+    # name carry the empty run and violate the strictly-after contract of
+    # next_change_at.
     out = asof_join(
         sample, hist, on="user_id", left_time="ts", right_time="valid_from",
-        right_value_cols=["state", "valid_to", "version"],
+        right_value_cols=["version", "state", "valid_to"],
     )
     return out.select(
         "event_id", "user_id", "ts", "event_type", "state", "version",
@@ -1622,10 +1630,23 @@ def events_grouped_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
     s = base.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("n"),
         F.expr("cast(sum(cast(x as decimal(28,0))) as double)").alias("sx"),
-        F.expr("cast(sum(cast(x*x as decimal(38,0))) as double)").alias("sxx"),
+        # factor-wise decimal casts: x*x evaluated in int64 BEFORE a cast
+        # wraps silently at scale (x ~ seconds over years, yc ~ centi-units);
+        # decimal(19,0) x decimal(19,0) -> decimal(38,0) is exact for any
+        # long pair
+        F.expr(
+            "cast(sum(cast(x as decimal(19,0)) * cast(x as decimal(19,0)))"
+            " as double)"
+        ).alias("sxx"),
         F.expr("cast(sum(cast(yc as decimal(28,0))) as double)").alias("syc"),
-        F.expr("cast(sum(cast(x*yc as decimal(38,0))) as double)").alias("sxyc"),
-        F.expr("cast(sum(cast(yc*yc as decimal(38,0))) as double)").alias("syyc"),
+        F.expr(
+            "cast(sum(cast(x as decimal(19,0)) * cast(yc as decimal(19,0)))"
+            " as double)"
+        ).alias("sxyc"),
+        F.expr(
+            "cast(sum(cast(yc as decimal(19,0)) * cast(yc as decimal(19,0)))"
+            " as double)"
+        ).alias("syyc"),
     )
     nn = F.col("n").cast("double")
     den_x = nn * F.col("sxx") - F.col("sx") * F.col("sx")
@@ -1655,10 +1676,13 @@ base AS (
 ), s AS (
   SELECT event_type, COUNT(*) AS n,
          CAST(SUM(CAST(x AS DECIMAL(28,0))) AS DOUBLE) AS sx,
-         CAST(SUM(CAST(x*x AS DECIMAL(38,0))) AS DOUBLE) AS sxx,
+         CAST(SUM(CAST(x AS DECIMAL(19,0)) * CAST(x AS DECIMAL(19,0)))
+           AS DOUBLE) AS sxx,
          CAST(SUM(CAST(yc AS DECIMAL(28,0))) AS DOUBLE) AS syc,
-         CAST(SUM(CAST(x*yc AS DECIMAL(38,0))) AS DOUBLE) AS sxyc,
-         CAST(SUM(CAST(yc*yc AS DECIMAL(38,0))) AS DOUBLE) AS syyc
+         CAST(SUM(CAST(x AS DECIMAL(19,0)) * CAST(yc AS DECIMAL(19,0)))
+           AS DOUBLE) AS sxyc,
+         CAST(SUM(CAST(yc AS DECIMAL(19,0)) * CAST(yc AS DECIMAL(19,0)))
+           AS DOUBLE) AS syyc
   FROM base GROUP BY event_type
 ), d AS (
   SELECT event_type, n, sx, syc,
@@ -1690,9 +1714,12 @@ def events_attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame
         F.col("event_type") != "purchase",
         F.struct("event_id", "event_type", "ts"),
     )
+    # (ts, event_id) ordering, not ts alone: duplicate (user_id, ts) rows
+    # would otherwise make the carried touch partition-order luck — the
+    # same tie-break discipline as sessionize / scd2_history / asof_join.
     w = (
         Window.partitionBy("user_id")
-        .orderBy("ts")
+        .orderBy("ts", "event_id")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     return (
@@ -1726,7 +1753,7 @@ WITH carried AS (
                     IGNORE NULLS)
            OVER w AS touch_ts
   FROM events
-  WINDOW w AS (PARTITION BY user_id ORDER BY ts
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
 )
 SELECT event_id, user_id, ts, touch_event_id, touch_type, touch_ts,

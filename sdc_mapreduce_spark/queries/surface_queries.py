@@ -1510,11 +1510,20 @@ def table_mutual_information(spark: SparkSession, sf_dir: str) -> DataFrame:
         "cast(round(ln(cast(n_xy as double) * cast(n as double)"
         " / (cast(n_x as double) * cast(n_y as double))) * 1000000) as bigint)"
     )
+    # factor-wise decimal cast before the multiply: n_xy * pmi_micro in
+    # int64 can wrap at crawl scale (n_xy ~1e11+ x pmi ~1e7 micro-nats);
+    # decimal(19,0) x decimal(19,0) is exact for any long pair. The summed
+    # total is cast back to bigint for a stable output schema (bounded by
+    # n * ln(cardinality) * 1e6, far under 2^63 even at 100 TB).
     contrib = joined.select(
-        (F.col("n_xy") * pmi_micro).alias("__c"), F.col("n")
+        (
+            F.col("n_xy").cast("decimal(19,0)")
+            * pmi_micro.cast("decimal(19,0)")
+        ).alias("__c"),
+        F.col("n"),
     )
     return contrib.groupBy("n").agg(
-        F.sum("__c").alias("mi_micro"),
+        F.sum("__c").cast("bigint").alias("mi_micro"),
     ).select(
         F.col("n"),
         "mi_micro",
@@ -1546,8 +1555,11 @@ WITH cells AS (
   JOIN col_m USING (cohort)
   CROSS JOIN total
 )
-SELECT n, CAST(SUM(n_xy * pmi_micro) AS BIGINT) AS mi_micro,
-       CAST(CAST(SUM(n_xy * pmi_micro) AS BIGINT) AS DOUBLE)
+SELECT n,
+       CAST(SUM(CAST(n_xy AS DECIMAL(19,0)) * CAST(pmi_micro AS DECIMAL(19,0)))
+         AS BIGINT) AS mi_micro,
+       CAST(CAST(SUM(CAST(n_xy AS DECIMAL(19,0))
+                     * CAST(pmi_micro AS DECIMAL(19,0))) AS BIGINT) AS DOUBLE)
          / CAST(n AS DOUBLE) / 1000000.0 AS mi_nats
 FROM j GROUP BY n
 """
@@ -1574,7 +1586,8 @@ WITH totals AS (
 )
 SELECT CAST(COUNT(*) AS BIGINT) AS n_keys,
        CAST(SUM(CAST(vc AS DECIMAL(38,0))) AS BIGINT) AS total_centi,
-       (2.0 * CAST(SUM(CAST(r * vc AS DECIMAL(38,0))) AS DOUBLE)
+       (2.0 * CAST(SUM(CAST(r AS DECIMAL(19,0)) * CAST(vc AS DECIMAL(19,0)))
+                 AS DOUBLE)
           - (CAST(COUNT(*) AS DOUBLE) + 1.0)
             * CAST(SUM(CAST(vc AS DECIMAL(38,0))) AS DOUBLE))
          / nullif(CAST(COUNT(*) AS DOUBLE)

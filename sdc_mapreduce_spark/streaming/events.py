@@ -215,7 +215,6 @@ def incremental_rollup(
 
     def land(batch_df: DataFrame, _batch_id: int) -> None:
         spark = batch_df.sparkSession
-        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
         batch_df = batch_df.persist()
         try:
             # touched dates: bounded by the batch's window footprint, not
@@ -243,7 +242,12 @@ def incremental_rollup(
                 # partitions the overwrite is about to delete
                 merged = kept.unionByName(batch_df).localCheckpoint(eager=True)
             (
+                # dynamic overwrite scoped to THIS write (DataFrameWriter
+                # option, not session conf): a session-wide conf.set here
+                # would silently change overwrite semantics for every later
+                # partitioned write on the shared session
                 merged.write.mode("overwrite")
+                .option("partitionOverwriteMode", "dynamic")
                 .partitionBy("window_date")
                 .parquet(snapshot_dir)
             )
@@ -372,8 +376,6 @@ def cdc_upsert_stream(
     """
 
     def land(batch_df: DataFrame, batch_id: int) -> None:
-        spark = batch_df.sparkSession
-        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
         delta = (
             batch_df.groupBy("user_id")
             .agg(
@@ -385,7 +387,10 @@ def cdc_upsert_stream(
             .withColumn("__batch", F.lit(batch_id))
         )
         (
+            # per-write dynamic overwrite (no session conf mutation — see
+            # the snapshot writer above for why)
             delta.write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
             .partitionBy("__batch")
             .parquet(snapshot_dir)
         )
