@@ -42,13 +42,12 @@ def _make_skewed_events(spark, hot_users: str = "1pct") -> str:
     ONE user — the pathological key where the plain sessionize serializes
     most of the corpus into a single window task and the chunked plan wins
     outright (the crossover demonstration VERDICT r5 ask #6 requested;
-    observed ~1.45x at sf0.1x30). The top-k pair is reported on the same
-    fixture for honesty: the plain window's single-task SORT of a few
-    million rows is still cheaper on local[32] than the salted plan's
-    second shuffle, so its crossover needs cluster-scale row counts — the
-    property that matters there (bounded per-task row count) is asserted
-    structurally in tests/test_skew.py rather than chased in wall-clock
-    here. Deterministic (pure column
+    observed ~1.45x at sf0.1x30). The top-k salted variant is NOT benched
+    (retired round 7 per VERDICT r6 ask #4): even on this fixture the
+    plain window's single-task sort beats the salted plan's second
+    shuffle, so the salting claim is scoped to its structural per-task
+    row-count bound — see top_k_per_group_salted's docstring and
+    tests/test_skew.py. Deterministic (pure column
     arithmetic), written once per bench run and re-read from parquet so the
     timed queries pay a normal scan, not the remap."""
     from pyspark.sql import functions as F
@@ -96,28 +95,16 @@ def _make_skewed_events(spark, hot_users: str = "1pct") -> str:
 
 def _skew_suite(spark, path: str, fixture_desc: str) -> dict:
     """Plain-vs-skew-resistant wall-clock on the hot-key fixture: the
-    salted/chunked variants must hold close to the plain plans here (their
-    whole point), and at real scale the plain plans are the ones that
-    cliff. Reported separately from the headline set (not in `value`) so
+    chunked sessionize must hold close to (and on the hot-user fixture
+    beat) the plain plan, and at real scale the plain plan is the one that
+    cliffs. Reported separately from the headline set (not in `value`) so
     round-over-round totals stay comparable."""
-    from pyspark.sql import functions as F
-
-    from sdc_mapreduce_spark.operators.relational import (
-        top_k_per_group,
-        top_k_per_group_salted,
-    )
     from sdc_mapreduce_spark.operators.skew import sessionize_chunked, sessionize_plain
 
     ev = spark.read.parquet(path)
-    topn = ev.select("user_id", "event_id", "value")
-    topn_cols = (["user_id"], [F.col("value").desc(), F.col("event_id").asc()], 5)
     cases = {
         "skew_sessionize_plain": lambda: sessionize_plain(ev),
         "skew_sessionize_chunked": lambda: sessionize_chunked(ev),
-        "skew_topn_plain": lambda: top_k_per_group(topn, *topn_cols),
-        "skew_topn_salted": lambda: top_k_per_group_salted(
-            topn, *topn_cols, salt_expr=F.col("event_id")
-        ),
     }
     runs: dict[str, list[float]] = {}
     for name, build in cases.items():

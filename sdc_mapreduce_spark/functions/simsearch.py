@@ -929,33 +929,49 @@ def incremental_embedding_dedup(
     only in its probed buckets (partition-pruned when the index is stored
     bucket-partitioned)."""
     planes = _hyperplanes(dim, n_planes)
-
-    def prep(df: DataFrame) -> DataFrame:
-        v = _as_double(F.col(vec_col))
-        n = l2_norm(v)
-        return df.select(
-            F.col(id_col), F.transform(v, lambda x: x / n).alias("__unit")
-        ).withColumn("__bucket", srp_bucket(F.col("__unit"), planes))
-
-    newp = prep(new_batch)
-    exp = prep(existing)
-    probes = [F.col("__bucket")]
-    if multi_probe_bits >= 1:
-        probes += [
-            F.col("__bucket").bitwiseXOR(F.lit(1 << i).cast("long"))
-            for i in range(n_planes)
-        ]
-    newe = newp.select(
-        F.col(id_col).alias("__new_id"),
-        F.col("__unit").alias("__un"),
-        F.explode(F.array(*probes)).alias("__bucket"),
-    )
+    newp = _srp_prep(new_batch, planes, id_col, vec_col)
+    exp = _srp_prep(existing, planes, id_col, vec_col)
+    newe = _srp_probe_rows(newp, n_planes, multi_probe_bits, id_col)
     # No (new, existing) dedup needed: a batch vector's probe buckets are
     # all distinct values, so a corpus row (one fixed bucket) matches at
     # most one probe row per batch vector. Skipping the dropDuplicates
     # keeps the pipeline shuffle-FREE until the final groupBy — at 100 TB
     # the corpus-side join output never re-shuffles for a no-op dedup.
     cand = exp.join(F.broadcast(newe), "__bucket")
+    return _best_corpus_match(cand, id_col, threshold)
+
+
+def _srp_prep(df: DataFrame, planes, id_col: str, vec_col: str) -> DataFrame:
+    """(id, vec) → (id, __unit, __bucket): unit-normalize + SRP bucket."""
+    v = _as_double(F.col(vec_col))
+    n = l2_norm(v)
+    return df.select(
+        F.col(id_col), F.transform(v, lambda x: x / n).alias("__unit")
+    ).withColumn("__bucket", srp_bucket(F.col("__unit"), planes))
+
+
+def _srp_probe_rows(
+    newp: DataFrame, n_planes: int, multi_probe_bits: int, id_col: str
+) -> DataFrame:
+    """Explode a prepared batch into its probe rows: home bucket plus every
+    1-bit flip when multi-probe is on."""
+    probes = [F.col("__bucket")]
+    if multi_probe_bits >= 1:
+        probes += [
+            F.col("__bucket").bitwiseXOR(F.lit(1 << i).cast("long"))
+            for i in range(n_planes)
+        ]
+    return newp.select(
+        F.col(id_col).alias("__new_id"),
+        F.col("__unit").alias("__un"),
+        F.explode(F.array(*probes)).alias("__bucket"),
+    )
+
+
+def _best_corpus_match(cand: DataFrame, id_col: str, threshold: float) -> DataFrame:
+    """Shared verify+screen tail of the incremental embedding dedup family:
+    exact cosine on candidates, then per-batch-vector match count and best
+    match (highest cosine, ties to lowest corpus id, nano-unit report)."""
     scored = cand.select(
         "__new_id",
         F.col(id_col).alias("__ex_id"),
@@ -974,6 +990,71 @@ def incremental_embedding_dedup(
             .alias("best_cosine_nano"),
         )
     )
+
+
+def write_srp_index(
+    corpus: DataFrame,
+    path: str,
+    n_planes: int = 6,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+) -> None:
+    """Persist the SRP bucket index the incremental embedding dedup
+    docstring promises: the corpus laid out one directory per ``__bucket``
+    (``partitionBy`` — the SRP analogue of ``write_ivf_index``'s inverted
+    lists), unit vectors precomputed. At 100 TB this is written ONCE and
+    appended per delivery; every ingestion batch then probes it with a
+    static partition filter and reads only ~(probes/2^planes) of the corpus
+    bytes — never a full scan, never a corpus shuffle."""
+    planes = _hyperplanes(dim, n_planes)
+    _srp_prep(corpus, planes, id_col, vec_col).write.mode("overwrite").partitionBy(
+        "__bucket"
+    ).parquet(f"{path}/corpus")
+
+
+def incremental_embedding_dedup_from_index(
+    spark,
+    path: str,
+    new_batch: DataFrame,
+    threshold: float = 0.4,
+    n_planes: int = 6,
+    multi_probe_bits: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+) -> DataFrame:
+    """Ingestion screening served from a PERSISTED bucket-partitioned SRP
+    index (``write_srp_index``) — result-identical to
+    :func:`incremental_embedding_dedup` on the same (batch, corpus) split.
+
+    The batch's distinct probed buckets — at most
+    ``min(2^n_planes, |batch| * (n_planes+1))`` values, 64 at the default
+    6 planes — are collected once and applied as a STATIC
+    ``__bucket IN (...)`` filter, so the candidate scan prunes to the
+    probed directories at planning time (``PartitionFilters``,
+    plan-asserted in tests/test_plans.py, mirroring the IVF index). The
+    corpus side never shuffles: probes broadcast into the bucket equi-join
+    exactly as in the in-memory path."""
+    planes = _hyperplanes(dim, n_planes)
+    newe = _srp_probe_rows(
+        _srp_prep(new_batch, planes, id_col, vec_col),
+        n_planes,
+        multi_probe_bits,
+        id_col,
+    )
+    # bounded driver set: distinct probe buckets, NOT candidates or vectors
+    cells = sorted(
+        r["__bucket"] for r in newe.select("__bucket").distinct().collect()
+    )
+    corpus = spark.read.parquet(f"{path}/corpus")
+    # filter on the raw partition column FIRST (static pruning), then
+    # normalize the inferred partition type back to long for the join
+    ex = corpus.filter(F.col("__bucket").isin(cells)).withColumn(
+        "__bucket", F.col("__bucket").cast("long")
+    )
+    cand = ex.join(F.broadcast(newe), "__bucket")
+    return _best_corpus_match(cand, id_col, threshold)
 
 
 def embedding_near_pairs_arrow(

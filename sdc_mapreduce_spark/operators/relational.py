@@ -98,7 +98,22 @@ def top_k_per_group_salted(
     once the salt decorrelates from the input order. Uniformity only needs
     to hold across each GROUP's rows, which a modular unique-id salt
     gives, so prefer it; the xxhash64 default remains for rows with no
-    usable id."""
+    usable id.
+
+    SCOPE OF THE WALL-CLOCK CLAIM (settled round 7): on a single node the
+    salted form does NOT beat the plain window at any skew we can
+    construct — even with ONE key holding 60% of a 3M-row input
+    (bench fixture, sf0.1 x30), the plain plan's single-task sort of the
+    hot group is cheaper than the salted plan's second shuffle (~1.0 s vs
+    ~1.2 s), because a few-million-row in-memory sort on one core is
+    simply fast. The operator's value claim is therefore STRUCTURAL, not
+    local wall-clock: it bounds per-task row count at ~max(rows/n_salts,
+    n_salts*k) per group, which is what prevents a straggler/spill/OOM
+    task when a hot group's row count exceeds a single executor task's
+    budget — a cluster-scale property asserted structurally in
+    tests/test_skew.py (phase-1 partition bound) rather than chased in
+    the local bench, whose skew suite reports only the sessionize pair
+    (where the crossover IS locally demonstrable)."""
     if salt_expr is None:
         salt_src = salt_cols if salt_cols is not None else df.columns
         salt_expr = F.xxhash64(*[F.col(c) for c in salt_src])

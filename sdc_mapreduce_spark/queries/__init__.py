@@ -45,88 +45,59 @@ for mod in (
 #     every then-registered query driver-sampled at least once.
 #   round 5 window: the 26 r1-only queries not refreshed in r4, the queries
 #     fixed/changed/added in r5, and 9 brand-new r5 queries. 49/49 green.
-#   round 6 window (this order): (1) the 41 round-5-continuation queries
-#     that have NEVER had a driver row (all locally hash-verified at
-#     sf0.001/0.01/0.1 and under --tz Asia/Kolkata); (2) the four re-certs
-#     displaced from the r5 window (window_rank_topn_salted,
-#     multimodal_embed_search, dedup_jaccard_pairs, events_sessionize) plus
-#     five high-value refreshes: dedup_minhash_lsh (band-bucket cap added
-#     this round), simsearch_ann_srp (FULL oracle new in r5, prior rows were
-#     rows-only), wordcount + kv_parse_sum (flagship mapreduce core), and
-#     pipeline_curation (r5 bench-drift watch). After r6 every registered
-#     query has a driver row; the r3-last-sampled block (39 queries) fronts
-#     the r7 window next.
-#   round 7 plan, in priority order: (1) the queries ADDED in round 6
-#     (bucketed_join_certified, compact_parquet_certified,
-#     dedup_embedding_ann, dedup_incremental_embedding,
-#     dedup_embedding_clusters, corpus_source_cap, events_cdc_apply,
-#     join_fuzzy_names, events_scd2_history, events_pit_enrichment,
-#     events_winsorize_clip, events_grouped_regression,
-#     table_chisq_independence, table_ks_drift, table_mutual_information,
-#     events_attribution_last_touch, table_gini_concentration,
-#     events_streaming_cdc_certified, dedup_cluster_labels,
-#     text_score_distribution —
-#     registered after the r6 window so they never displace a certification
-#     slot; all locally hash-verified at sf0.01 AND sf0.1 AND --tz
-#     Asia/Kolkata); (2) the 39 r3-last-sampled queries at the head of
-#     _ROTATED_OUT (wordcount_pipe .. corpus_mix_rebalance); (3) any query
-#     whose code or oracle changes in round 7; (4) the r4-last-sampled
-#     block.
-_ROTATE_R6_NEVER: tuple[str, ...] = (
-    "csv_malformed_audit",
-    "orc_partitioned_certified",
-    "parquet_schema_evolution_certified",
-    "events_change_intervals",
-    "events_interval_overlap",
-    "events_cogroup_asof_pandas",
-    "events_streaming_dedup_certified",
-    "events_streaming_stateful_certified",
-    "events_streaming_join_certified",
-    "events_anomaly_robust",
-    "events_sessionize_native",
-    "events_transition_matrix",
-    "events_forward_fill",
-    "events_variant_json",
-    "events_rfm_features",
-    "events_asof_join_forward",
-    "text_bigram_lm_score",
-    "text_vocab_encode",
-    "text_language_confusion",
-    "text_tfidf_cosine_pairs",
-    "text_duplicate_spans",
-    "text_vocab_ids",
-    "pipeline_pretrain_mix",
-    "dedup_exact_substring",
+#   round 6 window: the 41 round-5-continuation queries that had never had
+#     a driver row, then 9 re-certs. 50/50 green — after r6 every
+#     registered query has a driver row.
+#   round 7 window (this order): (1) the 20 queries ADDED in round 6
+#     (bucketed_join_certified .. text_score_distribution — never
+#     driver-sampled; several hardened this round: pit-enrichment
+#     tie-break, attribution (ts, event_id) window, decimal factor casts in
+#     gini/regression/MI, gated cluster-label broadcasts); (2)
+#     dedup_incremental_embedding_index, NEW in r7 (persisted
+#     bucket-partitioned SRP index); (3) three re-certs whose shared code
+#     changed in r7 (minhash_lsh_pairs probe-trim feeds dedup_minhash_lsh,
+#     graph_pagerank_neardup, dedup_containment_pairs); (4) the first 26 of
+#     the 39 r3-last-sampled queries (wordcount_pipe ..
+#     simsearch_ann_recall). All of (1)-(3) locally hash-verified at
+#     sf0.01 AND sf0.1 AND --tz Asia/Kolkata this round
+#     (tools/check_oracle.py artifacts committed under CHECKS_r07/).
+#   round 8 plan, in priority order: (1) the two queries added in round 7
+#     AFTER the window froze (events_streaming_session_certified,
+#     dedup_source_leakage_matrix — registered behind the window so they
+#     never displace a certification slot; locally hash-verified at sf0.01
+#     AND sf0.1, artifacts in CHECKS_r07/); (2) the 13 remaining
+#     r3-last-sampled queries (simsearch_ann_ivf .. corpus_mix_rebalance);
+#     (3) any query whose code or oracle changes in round 8; (4) the
+#     r4-last-sampled block; (5) oldest-first thereafter.
+_WINDOW_R7: tuple[str, ...] = (
+    # (1) round-6 additions, never driver-sampled
+    "bucketed_join_certified",
+    "compact_parquet_certified",
+    "dedup_embedding_ann",
+    "dedup_incremental_embedding",
+    "dedup_embedding_clusters",
+    "corpus_source_cap",
+    "events_cdc_apply",
+    "join_fuzzy_names",
+    "events_scd2_history",
+    "events_pit_enrichment",
+    "events_winsorize_clip",
+    "events_grouped_regression",
+    "table_chisq_independence",
+    "table_ks_drift",
+    "table_mutual_information",
+    "events_attribution_last_touch",
+    "table_gini_concentration",
+    "events_streaming_cdc_certified",
+    "dedup_cluster_labels",
+    "text_score_distribution",
+    # (2) new in round 7
+    "dedup_incremental_embedding_index",
+    # (3) re-certs: minhash_lsh_pairs changed in r7 (probe-trim)
+    "dedup_minhash_lsh",
     "graph_pagerank_neardup",
     "dedup_containment_pairs",
-    "embedding_nearest_centroid",
-    "simsearch_range_search",
-    "embedding_power_iteration",
-    "embedding_kmeans_step",
-    "embedding_label_centroids",
-    "table_histogram_equidepth",
-    "sample_weighted_topk",
-    "scalar_url_fns",
-    "agg_sketch_reaggregate",
-    "agg_bitwise_fns",
-    "agg_mode_deterministic",
-    "join_lateral_topk",
-    "corpus_mix_temperature",
-    "table_integrity_audit",
-    "corpus_pack_sequences",
-)
-_ROTATE_R6_RECERT: tuple[str, ...] = (
-    "window_rank_topn_salted",
-    "multimodal_embed_search",
-    "dedup_jaccard_pairs",
-    "events_sessionize",
-    "dedup_minhash_lsh",
-    "simsearch_ann_srp",
-    "wordcount",
-    "kv_parse_sum",
-    "pipeline_curation",
-)
-_ROTATED_OUT: tuple[str, ...] = (
+    # (4) head of the r3-last-sampled block (26 of 39)
     "wordcount_pipe",
     "text_token_stats",
     "text_quality",
@@ -153,6 +124,12 @@ _ROTATED_OUT: tuple[str, ...] = (
     "simsearch_topk",
     "simsearch_topk_arrow",
     "simsearch_ann_recall",
+)
+_ROTATED_OUT: tuple[str, ...] = (
+    # added in r7 after the window froze — front of the r8 window
+    "events_streaming_session_certified",
+    "dedup_source_leakage_matrix",
+    # remainder of the r3-last-sampled block — follows in the r8 window
     "simsearch_ann_ivf",
     "embedding_stats",
     "q2_min_balance_supplier",
@@ -262,10 +239,57 @@ _ROTATED_OUT: tuple[str, ...] = (
     "layout_zorder_keys",
     "text_countmin_freq",
     "dedup_incremental_minhash",
+    # last driver sample r6 (freshest; minus the three r7 re-certs above)
+    "csv_malformed_audit",
+    "orc_partitioned_certified",
+    "parquet_schema_evolution_certified",
+    "events_change_intervals",
+    "events_interval_overlap",
+    "events_cogroup_asof_pandas",
+    "events_streaming_dedup_certified",
+    "events_streaming_stateful_certified",
+    "events_streaming_join_certified",
+    "events_anomaly_robust",
+    "events_sessionize_native",
+    "events_transition_matrix",
+    "events_forward_fill",
+    "events_variant_json",
+    "events_rfm_features",
+    "events_asof_join_forward",
+    "text_bigram_lm_score",
+    "text_vocab_encode",
+    "text_language_confusion",
+    "text_tfidf_cosine_pairs",
+    "text_duplicate_spans",
+    "text_vocab_ids",
+    "pipeline_pretrain_mix",
+    "dedup_exact_substring",
+    "embedding_nearest_centroid",
+    "simsearch_range_search",
+    "embedding_power_iteration",
+    "embedding_kmeans_step",
+    "embedding_label_centroids",
+    "table_histogram_equidepth",
+    "sample_weighted_topk",
+    "scalar_url_fns",
+    "agg_sketch_reaggregate",
+    "agg_bitwise_fns",
+    "agg_mode_deterministic",
+    "join_lateral_topk",
+    "corpus_mix_temperature",
+    "table_integrity_audit",
+    "corpus_pack_sequences",
+    "window_rank_topn_salted",
+    "multimodal_embed_search",
+    "dedup_jaccard_pairs",
+    "events_sessionize",
+    "simsearch_ann_srp",
+    "wordcount",
+    "kv_parse_sum",
+    "pipeline_curation",
 )
 _PRIORITY: tuple[str, ...] = (
-    *_ROTATE_R6_NEVER,
-    *_ROTATE_R6_RECERT,
+    *_WINDOW_R7,
     *_ROTATED_OUT,
 )
 assert set(_PRIORITY) <= _ALL.keys(), set(_PRIORITY) - _ALL.keys()

@@ -545,6 +545,35 @@ def dedup_incremental_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def dedup_incremental_embedding_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The PERSISTED-index twin of dedup_incremental_embedding
+    (functions.simsearch.write_srp_index +
+    incremental_embedding_dedup_from_index): the 80% corpus is written once
+    as a bucket-partitioned SRP index, then the 20% batch probes it with a
+    static partition filter — the candidate scan reads only the probed
+    bucket directories (plan-asserted PartitionFilters). Same screening
+    contract and the same oracle as the in-memory path; at 100 TB this is
+    the layout that turns every ingestion delivery into a partial corpus
+    read instead of a full one."""
+    import os
+    import tempfile
+
+    from sdc_mapreduce_spark.functions.simsearch import (
+        incremental_embedding_dedup_from_index,
+        write_srp_index,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    batch = emb.filter(F.col("vec_id") % 5 == 0)
+    existing = emb.filter(F.col("vec_id") % 5 != 0)
+    tag = os.path.basename(sf_dir.rstrip("/"))
+    path = os.path.join(tempfile.gettempdir(), f"sdcms_srp_index_{tag}")
+    write_srp_index(existing, path)
+    return incremental_embedding_dedup_from_index(
+        spark, path, batch, threshold=0.4
+    ).orderBy("vec_id")
+
+
 def _dedup_incremental_embedding_sql() -> str:
     from sdc_mapreduce_spark.queries.simsearch_queries import _planes_values_sql
 
@@ -777,6 +806,89 @@ def dedup_cluster_labels(
 
 
 
+def dedup_source_leakage_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source leakage matrix — the curation diagnostic that tells you
+    WHICH corpus sources duplicate each other (a crawl snapshot re-ingested
+    under two names, a benchmark mirrored inside a crawl): near-dup pairs
+    (MinHash-LSH + exact-Jaccard verify, the exhaustive-equivalent K=128 /
+    32-band config) joined to each side's ``source`` and aggregated to an
+    unordered (source_a <= source_b) pair-count matrix, diagonal included
+    (within-source duplication). Scale shape: the pair set is the already
+    hot-capped LSH output — corpus-scale work happens once in the LSH
+    stage; the matrix aggregation is O(pairs) with a probe-gated broadcast
+    of the pair list into the two doc→source attach joins, and the output
+    is O(sources²) rows."""
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = (
+        D.minhash_lsh_pairs(docs, num_hashes=128, bands=32, n=3, threshold=0.8)
+        .select("id_a", "id_b")
+        .persist()
+    )
+    src = docs.select("doc_id", "source")
+    hinted = broadcast_if_small(pairs, 10_000_000)
+    attached = (
+        hinted.join(
+            src.select(
+                F.col("doc_id").alias("id_a"), F.col("source").alias("__sa")
+            ),
+            "id_a",
+        )
+        .join(
+            src.select(
+                F.col("doc_id").alias("id_b"), F.col("source").alias("__sb")
+            ),
+            "id_b",
+        )
+    )
+    return (
+        attached.select(
+            F.least("__sa", "__sb").alias("source_a"),
+            F.greatest("__sa", "__sb").alias("source_b"),
+        )
+        .groupBy("source_a", "source_b")
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+        .orderBy("source_a", "source_b")
+    )
+
+
+DEDUP_SOURCE_LEAKAGE_SQL = """
+WITH t AS (
+  SELECT doc_id, source, string_split_regex(trim(text), '\\s+') AS toks
+  FROM documents
+), sh AS (
+  SELECT doc_id, source,
+         list_distinct(CASE WHEN len(toks) >= 3
+           THEN [toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+                 FOR i IN range(1, len(toks) - 1)]
+           ELSE [array_to_string(toks, ' ')] END) AS shingles
+  FROM t
+), sz AS (
+  SELECT doc_id, len(shingles) AS sz FROM sh
+), inv AS (
+  SELECT doc_id, UNNEST(shingles) AS s FROM sh
+), common AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS c
+  FROM inv a JOIN inv b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+), pairs AS (
+  SELECT id_a, id_b FROM common
+  JOIN sz za ON za.doc_id = id_a
+  JOIN sz zb ON zb.doc_id = id_b
+  WHERE c / (za.sz + zb.sz - c) >= 0.8
+), srcd AS (
+  SELECT doc_id, source FROM documents
+)
+SELECT LEAST(sa.source, sb.source) AS source_a,
+       GREATEST(sa.source, sb.source) AS source_b,
+       COUNT(*) AS n_pairs
+FROM pairs p
+JOIN srcd sa ON sa.doc_id = p.id_a
+JOIN srcd sb ON sb.doc_id = p.id_b
+GROUP BY 1, 2
+ORDER BY source_a, source_b
+"""
+
+
 DEDUP_CLUSTER_LABELS_SQL = """
 WITH RECURSIVE t AS (
   SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks FROM documents
@@ -867,6 +979,12 @@ QUERIES: dict[str, QuerySpec] = {
     ),
     "dedup_incremental_embedding": QuerySpec(
         dedup_incremental_embedding, _dedup_incremental_embedding_sql()
+    ),
+    "dedup_incremental_embedding_index": QuerySpec(
+        dedup_incremental_embedding_index, _dedup_incremental_embedding_sql()
+    ),
+    "dedup_source_leakage_matrix": QuerySpec(
+        dedup_source_leakage_matrix, DEDUP_SOURCE_LEAKAGE_SQL
     ),
     "dedup_embedding_clusters": QuerySpec(
         dedup_embedding_clusters, _dedup_embedding_clusters_sql()

@@ -1818,7 +1818,100 @@ def events_streaming_cdc_certified(spark: SparkSession, sf_dir: str) -> DataFram
         shutil.rmtree(snap, ignore_errors=True)
         shutil.rmtree(ckpt, ignore_errors=True)
 
+def events_streaming_session_certified(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Streaming SESSION-WINDOW state, driver-certified by the real
+    micro-batch engine: the events table replays as a json file stream
+    forced through multiple micro-batches (maxFilesPerTrigger), aggregated
+    with the NATIVE merging ``session_window`` (30-minute gap) per user —
+    the batch form of which events_sessionize_native certifies — in
+    complete output mode, and the final session set must equal the manual
+    lag→flag→running-count sessionization oracle. This is the one stateful
+    shape the other streaming certifications don't cover: session state
+    MERGES across micro-batches (two open sessions can fuse when a
+    gap-bridging event arrives in a later batch), so a merge-semantics bug
+    in the session state store turns exactly this row red. Complete mode
+    keeps the certification run watermark-free (NTZ event time, the oracle
+    discipline); a production deployment bounds state with
+    ``withWatermark`` + append mode instead — the trade is documented, not
+    hidden."""
+    import shutil
+    import tempfile
+    import uuid
+
+    src = tempfile.mkdtemp(prefix="sdcms_stream_sess_src_")
+    ckpt = tempfile.mkdtemp(prefix="sdcms_stream_sess_ckpt_")
+    name = f"stream_sess_{uuid.uuid4().hex[:8]}"
+    try:
+        ev = load_table(spark, sf_dir, "events")
+        ev.select(
+            "event_id",
+            F.date_format("ts", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("ts"),
+            "user_id",
+        ).repartition(4).write.mode("overwrite").json(src)
+        stream = (
+            spark.readStream.schema("event_id long, ts timestamp_ntz, user_id long")
+            .format("json")
+            .option("timestampNTZFormat", "yyyy-MM-dd HH:mm:ss.SSSSSS")
+            .option("maxFilesPerTrigger", 1)
+            .load(src)
+        )
+        agg = stream.groupBy(
+            F.session_window("ts", "30 minutes").alias("w"), "user_id"
+        ).agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("session_end"),
+        )
+        q = (
+            agg.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("complete")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+        result = spark.table(name).select(
+            "user_id", "session_start", "session_end", "n_events"
+        ).orderBy("user_id", "session_start")
+        rows = result.collect()
+        return spark.createDataFrame(rows, schema=result.schema)
+    finally:
+        shutil.rmtree(src, ignore_errors=True)
+        shutil.rmtree(ckpt, ignore_errors=True)
+
+
+EVENTS_STREAMING_SESSION_SQL = """
+WITH flagged AS (
+  SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id,
+         CASE WHEN LAG(CAST(ts AS TIMESTAMP)) OVER w IS NULL
+                OR CAST(ts AS TIMESTAMP) >
+                   LAG(CAST(ts AS TIMESTAMP)) OVER w + INTERVAL '30 minutes'
+              THEN 1 ELSE 0 END AS is_new
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP) ASC, event_id ASC)
+), sessions AS (
+  SELECT user_id, ts,
+         CAST(SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+                                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              AS BIGINT) AS session_id
+  FROM flagged
+)
+SELECT user_id,
+       MIN(ts) AS session_start,
+       MAX(ts) AS session_end,
+       COUNT(*) AS n_events
+FROM sessions GROUP BY user_id, session_id
+ORDER BY user_id, session_start
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
+    "events_streaming_session_certified": QuerySpec(
+        events_streaming_session_certified, EVENTS_STREAMING_SESSION_SQL
+    ),
     "events_streaming_cdc_certified": QuerySpec(
         events_streaming_cdc_certified, EVENTS_CDC_APPLY_SQL
     ),

@@ -675,3 +675,21 @@ def test_cluster_labels_shuffle_fallback_identical(spark, sf_dir):
         )
     )
     assert base == fallback and len(base) > 0
+
+
+def test_source_leakage_matrix_consistent_with_pairs(spark, sf_dir):
+    """The leakage matrix must be the exact (least, greatest)-source
+    aggregation of the verified LSH pair set: total n_pairs equals the
+    pair count, keys are normalized (source_a <= source_b), counts
+    positive."""
+    from sdc_mapreduce_spark.queries.dedup_queries import (
+        dedup_source_leakage_matrix,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    n_pairs = D.minhash_lsh_pairs(
+        docs, num_hashes=128, bands=32, n=3, threshold=0.8
+    ).count()
+    rows = dedup_source_leakage_matrix(spark, sf_dir).collect()
+    assert sum(r["n_pairs"] for r in rows) == n_pairs > 0
+    assert all(r["source_a"] <= r["source_b"] and r["n_pairs"] > 0 for r in rows)

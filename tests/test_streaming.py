@@ -583,3 +583,24 @@ def test_cdc_upsert_supersession_and_replay_idempotent(spark, tmp_path):
     # replay batch 1 (redelivery after failure): identical snapshot
     land([(2, t(2), 1, "error", 0.0), (3, t(3), 2, "purchase", 9.0)], 1)
     assert state() == first
+
+
+def test_streaming_session_window_matches_batch_sessionize(spark, sf_dir):
+    """The streaming session_window certification (round 7): run through
+    REAL micro-batches (maxFilesPerTrigger=1) in complete mode, the merged
+    session set must equal the batch lag→flag→running-count sessionize —
+    session state merging across batches is the property under test."""
+    from sdc_mapreduce_spark.operators.skew import sessionize_plain
+    from sdc_mapreduce_spark.queries.events_queries import (
+        events_streaming_session_certified,
+    )
+
+    got = sorted(
+        map(tuple, events_streaming_session_certified(spark, sf_dir).collect())
+    )
+    ev = load_table(spark, sf_dir, "events")
+    want = sorted(
+        (r["user_id"], r["session_start"], r["session_end"], r["n_events"])
+        for r in sessionize_plain(ev).collect()
+    )
+    assert got == want and len(got) > 0
