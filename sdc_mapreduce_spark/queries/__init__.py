@@ -129,6 +129,8 @@ _ROTATED_OUT: tuple[str, ...] = (
     # added in r7 after the window froze — front of the r8 window
     "events_streaming_session_certified",
     "dedup_source_leakage_matrix",
+    "table_benford_audit",
+    "events_changepoint_cusum",
     # remainder of the r3-last-sampled block — follows in the r8 window
     "simsearch_ann_ivf",
     "embedding_stats",

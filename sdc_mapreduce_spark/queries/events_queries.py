@@ -1818,6 +1818,92 @@ def events_streaming_cdc_certified(spark: SparkSession, sf_dir: str) -> DataFram
         shutil.rmtree(snap, ignore_errors=True)
         shutil.rmtree(ckpt, ignore_errors=True)
 
+def events_changepoint_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Offline CUSUM changepoint estimation per event_type — the
+    level-shift detector a metrics pipeline runs over daily aggregates:
+    the day at which the cumulative sum of (daily mean − global mean)
+    deviations attains its maximum magnitude is the classic CUSUM
+    changepoint. Scale shape: ONE combinable groupBy collapses the fact
+    table to O(types × days) daily rows; the per-type cumulative window
+    runs over that tiny aggregate, never the raw events — so the plan is a
+    scan-speed map stage plus toy-sized windows at any corpus size.
+    Determinism: daily sums are exact centi-unit longs, each day's
+    deviation is ONE identical double expression quantized to integer
+    micro-units (half-up), cumulative sums then accumulate as exact longs,
+    and the argmax tie-breaks (|cusum| desc, day asc) in both engines."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.to_date("ts").alias("day")
+    ).agg(
+        F.expr("sum(cast(round(value * 100) as bigint))").alias("sc"),
+        F.count(F.lit(1)).alias("cnt"),
+    )
+    glob = daily.groupBy("event_type").agg(
+        F.sum("sc").alias("gsc"), F.sum("cnt").alias("gcnt")
+    )
+    dev_micro = F.expr(
+        "cast(round((cast(sc as double) / cast(cnt as double)"
+        " - cast(gsc as double) / cast(gcnt as double)) * 10000) as bigint)"
+    )
+    w_cum = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cus = (
+        daily.join(F.broadcast(glob), "event_type")
+        .withColumn("__dev", dev_micro)
+        .withColumn("cusum_micro", F.sum("__dev").over(w_cum))
+        .withColumn(
+            "n_days", F.count(F.lit(1)).over(Window.partitionBy("event_type"))
+        )
+    )
+    w_rank = Window.partitionBy("event_type").orderBy(
+        F.abs(F.col("cusum_micro")).desc(), F.col("day").asc()
+    )
+    return (
+        cus.withColumn("__rn", F.row_number().over(w_rank))
+        .filter(F.col("__rn") == 1)
+        .select(
+            "event_type",
+            F.col("day").alias("changepoint_day"),
+            "cusum_micro",
+            "n_days",
+        )
+        .orderBy("event_type")
+    )
+
+
+EVENTS_CHANGEPOINT_SQL = """
+WITH daily AS (
+  SELECT event_type, CAST(CAST(ts AS TIMESTAMP) AS DATE) AS day,
+         SUM(CAST(round(value * 100) AS BIGINT)) AS sc,
+         COUNT(*) AS cnt
+  FROM events GROUP BY 1, 2
+), g_all AS (
+  SELECT event_type, SUM(sc) AS gsc, SUM(cnt) AS gcnt
+  FROM daily GROUP BY event_type
+), dev AS (
+  SELECT d.event_type, d.day,
+         CAST(round((CAST(d.sc AS DOUBLE) / CAST(d.cnt AS DOUBLE)
+             - CAST(g.gsc AS DOUBLE) / CAST(g.gcnt AS DOUBLE)) * 10000)
+           AS BIGINT) AS dev_micro
+  FROM daily d JOIN g_all g USING (event_type)
+), cus AS (
+  SELECT event_type, day,
+         CAST(SUM(dev_micro) OVER (PARTITION BY event_type ORDER BY day
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              AS BIGINT) AS cusum_micro,
+         COUNT(*) OVER (PARTITION BY event_type) AS n_days
+  FROM dev
+)
+SELECT event_type, day AS changepoint_day, cusum_micro, n_days
+FROM (SELECT *, row_number() OVER (PARTITION BY event_type
+        ORDER BY abs(cusum_micro) DESC, day ASC) AS rn FROM cus)
+WHERE rn = 1 ORDER BY event_type
+"""
+
+
 def events_streaming_session_certified(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
@@ -1911,6 +1997,9 @@ ORDER BY user_id, session_start
 QUERIES: dict[str, QuerySpec] = {
     "events_streaming_session_certified": QuerySpec(
         events_streaming_session_certified, EVENTS_STREAMING_SESSION_SQL
+    ),
+    "events_changepoint_cusum": QuerySpec(
+        events_changepoint_cusum, EVENTS_CHANGEPOINT_SQL
     ),
     "events_streaming_cdc_certified": QuerySpec(
         events_streaming_cdc_certified, EVENTS_CDC_APPLY_SQL

@@ -1566,6 +1566,76 @@ FROM j GROUP BY n
 
 
 
+_BENFORD = {
+    1: 0.3010299957, 2: 0.1760912591, 3: 0.1249387366, 4: 0.0969100130,
+    5: 0.0791812460, 6: 0.0669467896, 7: 0.0579919470, 8: 0.0511525224,
+    9: 0.0457574906,
+}
+
+
+def table_benford_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford first-significant-digit audit — the classic fabricated-data
+    / corrupted-feed detector: the observed first-digit distribution of
+    l_extendedprice against Benford's law, per digit. Determinism
+    discipline: the first digit is taken from the STRING form of the exact
+    centi-unit integer (never log10 — a transcendental at digit boundaries
+    would be engine-dependent), the expected frequencies are 10-decimal
+    LITERALS baked identically into both engines (log10(1+1/d) is
+    precomputed, not evaluated), and frac/excess are single identical
+    double divisions. One combinable 9-group aggregate over the scan —
+    O(rows) map work, O(9) reduce — the shape that is free at 100 TB."""
+    li = load_table(spark, sf_dir, "lineitem")
+    digit = F.substring(
+        F.expr("cast(round(l_extendedprice * 100) as bigint)").cast("string"), 1, 1
+    ).cast("int")
+    counts = li.select(digit.alias("digit")).groupBy("digit").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    total = counts.agg(F.sum("n").alias("__total"))
+    expected = spark.createDataFrame(
+        sorted(_BENFORD.items()), "digit int, expected double"
+    )
+    frac = F.col("n").cast("double") / F.col("__total").cast("double")
+    return (
+        counts.crossJoin(F.broadcast(total))
+        .join(F.broadcast(expected), "digit")
+        .select(
+            "digit",
+            "n",
+            frac.alias("frac"),
+            "expected",
+            (frac - F.col("expected")).alias("excess"),
+        )
+        .orderBy("digit")
+    )
+
+
+def _benford_values_sql() -> str:
+    return ", ".join(f"({d}, {p!r})" for d, p in sorted(_BENFORD.items()))
+
+
+TABLE_BENFORD_SQL = f"""
+WITH d AS (
+  SELECT CAST(SUBSTR(CAST(CAST(round(l_extendedprice * 100) AS BIGINT)
+                          AS VARCHAR), 1, 1) AS INT) AS digit
+  FROM lineitem
+), c AS (
+  SELECT digit, COUNT(*) AS n FROM d GROUP BY digit
+), t AS (
+  SELECT SUM(n) AS total FROM c
+), e(digit, expected) AS (
+  VALUES {_benford_values_sql()}
+)
+SELECT c.digit, c.n,
+       CAST(c.n AS DOUBLE) / CAST(t.total AS DOUBLE) AS frac,
+       CAST(e.expected AS DOUBLE) AS expected,
+       CAST(c.n AS DOUBLE) / CAST(t.total AS DOUBLE)
+         - CAST(e.expected AS DOUBLE) AS excess
+FROM c CROSS JOIN t JOIN e USING (digit)
+ORDER BY digit
+"""
+
+
 def table_gini_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Concentration audit (operators.relational.gini_concentration): the
     Gini coefficient of event value across users — how much of the measure
@@ -1600,6 +1670,7 @@ QUERIES: dict[str, QuerySpec] = {
         table_gini_concentration, TABLE_GINI_SQL
     ),
     "table_ks_drift": QuerySpec(table_ks_drift, TABLE_KS_DRIFT_SQL),
+    "table_benford_audit": QuerySpec(table_benford_audit, TABLE_BENFORD_SQL),
     "table_mutual_information": QuerySpec(
         table_mutual_information, TABLE_MI_SQL
     ),

@@ -794,3 +794,54 @@ def test_ks_and_gini_degenerate_inputs(spark):
     zeros = spark.createDataFrame([(k, 0.0) for k in range(3)], ["k", "v"])
     r = gini_concentration(zeros, "v", "k").collect()[0]
     assert r["total_centi"] == 0 and r["gini"] is None
+
+
+def test_benford_audit_distribution_properties(spark, sf_dir):
+    """Digits 1-9 each present at most once, fracs sum to 1, expected
+    follows Benford exactly (literal table), excess = frac - expected."""
+    from sdc_mapreduce_spark.queries.surface_queries import table_benford_audit
+
+    rows = table_benford_audit(spark, sf_dir).collect()
+    assert {r["digit"] for r in rows} <= set(range(1, 10))
+    assert abs(sum(r["frac"] for r in rows) - 1.0) < 1e-9
+    for r in rows:
+        assert abs(r["excess"] - (r["frac"] - r["expected"])) < 1e-12
+
+
+def test_changepoint_cusum_maximizes_abs_cusum(spark, sf_dir):
+    """The reported changepoint day must attain the max |cusum| among the
+    type's daily deviations (replicated with a driver-side fold)."""
+    from pyspark.sql import functions as F
+
+    from sdc_mapreduce_spark.catalog import load_table
+    from sdc_mapreduce_spark.queries.events_queries import events_changepoint_cusum
+
+    got = {
+        r["event_type"]: (r["changepoint_day"], r["cusum_micro"], r["n_days"])
+        for r in events_changepoint_cusum(spark, sf_dir).collect()
+    }
+    ev = load_table(spark, sf_dir, "events")
+    daily = (
+        ev.groupBy("event_type", F.to_date("ts").alias("day"))
+        .agg(
+            F.expr("sum(cast(round(value * 100) as bigint))").alias("sc"),
+            F.count(F.lit(1)).alias("cnt"),
+        )
+        .collect()
+    )
+    by_type = {}
+    for r in daily:
+        by_type.setdefault(r["event_type"], []).append(r)
+    for et, rs in by_type.items():
+        rs.sort(key=lambda r: r["day"])
+        gsc = sum(r["sc"] for r in rs)
+        gcnt = sum(r["cnt"] for r in rs)
+        import math
+        cum, best = 0, None
+        for r in rs:
+            dev = r["sc"] / r["cnt"] - gsc / gcnt
+            q = math.floor(dev * 10000 + 0.5) if dev >= 0 else -math.floor(-dev * 10000 + 0.5)
+            cum += q
+            if best is None or abs(cum) > abs(best[1]):
+                best = (r["day"], cum)
+        assert got[et] == (best[0], best[1], len(rs))
