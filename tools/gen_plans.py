@@ -67,6 +67,11 @@ EXTRA_SHAPES = [
     "events_attribution_last_touch",
     "table_gini_concentration",
     "dedup_cluster_labels",
+    # round-7 additions
+    "dedup_incremental_embedding_index",
+    "dedup_source_leakage_matrix",
+    "table_benford_audit",
+    "events_changepoint_cusum",
 ]
 
 HEADER = """# PLANS — formatted physical plans of the headline bench queries plus the
