@@ -61,14 +61,17 @@ for mod in (
 #     simsearch_ann_recall). All of (1)-(3) locally hash-verified at
 #     sf0.01 AND sf0.1 AND --tz Asia/Kolkata this round
 #     (tools/check_oracle.py artifacts committed under CHECKS_r07/).
-#   round 8 plan, in priority order: (1) the two queries added in round 7
+#   round 8 plan, in priority order: (1) the four queries added in round 7
 #     AFTER the window froze (events_streaming_session_certified,
-#     dedup_source_leakage_matrix — registered behind the window so they
+#     dedup_source_leakage_matrix, table_benford_audit,
+#     events_changepoint_cusum — registered behind the window so they
 #     never displace a certification slot; locally hash-verified at sf0.01
-#     AND sf0.1, artifacts in CHECKS_r07/); (2) the 13 remaining
-#     r3-last-sampled queries (simsearch_ann_ivf .. corpus_mix_rebalance);
-#     (3) any query whose code or oracle changes in round 8; (4) the
-#     r4-last-sampled block; (5) oldest-first thereafter.
+#     AND sf0.1 AND --tz Asia/Kolkata, artifacts in CHECKS_r07/), plus
+#     text_vocab_encode (result-neutral persist added post-freeze,
+#     re-verified at both SFs — CHECKS_r07/optimized_queries.txt); (2) the
+#     13 remaining r3-last-sampled queries (simsearch_ann_ivf ..
+#     corpus_mix_rebalance); (3) any query whose code or oracle changes in
+#     round 8; (4) the r4-last-sampled block; (5) oldest-first thereafter.
 _WINDOW_R7: tuple[str, ...] = (
     # (1) round-6 additions, never driver-sampled
     "bucketed_join_certified",

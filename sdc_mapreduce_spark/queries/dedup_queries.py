@@ -518,12 +518,18 @@ def dedup_embedding_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     ITSELF hash-matches."""
     from sdc_mapreduce_spark.functions.simsearch import embedding_near_pairs_blocked
 
-    return embedding_near_pairs_blocked(
+    pairs = embedding_near_pairs_blocked(
         load_table(spark, sf_dir, "embeddings"),
         threshold=0.4,
         n_planes=6,
         multi_probe_bits=1,
-    ).orderBy("id_a", "id_b")
+    )
+    # persist BEFORE the output sort: the verify stage has no shuffle
+    # barrier, so the range-sort's boundary-sampling job would otherwise
+    # re-run the whole candidate verify a second time (measured ~0.9 s of
+    # the query's 2.3 s at sf0.1). The persisted set is the small verified
+    # pair list, not the candidate volume.
+    return pairs.persist().orderBy("id_a", "id_b")
 
 
 def dedup_incremental_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:

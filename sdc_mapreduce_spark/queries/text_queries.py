@@ -1283,8 +1283,16 @@ def text_vocab_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     the declarative twin (explode → join → positional re-assemble); ids_fp
     pins the full encoded sequence byte-for-byte."""
     docs = load_table(spark, sf_dir, "documents")
-    vocab = T.vocab_ids(docs, min_count=5)
-    return T.encode_with_vocab(docs, vocab).orderBy("doc_id")
+    # vocab persisted: the max_vocab gate probe and the broadcast collect
+    # are two separate jobs over the vocab lineage (token explode +
+    # groupBy + rank window) — without the persist the whole vocabulary
+    # aggregation runs twice per query execution.
+    vocab = T.vocab_ids(docs, min_count=5).persist()
+    # persist BEFORE the output sort: the encode kernel is shuffle-free,
+    # so the range-sort's boundary-sampling job would otherwise run the
+    # Arrow kernel twice end-to-end (the dedup_embedding_ann finding);
+    # the persisted frame is one summary row per document.
+    return T.encode_with_vocab(docs, vocab).persist().orderBy("doc_id")
 
 
 TEXT_VOCAB_ENCODE_SQL = """
