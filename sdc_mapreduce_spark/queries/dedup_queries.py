@@ -313,9 +313,18 @@ def dedup_exact_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
     documents rebuilt — the consumer of the text_duplicate_spans removal
     list (Lee et al. exact substring dedup). cleaned_fp pins the surviving
     text byte-for-byte cross-engine."""
-    return D.exact_substring_dedup(
-        load_table(spark, sf_dir, "documents"), chunk_size=16
-    ).orderBy("doc_id")
+    # persist before the output sort: the rebuild side (scan + per-chunk
+    # md5 + broadcast drop-list join) has no shuffle barrier, so the
+    # range-sort's sampling job would re-run it end to end (the
+    # dedup_embedding_ann finding); the persisted frame is one summary
+    # row per document.
+    return (
+        D.exact_substring_dedup(
+            load_table(spark, sf_dir, "documents"), chunk_size=16
+        )
+        .persist()
+        .orderBy("doc_id")
+    )
 
 
 DEDUP_EXACT_SUBSTRING_SQL = """
