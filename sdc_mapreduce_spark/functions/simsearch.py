@@ -1143,6 +1143,84 @@ def embedding_near_pairs(
     )
 
 
+def label_silhouette_audit(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+) -> DataFrame:
+    """Per-label cohesion/separation audit — the silhouette-style cluster
+    quality report over an embedding column: for each label, the mean
+    cosine of its vectors to their OWN centroid versus the mean cosine to
+    the best FOREIGN centroid, and the gap between the two (positive =
+    the labeling is geometrically coherent; ~0 or negative = labels that
+    blur together and won't hold up as topic buckets). Returns
+    (label, n_vectors, mean_own_cos, mean_other_cos, separation).
+
+    Determinism: centroids are the repo-standard floor-quantized nano-unit
+    integer sums (:func:`label_centroid_rank`); each vector's two cosines
+    are fixed-order folds quantized to nano-units BEFORE the per-label
+    mean, so the means are exact-integer divisions that replay bitwise in
+    the oracle. Scale shape: one (labels × dim) partial-sum shuffle for
+    the fit, broadcast centroids, map-side scoring over n_labels
+    candidates per vector, one O(labels) final aggregate — the corpus
+    never shuffles."""
+    v = F.col(vec_col).cast("array<double>")
+    comps = df.select(F.col(label_col), F.posexplode(v).alias("pos", "val"))
+    cs = comps.groupBy(label_col, "pos").agg(
+        F.sum(F.floor(F.col("val") * F.lit(1e9)).cast("long")).alias("__s"),
+        F.count(F.lit(1)).alias("__n"),
+    )
+    cent = (
+        cs.select(
+            F.col(label_col).alias("__cand"),
+            "pos",
+            (F.col("__s").cast("double") / (F.lit(1e9) * F.col("__n"))).alias("c"),
+        )
+        .groupBy("__cand")
+        .agg(
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("pos", "c"))), lambda e: e["c"]
+            ).alias("__cent")
+        )
+    )
+    scored = df.select(F.col(id_col), F.col(label_col), v.alias("__v")).crossJoin(
+        F.broadcast(cent)
+    )
+    cos = dot(F.col("__v"), F.col("__cent")) / (
+        F.sqrt(dot(F.col("__v"), F.col("__v")))
+        * F.sqrt(dot(F.col("__cent"), F.col("__cent")))
+    )
+    per_vec = scored.groupBy(id_col, label_col).agg(
+        F.max(F.when(F.col("__cand") == F.col(label_col), cos)).alias("__own"),
+        F.max(F.when(F.col("__cand") != F.col(label_col), cos)).alias("__other"),
+    )
+    mean_own = F.col("__so").cast("double") / (
+        F.lit(1e9) * F.col("n_vectors").cast("double")
+    )
+    mean_other = F.col("__st").cast("double") / (
+        F.lit(1e9) * F.col("n_vectors").cast("double")
+    )
+    return (
+        per_vec.groupBy(label_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_vectors"),
+            F.sum(F.floor(F.col("__own") * F.lit(1e9)).cast("long")).alias("__so"),
+            F.sum(F.floor(F.col("__other") * F.lit(1e9)).cast("long")).alias(
+                "__st"
+            ),
+        )
+        .select(
+            label_col,
+            "n_vectors",
+            mean_own.alias("mean_own_cos"),
+            mean_other.alias("mean_other_cos"),
+            (mean_own - mean_other).alias("separation"),
+        )
+        .orderBy(label_col)
+    )
+
+
 def nearest_centroid_classify(
     df: DataFrame,
     id_col: str = "vec_id",

@@ -718,6 +718,53 @@ FROM scored ORDER BY vec_id
 """
 
 
+def embedding_label_silhouette(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Silhouette-style label-quality audit (functions.simsearch.
+    label_silhouette_audit): per label, mean cosine to the own centroid vs
+    the best foreign centroid and the separation gap — the go/no-go report
+    on whether a labeling is geometrically coherent enough to use as topic
+    buckets. Nano-quantized sums make all three doubles exact-integer
+    divisions that replay in the oracle."""
+    return S.label_silhouette_audit(load_table(spark, sf_dir, "embeddings"))
+
+
+EMBEDDING_LABEL_SILHOUETTE_SQL = f"""
+WITH e AS (
+  SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings
+), comps AS (
+  SELECT label, unnest(range(len(v))) AS pos, unnest(v) AS val FROM e
+), cs AS (
+  SELECT label, pos,
+         SUM(CAST(FLOOR(val * 1e9) AS BIGINT)) AS s, COUNT(*) AS n
+  FROM comps GROUP BY 1, 2
+), cent AS (
+  SELECT label AS cand, list(CAST(s AS DOUBLE) / (1e9 * n) ORDER BY pos) AS cv
+  FROM cs GROUP BY label
+), scored AS (
+  SELECT e.vec_id, e.label, c.cand,
+         {_FOLD_DOT.format(a="e.v", b="c.cv")}
+         / (sqrt({_FOLD_DOT.format(a="e.v", b="e.v")})
+            * sqrt({_FOLD_DOT.format(a="c.cv", b="c.cv")})) AS cos
+  FROM e CROSS JOIN cent c
+), per_vec AS (
+  SELECT vec_id, label,
+         MAX(CASE WHEN cand = label THEN cos END) AS own,
+         MAX(CASE WHEN cand <> label THEN cos END) AS other
+  FROM scored GROUP BY 1, 2
+)
+SELECT label, COUNT(*) AS n_vectors,
+       CAST(SUM(CAST(FLOOR(own * 1e9) AS BIGINT)) AS DOUBLE)
+         / (1e9 * CAST(COUNT(*) AS DOUBLE)) AS mean_own_cos,
+       CAST(SUM(CAST(FLOOR(other * 1e9) AS BIGINT)) AS DOUBLE)
+         / (1e9 * CAST(COUNT(*) AS DOUBLE)) AS mean_other_cos,
+       CAST(SUM(CAST(FLOOR(own * 1e9) AS BIGINT)) AS DOUBLE)
+         / (1e9 * CAST(COUNT(*) AS DOUBLE))
+       - CAST(SUM(CAST(FLOOR(other * 1e9) AS BIGINT)) AS DOUBLE)
+         / (1e9 * CAST(COUNT(*) AS DOUBLE)) AS separation
+FROM per_vec GROUP BY label ORDER BY label
+"""
+
+
 def embedding_nearest_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Nearest-centroid classification audit (functions.simsearch.
     nearest_centroid_classify): every embedding assigned to its
