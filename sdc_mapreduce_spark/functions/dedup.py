@@ -532,10 +532,12 @@ def minhash_lsh_pairs(
     band_rows = raw_band_rows.persist(StorageLevel.MEMORY_AND_DISK)
     cand_bound: int | None = None
     if max_bucket is not None:
-        bucket_counts = (
-            band_rows.groupBy("band", "bhash")
-            .agg(F.count(F.lit(1)).alias("__n"))
-            .persist(StorageLevel.MEMORY_AND_DISK)
+        # NOT persisted: both consumers (the hot-bucket anti-join and the
+        # one-row bound collect) are single cheap aggregations over the
+        # already-persisted band_rows — a persist here would pin the
+        # bucket counts in executor cache for the session with no reuse
+        bucket_counts = band_rows.groupBy("band", "bhash").agg(
+            F.count(F.lit(1)).alias("__n")
         )
         hot = bucket_counts.filter(F.col("__n") > max_bucket).select("band", "bhash")
         # The cap aggregation already materializes bucket membership counts

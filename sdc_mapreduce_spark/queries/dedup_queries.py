@@ -571,7 +571,9 @@ def dedup_incremental_embedding_index(spark: SparkSession, sf_dir: str) -> DataF
     the layout that turns every ingestion delivery into a partial corpus
     read instead of a full one."""
     import os
+    import shutil
     import tempfile
+    import uuid
 
     from sdc_mapreduce_spark.functions.simsearch import (
         incremental_embedding_dedup_from_index,
@@ -581,12 +583,21 @@ def dedup_incremental_embedding_index(spark: SparkSession, sf_dir: str) -> DataF
     emb = load_table(spark, sf_dir, "embeddings")
     batch = emb.filter(F.col("vec_id") % 5 == 0)
     existing = emb.filter(F.col("vec_id") % 5 != 0)
-    tag = os.path.basename(sf_dir.rstrip("/"))
-    path = os.path.join(tempfile.gettempdir(), f"sdcms_srp_index_{tag}")
-    write_srp_index(existing, path)
-    return incremental_embedding_dedup_from_index(
-        spark, path, batch, threshold=0.4
-    ).orderBy("vec_id")
+    # per-run unique dir: a fixed shared path races concurrent runs at the
+    # same SF (one deletes bucket dirs while the other reads them); the
+    # result is materialized before the finally removes the index
+    path = os.path.join(
+        tempfile.gettempdir(), f"sdcms_srp_index_{uuid.uuid4().hex[:8]}"
+    )
+    try:
+        write_srp_index(existing, path)
+        result = incremental_embedding_dedup_from_index(
+            spark, path, batch, threshold=0.4
+        ).orderBy("vec_id")
+        rows = result.collect()
+        return spark.createDataFrame(rows, schema=result.schema)
+    finally:
+        shutil.rmtree(path, ignore_errors=True)
 
 
 def _dedup_incremental_embedding_sql() -> str:

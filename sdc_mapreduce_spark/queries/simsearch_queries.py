@@ -14,6 +14,14 @@ from sdc_mapreduce_spark.queries.base import QuerySpec
 QUERY_IDS = list(range(10))
 TOP_K = 5
 
+# DuckDB dot-product fold used by several oracle twins below. Defined before
+# any module-level f-string that interpolates it — f-strings evaluate at
+# import time, so a use-before-definition is an ImportError for the whole
+# package (round-7 postmortem).
+_FOLD_DOT = """list_reduce(list_transform(range(1, len({a}) + 1),
+                                    i -> {a}[i] * {b}[i]),
+                     (x, y) -> x + y)"""
+
 
 def simsearch_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact brute-force cosine top-5 for query vectors 0..9 (JVM path)."""
@@ -71,16 +79,22 @@ def simsearch_ann_srp(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def simsearch_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Approximate top-k via an IVF index (KMeans cells + multi-cell
-    probing) — the classic disk-oriented ANN layout: per-query work is
-    |corpus| * n_probe / n_cells. Approximate ⇒ rows-only check; recall
-    vs brute force is asserted in unit tests."""
+    """Approximate top-k via an IVF index (coarse-quantizer cells +
+    multi-cell probing) — the classic disk-oriented ANN layout: per-query
+    work is |corpus| * n_probe / n_cells instead of |corpus|. Uses the
+    deterministic ``seeded_centroids`` coarse quantizer so the full
+    pipeline (cell assignment → probe selection → in-cell exact ranking)
+    replays in the DuckDB oracle; the fitted-KMeans quantizer stays
+    exercised via tests/test_simsearch.py recall floors."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = S.seeded_centroids(emb, n_cells=IVF_CELLS)
     return S.cosine_topk_ivf(
-        load_table(spark, sf_dir, "embeddings"),
+        emb,
         QUERY_IDS,
         k=TOP_K,
-        n_cells=8,
-        n_probe=4,
+        n_cells=IVF_CELLS,
+        n_probe=IVF_PROBE,
+        centroids=cents,
     ).orderBy("query_id", "rank")
 
 
@@ -209,6 +223,54 @@ SELECT eq.query_id,
 FROM (SELECT DISTINCT query_id FROM exact) eq
 LEFT JOIN h ON h.query_id = eq.query_id
 ORDER BY eq.query_id
+"""
+
+
+SIMSEARCH_ANN_IVF_SQL = f"""
+WITH u AS (
+  SELECT vec_id,
+         list_transform(
+           embedding::DOUBLE[],
+           x -> x / sqrt(list_aggregate(
+                  list_transform(embedding::DOUBLE[], y -> y * y), 'sum'))
+         ) AS unit
+  FROM embeddings
+), cent AS (
+  SELECT CAST(vec_id AS INT) AS cell, unit AS c FROM u WHERE vec_id < {IVF_CELLS}
+), assigned AS (
+  SELECT vec_id, cell FROM (
+    SELECT u.vec_id, cent.cell,
+           ROW_NUMBER() OVER (
+             PARTITION BY u.vec_id
+             ORDER BY list_inner_product(u.unit, cent.c) DESC, cent.cell ASC
+           ) AS r
+    FROM u CROSS JOIN cent
+  ) WHERE r = 1
+), probes AS (
+  SELECT query_id, cell FROM (
+    SELECT u.vec_id AS query_id, cent.cell,
+           ROW_NUMBER() OVER (
+             PARTITION BY u.vec_id
+             ORDER BY list_inner_product(u.unit, cent.c) DESC, cent.cell ASC
+           ) AS r
+    FROM u CROSS JOIN cent WHERE u.vec_id < 10
+  ) WHERE r <= {IVF_PROBE}
+), cands AS (
+  SELECT DISTINCT p.query_id, a.vec_id AS neighbor_id
+  FROM probes p JOIN assigned a ON a.cell = p.cell
+  WHERE a.vec_id <> p.query_id
+)
+SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank FROM (
+  SELECT c.query_id, c.neighbor_id,
+         ROW_NUMBER() OVER (
+           PARTITION BY c.query_id
+           ORDER BY list_inner_product(qu.unit, nu.unit) DESC,
+                    c.neighbor_id ASC) AS rank
+  FROM cands c
+  JOIN u qu ON qu.vec_id = c.query_id
+  JOIN u nu ON nu.vec_id = c.neighbor_id
+) WHERE rank <= {TOP_K}
+ORDER BY query_id, rank
 """
 
 
@@ -783,10 +845,6 @@ def embedding_nearest_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_FOLD_DOT = """list_reduce(list_transform(range(1, len({a}) + 1),
-                                    i -> {a}[i] * {b}[i]),
-                     (x, y) -> x + y)"""
-
 EMBEDDING_NEAREST_CENTROID_SQL = f"""
 WITH e AS (
   SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings
@@ -987,7 +1045,7 @@ QUERIES: dict[str, QuerySpec] = {
     ),
     "simsearch_ann_srp": QuerySpec(simsearch_ann_srp, SIMSEARCH_ANN_SRP_SQL),
     "simsearch_ann_recall": QuerySpec(simsearch_ann_recall, SIMSEARCH_ANN_RECALL_SQL),
-    "simsearch_ann_ivf": QuerySpec(simsearch_ann_ivf, None),
+    "simsearch_ann_ivf": QuerySpec(simsearch_ann_ivf, SIMSEARCH_ANN_IVF_SQL),
     "simsearch_ann_ivf_recall": QuerySpec(
         simsearch_ann_ivf_recall, SIMSEARCH_ANN_IVF_RECALL_SQL
     ),
@@ -1007,5 +1065,8 @@ QUERIES: dict[str, QuerySpec] = {
     ),
     "embedding_label_centroids": QuerySpec(
         embedding_label_centroids, EMBEDDING_LABEL_CENTROIDS_SQL
+    ),
+    "embedding_label_silhouette": QuerySpec(
+        embedding_label_silhouette, EMBEDDING_LABEL_SILHOUETTE_SQL
     ),
 }

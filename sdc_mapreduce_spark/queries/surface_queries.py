@@ -1583,13 +1583,25 @@ def table_benford_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     LITERALS baked identically into both engines (log10(1+1/d) is
     precomputed, not evaluated), and frac/excess are single identical
     double divisions. One combinable 9-group aggregate over the scan —
-    O(rows) map work, O(9) reduce — the shape that is free at 100 TB."""
+    O(rows) map work, O(9) reduce — the shape that is free at 100 TB.
+
+    Domain: Benford's law is defined over POSITIVE magnitudes. Values that
+    round to 0 centi-units yield digit 0 and negatives yield '-'; both are
+    excluded BEFORE the total so the emitted fracs always sum to 1 over
+    digits 1-9 on arbitrary inputs (TPC-H l_extendedprice is strictly
+    positive, so there the filter is a no-op)."""
     li = load_table(spark, sf_dir, "lineitem")
-    digit = F.substring(
-        F.expr("cast(round(l_extendedprice * 100) as bigint)").cast("string"), 1, 1
-    ).cast("int")
-    counts = li.select(digit.alias("digit")).groupBy("digit").agg(
-        F.count(F.lit(1)).alias("n")
+    # try_cast: on negative inputs the first character is '-', which an
+    # ANSI cast would throw on; try_cast -> NULL -> dropped by the filter.
+    digit = F.expr(
+        "try_cast(substring(cast(cast(round(l_extendedprice * 100) as bigint)"
+        " as string), 1, 1) as int)"
+    )
+    counts = (
+        li.select(digit.alias("digit"))
+        .filter(F.col("digit").between(1, 9))
+        .groupBy("digit")
+        .agg(F.count(F.lit(1)).alias("n"))
     )
     total = counts.agg(F.sum("n").alias("__total"))
     expected = spark.createDataFrame(
@@ -1616,11 +1628,13 @@ def _benford_values_sql() -> str:
 
 TABLE_BENFORD_SQL = f"""
 WITH d AS (
-  SELECT CAST(SUBSTR(CAST(CAST(round(l_extendedprice * 100) AS BIGINT)
+  SELECT TRY_CAST(SUBSTR(CAST(CAST(round(l_extendedprice * 100) AS BIGINT)
                           AS VARCHAR), 1, 1) AS INT) AS digit
   FROM lineitem
 ), c AS (
-  SELECT digit, COUNT(*) AS n FROM d GROUP BY digit
+  SELECT digit, COUNT(*) AS n FROM d
+  WHERE digit BETWEEN 1 AND 9
+  GROUP BY digit
 ), t AS (
   SELECT SUM(n) AS total FROM c
 ), e(digit, expected) AS (

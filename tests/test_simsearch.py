@@ -375,3 +375,42 @@ def test_blocked_pairs_arrow_verify_bitwise_equals_jvm(spark, sf_dir):
         )
     )
     assert jvm == arrow and len(jvm) > 0
+
+
+def test_label_silhouette_separable_clusters(spark):
+    """Well-separated labels score near-1 own-cosine and a clearly positive
+    separation; a deliberately blurred label scores lower separation. Also
+    pins the output invariants: one row per label, n_vectors partitions the
+    corpus, separation == mean_own_cos - mean_other_cos exactly (same
+    quantized terms), all cosines within [-1, 1]."""
+    from sdc_mapreduce_spark.functions.simsearch import label_silhouette_audit
+
+    rows = []
+    for i in range(8):
+        rows.append((i, [1.0, 0.01 * i, 0.0], 0))  # tight cluster on e0
+        rows.append((100 + i, [0.01 * i, 1.0, 0.0], 1))  # tight cluster on e1
+        # label 2 straddles both axes — geometrically incoherent
+        rows.append((200 + i, [1.0, 0.0, 0.0] if i % 2 else [0.0, 1.0, 0.0], 2))
+    df = spark.createDataFrame(rows, ["vec_id", "embedding", "label"])
+    out = {r["label"]: r for r in label_silhouette_audit(df).collect()}
+    assert sorted(out) == [0, 1, 2]
+    assert sum(r["n_vectors"] for r in out.values()) == len(rows)
+    for r in out.values():
+        assert -1.0 - 1e-9 <= r["mean_other_cos"] <= 1.0 + 1e-9
+        assert -1.0 - 1e-9 <= r["mean_own_cos"] <= 1.0 + 1e-9
+        assert abs(r["separation"] - (r["mean_own_cos"] - r["mean_other_cos"])) < 1e-12
+    assert out[0]["mean_own_cos"] > 0.99 and out[1]["mean_own_cos"] > 0.99
+    assert out[0]["separation"] > 0.1 and out[1]["separation"] > 0.1
+    # the blurred label's best foreign centroid beats its own 45° average
+    assert out[2]["separation"] < 0 < out[0]["separation"]
+
+
+def test_label_silhouette_deterministic(spark, sf_dir):
+    """Two runs over the fixture corpus are bitwise identical (quantized
+    centroid sums + fixed-order folds — the oracle-replay contract)."""
+    from sdc_mapreduce_spark.functions.simsearch import label_silhouette_audit
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    a = [tuple(r) for r in label_silhouette_audit(emb).collect()]
+    b = [tuple(r) for r in label_silhouette_audit(emb).collect()]
+    assert a == b and len(a) > 0

@@ -145,6 +145,17 @@ def main() -> int:
     ap.add_argument("names", nargs="*")
     args = ap.parse_args()
 
+    # Import smoke FIRST (round-7 postmortem): a module-level error in any
+    # query module must be impossible to miss. The quarantine keeps the
+    # registry alive, so check it explicitly and hard-fail here.
+    import sdc_mapreduce_spark.queries as _q
+
+    if _q.IMPORT_QUARANTINE:
+        for _m, _tb in _q.IMPORT_QUARANTINE.items():
+            print(f"IMPORT QUARANTINE: {_m}\n{_tb}", file=sys.stderr)
+        print("FATAL: query modules failed to import — fix before checking")
+        return 2
+
     import __spark_entry__ as entrymod
 
     queries = entrymod.queries()
