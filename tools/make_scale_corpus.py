@@ -1,0 +1,125 @@
+"""Build a deterministic ~NxSF replica corpus for scaling measurements.
+
+The driver ships fixtures only up to sf0.1; the 2x-of-baseline gate and the
+100 TB design arguments deserve at least one measured order-of-magnitude
+slope. This tool replicates the sf0.1 `documents` and `embeddings` tables
+N times (default 10 -> "sf1-ish") with REMAPPED ids and a per-replica token
+prefix so each replica's shingle space is disjoint: the near-duplicate
+structure inside every replica is preserved, total near-pairs scale
+linearly, and LSH buckets grow ~1x per replica instead of degenerating
+into one giant exact-duplicate bucket (which would measure the hot-bucket
+cap, not the scaling slope). Every other table is byte-copied, so the
+output dir is a drop-in `--sf-dir` for tools/check_oracle.py — the same
+hash-match discipline applies because BOTH engines read the same parquet.
+
+Usage:
+    python tools/make_scale_corpus.py [--src /root/testdata/sf0.1]
+        [--dest /tmp/sdcms_sfscale10] [--replicas 10]
+
+Determinism: no RNG anywhere — ids shift by replica * (max_id + 1), text
+tokens get a fixed "r{i}:" prefix, embedding component (vec_id % dim)
+shifts by replica * 1e-3. Replica 0 is byte-identical to the source rows.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import shutil
+import sys
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from sdc_mapreduce_spark.catalog import TABLES, table_path
+
+
+def scale_documents(src: str, dest: str, replicas: int) -> int:
+    tbl = pq.read_table(table_path(src, "documents"))
+    doc_id = tbl.column("doc_id").to_pylist()
+    text = tbl.column("text").to_pylist()
+    lang = tbl.column("lang").to_pylist()
+    source = tbl.column("source").to_pylist()
+    n_chars = tbl.column("n_chars").to_pylist()
+    shift = max(doc_id) + 1
+    out = {"doc_id": [], "text": [], "lang": [], "source": [], "n_chars": []}
+    for r in range(replicas):
+        for i in range(len(doc_id)):
+            out["doc_id"].append(doc_id[i] + r * shift)
+            if r == 0:
+                t = text[i]
+                out["n_chars"].append(n_chars[i])
+            else:
+                t = " ".join(f"r{r}:{tok}" for tok in text[i].split())
+                out["n_chars"].append(len(t))
+            out["text"].append(t)
+            out["lang"].append(lang[i])
+            out["source"].append(source[i])
+    schema = pa.schema(
+        [
+            ("doc_id", pa.int64()),
+            ("text", pa.string()),
+            ("lang", pa.string()),
+            ("source", pa.string()),
+            ("n_chars", pa.int64()),
+        ]
+    )
+    pq.write_table(pa.table(out, schema=schema), table_path(dest, "documents"))
+    return len(out["doc_id"])
+
+
+def scale_embeddings(src: str, dest: str, replicas: int) -> int:
+    tbl = pq.read_table(table_path(src, "embeddings"))
+    vec_id = tbl.column("vec_id").to_pylist()
+    emb = tbl.column("embedding").to_pylist()
+    label = tbl.column("label").to_pylist()
+    shift = max(vec_id) + 1
+    out_id, out_emb, out_label = [], [], []
+    for r in range(replicas):
+        for i in range(len(vec_id)):
+            out_id.append(vec_id[i] + r * shift)
+            v = list(emb[i])
+            if r:
+                v[vec_id[i] % len(v)] += r * 1e-3
+            out_emb.append(v)
+            out_label.append(label[i])
+    schema = pa.schema(
+        [
+            ("vec_id", pa.int64()),
+            ("embedding", pa.list_(pa.float32())),
+            ("label", pa.int32()),
+        ]
+    )
+    pq.write_table(
+        pa.table({"vec_id": out_id, "embedding": out_emb, "label": out_label},
+                 schema=schema),
+        table_path(dest, "embeddings"),
+    )
+    return len(out_id)
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--src", default="/root/testdata/sf0.1")
+    ap.add_argument("--dest", default="/tmp/sdcms_sfscale10")
+    ap.add_argument("--replicas", type=int, default=10)
+    args = ap.parse_args()
+
+    os.makedirs(args.dest, exist_ok=True)
+    nd = scale_documents(args.src, args.dest, args.replicas)
+    ne = scale_embeddings(args.src, args.dest, args.replicas)
+    for t in TABLES:
+        if t in ("documents", "embeddings"):
+            continue
+        shutil.copyfile(table_path(args.src, t), table_path(args.dest, t))
+    print(
+        f"wrote {args.dest}: documents={nd} embeddings={ne} "
+        f"(x{args.replicas} of {args.src}); other tables byte-copied"
+    )
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
