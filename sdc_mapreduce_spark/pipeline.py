@@ -56,7 +56,12 @@ def curate(
         carry=("n_tokens", "quality_score", "text"),
     ).withColumn("fingerprint", F.md5(normalized_text("text")))
 
-    featured = feats.drop("text").filter(F.col("quality_score") >= min_quality)
+    # narrow persist before the threshold filter — same rationale as
+    # curate_full: pushdown would re-expand the aliased feature expressions
+    # (tokenization included) inside the interpreted Filter condition
+    featured = feats.drop("text").persist().filter(
+        F.col("quality_score") >= min_quality
+    )
     if langs:
         featured = featured.filter(F.col("lang_pred").isin(*langs))
     # prune to the output columns BEFORE the shuffle: the per-language score
@@ -113,6 +118,17 @@ def curate_full(
     Returns (doc_id, lang_pred, quality_score, n_tokens,
     dup_2gram_fraction, contamination) of kept docs.
     """
+    # The scoring expressions are interpreted higher-order functions
+    # (~2.8 ms/doc measured at sf0.1) — CPU-bound, so their parallelism is
+    # capped by the scan's split count. A small fixture file arrives as ONE
+    # split and pins all scoring to one core (13.8 s single-core vs sub-
+    # second spread over 32). At corpus scale the input has thousands of
+    # splits and this branch is a no-op; when the scan is under-parallel,
+    # one corpus exchange is far cheaper than serializing the scoring.
+    spark = docs.sparkSession
+    target = spark.sparkContext.defaultParallelism
+    if docs.rdd.getNumPartitions() < target:
+        docs = docs.repartition(target)
     feats = repetition_features(
         language_id(
             quality_features(docs, carry=("text",)),
@@ -121,20 +137,24 @@ def curate_full(
         carry=("lang_pred", "quality_score", "text"),
     ).withColumn("fingerprint", F.md5(normalized_text("text")))
 
-    kept = (
-        feats.drop("text")
-        .filter(
-            (F.col("quality_score") >= min_quality)
-            & (F.col("dup_2gram_fraction") <= max_dup_2gram)
-        )
-        .select(
-            "doc_id",
-            "lang_pred",
-            "quality_score",
-            "n_tokens",
-            "dup_2gram_fraction",
-            "fingerprint",
-        )
+    # Persist the NARROW per-doc feature set (text dropped — ~80 B/row)
+    # before filtering: predicate pushdown would otherwise substitute the
+    # aliased feature expressions through all three projection layers and
+    # re-expand the tokenization ~10x inside one interpreted Filter
+    # condition (measured 13.2 s of the 14.9 s total at sf0.1; the scoring
+    # itself is 1.5 s). The persist is also what the dedup window and the
+    # survivor semi-join re-read, so the scoring pass runs exactly once.
+    feats_narrow = feats.drop("text").persist()
+    kept = feats_narrow.filter(
+        (F.col("quality_score") >= min_quality)
+        & (F.col("dup_2gram_fraction") <= max_dup_2gram)
+    ).select(
+        "doc_id",
+        "lang_pred",
+        "quality_score",
+        "n_tokens",
+        "dup_2gram_fraction",
+        "fingerprint",
     )
     w = Window.partitionBy("fingerprint").orderBy("doc_id")
     deduped = (
