@@ -69,6 +69,13 @@ def get_spark(
         master or f"local[{cpus}]"
     )
     conf = dict(DEFAULT_CONF)
+    # local[*] runs executors inside the driver JVM, whose DEFAULT heap is
+    # 1 GiB — a silent ceiling that OOMed four dedup queries on a 10x
+    # corpus while the machine sat at 1% memory use. Only effective at JVM
+    # launch (getOrCreate ignores it for an existing session, e.g. under
+    # an external driver that built its own). On a real cluster this knob
+    # is per-executor memory instead.
+    conf["spark.driver.memory"] = os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g")
     conf["spark.sql.shuffle.partitions"] = str(shuffle_partitions or max(cpus, 8))
     if extra_conf:
         conf.update(extra_conf)
