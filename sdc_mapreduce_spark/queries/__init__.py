@@ -151,11 +151,21 @@ _WINDOW_R8: tuple[str, ...] = (
     "text_quality_gate_per_lang",
     "pipeline_embedding_stats",
     "pipeline_curation_full",
-    "multimodal_meta",
-    "multimodal_frame_stats",
+    # (6) oracles changed in r8 while fixing 10x-scale findings: q1's
+    # sql_dsum now converts DECIMAL->DOUBLE via VARCHAR (DuckDB's direct
+    # conversion double-rounds past 2^53); events_asof_join's oracle
+    # replays the Spark tie-break explicitly instead of native ASOF (which
+    # picks an unspecified row among equal timestamps). The other 25
+    # sql_dsum/davg users are textually-changed but value-identical at
+    # certification SFs (unscaled sums < 2^53) — builder-verified 27/27 at
+    # sf0.01 (CHECKS_r08), rotation unchanged for them.
+    "q1_pricing_summary",
+    "events_asof_join",
 )
 _ROTATED_OUT: tuple[str, ...] = (
     # r9 window head: r3-last-sampled queries squeezed out of the r8 window
+    "multimodal_meta",
+    "multimodal_frame_stats",
     "dedup_exact",
     "dedup_normalized",
     "dedup_clusters",
@@ -184,7 +194,7 @@ _ROTATED_OUT: tuple[str, ...] = (
     "latest_event_per_user",
     "events_range_join",
     "events_dedup_windowed",
-    "q1_pricing_summary",
+    # q1_pricing_summary moved into the r8 window (sql_dsum oracle change)
     "q3_shipping_priority",
     "q12_late_shipments",
     "q17_small_quantity_revenue",
@@ -247,7 +257,7 @@ _ROTATED_OUT: tuple[str, ...] = (
     "events_sliding",
     "events_json_extract",
     "events_map_fns",
-    "events_asof_join",
+    # events_asof_join moved into the r8 window (oracle tie-break change)
     "agg_collect_sets",
     "agg_approx_sketches",
     "simsearch_ann_ivf_index_recall",

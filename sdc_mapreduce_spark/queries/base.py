@@ -57,10 +57,22 @@ def davg(expr: str, alias: str, scale: int = 2) -> Column:
 
 
 def sql_dsum(expr: str, alias: str, scale: int = 2) -> str:
-    return f"CAST(SUM(CAST(({expr}) AS DECIMAL(28,{scale}))) AS DOUBLE) AS {alias}"
+    # The VARCHAR hop matters: DuckDB's DECIMAL->DOUBLE converts the
+    # hugeint unscaled value to double and THEN divides by 10^scale — two
+    # roundings, off by one ulp from the correctly-rounded result once the
+    # unscaled value exceeds 2^53 (first seen on the 10x corpus: q1
+    # sum_charge 27864155010.941590 -> ...941593 instead of ...94159).
+    # DECIMAL->VARCHAR is exact and VARCHAR->DOUBLE is correctly rounded,
+    # which is also what Spark's Decimal.toDouble produces — so both
+    # engines agree at any magnitude.
+    return (
+        f"CAST(CAST(SUM(CAST(({expr}) AS DECIMAL(28,{scale}))) AS VARCHAR)"
+        f" AS DOUBLE) AS {alias}"
+    )
 
 
 def sql_davg(expr: str, alias: str, scale: int = 2) -> str:
     return (
-        f"CAST(SUM(CAST(({expr}) AS DECIMAL(28,{scale}))) AS DOUBLE) / COUNT(*) AS {alias}"
+        f"CAST(CAST(SUM(CAST(({expr}) AS DECIMAL(28,{scale}))) AS VARCHAR)"
+        f" AS DOUBLE) / COUNT(*) AS {alias}"
     )

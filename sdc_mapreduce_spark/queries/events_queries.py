@@ -575,10 +575,21 @@ WITH errors AS (
   SELECT user_id, CAST(ts AS TIMESTAMP) AS ts,
          event_id AS purchase_event_id, value AS purchase_value
   FROM events WHERE event_type = 'purchase'
+), cand AS (
+  -- explicit window instead of native ASOF JOIN: among purchases sharing
+  -- the winning timestamp, ASOF picks an unspecified row, while the Spark
+  -- operator deterministically carries the max (purchase_event_id,
+  -- purchase_value) tuple — replay that exact total order here
+  SELECT e.event_id, e.user_id, p.purchase_event_id, p.purchase_value,
+         ROW_NUMBER() OVER (PARTITION BY e.event_id
+                            ORDER BY p.ts DESC, p.purchase_event_id DESC,
+                                     p.purchase_value DESC) AS rn
+  FROM errors e JOIN purchases p
+    ON e.user_id = p.user_id AND p.ts <= e.ts
 )
-SELECT e.event_id, e.user_id, p.purchase_event_id, p.purchase_value
-FROM errors e ASOF JOIN purchases p
-  ON e.user_id = p.user_id AND e.ts >= p.ts
+SELECT event_id, user_id, purchase_event_id, purchase_value
+FROM cand WHERE rn = 1
+ORDER BY event_id
 """
 
 

@@ -100,6 +100,34 @@ def scale_embeddings(src: str, dest: str, replicas: int) -> int:
     return len(out_id)
 
 
+def _replicate_with_key_shift(
+    src_path: str, dest_path: str, replicas: int, shifts: dict[str, int]
+) -> int:
+    """Replicate a table N times, shifting each column named in ``shifts``
+    by replica * shifts[col]. Callers pass the SAME shift value for key
+    columns that must stay joined across tables (o_orderkey <->
+    l_orderkey); foreign keys into non-replicated dims are simply not
+    listed and stay intact. Schema (including TIMESTAMP(NANOS) columns)
+    passes through untouched."""
+    import pyarrow.compute as pc
+
+    tbl = pq.read_table(src_path)
+    parts = [tbl]
+    for r in range(1, replicas):
+        cols = {}
+        for name in tbl.schema.names:
+            col = tbl.column(name)
+            if name in shifts:
+                col = pc.add(col, r * shifts[name]).cast(
+                    tbl.schema.field(name).type
+                )
+            cols[name] = col
+        parts.append(pa.table(cols, schema=tbl.schema))
+    out = pa.concat_tables(parts)
+    pq.write_table(out, dest_path)
+    return out.num_rows
+
+
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--src", default="/root/testdata/sf0.1")
@@ -107,16 +135,46 @@ def main() -> int:
     ap.add_argument("--replicas", type=int, default=10)
     args = ap.parse_args()
 
+    import pyarrow.compute as pc
+
     os.makedirs(args.dest, exist_ok=True)
     nd = scale_documents(args.src, args.dest, args.replicas)
     ne = scale_embeddings(args.src, args.dest, args.replicas)
+    # fact tables replicate with consistent key shifts; dims stay as-is —
+    # the star-schema scale pattern (fact grows, dims don't)
+    okey_shift = (
+        pc.max(
+            pq.read_table(table_path(args.src, "orders"), columns=["o_orderkey"])
+            .column("o_orderkey")
+        ).as_py()
+        + 1
+    )
+    nev = _replicate_with_key_shift(
+        table_path(args.src, "events"),
+        table_path(args.dest, "events"),
+        args.replicas,
+        {"event_id": 10_000_000},
+    )
+    nor = _replicate_with_key_shift(
+        table_path(args.src, "orders"),
+        table_path(args.dest, "orders"),
+        args.replicas,
+        {"o_orderkey": okey_shift},
+    )
+    nli = _replicate_with_key_shift(
+        table_path(args.src, "lineitem"),
+        table_path(args.dest, "lineitem"),
+        args.replicas,
+        {"l_orderkey": okey_shift},
+    )
     for t in TABLES:
-        if t in ("documents", "embeddings"):
+        if t in ("documents", "embeddings", "events", "orders", "lineitem"):
             continue
         shutil.copyfile(table_path(args.src, t), table_path(args.dest, t))
     print(
-        f"wrote {args.dest}: documents={nd} embeddings={ne} "
-        f"(x{args.replicas} of {args.src}); other tables byte-copied"
+        f"wrote {args.dest}: documents={nd} embeddings={ne} events={nev} "
+        f"orders={nor} lineitem={nli} (x{args.replicas} of {args.src}); "
+        "dims byte-copied"
     )
     return 0
 
