@@ -57,6 +57,30 @@ def _nanos_to_ntz(col: str):
 _SCHEMA_CACHE: dict[tuple[str, str], object] = {}
 
 
+# Single-file fixtures are written as ONE parquet row group, and a row
+# group is the atomic split unit — `maxPartitionBytes` can never divide it,
+# so every scan (and all narrow work above it: filters, per-doc scoring,
+# tokenization, band hashing) runs as ONE task regardless of cluster size.
+# Tables past this size get a round-robin spread to the default parallelism;
+# Catalyst still pushes filters and column pruning through the exchange
+# (plan-asserted in tests/test_plans.py), and dims below the threshold keep
+# their single cheap partition (an exchange would only add a stage before
+# their broadcast). On a real multi-file corpus the scan arrives with
+# thousands of splits and the spread never triggers. The threshold is on
+# COMPRESSED bytes, so it sits low: text compresses ~10x and the cost the
+# spread addresses is per-row CPU, not I/O (594 KB of parquet is 5,000
+# documents of interpreted tokenization).
+#
+# Only tables whose consumers do heavy per-row work (tokenization,
+# shingling, per-vector folds) are spread: A/B at 10x showed documents/
+# embeddings queries gaining 4-5x while spreading shuffle-light fact scans
+# (q1 over lineitem, sessionize over events) only pays an extra exchange —
+# those plans either aggregate in place or re-shuffle on their own keys
+# immediately.
+SPREAD_MIN_BYTES = int(os.environ.get("SPARK_GRAFT_SPREAD_MIN_BYTES", 512 * 1024))
+SPREAD_TABLES: tuple[str, ...] = ("documents", "embeddings")
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; known: {TABLES}")
@@ -71,6 +95,23 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     for col in NANO_TS_COLUMNS.get(name, ()):
         if dict(df.dtypes).get(col) == "bigint":
             df = df.withColumn(col, _nanos_to_ntz(col))
+    if name in SPREAD_TABLES:
+        try:
+            n_bytes = os.path.getsize(table_path(sf_dir, name))
+        except OSError:
+            n_bytes = 0
+        if n_bytes >= SPREAD_MIN_BYTES:
+            # target scales with input size (~256 KB compressed per task)
+            # up to the core count: a 594 KB corpus gets 2 partitions (the
+            # exchange is nearly free, scoring halves), a 6 MB one gets
+            # ~22 — full fan-out only when there's enough per-task work to
+            # amortize task launch + exchange.
+            target = min(
+                spark.sparkContext.defaultParallelism,
+                max(2, n_bytes // (256 * 1024)),
+            )
+            if df.rdd.getNumPartitions() < target:
+                df = df.repartition(target)
     return df
 
 
