@@ -933,3 +933,111 @@ def tfidf_cosine_pairs(
     return with_norms.select("id_a", "id_b", cos.alias("cosine")).filter(
         F.col("cosine") >= F.lit(threshold)
     )
+
+
+def bm25_topk(
+    df: DataFrame,
+    query_terms: dict[str, tuple[str, ...]],
+    k: int = 5,
+    k1: float = 1.2,
+    b: float = 0.75,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """BM25 retrieval: top-k documents per query for a small literal query
+    set — the ranking layer a contamination screen or eval-set retrieval
+    pass needs on a raw corpus (the reference's only ranking surface is
+    word-count order, reference src/app/reducer.py:12; this is the
+    retrieval-grade version of that "score tokens against documents" idea).
+
+    Uses the Lucene idf variant ``ln(1 + (N - df + 0.5)/(df + 0.5))`` so
+    scores stay positive on small corpora where a query term can appear in
+    more than half the documents (classic BM25 idf goes negative there).
+
+    Shape at scale: one (doc, term) tf aggregation and one doc-length
+    aggregation over it (shuffle volume tracks distinct pairs, never corpus
+    bytes); the query-term table and the per-term document frequencies are
+    broadcast (both bounded by the literal query vocabulary); corpus-level
+    (N, avgdl) is a broadcast one-row scalar; scoring is map-side on the
+    pairs. The final per-query ranking is the canonical hot-group window —
+    ONE group per query holding every matching doc — so it runs through
+    ``top_k_per_group_salted`` (phase-1 ranks within a doc-hash salt,
+    phase-2 re-ranks the <= n_salts*k survivors).
+
+    Determinism: tf/df/dl/N are exact integers; each term's partial score
+    is floor-quantized to nano-units BEFORE the per-doc sum, so the
+    accumulated score is an order-independent integer sum that replays
+    bitwise in the oracle."""
+    from sdc_mapreduce_spark.operators.relational import top_k_per_group_salted
+
+    spark = df.sparkSession
+    qrows = [
+        (qid, t) for qid, terms in sorted(query_terms.items()) for t in terms
+    ]
+    qterms = spark.createDataFrame(qrows, schema="query_id string, term string")
+
+    pairs = (
+        df.select(F.col(id_col), F.explode(tokens(text_col)).alias("term"))
+        .filter(F.col("term") != "")
+        .groupBy(id_col, "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    dl = pairs.groupBy(id_col).agg(F.sum("tf").alias("dl"))
+    stats = df.select(F.countDistinct(id_col).alias("n_docs")).join(
+        dl.select(F.sum("dl").alias("__total_dl"))
+    ).select(
+        "n_docs",
+        (F.col("__total_dl").cast("double") / F.col("n_docs").cast("double")).alias(
+            "avgdl"
+        ),
+    )
+    dfreq = (
+        pairs.join(F.broadcast(qterms.select("term").distinct()), "term")
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("df_t"))
+    )
+    matched = (
+        pairs.join(F.broadcast(qterms), "term")
+        .join(dl, id_col)
+        .join(F.broadcast(dfreq), "term")
+        .join(F.broadcast(stats))
+    )
+    idf = F.log(
+        F.lit(1.0)
+        + ((F.col("n_docs") - F.col("df_t")).cast("double") + F.lit(0.5))
+        / (F.col("df_t").cast("double") + F.lit(0.5))
+    )
+    denom = F.col("tf").cast("double") + F.lit(k1) * (
+        F.lit(1.0 - b) + F.lit(b) * (F.col("dl").cast("double") / F.col("avgdl"))
+    )
+    w = idf * ((F.col("tf").cast("double") * F.lit(k1 + 1.0)) / denom)
+    per_doc = (
+        matched.select(
+            "query_id",
+            id_col,
+            F.floor(w * F.lit(1e9)).cast("long").alias("__nano"),
+        )
+        .groupBy("query_id", id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_matched"),
+            F.sum("__nano").alias("__score_nano"),
+        )
+    )
+    return (
+        top_k_per_group_salted(
+            per_doc,
+            ["query_id"],
+            [F.col("__score_nano").desc(), F.col(id_col).asc()],
+            k,
+            rank_col="rank",
+            salt_cols=[id_col],
+        )
+        .select(
+            "query_id",
+            id_col,
+            "n_matched",
+            (F.col("__score_nano").cast("double") / F.lit(1e9)).alias("score"),
+            "rank",
+        )
+        .orderBy("query_id", "rank")
+    )

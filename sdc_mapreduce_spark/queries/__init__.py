@@ -91,7 +91,9 @@ for _name in _MODULE_ORDER:
 #     from the r3-last-sampled block (wordcount_pipe ..
 #     multimodal_frame_stats).
 #   round 9 plan, in priority order (pre-sequenced so a truncated round
-#     still certifies the stalest first): (1) the 7 r3-last-sampled
+#     still certifies the stalest first): (0) queries added in r8 after
+#     its window froze (text_bm25_topk — builder-oracle-green, never
+#     driver-sampled); (1) the 7 r3-last-sampled
 #     queries squeezed out of the r8 window (dedup_exact ..
 #     simsearch_ann_recall); (2) the 12 remaining r3-last-sampled
 #     (embedding_stats .. corpus_mix_rebalance); (3) any query whose code
@@ -163,6 +165,10 @@ _WINDOW_R8: tuple[str, ...] = (
     "events_asof_join",
 )
 _ROTATED_OUT: tuple[str, ...] = (
+    # r9 window head, part 0: queries ADDED in r8 after its window froze
+    # (certified by the builder oracle in CHECKS_r08 but never
+    # driver-sampled — same treatment the r7 post-freeze block got)
+    "text_bm25_topk",
     # r9 window head: r3-last-sampled queries squeezed out of the r8 window
     "multimodal_meta",
     "multimodal_frame_stats",

@@ -755,6 +755,89 @@ ORDER BY p.lang
 """
 
 
+# Literal query set for the BM25 retrieval surface: plan literals (like the
+# SRP hyperplanes) so the DuckDB oracle replays the exact same retrieval.
+BM25_QUERIES: dict[str, tuple[str, ...]] = {
+    "q_join": ("hash", "join", "merge"),
+    "q_scan": ("vector", "scan", "filter"),
+    "q_stream": ("stream", "window", "agg"),
+}
+
+_BM25_K1 = 1.2
+_BM25_B = 0.75
+
+
+def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 top-5 retrieval (functions.text.bm25_topk) for a literal query
+    set — the eval-retrieval / contamination-ranking surface over the raw
+    corpus. Lucene idf variant (positive on small corpora), nano-quantized
+    per-term partial scores so the per-doc sum is an order-independent
+    integer; the per-query ranking runs through the salted hot-group top-k
+    (one group per query holds every matching doc)."""
+    return T.bm25_topk(
+        load_table(spark, sf_dir, "documents"),
+        BM25_QUERIES,
+        k=5,
+        k1=_BM25_K1,
+        b=_BM25_B,
+    )
+
+
+def _bm25_sql() -> str:
+    qvals = ", ".join(
+        f"('{qid}', '{t}')"
+        for qid, terms in sorted(BM25_QUERIES.items())
+        for t in terms
+    )
+    k1, b = _BM25_K1, _BM25_B
+    return f"""
+WITH q(query_id, term) AS (
+  VALUES {qvals}
+), toks AS (
+  SELECT doc_id, UNNEST(string_split_regex(trim(text), '\\s+')) AS term
+  FROM documents
+), pairs AS (
+  SELECT doc_id, term, COUNT(*) AS tf FROM toks WHERE term <> '' GROUP BY 1, 2
+), dl AS (
+  SELECT doc_id, SUM(tf) AS dl FROM pairs GROUP BY doc_id
+), stats AS (
+  SELECT (SELECT COUNT(DISTINCT doc_id) FROM documents) AS n_docs,
+         (SELECT CAST(SUM(dl) AS DOUBLE) FROM dl)
+           / (SELECT CAST(COUNT(DISTINCT doc_id) AS DOUBLE) FROM documents)
+           AS avgdl
+), dfreq AS (
+  SELECT term, COUNT(*) AS df_t
+  FROM pairs WHERE term IN (SELECT DISTINCT term FROM q) GROUP BY term
+), scored AS (
+  SELECT q.query_id, p.doc_id,
+         CAST(FLOOR(
+           LN(1.0 + (CAST(s.n_docs - f.df_t AS DOUBLE) + 0.5)
+                    / (CAST(f.df_t AS DOUBLE) + 0.5))
+           * ((CAST(p.tf AS DOUBLE) * {k1 + 1.0!r})
+              / (CAST(p.tf AS DOUBLE)
+                 + {k1!r} * ({1.0 - b!r}
+                             + {b!r} * (CAST(d.dl AS DOUBLE) / s.avgdl))))
+           * 1e9) AS BIGINT) AS nano
+  FROM pairs p
+  JOIN q USING (term)
+  JOIN dl d USING (doc_id)
+  JOIN dfreq f USING (term)
+  CROSS JOIN stats s
+), per_doc AS (
+  SELECT query_id, doc_id, COUNT(*) AS n_matched, SUM(nano) AS score_nano
+  FROM scored GROUP BY 1, 2
+), ranked AS (
+  SELECT query_id, doc_id, n_matched, score_nano,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY score_nano DESC, doc_id ASC) AS rank
+  FROM per_doc
+)
+SELECT query_id, doc_id, CAST(n_matched AS BIGINT) AS n_matched,
+       CAST(score_nano AS DOUBLE) / 1e9 AS score, CAST(rank AS INT) AS rank
+FROM ranked WHERE rank <= 5 ORDER BY query_id, rank
+"""
+
+
 def text_tfidf_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sparse-vector similarity join (functions.text.tfidf_cosine_pairs):
     document pairs at TF-IDF cosine ≥ 0.9 via the weighted inverted index
@@ -1421,6 +1504,7 @@ QUERIES: dict[str, QuerySpec] = {
     "text_tfidf_cosine_pairs": QuerySpec(
         text_tfidf_cosine_pairs, TEXT_TFIDF_COSINE_SQL
     ),
+    "text_bm25_topk": QuerySpec(text_bm25_topk, _bm25_sql()),
     "text_repetition": QuerySpec(text_repetition, TEXT_REPETITION_SQL),
     "text_pii_redact": QuerySpec(text_pii_redact, TEXT_PII_REDACT_SQL),
     "text_contamination": QuerySpec(text_contamination, TEXT_CONTAMINATION_SQL),

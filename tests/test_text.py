@@ -472,3 +472,28 @@ def test_score_distribution_consistent_with_classifier(spark, sf_dir):
             r["pooled_score"]
             - r["sum_score_milli"] / (1000.0 * r["sum_tokens"])
         ) < 1e-15
+
+
+def test_bm25_ranking_semantics(spark):
+    # doc 1: term-dense match on 'hash'; doc 2 mentions it once in a long
+    # doc; doc 3 no match; doc 4 matches the rare term 'merge' once.
+    rows = [
+        (1, "hash hash hash join", "en", "s", 0),
+        (2, "hash " + "filler " * 40, "en", "s", 0),
+        (3, "nothing relevant here", "en", "s", 0),
+        (4, "merge once " + "pad " * 3, "en", "s", 0),
+    ]
+    df = spark.createDataFrame(
+        rows, ["doc_id", "text", "lang", "source", "n_chars"]
+    )
+    out = T.bm25_topk(df, {"q": ("hash", "join", "merge")}, k=4).collect()
+    by_doc = {r["doc_id"]: r for r in out}
+    assert 3 not in by_doc  # no matching term -> no row
+    assert by_doc[1]["rank"] == 1  # dense multi-term match wins
+    assert by_doc[1]["n_matched"] == 2
+    # rarer term ('merge': df=1) in a short doc outranks a single common
+    # 'hash' hit diluted by a 41-token document
+    assert by_doc[4]["rank"] < by_doc[2]["rank"]
+    assert all(r["score"] > 0 for r in out)
+    # ranks are dense 1..n within the query
+    assert sorted(r["rank"] for r in out) == [1, 2, 3]
