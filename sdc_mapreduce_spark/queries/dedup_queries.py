@@ -604,6 +604,78 @@ def dedup_incremental_embedding_index(spark: SparkSession, sf_dir: str) -> DataF
         shutil.rmtree(path, ignore_errors=True)
 
 
+def dedup_streaming_embedding_certified(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """STREAMING ingestion screening against the persisted SRP index — the
+    100 TB delivery loop run by the real micro-batch engine: the corpus is
+    written ONCE as the bucket-partitioned index
+    (functions.simsearch.write_srp_index), then the new-vector feed arrives
+    as a file stream (maxFilesPerTrigger=1 forces multiple micro-batches)
+    and ``foreachBatch`` probes the index per delivery
+    (incremental_embedding_dedup_from_index — static ``__bucket IN``
+    partition pruning, so each micro-batch reads only its probed bucket
+    directories, never the corpus). Screening is stateless across
+    micro-batches (the index is static and each vec_id arrives once), so
+    the union of per-delivery reject lists must equal the one-shot batch
+    screen — this query IS that certification: it shares
+    ``dedup_incremental_embedding_index``'s oracle, and a lost, duplicated,
+    or re-bucketed micro-batch turns the row red."""
+    import os
+    import shutil
+    import tempfile
+    import uuid
+
+    from sdc_mapreduce_spark.functions.simsearch import (
+        incremental_embedding_dedup_from_index,
+        write_srp_index,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    batch = emb.filter(F.col("vec_id") % 5 == 0)
+    existing = emb.filter(F.col("vec_id") % 5 != 0)
+    run = uuid.uuid4().hex[:8]
+    idx = os.path.join(tempfile.gettempdir(), f"sdcms_srp_sidx_{run}")
+    src = tempfile.mkdtemp(prefix="sdcms_stream_emb_src_")
+    out = tempfile.mkdtemp(prefix="sdcms_stream_emb_out_")
+    ckpt = tempfile.mkdtemp(prefix="sdcms_stream_emb_ckpt_")
+    try:
+        write_srp_index(existing, idx)
+        # double-cast BEFORE the json hop: float->double is exact, and
+        # Jackson round-trips doubles losslessly, so the streamed vectors
+        # are bitwise the parquet values the oracle reads
+        batch.select(
+            "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+        ).repartition(4).write.mode("overwrite").json(src)
+        stream = (
+            spark.readStream.schema("vec_id long, embedding array<double>")
+            .option("maxFilesPerTrigger", 1)
+            .format("json")
+            .load(src)
+        )
+
+        def screen(mb: DataFrame, _epoch: int) -> None:
+            if mb.isEmpty():
+                return
+            incremental_embedding_dedup_from_index(
+                mb.sparkSession, idx, mb, threshold=0.4
+            ).write.mode("append").parquet(out)
+
+        q = (
+            stream.writeStream.foreachBatch(screen)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+        result = spark.read.parquet(out).orderBy("vec_id")
+        rows = result.collect()
+        return spark.createDataFrame(rows, schema=result.schema)
+    finally:
+        for p in (idx, src, out, ckpt):
+            shutil.rmtree(p, ignore_errors=True)
+
+
 def _dedup_incremental_embedding_sql() -> str:
     from sdc_mapreduce_spark.queries.simsearch_queries import _planes_values_sql
 
@@ -1011,6 +1083,9 @@ QUERIES: dict[str, QuerySpec] = {
     ),
     "dedup_incremental_embedding": QuerySpec(
         dedup_incremental_embedding, _dedup_incremental_embedding_sql()
+    ),
+    "dedup_streaming_embedding_certified": QuerySpec(
+        dedup_streaming_embedding_certified, _dedup_incremental_embedding_sql()
     ),
     "dedup_incremental_embedding_index": QuerySpec(
         dedup_incremental_embedding_index, _dedup_incremental_embedding_sql()

@@ -604,3 +604,24 @@ def test_streaming_session_window_matches_batch_sessionize(spark, sf_dir):
         for r in sessionize_plain(ev).collect()
     )
     assert got == want and len(got) > 0
+
+
+def test_streaming_embedding_screen_matches_batch_index(spark, sf_dir):
+    """The streaming ingestion-screen certification (round 8): the
+    new-vector feed replayed through REAL micro-batches
+    (maxFilesPerTrigger=1), each probing the persisted SRP bucket index
+    via foreachBatch, must emit exactly the one-shot batch screen's reject
+    list — per-delivery index probing with no lost/duplicated micro-batch
+    is the property under test."""
+    from sdc_mapreduce_spark.queries.dedup_queries import (
+        dedup_incremental_embedding_index,
+        dedup_streaming_embedding_certified,
+    )
+
+    got = sorted(
+        map(tuple, dedup_streaming_embedding_certified(spark, sf_dir).collect())
+    )
+    want = sorted(
+        map(tuple, dedup_incremental_embedding_index(spark, sf_dir).collect())
+    )
+    assert got == want and len(got) > 0

@@ -72,6 +72,9 @@ EXTRA_SHAPES = [
     "dedup_source_leakage_matrix",
     "table_benford_audit",
     "events_changepoint_cusum",
+    # round-8 additions
+    "embedding_label_silhouette",
+    "text_bm25_topk",
 ]
 
 HEADER = """# PLANS — formatted physical plans of the headline bench queries plus the
