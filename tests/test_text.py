@@ -497,3 +497,21 @@ def test_bm25_ranking_semantics(spark):
     assert all(r["score"] > 0 for r in out)
     # ranks are dense 1..n within the query
     assert sorted(r["rank"] for r in out) == [1, 2, 3]
+
+
+def test_bm25_identical_docs_tie(spark):
+    # identical text ⇒ identical BM25 score; the tie breaks on doc_id so
+    # the duplicates occupy adjacent ranks in id order
+    rows = [
+        (10, "hash join merge", "en", "s", 0),
+        (7, "hash join merge", "en", "s", 0),
+        (2, "hash alone here today", "en", "s", 0),
+    ]
+    df = spark.createDataFrame(
+        rows, ["doc_id", "text", "lang", "source", "n_chars"]
+    )
+    out = T.bm25_topk(df, {"q": ("hash", "join", "merge")}, k=3).collect()
+    by_doc = {r["doc_id"]: r for r in out}
+    assert by_doc[7]["score"] == by_doc[10]["score"]
+    assert by_doc[7]["rank"] + 1 == by_doc[10]["rank"]
+    assert by_doc[2]["rank"] == 3
