@@ -620,7 +620,12 @@ def dedup_streaming_embedding_certified(
     the union of per-delivery reject lists must equal the one-shot batch
     screen — this query IS that certification: it shares
     ``dedup_incremental_embedding_index``'s oracle, and a lost, duplicated,
-    or re-bucketed micro-batch turns the row red."""
+    or re-bucketed micro-batch turns the row red.
+
+    Reference parity: the reference has no streaming at all (SURVEY.md
+    §2.2) — its per-delivery loop is a fresh full job submission
+    (reference clientsdk/submit_map_reduce.py:22-34) that re-reads the
+    whole corpus; this is the indexed, incremental alternative."""
     import os
     import shutil
     import tempfile
