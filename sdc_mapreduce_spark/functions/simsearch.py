@@ -1283,16 +1283,32 @@ def label_silhouette_audit(
             ).alias("__cent")
         )
     )
-    scored = df.select(F.col(id_col), F.col(label_col), v.alias("__v")).crossJoin(
-        F.broadcast(cent)
+    # norms hoisted out of the per-(vector, candidate) cosine: the vector
+    # norm folds once per vector (below the broadcast join, so it is not
+    # re-evaluated against every candidate) and the centroid norm once per
+    # label (a projection over the Aggregate, which CollapseProject cannot
+    # inline upward) — ~3x fewer interpreted HOF evaluations than folding
+    # both norms inside each of the two F.when branches. Bit-identical:
+    # same doubles multiplied in the same order.
+    cent = cent.withColumn("__cn", F.sqrt(dot(F.col("__cent"), F.col("__cent"))))
+    vecs = df.select(F.col(id_col), F.col(label_col), v.alias("__v")).withColumn(
+        "__vn", F.sqrt(dot(F.col("__v"), F.col("__v")))
     )
-    cos = dot(F.col("__v"), F.col("__cent")) / (
-        F.sqrt(dot(F.col("__v"), F.col("__v")))
-        * F.sqrt(dot(F.col("__cent"), F.col("__cent")))
+    scored = vecs.crossJoin(F.broadcast(cent)).select(
+        id_col,
+        label_col,
+        "__cand",
+        (
+            dot(F.col("__v"), F.col("__cent")) / (F.col("__vn") * F.col("__cn"))
+        ).alias("__cos"),
     )
     per_vec = scored.groupBy(id_col, label_col).agg(
-        F.max(F.when(F.col("__cand") == F.col(label_col), cos)).alias("__own"),
-        F.max(F.when(F.col("__cand") != F.col(label_col), cos)).alias("__other"),
+        F.max(
+            F.when(F.col("__cand") == F.col(label_col), F.col("__cos"))
+        ).alias("__own"),
+        F.max(
+            F.when(F.col("__cand") != F.col(label_col), F.col("__cos"))
+        ).alias("__other"),
     )
     mean_own = F.col("__so").cast("double") / (
         F.lit(1e9) * F.col("n_vectors").cast("double")
