@@ -18,6 +18,98 @@ from pyspark.sql import functions as F
 NANO = 10**9
 
 
+def triangle_stats(
+    edges: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+) -> DataFrame:
+    """Per-node triangle counts + local clustering coefficient over an
+    undirected edge list — the graph-density / community-cohesion audit
+    (a near-dup graph whose nodes close into triangles is a clique-like
+    duplication cluster; a star is one template fanned out). Returns one
+    row per node with ≥1 edge: (node, degree, triangles, lcc_nano) where
+    lcc_nano = floor(2·T·1e9 / (deg·(deg−1))) — the clustering coefficient
+    as an exact nano-unit integer (both engines compute it with integer
+    division, so it replays bitwise; 0 when degree < 2).
+
+    Algorithm: degree-ordered orientation (each edge points from its
+    lower-(degree, id) endpoint to the higher), wedges from the oriented
+    self-join on the source, closed by an equi-join against the oriented
+    edge set — the classic MapReduce triangle scheme of Suri &
+    Vassilvitskii (WWW'11) / Cohen (2009). The orientation bounds every
+    node's out-degree by O(√m), so no "last reducer" hot key: wedge
+    fan-out is Σ outdeg² ≤ m^1.5 instead of Σ deg² (quadratic in the max
+    hub degree). All three joins are equi-joins on node ids — shuffles,
+    never broadcast-dependent — and each triangle is generated exactly
+    once (rank(u) < rank(v) < rank(w)), so no distinct pass is needed."""
+    e = (
+        edges.select(
+            F.least(F.col(id_a), F.col(id_b)).alias("a"),
+            F.greatest(F.col(id_a), F.col(id_b)).alias("b"),
+        )
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+        # same discipline as pagerank_integer: the edge derivation (e.g. a
+        # Jaccard inverted-index self-join) is expensive and has four
+        # consumers below — truncate the lineage once
+        .localCheckpoint(eager=True)
+    )
+    und = e.select(F.col("a").alias("src"), F.col("b").alias("dst")).union(
+        e.select(F.col("b").alias("src"), F.col("a").alias("dst"))
+    )
+    deg = und.groupBy("src").agg(F.count(F.lit(1)).alias("degree"))
+    da = deg.select(F.col("src").alias("a"), F.col("degree").alias("__da"))
+    db = deg.select(F.col("src").alias("b"), F.col("degree").alias("__db"))
+    lower_first = F.struct(F.col("__da"), F.col("a")) < F.struct(
+        F.col("__db"), F.col("b")
+    )
+    oe = (
+        e.join(da, "a")
+        .join(db, "b")
+        .select(
+            F.when(lower_first, F.col("a")).otherwise(F.col("b")).alias("src"),
+            F.when(lower_first, F.col("b")).otherwise(F.col("a")).alias("dst"),
+            F.when(lower_first, F.col("__db")).otherwise(F.col("__da")).alias(
+                "__dd"
+            ),
+        )
+        # reused three times (both wedge sides + the closing probe)
+        .localCheckpoint(eager=True)
+    )
+    e1 = oe.select(
+        F.col("src").alias("u"), F.col("dst").alias("v"), F.col("__dd").alias("dv")
+    )
+    e2 = oe.select(
+        F.col("src").alias("u"), F.col("dst").alias("w"), F.col("__dd").alias("dw")
+    )
+    wedges = e1.join(e2, "u").filter(
+        F.struct(F.col("dv"), F.col("v")) < F.struct(F.col("dw"), F.col("w"))
+    )
+    # rank(v) < rank(w) in every wedge, so the closing edge — if it exists
+    # — is oriented exactly v -> w: one equi-join, no symmetric probe
+    closing = oe.select(F.col("src").alias("v"), F.col("dst").alias("w"))
+    tris = wedges.join(closing, ["v", "w"]).select("u", "v", "w")
+    per_node = (
+        tris.select(F.explode(F.array("u", "v", "w")).alias("src"))
+        .groupBy("src")
+        .agg(F.count(F.lit(1)).alias("__t"))
+    )
+    return deg.join(per_node, "src", "left").select(
+        F.col("src").alias("node"),
+        "degree",
+        F.coalesce(F.col("__t"), F.lit(0)).cast("long").alias("triangles"),
+        F.when(
+            F.col("degree") >= 2,
+            F.expr(
+                f"(2 * {NANO} * coalesce(__t, 0)) div (degree * (degree - 1))"
+            ),
+        )
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("lcc_nano"),
+    )
+
+
 def pagerank_integer(
     edges: DataFrame,
     iterations: int = 3,

@@ -489,6 +489,46 @@ ORDER BY node
 )
 
 
+def graph_triangle_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-node triangle counts + local clustering coefficient
+    (functions.graph.triangle_stats) over the exact near-dup graph
+    (3-gram Jaccard ≥ 0.8): the cluster-shape audit that separates
+    clique-like duplication neighborhoods (every copy near every copy —
+    high lcc) from hub-and-spoke template fan-outs (one seed, many
+    variants — lcc ~0), which need different curation treatment. Counts
+    use the degree-oriented wedge scheme, so each triangle is generated
+    once and hub fan-out is bounded; the coefficient is an exact
+    nano-unit integer division that replays bitwise in the oracle."""
+    from sdc_mapreduce_spark.functions.graph import triangle_stats
+
+    docs = load_table(spark, sf_dir, "documents")
+    edges = D.jaccard_pairs(docs).select("id_a", "id_b")
+    return triangle_stats(edges).orderBy("node")
+
+
+GRAPH_TRIANGLE_SQL = (
+    _PR_EDGES
+    + """, tri AS (
+  SELECT e1.id_a AS x, e1.id_b AS y, e2.id_b AS z
+  FROM edges e1
+  JOIN edges e2 ON e2.id_a = e1.id_b
+  JOIN edges e3 ON e3.id_a = e1.id_a AND e3.id_b = e2.id_b
+), pn AS (
+  SELECT node, CAST(COUNT(*) AS BIGINT) AS triangles
+  FROM (SELECT UNNEST([x, y, z]) AS node FROM tri) GROUP BY node
+)
+SELECT deg.src AS node, deg.degree,
+       CAST(COALESCE(pn.triangles, 0) AS BIGINT) AS triangles,
+       CAST(CASE WHEN deg.degree >= 2
+            THEN (2 * 1000000000 * COALESCE(pn.triangles, 0))
+                 // (deg.degree * (deg.degree - 1))
+            ELSE 0 END AS BIGINT) AS lcc_nano
+FROM deg LEFT JOIN pn ON deg.src = pn.node
+ORDER BY node
+"""
+)
+
+
 def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding near-dup pairs at cosine ≥ 0.4 (threshold chosen to be
     non-trivial on the fixture corpus, whose max off-diagonal cosine ≈ 0.5).
@@ -1076,6 +1116,7 @@ QUERIES: dict[str, QuerySpec] = {
         dedup_exact_substring, DEDUP_EXACT_SUBSTRING_SQL, bench=True
     ),
     "graph_pagerank_neardup": QuerySpec(graph_pagerank_neardup, GRAPH_PAGERANK_SQL),
+    "graph_triangle_stats": QuerySpec(graph_triangle_stats, GRAPH_TRIANGLE_SQL),
     "dedup_containment_pairs": QuerySpec(
         dedup_containment_pairs, DEDUP_CONTAINMENT_SQL
     ),

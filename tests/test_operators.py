@@ -364,6 +364,28 @@ def test_interval_overlap_join_matches_naive(spark):
     assert len(rows) == len(naive)
 
 
+def test_triangle_stats_clique_plus_pendant(spark):
+    """4-clique {1,2,3,4} + pendant edge 1-5: the clique holds exactly four
+    triangles (each clique node in three of them), the pendant closes
+    none. lcc is the exact nano-unit integer 2*T*1e9 div (d*(d-1)) — node 1
+    has degree 4 (clique + pendant) so its coefficient halves, and
+    duplicate/reversed input edges must not change any count."""
+    from sdc_mapreduce_spark.functions.graph import triangle_stats
+
+    clique = [(a, b) for a in (1, 2, 3, 4) for b in (1, 2, 3, 4) if a < b]
+    # reversed + duplicated edges exercise the canonicalize+distinct pass
+    edges = spark.createDataFrame(
+        clique + [(5, 1)] + [(b, a) for a, b in clique], "id_a long, id_b long"
+    )
+    got = {r["node"]: r for r in triangle_stats(edges).collect()}
+    assert set(got) == {1, 2, 3, 4, 5}
+    assert [got[n]["triangles"] for n in (1, 2, 3, 4, 5)] == [3, 3, 3, 3, 0]
+    assert got[1]["degree"] == 4 and got[5]["degree"] == 1
+    assert got[1]["lcc_nano"] == (2 * 3 * 10**9) // (4 * 3)  # 500_000_000
+    assert got[2]["lcc_nano"] == 10**9  # closed neighborhood
+    assert got[5]["lcc_nano"] == 0
+
+
 def test_new_operators_handle_empty_inputs(spark):
     """Degenerate-input robustness: empty DataFrames must yield empty
     results, not ANSI/sequence/window errors."""
@@ -388,6 +410,9 @@ def test_new_operators_handle_empty_inputs(spark):
 
     no_edges = spark.createDataFrame([], "id_a long, id_b long")
     assert pagerank_integer(no_edges).count() == 0
+    from sdc_mapreduce_spark.functions.graph import triangle_stats
+
+    assert triangle_stats(no_edges).count() == 0
 
     no_vals = spark.createDataFrame([], "id long, v double")
     assert equidepth_histogram(no_vals, "v", "id").count() == 0
