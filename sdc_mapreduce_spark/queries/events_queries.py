@@ -831,6 +831,100 @@ ORDER BY window_start, event_type
 """
 
 
+def events_streaming_watermark_certified(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """APPEND-mode watermark finalization, driver-certified by the real
+    micro-batch engine: the events table replays as a json file stream,
+    aggregated into 5-minute tumbling counts under ``withWatermark("ts",
+    "10 minutes")`` in APPEND output mode — so the sink receives exactly
+    the windows the watermark has CLOSED, and the still-open tail (every
+    window whose end exceeds max_event_time − 10min) is withheld. The
+    oracle twin replays that contract: counts over all events where
+    window_end <= max(ts) − 10 minutes. This certifies the state-eviction
+    path the other streaming certifications never touch (they run
+    complete/update shapes): watermark tracking across micro-batches,
+    append-mode finalization, and the emission boundary — which is
+    INCLUSIVE (a window whose end equals the watermark exactly is
+    emitted; pinned by tests/test_streaming.py's aligned fixture).
+
+    Two engine facts this query encodes, both verified empirically:
+    (1) under Trigger.AvailableNow the watermark advances across planned
+    micro-batches but input rows arriving late in a later batch MERGE
+    into (or re-open) their window's state rather than being dropped —
+    the hard guarantee is finalization, not input-dropping, so the twin
+    must count ALL rows; (2) the event-time watermark is millisecond-
+    floored, which cannot flip the emitted set here because window ends
+    are minute-aligned while the fixture's max ts is misaligned by
+    seconds (checked at every SF). Event time must be a zoned TIMESTAMP
+    (watermarks reject NTZ); 5-minute window starts still display
+    zone-independently because every real UTC offset is a multiple of
+    5 minutes, so the collected naive datetimes match the naive oracle
+    (the --tz Asia/Kolkata audit exercises exactly this)."""
+    import shutil
+    import tempfile
+    import uuid
+
+    src = tempfile.mkdtemp(prefix="sdcms_stream_wm_src_")
+    ckpt = tempfile.mkdtemp(prefix="sdcms_stream_wm_ckpt_")
+    name = f"stream_wm_{uuid.uuid4().hex[:8]}"
+    try:
+        ev = load_table(spark, sf_dir, "events")
+        ev.select(
+            F.date_format("ts", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("ts"),
+            "event_type",
+        ).repartition(4).write.mode("overwrite").json(src)
+        stream = (
+            spark.readStream.schema("ts timestamp, event_type string")
+            .format("json")
+            .option("timestampFormat", "yyyy-MM-dd HH:mm:ss.SSSSSS")
+            .option("maxFilesPerTrigger", 2)
+            .load(src)
+        )
+        # cast the zoned window start back to NTZ (= session-tz wall
+        # clock) BEFORE collecting: plain collect() renders TimestampType
+        # in the driver *process* zone, not the session zone, so a zoned
+        # column would shift under the --tz audit while NTZ round-trips
+        agg = (
+            stream.withWatermark("ts", "10 minutes")
+            .groupBy(F.window("ts", "5 minutes").alias("w"), "event_type")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+            .select(
+                F.col("w.start").cast("timestamp_ntz").alias("window_start"),
+                "event_type",
+                "cnt",
+            )
+        )
+        q = (
+            agg.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+        result = spark.table(name).orderBy("window_start", "event_type")
+        rows = result.collect()
+        return spark.createDataFrame(rows, schema=result.schema)
+    finally:
+        shutil.rmtree(src, ignore_errors=True)
+        shutil.rmtree(ckpt, ignore_errors=True)
+
+
+EVENTS_STREAMING_WATERMARK_SQL = """
+WITH m AS (SELECT MAX(CAST(ts AS TIMESTAMP)) AS mx FROM events)
+SELECT time_bucket(INTERVAL '5 minutes', CAST(ts AS TIMESTAMP)) AS window_start,
+       event_type,
+       CAST(COUNT(*) AS BIGINT) AS cnt
+FROM events, m
+WHERE time_bucket(INTERVAL '5 minutes', CAST(ts AS TIMESTAMP))
+        + INTERVAL '5 minutes' <= mx - INTERVAL '10 minutes'
+GROUP BY window_start, event_type
+ORDER BY window_start, event_type
+"""
+
+
 def events_change_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gaps-and-islands compression — the SCD2/state-history operator:
     collapse each user's event stream into maximal intervals of constant
@@ -2081,5 +2175,8 @@ QUERIES: dict[str, QuerySpec] = {
     ),
     "events_streaming_tumbling_certified": QuerySpec(
         events_streaming_tumbling_certified, EVENTS_STREAMING_TUMBLING_SQL
+    ),
+    "events_streaming_watermark_certified": QuerySpec(
+        events_streaming_watermark_certified, EVENTS_STREAMING_WATERMARK_SQL
     ),
 }

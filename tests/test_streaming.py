@@ -313,6 +313,50 @@ def test_watermark_drops_late_rows(spark, tmp_path):
     assert sum(1 for ws, _ in both if ws.minute == 0) == 1
 
 
+def test_watermark_append_emission_boundary_is_inclusive(spark, tmp_path):
+    """Pins the append-mode finalization boundary the watermark
+    certification's oracle encodes: with max event time 10:00:00 and a
+    10-minute delay the watermark lands EXACTLY on the 09:45–09:50 window
+    end, and that window IS emitted (window_end <= watermark, inclusive)
+    while the still-open 10:00 window is withheld."""
+    src = str(tmp_path / "bnd_src")
+    ckpt = str(tmp_path / "bnd_ckpt")
+    os.makedirs(src)
+    with open(os.path.join(src, "a.json"), "w") as f:
+        f.write(
+            '{"k":"x","ts":"2024-06-01 09:46:00.000000"}\n'
+            '{"k":"x","ts":"2024-06-01 10:00:00.000000"}\n'
+        )
+    stream = (
+        spark.readStream.schema("k string, ts timestamp")
+        .format("json")
+        .option("timestampFormat", "yyyy-MM-dd HH:mm:ss.SSSSSS")
+        .load(src)
+    )
+    agg = (
+        stream.withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "5 minutes").alias("w"), "k")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .select(
+            F.col("w.start").cast("timestamp_ntz").alias("ws"), "k", "cnt"
+        )
+    )
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("wm_boundary")
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = [
+        (r["ws"].strftime("%H:%M"), r["cnt"])
+        for r in spark.table("wm_boundary").orderBy("ws").collect()
+    ]
+    assert rows == [("09:45", 1)]
+
+
 def test_incremental_rollup_snapshot_matches_batch(
     spark, sf_dir, events_json_dir, tmp_path
 ):
