@@ -666,6 +666,78 @@ def countmin_token_freq(
     )
 
 
+def term_cooccurrence_lift(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    top_m: int = 20,
+    min_pair: int = 3,
+    k: int = 100,
+) -> DataFrame:
+    """Document-level term co-occurrence with exact lift — the PMI-style
+    collocation/topic-signal miner (lift = exp(PMI) over document
+    frequencies: how much more often two terms share a document than
+    independence predicts). Returns the global top-k pairs
+    (term_a, term_b, c_ab, c_a, c_b, lift_nano) where
+    lift_nano = floor(1e9 · N · c_ab / (c_a · c_b)) — an exact integer
+    division (widened through decimal so the product can never overflow
+    a long), not a transcendental log, so every row replays bitwise in
+    an external engine.
+
+    Scale shape: per-doc term frequencies are one (doc, term) shuffle;
+    each document keeps only its ``top_m`` terms (row_number per doc —
+    deterministic (tf desc, term) order), which caps the pair expansion
+    at C(top_m, 2) per document REGARDLESS of document length — the
+    standard guard against the quadratic blowup of co-occurrence mining.
+    Pairs are then generated MAP-SIDE from each doc's sorted term array
+    with nested higher-order transforms (no self-join shuffle of the
+    kept-terms table), and one narrow (term_a, term_b) aggregation
+    counts them. Document frequencies reuse the kept table; the
+    corpus-size scalar broadcasts."""
+    from sdc_mapreduce_spark.operators.relational import top_k_per_group
+
+    tc = (
+        df.select(F.col(id_col), F.explode(tokens(text_col)).alias("term"))
+        .filter(F.col("term") != "")
+        .groupBy(id_col, "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    kept = top_k_per_group(
+        tc, [id_col], [F.col("tf").desc(), F.col("term").asc()], top_m
+    ).select(id_col, "term")
+    arrs = kept.groupBy(id_col).agg(
+        F.array_sort(F.collect_list("term")).alias("__ts")
+    )
+    # map-side pair expansion: for each term x at index i, pair with every
+    # later term in the sorted array (slice is 1-based; lambda i is 0-based)
+    pair_structs = F.expr(
+        "flatten(transform(__ts, (x, i) -> "
+        "transform(slice(__ts, i + 2, size(__ts)), "
+        "y -> struct(x AS ta, y AS tb))))"
+    )
+    pc = (
+        arrs.select(F.explode(pair_structs).alias("p"))
+        .select(F.col("p.ta").alias("term_a"), F.col("p.tb").alias("term_b"))
+        .groupBy("term_a", "term_b")
+        .agg(F.count(F.lit(1)).alias("c_ab"))
+        .filter(F.col("c_ab") >= min_pair)
+    )
+    dfq = kept.groupBy("term").agg(F.count(F.lit(1)).alias("c"))
+    n_docs = df.select(F.countDistinct(id_col).alias("n_docs"))
+    lift = F.expr(
+        "CAST((CAST(1000000000 AS DECIMAL(38,0)) * n_docs * c_ab)"
+        " div (CAST(c_a AS DECIMAL(38,0)) * c_b) AS BIGINT)"
+    )
+    return (
+        pc.join(dfq.select(F.col("term").alias("term_a"), F.col("c").alias("c_a")), "term_a")
+        .join(dfq.select(F.col("term").alias("term_b"), F.col("c").alias("c_b")), "term_b")
+        .join(F.broadcast(n_docs))
+        .select("term_a", "term_b", "c_ab", "c_a", "c_b", lift.alias("lift_nano"))
+        .orderBy(F.col("lift_nano").desc(), "term_a", "term_b")
+        .limit(k)
+    )
+
+
 def top_ngrams(df: DataFrame, n: int = 2, k: int = 20, text_col: str = "text") -> DataFrame:
     """Global top-k token n-grams by frequency: build per-doc n-gram arrays
     with a transform over token positions (no Python), explode, count, top-k.

@@ -153,6 +153,50 @@ LIMIT 20
 """
 
 
+def text_term_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-100 term pairs by document-co-occurrence lift
+    (functions.text.term_cooccurrence_lift): each document keeps its 20
+    highest-tf terms (bounding the pair expansion at C(20,2) per doc),
+    pairs are generated map-side from sorted term arrays, and lift is the
+    exact integer floor(1e9·N·c_ab/(c_a·c_b)) — the PMI signal without a
+    cross-engine transcendental."""
+    return T.term_cooccurrence_lift(load_table(spark, sf_dir, "documents"))
+
+
+TEXT_COOCCURRENCE_SQL = """
+WITH tc AS (
+  SELECT doc_id, term, COUNT(*) AS tf
+  FROM (SELECT doc_id, UNNEST(string_split_regex(trim(text), '\\s+')) AS term
+        FROM documents)
+  WHERE term <> ''
+  GROUP BY doc_id, term
+), kept AS (
+  SELECT doc_id, term FROM (
+    SELECT doc_id, term,
+           ROW_NUMBER() OVER (PARTITION BY doc_id
+                              ORDER BY tf DESC, term ASC) AS rk
+    FROM tc) WHERE rk <= 20
+), pc AS (
+  SELECT a.term AS term_a, b.term AS term_b, CAST(COUNT(*) AS BIGINT) AS c_ab
+  FROM kept a JOIN kept b ON a.doc_id = b.doc_id AND a.term < b.term
+  GROUP BY 1, 2 HAVING COUNT(*) >= 3
+), dfq AS (
+  SELECT term, CAST(COUNT(*) AS BIGINT) AS c FROM kept GROUP BY term
+), n AS (
+  SELECT COUNT(DISTINCT doc_id) AS n_docs FROM documents
+)
+SELECT pc.term_a, pc.term_b, pc.c_ab, da.c AS c_a, db.c AS c_b,
+       CAST((1000000000::HUGEINT * n.n_docs * pc.c_ab)
+            // (da.c::HUGEINT * db.c) AS BIGINT) AS lift_nano
+FROM pc
+JOIN dfq da ON da.term = pc.term_a
+JOIN dfq db ON db.term = pc.term_b
+CROSS JOIN n
+ORDER BY lift_nano DESC, term_a, term_b
+LIMIT 100
+"""
+
+
 def text_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-3 TF-IDF terms per document (functions.text.tfidf_top_terms)."""
     return T.tfidf_top_terms(load_table(spark, sf_dir, "documents"), k=3)
@@ -1506,6 +1550,9 @@ QUERIES: dict[str, QuerySpec] = {
         text_rolling_fingerprint, TEXT_ROLLING_FP_SQL
     ),
     "text_top_bigrams": QuerySpec(text_top_bigrams, TEXT_BIGRAMS_SQL),
+    "text_term_cooccurrence": QuerySpec(
+        text_term_cooccurrence, TEXT_COOCCURRENCE_SQL
+    ),
     "text_udtf_sentences": QuerySpec(text_udtf_sentences, TEXT_UDTF_SENTENCES_SQL),
     "text_posexplode": QuerySpec(text_posexplode, TEXT_POSEXPLODE_SQL),
     "text_tfidf_top_terms": QuerySpec(text_tfidf_top_terms, TEXT_TFIDF_SQL),

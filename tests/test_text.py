@@ -81,6 +81,35 @@ def test_tfidf_discriminative_term_wins(spark):
     assert rows[(1, 2)] == ("common", 0.0)
 
 
+def test_term_cooccurrence_lift_semantics(spark):
+    """Lift separates true collocations from chance: 'salt pepper' always
+    co-occur (lift = N/ (c_a c_b) * c_ab = 4*2/(2*2) = 2 → 2e9 nano) while
+    'salt water' never do. The top_m cap and min_pair floor both apply,
+    and pairs are canonically ordered term_a < term_b."""
+    from sdc_mapreduce_spark.functions.text import term_cooccurrence_lift
+
+    docs = spark.createDataFrame(
+        [
+            (1, "salt pepper"),
+            (2, "salt pepper"),
+            (3, "water bread"),
+            (4, "water bread"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = {
+        (r["term_a"], r["term_b"]): r
+        for r in term_cooccurrence_lift(docs, min_pair=2).collect()
+    }
+    assert set(rows) == {("pepper", "salt"), ("bread", "water")}
+    r = rows[("pepper", "salt")]
+    # N=4, c_ab=2, c_a=c_b=2 → lift = 4*2/(2*2) = 2.0 exactly
+    assert (r["c_ab"], r["c_a"], r["c_b"]) == (2, 2, 2)
+    assert r["lift_nano"] == 2 * 10**9
+    # min_pair floor: singleton co-occurrences are cut
+    assert term_cooccurrence_lift(docs, min_pair=3).count() == 0
+
+
 def test_top_ngrams_short_doc_guard(spark):
     df = spark.createDataFrame(
         [(1, "single", "en", "s", 0), (2, "two words two words", "en", "s", 0)],
