@@ -912,6 +912,82 @@ def events_streaming_watermark_certified(
         shutil.rmtree(ckpt, ignore_errors=True)
 
 
+def events_streaming_update_certified(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """UPDATE-mode delta emission, driver-certified: the events table
+    replays as a 4-file json stream forced through one-file micro-batches,
+    aggregated into 5-minute tumbling counts in UPDATE output mode, and
+    every batch's emissions land (tagged with the batch id) in a parquet
+    sink via foreachBatch. Update mode re-emits a key each time its
+    aggregate CHANGES, so the certified invariant is versioning, not
+    append-once: for every (window, event_type) the LATEST emission must
+    equal the full batch-twin count — regardless of how the files split
+    into micro-batches, the last delta always carries the total. A state
+    bug that loses or double-applies a per-batch increment turns exactly
+    this row red. This is the one output mode the other streaming
+    certifications don't exercise (tumbling/session run complete, the
+    watermark cert runs append). Event time stays TIMESTAMP_NTZ — update
+    mode needs no watermark, which keeps the replay zone-proof and the
+    state finite only because the replay is (availableNow; an unbounded
+    deployment would add withWatermark, as incremental_rollup does)."""
+    import shutil
+    import tempfile
+    import uuid
+
+    src = tempfile.mkdtemp(prefix="sdcms_stream_upd_src_")
+    ckpt = tempfile.mkdtemp(prefix="sdcms_stream_upd_ckpt_")
+    sink = tempfile.mkdtemp(prefix="sdcms_stream_upd_sink_")
+    try:
+        ev = load_table(spark, sf_dir, "events")
+        ev.select(
+            F.date_format("ts", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("ts"),
+            "event_type",
+        ).repartition(4).write.mode("overwrite").json(src)
+        stream = (
+            spark.readStream.schema("ts timestamp_ntz, event_type string")
+            .format("json")
+            .option("timestampNTZFormat", "yyyy-MM-dd HH:mm:ss.SSSSSS")
+            .option("maxFilesPerTrigger", 1)
+            .load(src)
+        )
+        agg = (
+            stream.groupBy(F.window("ts", "5 minutes").alias("w"), "event_type")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+            .select(F.col("w.start").alias("window_start"), "event_type", "cnt")
+        )
+
+        def land(batch_df: DataFrame, batch_id: int) -> None:
+            batch_df.withColumn("__b", F.lit(batch_id)).write.mode(
+                "append"
+            ).parquet(sink)
+
+        q = (
+            agg.writeStream.foreachBatch(land)
+            .outputMode("update")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+        emitted = spark.read.parquet(sink)
+        w = Window.partitionBy("window_start", "event_type").orderBy(
+            F.col("__b").desc()
+        )
+        result = (
+            emitted.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .select("window_start", "event_type", "cnt")
+            .orderBy("window_start", "event_type")
+        )
+        rows = result.collect()
+        return spark.createDataFrame(rows, schema=result.schema)
+    finally:
+        shutil.rmtree(src, ignore_errors=True)
+        shutil.rmtree(ckpt, ignore_errors=True)
+        shutil.rmtree(sink, ignore_errors=True)
+
+
 EVENTS_STREAMING_WATERMARK_SQL = """
 WITH m AS (SELECT MAX(CAST(ts AS TIMESTAMP)) AS mx FROM events)
 SELECT time_bucket(INTERVAL '5 minutes', CAST(ts AS TIMESTAMP)) AS window_start,
@@ -2178,5 +2254,8 @@ QUERIES: dict[str, QuerySpec] = {
     ),
     "events_streaming_watermark_certified": QuerySpec(
         events_streaming_watermark_certified, EVENTS_STREAMING_WATERMARK_SQL
+    ),
+    "events_streaming_update_certified": QuerySpec(
+        events_streaming_update_certified, EVENTS_STREAMING_TUMBLING_SQL
     ),
 }
