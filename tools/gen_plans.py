@@ -75,6 +75,8 @@ EXTRA_SHAPES = [
     # round-8 additions
     "embedding_label_silhouette",
     "text_bm25_topk",
+    "graph_triangle_stats",
+    "text_term_cooccurrence",
 ]
 
 HEADER = """# PLANS — formatted physical plans of the headline bench queries plus the
