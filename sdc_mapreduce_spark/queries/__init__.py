@@ -94,8 +94,9 @@ for _name in _MODULE_ORDER:
 #     still certifies the stalest first): (0) queries added in r8 after
 #     its window froze (text_bm25_topk, dedup_streaming_embedding_certified,
 #     graph_triangle_stats, events_streaming_watermark_certified,
-#     text_term_cooccurrence, events_streaming_update_certified —
-#     builder-oracle-green, never driver-sampled);
+#     text_term_cooccurrence, events_streaming_update_certified,
+#     multimodal_neardup_banded — builder-oracle-green, never
+#     driver-sampled);
 #     (1) the 7 r3-last-sampled
 #     queries squeezed out of the r8 window (dedup_exact ..
 #     simsearch_ann_recall); (2) the 12 remaining r3-last-sampled
@@ -177,6 +178,7 @@ _ROTATED_OUT: tuple[str, ...] = (
     "events_streaming_watermark_certified",
     "text_term_cooccurrence",
     "events_streaming_update_certified",
+    "multimodal_neardup_banded",
     # r9 window head: r3-last-sampled queries squeezed out of the r8 window
     "multimodal_meta",
     "multimodal_frame_stats",

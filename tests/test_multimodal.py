@@ -185,3 +185,30 @@ def test_resize_media_drops_zero_dim_payloads(spark):
     df = spark.createDataFrame(rows, "media_id long, content binary")
     out = M.resize_media(df, target=(4, 4)).collect()
     assert [r["media_id"] for r in out] == [4]
+
+
+def test_neardup_banded_finds_planted_duplicate(spark):
+    """A byte-identical payload pair must survive banding (identical
+    quantized signatures collide in every live band) and verify at
+    cosine 1.0; a differently-distributed payload must not pair with it."""
+    from sdc_mapreduce_spark.queries.text_queries import (
+        multimodal_neardup_banded,
+    )
+    import os
+    import tempfile
+
+    docs = spark.createDataFrame(
+        [
+            (0, "the quick brown fox jumps over the lazy dog"),
+            (1, "the quick brown fox jumps over the lazy dog"),
+            (2, "0123456789 0123456789 0123456789 0123456789"),
+        ],
+        "doc_id long, text string",
+    )
+    d = tempfile.mkdtemp(prefix="mm_neardup_")
+    docs.write.mode("overwrite").parquet(os.path.join(d, "documents.parquet"))
+    rows = [
+        (r["id_a"], r["id_b"], r["score"])
+        for r in multimodal_neardup_banded(spark, d).collect()
+    ]
+    assert rows == [(0, 1, 1.0)]
