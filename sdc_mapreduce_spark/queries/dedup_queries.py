@@ -271,6 +271,118 @@ SELECT s AS doc_id, MIN(t) AS rep_id FROM reach GROUP BY s ORDER BY doc_id
 """
 
 
+def dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-aware near-dup resolution — the curation decision the
+    cluster labels exist FOR: within every near-dup cluster (LSH pairs →
+    connected components, same machinery as dedup_clusters), keep the
+    member with the highest heuristic quality score (ties broken by
+    doc_id ascending) instead of the arbitrary min-id representative.
+    Emits one row per document: (doc_id, rep_id, best_id, is_kept,
+    quality_score) — the audit trail a pipeline needs to explain WHY a
+    duplicate was dropped. The quality composite is the repo-standard
+    exact-count arithmetic (functions.text.quality_features), so the
+    argmax tie-break replays bitwise in the recursive-CTE oracle; the
+    per-cluster argmax is one row_number window over the (tiny) cluster
+    assignment joined to the (narrow) score table — no extra pass over
+    corpus text."""
+    from sdc_mapreduce_spark.functions.text import quality_features
+    from sdc_mapreduce_spark.operators.relational import top_k_per_group
+
+    docs = load_table(spark, sf_dir, "documents")
+    clusters = D.near_dup_clusters(
+        docs, num_hashes=128, bands=32, n=3, threshold=0.8
+    )
+    qual = quality_features(docs).select("doc_id", "quality_score")
+    joined = clusters.join(qual, "doc_id")
+    best = top_k_per_group(
+        joined,
+        ["rep_id"],
+        [F.col("quality_score").desc(), F.col("doc_id").asc()],
+        1,
+    ).select("rep_id", F.col("doc_id").alias("best_id"))
+    return (
+        joined.join(best, "rep_id")
+        .select(
+            "doc_id",
+            "rep_id",
+            "best_id",
+            (F.col("doc_id") == F.col("best_id")).alias("is_kept"),
+            F.round("quality_score", 6).alias("quality_score"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def _dedup_keep_best_sql() -> str:
+    from sdc_mapreduce_spark.queries.text_queries import _stop_list_sql
+
+    return f"""
+WITH RECURSIVE t AS (
+  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks,
+         length(text) AS n_chars,
+         length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS alpha_chars
+  FROM documents
+), sh AS (
+  SELECT doc_id,
+         list_distinct(CASE WHEN len(toks) >= 3
+           THEN [toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+                 FOR i IN range(1, len(toks) - 1)]
+           ELSE [array_to_string(toks, ' ')] END) AS shingles
+  FROM t
+), sz AS (
+  SELECT doc_id, len(shingles) AS sz FROM sh
+), inv AS (
+  SELECT doc_id, UNNEST(shingles) AS s FROM sh
+), common AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS c
+  FROM inv a JOIN inv b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+), prs AS (
+  SELECT id_a, id_b FROM common
+  JOIN sz za ON za.doc_id = id_a
+  JOIN sz zb ON zb.doc_id = id_b
+  WHERE c / (za.sz + zb.sz - c) >= 0.8
+), edges AS (
+  SELECT id_a AS s, id_b AS t FROM prs
+  UNION ALL
+  SELECT id_b, id_a FROM prs
+), reach AS (
+  SELECT doc_id AS s, doc_id AS t FROM documents
+  UNION
+  SELECT r.s, e.t FROM reach r JOIN edges e ON r.t = e.s
+), clusters AS (
+  SELECT s AS doc_id, MIN(t) AS rep_id FROM reach GROUP BY s
+), feat AS (
+  SELECT doc_id,
+         len(list_filter(toks, x -> x IN ({_stop_list_sql()}))) / len(toks)
+           AS stopword_ratio,
+         alpha_chars / n_chars AS alpha_ratio,
+         (n_chars - (len(toks) - 1)) / len(toks) AS mean_token_len
+  FROM t
+), qual AS (
+  SELECT doc_id,
+         alpha_ratio * 0.5
+         + LEAST(stopword_ratio * 4.0, 1.0) * 0.3
+         + LEAST(mean_token_len / 8.0, 1.0) * 0.2 AS quality_score
+  FROM feat
+), best AS (
+  SELECT rep_id, doc_id AS best_id FROM (
+    SELECT c.rep_id, c.doc_id,
+           ROW_NUMBER() OVER (PARTITION BY c.rep_id
+                              ORDER BY q.quality_score DESC, c.doc_id ASC)
+             AS rk
+    FROM clusters c JOIN qual q USING (doc_id)
+  ) WHERE rk = 1
+)
+SELECT c.doc_id, c.rep_id, b.best_id, c.doc_id = b.best_id AS is_kept,
+       ROUND(q.quality_score, 6) AS quality_score
+FROM clusters c
+JOIN qual q USING (doc_id)
+JOIN best b USING (rep_id)
+ORDER BY doc_id
+"""
+
+
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash Hamming-≤3 near-dup pairs, pigeonhole-blocked (never
     all-pairs in Spark). Pigeonhole blocking is EXACT within the distance
@@ -1123,6 +1235,7 @@ QUERIES: dict[str, QuerySpec] = {
     "dedup_minhash_lsh": QuerySpec(dedup_minhash_lsh, _JACCARD_SQL, bench=True),
     "dedup_simhash": QuerySpec(dedup_simhash, DEDUP_SIMHASH_SQL),
     "dedup_clusters": QuerySpec(dedup_clusters, DEDUP_CLUSTERS_SQL),
+    "dedup_keep_best": QuerySpec(dedup_keep_best, _dedup_keep_best_sql()),
     "dedup_embedding_cosine": QuerySpec(dedup_embedding_cosine, DEDUP_EMBEDDING_SQL),
     "dedup_embedding_ann": QuerySpec(
         dedup_embedding_ann, _dedup_embedding_ann_sql(), bench=True

@@ -693,3 +693,32 @@ def test_source_leakage_matrix_consistent_with_pairs(spark, sf_dir):
     rows = dedup_source_leakage_matrix(spark, sf_dir).collect()
     assert sum(r["n_pairs"] for r in rows) == n_pairs > 0
     assert all(r["source_a"] <= r["source_b"] and r["n_pairs"] > 0 for r in rows)
+
+
+def test_dedup_keep_best_prefers_quality_over_min_id(spark, tmp_path):
+    """keep-best must pick the highest-quality cluster member even when it
+    is NOT the min-id representative: docs 0 and 1 are near-identical
+    (one 3-gram shingle set difference keeps Jaccard >= 0.8), doc 1 has
+    the higher alpha/stopword quality, so best_id=1 while rep_id=0; the
+    unrelated doc stays its own kept singleton."""
+    import os
+
+    from sdc_mapreduce_spark.queries.dedup_queries import dedup_keep_best
+
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    # single-token suffixes keep 10 of 12 shingles shared: J = 10/12 >= 0.8
+    docs = spark.createDataFrame(
+        [
+            (0, base + " 1234"),  # trailing digits hurt alpha_ratio
+            (1, base + " nice"),  # cleaner -> higher quality
+            (2, "zzz completely unrelated text block xyz"),
+        ],
+        "doc_id long, text string",
+    )
+    d = str(tmp_path / "kb")
+    docs.write.mode("overwrite").parquet(os.path.join(d, "documents.parquet"))
+    rows = {r["doc_id"]: r for r in dedup_keep_best(spark, d).collect()}
+    assert rows[0]["rep_id"] == 0 and rows[1]["rep_id"] == 0
+    assert rows[0]["best_id"] == 1 and rows[1]["best_id"] == 1
+    assert (rows[0]["is_kept"], rows[1]["is_kept"]) == (False, True)
+    assert rows[2]["is_kept"] and rows[2]["best_id"] == 2
