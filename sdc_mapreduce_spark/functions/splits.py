@@ -304,6 +304,73 @@ def pack_sequences(
     )
 
 
+def quota_sample(
+    df: DataFrame,
+    group_col: str = "lang",
+    budget: int = 500,
+    key: str = "doc_id",
+    salt: str = "quota-v1",
+) -> DataFrame:
+    """Largest-remainder (Hamilton) quota sampling — the eval-set /
+    annotation-batch builder: allocate an EXACT total of ``budget`` rows
+    across strata proportionally to their sizes, with the fractional
+    seats resolved by largest remainder (quota_g = floor(B·n_g/N), the
+    B − Σfloor leftover seats going to the largest B·n_g mod N, ties by
+    group ascending), then pick each stratum's quota deterministically by
+    content-hash order (md5(salt||key), key) — so the selected set is
+    cluster-shape- and engine-independent and Σquota = budget EXACTLY
+    (temperature/cap mixing only hit their budgets in expectation).
+    Requires budget <= N; quotas then never exceed stratum sizes
+    (floor(B·n_g/N)+1 <= n_g whenever B <= N). Returns the selected rows
+    (key, group, pick_rank, quota).
+
+    All allocation arithmetic is integer floor/mod — replays bitwise in
+    any engine. Scale shape: the allocation table is a group-cardinality
+    aggregate (tiny, broadcast); the pick is one per-stratum window over
+    (hash, key). A mega-stratum makes that window the classic single-
+    partition cliff — the chunked top-k decomposition
+    (operators.relational.top_k_per_group_salted) applies identically
+    when a stratum outgrows one executor."""
+    from pyspark.sql import Window
+
+    counts = df.groupBy(group_col).agg(F.count(F.lit(1)).alias("n_docs"))
+    total = counts.agg(F.sum("n_docs").alias("__N"))
+    alloc = counts.crossJoin(F.broadcast(total)).select(
+        group_col,
+        "n_docs",
+        F.expr(f"({budget} * n_docs) div __N").alias("__base"),
+        F.expr(f"({budget} * n_docs) % __N").alias("__rem"),
+    )
+    leftover = alloc.agg(
+        (F.lit(budget) - F.sum("__base")).alias("__leftover")
+    )
+    w = Window.orderBy(F.col("__rem").desc(), F.col(group_col).asc())
+    quota = (
+        alloc.withColumn("__rk", F.row_number().over(w))
+        .crossJoin(F.broadcast(leftover))
+        .select(
+            group_col,
+            "n_docs",
+            (
+                F.col("__base")
+                + F.when(F.col("__rk") <= F.col("__leftover"), 1).otherwise(0)
+            )
+            .cast("long")
+            .alias("quota"),
+        )
+    )
+    h = F.md5(F.concat(F.lit(salt), F.col(key).cast("string")))
+    pw = Window.partitionBy(group_col).orderBy(h.asc(), F.col(key).asc())
+    picked = df.select(F.col(key), F.col(group_col)).withColumn(
+        "pick_rank", F.row_number().over(pw)
+    )
+    return (
+        picked.join(F.broadcast(quota), group_col)
+        .filter(F.col("pick_rank") <= F.col("quota"))
+        .select(key, group_col, "pick_rank", "quota")
+    )
+
+
 def temperature_mix(
     df: DataFrame,
     group_col: str = "lang",

@@ -176,6 +176,56 @@ ORDER BY l_returnflag
 _STRAT_FRACTIONS = {"en": 0.5, "de": 1.0, "fr": 0.25, "es": 0.1, "zh": 0.05}
 
 
+def sample_quota_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Largest-remainder quota sampling (functions.splits.quota_sample):
+    exactly 500 documents allocated across languages proportionally to
+    their counts — floor quotas plus leftover seats by largest remainder
+    — each stratum filled in content-hash order. The one sampler whose
+    realized total is EXACT (hash-fraction mixes hit budgets only in
+    expectation); all allocation arithmetic is integer floor/mod, so the
+    selected set replays bitwise in the oracle."""
+    from sdc_mapreduce_spark.functions.splits import quota_sample
+
+    docs = load_table(spark, sf_dir, "documents")
+    return quota_sample(docs, "lang", budget=500).orderBy("lang", "pick_rank")
+
+
+SAMPLE_QUOTA_SQL = """
+WITH c AS (
+  SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents GROUP BY lang
+), tot AS (
+  SELECT SUM(n_docs) AS N FROM c
+), alloc AS (
+  SELECT lang, n_docs,
+         (500 * n_docs) // t.N AS base,
+         (500 * n_docs) % t.N AS rem
+  FROM c, tot t
+), lo AS (
+  SELECT 500 - SUM(base) AS leftover FROM alloc
+), ranked AS (
+  SELECT lang, n_docs, base, rem,
+         ROW_NUMBER() OVER (ORDER BY rem DESC, lang ASC) AS rk
+  FROM alloc
+), quota AS (
+  SELECT lang, n_docs,
+         CAST(base + CASE WHEN rk <= lo.leftover THEN 1 ELSE 0 END AS BIGINT)
+           AS quota
+  FROM ranked, lo
+), picked AS (
+  SELECT doc_id, lang,
+         ROW_NUMBER() OVER (
+           PARTITION BY lang
+           ORDER BY md5('quota-v1' || CAST(doc_id AS VARCHAR)), doc_id
+         ) AS pick_rank
+  FROM documents
+)
+SELECT p.doc_id, p.lang, CAST(p.pick_rank AS INT) AS pick_rank, q.quota
+FROM picked p JOIN quota q USING (lang)
+WHERE p.pick_rank <= q.quota
+ORDER BY lang, pick_rank
+"""
+
+
 def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-language deterministic sampling (downsample the dominant
     language, keep all of a rare one) — ``sampleBy`` semantics with a
@@ -1740,5 +1790,8 @@ QUERIES: dict[str, QuerySpec] = {
     "scalar_regex_fns": QuerySpec(scalar_regex_fns, SCALAR_REGEX_SQL),
     "sample_hash_bucket": QuerySpec(sample_hash_bucket, SAMPLE_HASH_SQL),
     "sample_stratified": QuerySpec(sample_stratified, SAMPLE_STRATIFIED_SQL),
+    "sample_quota_allocation": QuerySpec(
+        sample_quota_allocation, SAMPLE_QUOTA_SQL
+    ),
     "corpus_mix_rebalance": QuerySpec(corpus_mix_rebalance, CORPUS_MIX_REBALANCE_SQL),
 }

@@ -337,3 +337,28 @@ def test_source_cap_mix_truncates_only_over_cap(spark, sf_dir):
         for r in source_cap_mix(docs, group_col="lang", cap_frac=0.3).collect()
     }
     assert again == {k: r["n_kept"] for k, r in rows.items()}
+
+
+def test_quota_sample_exact_budget_and_largest_remainder(spark):
+    """Hamilton allocation invariants: realized total == budget EXACTLY,
+    per-stratum quotas differ from exact proportionality by < 1 seat, and
+    the leftover seat goes to the largest remainder. 7/3 split of B=5:
+    exact shares 3.5/1.5, floors 3/1, one leftover seat; both remainders
+    equal (5*7 % 10 = 5 = 5*3 % 10) so the tie-break hands it to the
+    lexicographically first stratum."""
+    from sdc_mapreduce_spark.functions.splits import quota_sample
+
+    rows = [(i, "a") for i in range(7)] + [(100 + i, "b") for i in range(3)]
+    df = spark.createDataFrame(rows, "doc_id long, lang string")
+    got = quota_sample(df, "lang", budget=5).collect()
+    assert len(got) == 5
+    by_lang = {}
+    for r in got:
+        by_lang.setdefault(r["lang"], []).append(r)
+    assert len(by_lang["a"]) == 4 and len(by_lang["b"]) == 1  # tie -> 'a'
+    assert {r["quota"] for r in by_lang["a"]} == {4}
+    # ranks are contiguous from 1 within each stratum
+    assert sorted(r["pick_rank"] for r in by_lang["a"]) == [1, 2, 3, 4]
+    # determinism: same call returns the same doc ids
+    again = {r["doc_id"] for r in quota_sample(df, "lang", budget=5).collect()}
+    assert again == {r["doc_id"] for r in got}
