@@ -197,6 +197,120 @@ LIMIT 100
 """
 
 
+def text_zipf_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf power-law audit of the corpus frequency distribution — the
+    classic synthetic-text / corrupted-corpus detector (natural language
+    fits ln(freq) ≈ a + s·ln(rank) with s ≈ −1; templated or machine-
+    generated text bends the curve): OLS fit of ln(freq) on ln(rank) over
+    the top-1000 terms, emitting (n_terms, vocab_size, slope, intercept,
+    r). Determinism discipline: both axes are quantized ONCE to integer
+    milli-nats (the bigram-LM trick), moment sums accumulate in decimal,
+    and both engines then run the identical IEEE double expression — the
+    repo-standard recipe for oracle-hashable regression statistics
+    (events_grouped_regression). The top-1000 cut is sort+limit
+    (TakeOrdered — per-partition heaps, no vocabulary-wide global
+    window), so the plan stays distributed when the vocabulary is
+    billions of terms; ranks are assigned after the 1000-row cut."""
+    from pyspark.sql import Window
+
+    tf = (
+        load_table(spark, sf_dir, "documents")
+        .select(F.explode(T.tokens("text")).alias("term"))
+        .filter(F.col("term") != "")
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+    vocab = tf.agg(F.count(F.lit(1)).alias("vocab_size"))
+    top = tf.orderBy(F.col("freq").desc(), F.col("term").asc()).limit(1000)
+    ranked = top.withColumn(
+        "rank",
+        F.row_number().over(
+            Window.orderBy(F.col("freq").desc(), F.col("term").asc())
+        ),
+    )
+    base = ranked.select(
+        F.expr("cast(round(ln(rank) * 1000) as bigint)").alias("x"),
+        F.expr("cast(round(ln(freq) * 1000) as bigint)").alias("y"),
+    )
+    s = base.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.expr("cast(sum(cast(x as decimal(28,0))) as double)").alias("sx"),
+        F.expr(
+            "cast(sum(cast(x as decimal(19,0)) * cast(x as decimal(19,0)))"
+            " as double)"
+        ).alias("sxx"),
+        F.expr("cast(sum(cast(y as decimal(28,0))) as double)").alias("sy"),
+        F.expr(
+            "cast(sum(cast(x as decimal(19,0)) * cast(y as decimal(19,0)))"
+            " as double)"
+        ).alias("sxy"),
+        F.expr(
+            "cast(sum(cast(y as decimal(19,0)) * cast(y as decimal(19,0)))"
+            " as double)"
+        ).alias("syy"),
+    )
+    nn = F.col("n").cast("double")
+    den_x = nn * F.col("sxx") - F.col("sx") * F.col("sx")
+    den_y = nn * F.col("syy") - F.col("sy") * F.col("sy")
+    cov_n = nn * F.col("sxy") - F.col("sx") * F.col("sy")
+    slope = cov_n / den_x
+    return s.crossJoin(F.broadcast(vocab)).select(
+        F.col("n").alias("n_terms"),
+        "vocab_size",
+        slope.alias("slope"),
+        ((F.col("sy") / F.lit(1000.0) - slope * (F.col("sx") / F.lit(1000.0))) / nn).alias(
+            "intercept"
+        ),
+        (cov_n / F.sqrt(den_x * den_y)).alias("r"),
+    )
+
+
+TEXT_ZIPF_SQL = """
+WITH tf AS (
+  SELECT term, CAST(COUNT(*) AS BIGINT) AS freq
+  FROM (SELECT UNNEST(string_split_regex(trim(text), '\\s+')) AS term
+        FROM documents)
+  WHERE term <> ''
+  GROUP BY term
+), top AS (
+  SELECT term, freq FROM tf ORDER BY freq DESC, term ASC LIMIT 1000
+), ranked AS (
+  SELECT freq,
+         ROW_NUMBER() OVER (ORDER BY freq DESC, term ASC) AS rank
+  FROM top
+), base AS (
+  SELECT CAST(round(ln(rank) * 1000) AS BIGINT) AS x,
+         CAST(round(ln(freq) * 1000) AS BIGINT) AS y
+  FROM ranked
+), s AS (
+  SELECT COUNT(*) AS n,
+         CAST(SUM(CAST(x AS DECIMAL(28,0))) AS DOUBLE) AS sx,
+         CAST(SUM(CAST(x AS DECIMAL(19,0)) * CAST(x AS DECIMAL(19,0)))
+           AS DOUBLE) AS sxx,
+         CAST(SUM(CAST(y AS DECIMAL(28,0))) AS DOUBLE) AS sy,
+         CAST(SUM(CAST(x AS DECIMAL(19,0)) * CAST(y AS DECIMAL(19,0)))
+           AS DOUBLE) AS sxy,
+         CAST(SUM(CAST(y AS DECIMAL(19,0)) * CAST(y AS DECIMAL(19,0)))
+           AS DOUBLE) AS syy
+  FROM base
+), d AS (
+  SELECT n, sx, sy,
+         (CAST(n AS DOUBLE) * sxx - sx * sx) AS den_x,
+         (CAST(n AS DOUBLE) * syy - sy * sy) AS den_y,
+         (CAST(n AS DOUBLE) * sxy - sx * sy) AS cov_n
+  FROM s
+), sl AS (
+  SELECT *, cov_n / den_x AS slope FROM d
+)
+SELECT n AS n_terms,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM tf) AS vocab_size,
+       slope,
+       (sy / 1000.0 - slope * (sx / 1000.0)) / CAST(n AS DOUBLE) AS intercept,
+       cov_n / sqrt(den_x * den_y) AS r
+FROM sl
+"""
+
+
 def text_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-3 TF-IDF terms per document (functions.text.tfidf_top_terms)."""
     return T.tfidf_top_terms(load_table(spark, sf_dir, "documents"), k=3)
@@ -1702,6 +1816,7 @@ QUERIES: dict[str, QuerySpec] = {
     "text_term_cooccurrence": QuerySpec(
         text_term_cooccurrence, TEXT_COOCCURRENCE_SQL
     ),
+    "text_zipf_audit": QuerySpec(text_zipf_audit, TEXT_ZIPF_SQL),
     "text_udtf_sentences": QuerySpec(text_udtf_sentences, TEXT_UDTF_SENTENCES_SQL),
     "text_posexplode": QuerySpec(text_posexplode, TEXT_POSEXPLODE_SQL),
     "text_tfidf_top_terms": QuerySpec(text_tfidf_top_terms, TEXT_TFIDF_SQL),

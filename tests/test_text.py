@@ -544,3 +544,25 @@ def test_bm25_identical_docs_tie(spark):
     assert by_doc[7]["score"] == by_doc[10]["score"]
     assert by_doc[7]["rank"] + 1 == by_doc[10]["rank"]
     assert by_doc[2]["rank"] == 3
+
+
+def test_zipf_audit_recovers_planted_power_law(spark, tmp_path):
+    """A corpus built with freq(term_i) = 240/i must fit slope ~ -1 with
+    near-perfect correlation; the audit's quantized axes and exact moment
+    sums cannot bend a clean power law."""
+    import os
+
+    from sdc_mapreduce_spark.queries.text_queries import text_zipf_audit
+
+    words = []
+    for i in range(1, 41):
+        words += [f"w{i:03d}"] * (240 // i)
+    docs = spark.createDataFrame(
+        [(0, " ".join(words))], "doc_id long, text string"
+    )
+    d = str(tmp_path / "zipf")
+    docs.write.mode("overwrite").parquet(os.path.join(d, "documents.parquet"))
+    row = text_zipf_audit(spark, d).collect()[0]
+    assert row["n_terms"] == 40 and row["vocab_size"] == 40
+    assert -1.1 < row["slope"] < -0.9
+    assert row["r"] < -0.99
