@@ -473,6 +473,35 @@ def equidepth_histogram(
     )
 
 
+def k_anonymity_audit(
+    df: DataFrame,
+    quasi_cols: list[str],
+    sensitive_col: str,
+    k: int = 10,
+    l: int = 3,
+) -> DataFrame:
+    """k-anonymity / l-diversity audit — the privacy gate a user-data
+    pipeline runs before release: every quasi-identifier combination must
+    be shared by >= k rows (re-identification resistance) and carry >= l
+    distinct sensitive values (attribute-disclosure resistance; a
+    k-anonymous group that is sensitive-homogeneous still leaks). Returns
+    one row per QI group: (*quasi_cols, group_size, n_sensitive,
+    is_k_anonymous, is_l_diverse) — the audit trail that says exactly
+    which cells need generalization or suppression.
+
+    Scale shape: ONE aggregation keyed on the quasi-identifier tuple with
+    a distinct-count on the sensitive column (partial-agg combinable);
+    output cardinality is the QI-combination count, never row count. The
+    sensitive column should be pre-bucketed by the caller (exact integer
+    buckets keep the distinct count engine-portable)."""
+    return df.groupBy(*quasi_cols).agg(
+        F.count(F.lit(1)).alias("group_size"),
+        F.countDistinct(F.col(sensitive_col)).alias("n_sensitive"),
+        (F.count(F.lit(1)) >= k).alias("is_k_anonymous"),
+        (F.countDistinct(F.col(sensitive_col)) >= l).alias("is_l_diverse"),
+    )
+
+
 def interval_overlap_join(
     left: DataFrame,
     right: DataFrame,

@@ -983,6 +983,38 @@ FROM r GROUP BY 1 ORDER BY bucket
 """
 
 
+def table_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity / l-diversity audit (operators.relational.
+    k_anonymity_audit) over customer quasi-identifiers (nation, market
+    segment) with account balance bucketed to exact thousand-units as the
+    sensitive attribute: which QI cells are re-identifiable (< 10 members)
+    or sensitive-homogeneous (< 3 distinct buckets) — the privacy gate
+    before any user-keyed table ships to training. One QI-keyed
+    aggregation; output is QI-combination-sized."""
+    from sdc_mapreduce_spark.operators.relational import k_anonymity_audit
+
+    cust = load_table(spark, sf_dir, "customer").withColumn(
+        "bal_bucket", F.floor(F.col("c_acctbal") / F.lit(1000.0)).cast("long")
+    )
+    return k_anonymity_audit(
+        cust, ["c_nationkey", "c_mktsegment"], "bal_bucket", k=10, l=3
+    ).orderBy("c_nationkey", "c_mktsegment")
+
+
+TABLE_K_ANONYMITY_SQL = """
+SELECT c_nationkey, c_mktsegment,
+       CAST(COUNT(*) AS BIGINT) AS group_size,
+       CAST(COUNT(DISTINCT CAST(FLOOR(c_acctbal / 1000.0) AS BIGINT))
+            AS BIGINT) AS n_sensitive,
+       COUNT(*) >= 10 AS is_k_anonymous,
+       COUNT(DISTINCT CAST(FLOOR(c_acctbal / 1000.0) AS BIGINT)) >= 3
+         AS is_l_diverse
+FROM customer
+GROUP BY c_nationkey, c_mktsegment
+ORDER BY c_nationkey, c_mktsegment
+"""
+
+
 def table_integrity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Declarative data-quality constraint suite (the Deequ/dbt-test shape a
     production pipeline gates loads on): primary-key uniqueness,
@@ -1757,6 +1789,7 @@ QUERIES: dict[str, QuerySpec] = {
         corpus_mix_temperature, CORPUS_MIX_TEMPERATURE_SQL
     ),
     "table_integrity_audit": QuerySpec(table_integrity_audit, TABLE_INTEGRITY_SQL),
+    "table_k_anonymity": QuerySpec(table_k_anonymity, TABLE_K_ANONYMITY_SQL),
     "window_distribution_fns": QuerySpec(
         window_distribution_fns, WINDOW_DISTRIBUTION_SQL
     ),

@@ -870,3 +870,25 @@ def test_changepoint_cusum_maximizes_abs_cusum(spark, sf_dir):
             if best is None or abs(cum) > abs(best[1]):
                 best = (r["day"], cum)
         assert got[et] == (best[0], best[1], len(rs))
+
+
+def test_k_anonymity_audit_flags_small_and_homogeneous_groups(spark):
+    """A 3-member group fails k=3? No — meets k=3 exactly (boundary is
+    inclusive); the 2-member group fails k; a group whose sensitive
+    values are all equal fails l even when k passes."""
+    from sdc_mapreduce_spark.operators.relational import k_anonymity_audit
+
+    rows = (
+        [("a", "x", i) for i in range(3)]        # size 3, 3 distinct
+        + [("b", "x", 7), ("b", "x", 7)]          # size 2, homogeneous
+        + [("c", "y", 1), ("c", "y", 1), ("c", "y", 1)]  # size 3, 1 distinct
+    )
+    df = spark.createDataFrame(rows, "qi1 string, qi2 string, s long")
+    got = {
+        (r["qi1"], r["qi2"]): r
+        for r in k_anonymity_audit(df, ["qi1", "qi2"], "s", k=3, l=2).collect()
+    }
+    assert got[("a", "x")]["is_k_anonymous"] and got[("a", "x")]["is_l_diverse"]
+    assert not got[("b", "x")]["is_k_anonymous"]
+    assert got[("c", "y")]["is_k_anonymous"] and not got[("c", "y")]["is_l_diverse"]
+    assert got[("c", "y")]["n_sensitive"] == 1
