@@ -90,7 +90,7 @@ def curate(
     return curated.select(
         "doc_id",
         "lang_pred",
-        F.round("quality_score", 6).alias("quality_score"),
+        "quality_score",
         "n_tokens",
     )
 
@@ -178,7 +178,7 @@ def curate_full(
         .select(
             "doc_id",
             "lang_pred",
-            F.round("quality_score", 6).alias("quality_score"),
+            "quality_score",
             "n_tokens",
             "dup_2gram_fraction",
             "contamination",

@@ -307,7 +307,12 @@ def dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
             "rep_id",
             "best_id",
             (F.col("doc_id") == F.col("best_id")).alias("is_kept"),
-            F.round("quality_score", 6).alias("quality_score"),
+            # UNROUNDED: both engines build this double from exact counts
+            # by the identical op sequence, so it hash-matches as-is —
+            # round(x, 6) would reintroduce the half-boundary hazard the
+            # 10x sweep caught (Spark HALF_UP vs DuckDB on an exact
+            # ...5e-7 tie, doc 12788 of the replica corpus)
+            F.col("quality_score"),
         )
         .orderBy("doc_id")
     )
@@ -375,7 +380,7 @@ WITH RECURSIVE t AS (
   ) WHERE rk = 1
 )
 SELECT c.doc_id, c.rep_id, b.best_id, c.doc_id = b.best_id AS is_kept,
-       ROUND(q.quality_score, 6) AS quality_score
+       q.quality_score
 FROM clusters c
 JOIN qual q USING (doc_id)
 JOIN best b USING (rep_id)

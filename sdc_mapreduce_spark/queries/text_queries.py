@@ -640,7 +640,7 @@ def multimodal_embed_search(spark: SparkSession, sf_dir: str) -> DataFrame:
             "query_id",
             "neighbor_id",
             "rank",
-            F.round(F.col("__cos"), 6).alias("score"),
+            F.col("__cos").alias("score"),
         )
         .orderBy("query_id", "rank")
     )
@@ -680,7 +680,7 @@ WITH b AS (
   FROM scored
 )
 SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank,
-       ROUND(cosine, 6) AS score
+       cosine AS score
 FROM ranked WHERE rank <= 3
 ORDER BY query_id, rank
 """
@@ -778,7 +778,7 @@ def multimodal_neardup_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(side_b, "id_b")
         .select("id_a", "id_b", cosine.alias("__cos"))
         .filter(F.col("__cos") >= 0.99999)
-        .select("id_a", "id_b", F.round(F.col("__cos"), 6).alias("score"))
+        .select("id_a", "id_b", F.col("__cos").alias("score"))
         .orderBy("id_a", "id_b")
     )
 
@@ -826,7 +826,7 @@ WITH b AS (
   GROUP BY cand.id_a, cand.id_b
 )
 SELECT dp.id_a, dp.id_b,
-       ROUND(dp.dp / (sqrt(na.nn) * sqrt(nb.nn)), 6) AS score
+       dp.dp / (sqrt(na.nn) * sqrt(nb.nn)) AS score
 FROM dp
 JOIN norms na ON na.doc_id = dp.id_a
 JOIN norms nb ON nb.doc_id = dp.id_b
@@ -880,7 +880,7 @@ WITH t AS (
 ), dedup AS (
   SELECT MIN(doc_id) AS doc_id FROM kept GROUP BY fingerprint
 )
-SELECT k.doc_id, k.lang_pred, ROUND(k.quality_score, 6) AS quality_score, k.n_tokens
+SELECT k.doc_id, k.lang_pred, k.quality_score, k.n_tokens
 FROM kept k JOIN dedup d ON k.doc_id = d.doc_id
 ORDER BY k.doc_id
 """
@@ -984,7 +984,7 @@ WITH t AS (
 ), dedup AS (
   SELECT MIN(doc_id) AS doc_id FROM kept GROUP BY fingerprint
 )
-SELECT k.doc_id, k.lang_pred, ROUND(k.quality_score, 6) AS quality_score,
+SELECT k.doc_id, k.lang_pred, k.quality_score,
        k.n_tokens, k.dup_2gram_fraction,
        COALESCE(c.contamination, 0.0) AS contamination
 FROM kept k
