@@ -473,6 +473,53 @@ def equidepth_histogram(
     )
 
 
+def weighted_median(
+    df: DataFrame,
+    group_cols: list[str],
+    value_col: str,
+    weight_col,
+    tie_cols: list[str],
+) -> DataFrame:
+    """Exact weighted median per group — selection semantics: the smallest
+    value (in (value, *tie_cols) total order) whose running weight reaches
+    half the group total, i.e. the first row with 2·cumweight >= W. The
+    weight expression must be an exact integer column (centi-quantize
+    doubles first), so the halfway test is pure integer comparison — no
+    0.5·W double, no interpolation — and the selected value is an input
+    double that replays bitwise in any engine. Returns
+    (*group_cols, total_weight, wmedian).
+
+    Shape: one window (cumsum) + one aggregate (total) sharing the same
+    group-key exchange, then a rank-1 filter. With few huge groups the
+    per-group window is the standard single-partition cliff — the same
+    escape hatches as sessionize apply (two-phase global_running_sum per
+    group, or histogram pre-bucketing to narrow the candidate range
+    before the exact pass)."""
+    w = (
+        Window.partitionBy(*group_cols)
+        .orderBy(F.col(value_col).asc(), *[F.col(c).asc() for c in tie_cols])
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = df.withColumn("__cw", F.sum(weight_col).over(w))
+    tot = df.groupBy(*group_cols).agg(F.sum(weight_col).alias("__W"))
+    hit = (
+        cum.join(tot, group_cols)
+        .filter(F.lit(2) * F.col("__cw") >= F.col("__W"))
+    )
+    rw = Window.partitionBy(*group_cols).orderBy(
+        F.col(value_col).asc(), *[F.col(c).asc() for c in tie_cols]
+    )
+    return (
+        hit.withColumn("__rn", F.row_number().over(rw))
+        .filter(F.col("__rn") == 1)
+        .select(
+            *group_cols,
+            F.col("__W").alias("total_weight"),
+            F.col(value_col).alias("wmedian"),
+        )
+    )
+
+
 def k_anonymity_audit(
     df: DataFrame,
     quasi_cols: list[str],

@@ -983,6 +983,57 @@ FROM r GROUP BY 1 ORDER BY bucket
 """
 
 
+def agg_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact quantity-weighted median price per return flag
+    (operators.relational.weighted_median): the smallest price whose
+    cumulative quantity reaches half the flag's total — selection
+    semantics on an integer-quantized weight (centi-units), so the
+    halfway test is 2·cum >= W in pure integer arithmetic and the median
+    itself is an input double. The plain median treats a 1-unit and a
+    50-unit line equally; volume-weighted statistics are what pricing /
+    mixture audits actually need."""
+    from sdc_mapreduce_spark.operators.relational import weighted_median
+
+    li = load_table(spark, sf_dir, "lineitem")
+    wq = F.expr("cast(round(l_quantity * 100) as bigint)")
+    return weighted_median(
+        li,
+        ["l_returnflag"],
+        "l_extendedprice",
+        wq,
+        ["l_orderkey", "l_linenumber"],
+    ).orderBy("l_returnflag")
+
+
+AGG_WEIGHTED_MEDIAN_SQL = """
+WITH b AS (
+  SELECT l_returnflag, l_extendedprice, l_orderkey, l_linenumber,
+         CAST(round(l_quantity * 100) AS BIGINT) AS wq
+  FROM lineitem
+), c AS (
+  SELECT l_returnflag, l_extendedprice,
+         SUM(wq) OVER (PARTITION BY l_returnflag
+                       ORDER BY l_extendedprice, l_orderkey, l_linenumber
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS cw,
+         SUM(wq) OVER (PARTITION BY l_returnflag) AS W,
+         ROW_NUMBER() OVER (PARTITION BY l_returnflag
+                            ORDER BY l_extendedprice, l_orderkey,
+                                     l_linenumber) AS rn0
+  FROM b
+), hit AS (
+  SELECT l_returnflag, l_extendedprice, W,
+         ROW_NUMBER() OVER (PARTITION BY l_returnflag
+                            ORDER BY rn0) AS rn
+  FROM c WHERE 2 * cw >= W
+)
+SELECT l_returnflag, CAST(W AS BIGINT) AS total_weight,
+       l_extendedprice AS wmedian
+FROM hit WHERE rn = 1
+ORDER BY l_returnflag
+"""
+
+
 def table_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """k-anonymity / l-diversity audit (operators.relational.
     k_anonymity_audit) over customer quasi-identifiers (nation, market
@@ -1790,6 +1841,9 @@ QUERIES: dict[str, QuerySpec] = {
     ),
     "table_integrity_audit": QuerySpec(table_integrity_audit, TABLE_INTEGRITY_SQL),
     "table_k_anonymity": QuerySpec(table_k_anonymity, TABLE_K_ANONYMITY_SQL),
+    "agg_weighted_median": QuerySpec(
+        agg_weighted_median, AGG_WEIGHTED_MEDIAN_SQL
+    ),
     "window_distribution_fns": QuerySpec(
         window_distribution_fns, WINDOW_DISTRIBUTION_SQL
     ),

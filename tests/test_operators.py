@@ -892,3 +892,25 @@ def test_k_anonymity_audit_flags_small_and_homogeneous_groups(spark):
     assert not got[("b", "x")]["is_k_anonymous"]
     assert got[("c", "y")]["is_k_anonymous"] and not got[("c", "y")]["is_l_diverse"]
     assert got[("c", "y")]["n_sensitive"] == 1
+
+
+def test_weighted_median_selection_semantics(spark):
+    """Weight-skewed fixture: values 1..4 with weights (1,1,1,7) — half of
+    W=10 is reached only at value 4, while the unweighted median is 2.5;
+    and the 2*cum >= W boundary is INCLUSIVE (weights (5,5): the first
+    value already satisfies 2*5 >= 10)."""
+    from sdc_mapreduce_spark.operators.relational import weighted_median
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [(1, "g", 1.0, 1), (2, "g", 2.0, 1), (3, "g", 3.0, 1), (4, "g", 4.0, 7)],
+        "id long, g string, v double, w long",
+    )
+    r = weighted_median(df, ["g"], "v", F.col("w"), ["id"]).collect()[0]
+    assert (r["total_weight"], r["wmedian"]) == (10, 4.0)
+
+    df2 = spark.createDataFrame(
+        [(1, "g", 1.0, 5), (2, "g", 2.0, 5)], "id long, g string, v double, w long"
+    )
+    r2 = weighted_median(df2, ["g"], "v", F.col("w"), ["id"]).collect()[0]
+    assert r2["wmedian"] == 1.0
