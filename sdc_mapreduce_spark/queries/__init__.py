@@ -96,8 +96,9 @@ for _name in _MODULE_ORDER:
 #     graph_triangle_stats, events_streaming_watermark_certified,
 #     text_term_cooccurrence, events_streaming_update_certified,
 #     multimodal_neardup_banded, dedup_keep_best, sample_quota_allocation,
-#     text_zipf_audit, table_k_anonymity, agg_weighted_median —
-#     builder-oracle-green, never driver-sampled);
+#     text_zipf_audit, table_k_anonymity, agg_weighted_median,
+#     events_attribution_time_decay — builder-oracle-green, never
+#     driver-sampled);
 #     (1) the 7 r3-last-sampled
 #     queries squeezed out of the r8 window (dedup_exact ..
 #     simsearch_ann_recall); (2) the 12 remaining r3-last-sampled
@@ -185,6 +186,7 @@ _ROTATED_OUT: tuple[str, ...] = (
     "text_zipf_audit",
     "table_k_anonymity",
     "agg_weighted_median",
+    "events_attribution_time_decay",
     # r9 window head: r3-last-sampled queries squeezed out of the r8 window
     "multimodal_meta",
     "multimodal_frame_stats",

@@ -1946,6 +1946,123 @@ ORDER BY event_id
 """
 
 
+def events_attribution_time_decay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-decay MULTI-touch attribution — the fractional-credit
+    counterpart of last-touch: every purchase credits ALL of the user's
+    non-purchase touches within a 1-day lookback, each weighted by
+    2^(−gap/half_life) with a 1-hour half-life, shares normalized per
+    purchase. Returns (purchase_id, touch_id, touch_type, gap_s, w_micro,
+    credit_share) ordered by (purchase_id, touch_id).
+
+    Determinism: the one transcendental per pair, pow(0.5, gap/3600), is
+    quantized ONCE to integer micro-units (round half-up — the
+    temperature_mix discipline), per-purchase totals are exact long sums,
+    and credit_share is a single division of exact integers — bitwise
+    engine-replayable. Same-timestamp touches are included (gap 0,
+    weight 1), symmetric in both engines.
+
+    Scale shape: the purchase×touch pairing is the bucketed time-range
+    join (operators.relational.range_join_time — equi-join on
+    (user, epoch-bucket), never a nested loop), pair volume is bounded by
+    the lookback horizon, and normalization is one partial-agg shuffle on
+    purchase_id."""
+    from sdc_mapreduce_spark.operators.relational import range_join_time
+
+    ev = load_table(spark, sf_dir, "events")
+    touches = ev.filter(F.col("event_type") != "purchase").select(
+        F.col("event_id").alias("touch_id"),
+        F.col("user_id"),
+        F.col("event_type").alias("touch_type"),
+        F.col("ts").alias("touch_ts"),
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("user_id").alias("user_id"),
+        F.col("ts").alias("p_ts"),
+    )
+    pairs = range_join_time(
+        touches,
+        purchases,
+        on="user_id",
+        left_time="touch_ts",
+        right_time="p_ts",
+        lower_seconds=0,
+        upper_seconds=86400,
+    )
+    gap = (F.col("p_ts") - F.col("touch_ts")).cast("long")
+    weighted = pairs.select(
+        "purchase_id",
+        "touch_id",
+        "touch_type",
+        gap.alias("gap_s"),
+        # FLOOR, not round: whole-hour gaps make pow(0.5, k) exactly
+        # dyadic and 1e6*2^-7 = 7812.5 is an exact half-tie — Spark
+        # (HALF_UP) and DuckDB (half-even) disagree on it (caught at
+        # sf0.01, gap 25200 s). floor has no tie; on exact values it is
+        # identical everywhere, and off-tie ULP noise moves it only
+        # within the quantization step the micro-grid already absorbs.
+        # double(3600), NOT the literal 3600.0: Spark parses that literal
+        # as DECIMAL(5,1), so gap/3600.0 would be decimal division with a
+        # truncated scale feeding pow a slightly-off exponent (~1e-7
+        # relative — 43 of 2878 quantized weights flipped vs libm)
+        F.expr(
+            "cast(floor(1e6 * pow(0.5, "
+            "cast(p_ts - touch_ts as long) / double(3600))) as bigint)"
+        ).alias("w_micro"),
+    )
+    # touches beyond ~20 half-lives quantize to 0 micro-units; drop them
+    # BEFORE normalization or a purchase whose touches are all horizon-old
+    # has W=0 and the share division blows up (ANSI) — zero-weight rows
+    # carry no credit by definition, so the semantics are unchanged
+    weighted = weighted.filter(F.col("w_micro") > 0)
+    totals = weighted.groupBy("purchase_id").agg(
+        F.sum("w_micro").alias("__W")
+    )
+    return (
+        weighted.join(totals, "purchase_id")
+        .select(
+            "purchase_id",
+            "touch_id",
+            "touch_type",
+            "gap_s",
+            "w_micro",
+            (
+                F.col("w_micro").cast("double") / F.col("__W").cast("double")
+            ).alias("credit_share"),
+        )
+        .orderBy("purchase_id", "touch_id")
+    )
+
+
+EVENTS_ATTRIBUTION_DECAY_SQL = """
+WITH touches AS (
+  SELECT event_id AS touch_id, user_id, event_type AS touch_type,
+         CAST(ts AS TIMESTAMP) AS touch_ts
+  FROM events WHERE event_type <> 'purchase'
+), purchases AS (
+  SELECT event_id AS purchase_id, user_id, CAST(ts AS TIMESTAMP) AS p_ts
+  FROM events WHERE event_type = 'purchase'
+), pairs AS (
+  SELECT p.purchase_id, t.touch_id, t.touch_type,
+         (epoch_us(p.p_ts) - epoch_us(t.touch_ts)) // 1000000 AS gap_s
+  FROM purchases p JOIN touches t ON t.user_id = p.user_id
+  WHERE t.touch_ts <= p.p_ts
+    AND p.p_ts <= t.touch_ts + INTERVAL '86400 seconds'
+), weighted AS (
+  SELECT purchase_id, touch_id, touch_type, gap_s,
+         CAST(floor(1e6 * pow(0.5, gap_s / 3600.0)) AS BIGINT) AS w_micro
+  FROM pairs
+), wnz AS (
+  SELECT * FROM weighted WHERE w_micro > 0
+), totals AS (
+  SELECT purchase_id, SUM(w_micro) AS W FROM wnz GROUP BY purchase_id
+)
+SELECT w.purchase_id, w.touch_id, w.touch_type, w.gap_s, w.w_micro,
+       CAST(w.w_micro AS DOUBLE) / CAST(t.W AS DOUBLE) AS credit_share
+FROM wnz w JOIN totals t USING (purchase_id)
+ORDER BY purchase_id, touch_id
+"""
+
 
 def events_streaming_cdc_certified(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The streaming CDC-upsert path, driver-certified end to end: the
@@ -2187,6 +2304,9 @@ QUERIES: dict[str, QuerySpec] = {
     ),
     "events_attribution_last_touch": QuerySpec(
         events_attribution_last_touch, EVENTS_ATTRIBUTION_SQL
+    ),
+    "events_attribution_time_decay": QuerySpec(
+        events_attribution_time_decay, EVENTS_ATTRIBUTION_DECAY_SQL
     ),
     "events_winsorize_clip": QuerySpec(events_winsorize_clip, EVENTS_WINSORIZE_SQL),
     "events_grouped_regression": QuerySpec(

@@ -914,3 +914,37 @@ def test_weighted_median_selection_semantics(spark):
     )
     r2 = weighted_median(df2, ["g"], "v", F.col("w"), ["id"]).collect()[0]
     assert r2["wmedian"] == 1.0
+
+
+def test_time_decay_attribution_shares(spark, tmp_path):
+    """Two touches at 0h and 1h before the purchase weight 1e6 and 5e5
+    micro-units (one half-life), shares 2/3 and 1/3; a touch outside the
+    1-day horizon and other users' touches contribute nothing; shares per
+    purchase sum to 1."""
+    import datetime as dt
+    import os
+
+    from sdc_mapreduce_spark.queries.events_queries import (
+        events_attribution_time_decay,
+    )
+
+    t0 = dt.datetime(2024, 6, 1, 12, 0, 0)
+    rows = [
+        (1, t0 - dt.timedelta(days=2), 10, "view", 0.0, "{}"),    # beyond horizon
+        (2, t0 - dt.timedelta(hours=1), 10, "click", 0.0, "{}"),  # half-life away
+        (3, t0, 10, "view", 0.0, "{}"),                            # gap 0
+        (4, t0, 10, "purchase", 9.9, "{}"),
+        (5, t0, 99, "view", 0.0, "{}"),                            # other user
+    ]
+    ev = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp_ntz, user_id long, event_type string,"
+        " value double, props string",
+    )
+    d = str(tmp_path / "decay")
+    ev.write.mode("overwrite").parquet(os.path.join(d, "events.parquet"))
+    got = {r["touch_id"]: r for r in events_attribution_time_decay(spark, d).collect()}
+    assert set(got) == {2, 3}
+    assert got[3]["w_micro"] == 10**6 and got[2]["w_micro"] == 500000
+    assert abs(got[3]["credit_share"] - 2 / 3) < 1e-12
+    assert abs(got[2]["credit_share"] - 1 / 3) < 1e-12
