@@ -988,6 +988,140 @@ def events_streaming_update_certified(
         shutil.rmtree(sink, ignore_errors=True)
 
 
+def events_streaming_restart_certified(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Checkpoint-restart recovery, driver-certified — the exactly-once +
+    watermark-persistence semantics no single-run certification can
+    reach: the stream runs TWICE against one checkpoint. Run 1 processes
+    events before Jan 21 (append mode, 10-minute watermark, 5-minute
+    tumbling counts into a parquet sink) and finalizes every window the
+    phase-1 watermark closes. Run 2 restarts from the checkpoint with the
+    remaining events PLUS a late echo of the first day's rows: the
+    recovered watermark (a checkpoint artifact, not session state) drops
+    the echo — inside one availableNow run late rows merge
+    (events_streaming_watermark_certified pins that), but across a
+    restart the watermark is active from batch start, so the drop is
+    real — and the still-open phase-1 windows, whose state survived in
+    the checkpoint, absorb the fresh tail and finalize under the new
+    watermark. The oracle replays the two-phase contract exactly:
+    windows closed by wm1 count phase-1 rows only; windows in
+    (wm1, wm2] count everything; the final open tail is withheld.
+    A broken state restore, a re-emitted finalized window, a lost or
+    double-processed file — each turns this row red."""
+    import os
+    import shutil
+    import tempfile
+
+    src = tempfile.mkdtemp(prefix="sdcms_stream_rst_src_")
+    ckpt = tempfile.mkdtemp(prefix="sdcms_stream_rst_ckpt_")
+    sink = tempfile.mkdtemp(prefix="sdcms_stream_rst_sink_")
+    cutoff = "2024-01-21 00:00:00"
+    echo_end = "2024-01-02 00:00:00"
+    try:
+        ev = load_table(spark, sf_dir, "events")
+        cols = [
+            F.date_format("ts", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("ts"),
+            "event_type",
+        ]
+
+        def run() -> None:
+            stream = (
+                spark.readStream.schema("ts timestamp, event_type string")
+                .format("json")
+                .option("timestampFormat", "yyyy-MM-dd HH:mm:ss.SSSSSS")
+                .load(src)
+            )
+            agg = (
+                stream.withWatermark("ts", "10 minutes")
+                .groupBy(F.window("ts", "5 minutes").alias("w"), "event_type")
+                .agg(F.count(F.lit(1)).alias("cnt"))
+                .select(
+                    F.col("w.start").cast("timestamp_ntz").alias("window_start"),
+                    "event_type",
+                    "cnt",
+                )
+            )
+            q = (
+                agg.writeStream.format("parquet")
+                .option("path", sink)
+                .option("checkpointLocation", ckpt)
+                .outputMode("append")
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination(300)
+
+        def land_phase(df_phase: DataFrame, name: str) -> None:
+            # the file stream source lists SRC itself, so phase files are
+            # written to a scratch dir and copied in flat with unique names
+            import glob as _glob
+
+            scratch = tempfile.mkdtemp(prefix="sdcms_stream_rst_tmp_")
+            try:
+                df_phase.coalesce(2).write.mode("overwrite").json(scratch)
+                for i, part in enumerate(
+                    sorted(_glob.glob(os.path.join(scratch, "part-*.json")))
+                ):
+                    shutil.copy(part, os.path.join(src, f"{name}_{i}.json"))
+            finally:
+                shutil.rmtree(scratch, ignore_errors=True)
+
+        phase1 = ev.filter(F.col("ts") < F.expr(f"timestamp_ntz'{cutoff}'"))
+        land_phase(phase1.select(*cols), "p1")
+        run()
+        # restart input: the fresh tail + a LATE ECHO of day-1 rows (all
+        # of whose windows the phase-1 watermark already finalized)
+        tail = ev.filter(F.col("ts") >= F.expr(f"timestamp_ntz'{cutoff}'"))
+        echo = ev.filter(F.col("ts") < F.expr(f"timestamp_ntz'{echo_end}'"))
+        land_phase(tail.select(*cols).unionByName(echo.select(*cols)), "p2")
+        run()
+        result = (
+            spark.read.parquet(sink)
+            .select("window_start", "event_type", "cnt")
+            .orderBy("window_start", "event_type")
+        )
+        rows = result.collect()
+        return spark.createDataFrame(rows, schema=result.schema)
+    finally:
+        shutil.rmtree(src, ignore_errors=True)
+        shutil.rmtree(ckpt, ignore_errors=True)
+        shutil.rmtree(sink, ignore_errors=True)
+
+
+EVENTS_STREAMING_RESTART_SQL = """
+WITH p1 AS (
+  SELECT CAST(ts AS TIMESTAMP) AS ts, event_type FROM events
+  WHERE CAST(ts AS TIMESTAMP) < TIMESTAMP '2024-01-21 00:00:00'
+), wm AS (
+  SELECT (SELECT MAX(ts) FROM p1) - INTERVAL '10 minutes' AS wm1,
+         (SELECT MAX(CAST(ts AS TIMESTAMP)) FROM events)
+           - INTERVAL '10 minutes' AS wm2
+), closed1 AS (
+  SELECT time_bucket(INTERVAL '5 minutes', ts) AS window_start,
+         event_type, CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM p1, wm
+  WHERE time_bucket(INTERVAL '5 minutes', ts) + INTERVAL '5 minutes'
+          <= wm.wm1
+  GROUP BY 1, 2
+), closed2 AS (
+  SELECT time_bucket(INTERVAL '5 minutes', CAST(ts AS TIMESTAMP))
+           AS window_start,
+         event_type, CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM events, wm
+  WHERE time_bucket(INTERVAL '5 minutes', CAST(ts AS TIMESTAMP))
+          + INTERVAL '5 minutes' > wm.wm1
+    AND time_bucket(INTERVAL '5 minutes', CAST(ts AS TIMESTAMP))
+          + INTERVAL '5 minutes' <= wm.wm2
+  GROUP BY 1, 2
+)
+SELECT * FROM closed1
+UNION ALL
+SELECT * FROM closed2
+ORDER BY window_start, event_type
+"""
+
+
 EVENTS_STREAMING_WATERMARK_SQL = """
 WITH m AS (SELECT MAX(CAST(ts AS TIMESTAMP)) AS mx FROM events)
 SELECT time_bucket(INTERVAL '5 minutes', CAST(ts AS TIMESTAMP)) AS window_start,
@@ -2377,5 +2511,8 @@ QUERIES: dict[str, QuerySpec] = {
     ),
     "events_streaming_update_certified": QuerySpec(
         events_streaming_update_certified, EVENTS_STREAMING_TUMBLING_SQL
+    ),
+    "events_streaming_restart_certified": QuerySpec(
+        events_streaming_restart_certified, EVENTS_STREAMING_RESTART_SQL
     ),
 }
