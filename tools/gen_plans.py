@@ -77,6 +77,13 @@ EXTRA_SHAPES = [
     "text_bm25_topk",
     "graph_triangle_stats",
     "text_term_cooccurrence",
+    "agg_weighted_median",
+    "sample_quota_allocation",
+    "table_k_anonymity",
+    "text_zipf_audit",
+    "events_attribution_time_decay",
+    "multimodal_neardup_banded",
+    "dedup_keep_best",
 ]
 
 HEADER = """# PLANS — formatted physical plans of the headline bench queries plus the
