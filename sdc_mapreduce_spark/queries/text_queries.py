@@ -709,14 +709,22 @@ def multimodal_neardup_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
     quantization misses plus the hot-band cap); the exact all-pairs form
     of the same verify is the dedup_embedding_cosine-shaped small-corpus
     path."""
-    from sdc_mapreduce_spark.functions.simsearch import dot
+    return _neardup_banded_pairs(
+        load_table(spark, sf_dir, "documents")
+    ).orderBy("id_a", "id_b")
+
+
+def _neardup_hist(docs: DataFrame) -> DataFrame:
+    """Persisted byte-histogram features with totals for a docs table —
+    shared by the banded pipeline and the exact-truth side of the recall
+    audit."""
     from sdc_mapreduce_spark.multimodal import (
         byte_bin_histogram,
         synthesize_framed_media,
     )
 
-    media = synthesize_framed_media(load_table(spark, sf_dir, "documents"))
-    hist = (
+    media = synthesize_framed_media(docs)
+    return (
         byte_bin_histogram(media)
         .withColumn(
             "__tot",
@@ -729,6 +737,15 @@ def multimodal_neardup_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
         # kernel would otherwise re-decode every payload per consumer
         .persist()
     )
+
+
+def _neardup_banded_pairs(docs: DataFrame) -> DataFrame:
+    """The banded near-dup pipeline body (see multimodal_neardup_banded's
+    docstring) as a reusable function of the docs table, so the recall
+    audit can run the identical pipeline on its sample."""
+    from sdc_mapreduce_spark.functions.simsearch import dot
+
+    hist = _neardup_hist(docs)
     banded = (
         hist.select(
             "media_id",
@@ -779,8 +796,118 @@ def multimodal_neardup_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("id_a", "id_b", cosine.alias("__cos"))
         .filter(F.col("__cos") >= 0.99999)
         .select("id_a", "id_b", F.col("__cos").alias("score"))
-        .orderBy("id_a", "id_b")
     )
+
+
+def multimodal_neardup_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Measured recall of the banded multimodal near-dup screen — the
+    docstring claim ("banding trades recall for the bounded candidate
+    set") as a certified number: on a deterministic 20% sample
+    (doc_id % 5 == 0, keeping the exact-truth side bounded), run the
+    IDENTICAL banded pipeline and an exact all-pairs cosine >= 0.99999
+    truth pass, and emit (n_true, n_detected, recall_milli =
+    floor(1000·detected/true)). The verify step only filters candidates,
+    so detected ⊆ true and the ratio IS candidate-generation recall.
+    This is the same audit discipline as simsearch_ann_recall — every
+    approximate screen in the repo carries a measured-recall twin."""
+    from sdc_mapreduce_spark.functions.simsearch import dot
+
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("doc_id") % 5 == 0
+    )
+    detected = _neardup_banded_pairs(docs).agg(
+        F.count(F.lit(1)).alias("n_detected")
+    )
+    hist = _neardup_hist(docs)
+    v = F.col("feature").cast("array<double>")
+    side = hist.select("media_id", v.alias("__v"), dot(v, v).alias("__n"))
+    a = side.select(
+        F.col("media_id").alias("id_a"),
+        F.col("__v").alias("__va"),
+        F.col("__n").alias("__na"),
+    )
+    b = side.select(
+        F.col("media_id").alias("id_b"),
+        F.col("__v").alias("__vb"),
+        F.col("__n").alias("__nb"),
+    )
+    cosine = dot(F.col("__va"), F.col("__vb")) / (
+        F.sqrt(F.col("__na")) * F.sqrt(F.col("__nb"))
+    )
+    truth = (
+        a.join(F.broadcast(b), F.col("id_a") < F.col("id_b"))
+        .filter(cosine >= 0.99999)
+        .agg(F.count(F.lit(1)).alias("n_true"))
+    )
+    return truth.crossJoin(F.broadcast(detected)).select(
+        "n_true",
+        "n_detected",
+        F.expr(
+            "CASE WHEN n_true > 0 THEN (1000 * n_detected) div n_true "
+            "ELSE 1000 END"
+        ).alias("recall_milli"),
+    )
+
+
+def _neardup_recall_sql() -> str:
+    return """
+WITH b AS (
+  SELECT doc_id, hex(encode(text)) AS h,
+         octet_length(encode(text)) AS n
+  FROM documents WHERE doc_id % 5 = 0
+), e AS (
+  SELECT doc_id,
+    UNNEST([strpos('0123456789ABCDEF', h[2*i-1:2*i-1]) - 1
+            FOR i IN range(1, CAST(n AS INT) + 1)]) AS bin
+  FROM b
+), bins AS (
+  SELECT doc_id, bin, COUNT(*) AS cnt FROM e GROUP BY doc_id, bin
+), tot AS (
+  SELECT doc_id, SUM(cnt) AS t FROM bins GROUP BY doc_id
+), dense AS (
+  SELECT t.doc_id, r.i AS bin, COALESCE(bn.cnt, 0) AS cnt, t.t
+  FROM tot t CROSS JOIN range(16) r(i)
+  LEFT JOIN bins bn ON bn.doc_id = t.doc_id AND bn.bin = r.i
+), keys AS (
+  SELECT doc_id, bin // 4 AS band,
+         string_agg(CAST((cnt * 64) // t AS VARCHAR), ',' ORDER BY bin)
+           AS bkey
+  FROM dense GROUP BY doc_id, bin // 4
+), live AS (
+  SELECT * FROM keys WHERE bkey <> '0,0,0,0'
+), ok AS (
+  SELECT band, bkey FROM live GROUP BY band, bkey HAVING COUNT(*) <= 64
+), kept AS (
+  SELECT l.* FROM live l JOIN ok USING (band, bkey)
+), cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, c.doc_id AS id_b
+  FROM kept a JOIN kept c ON a.band = c.band AND a.bkey = c.bkey
+                         AND a.doc_id < c.doc_id
+), norms AS (
+  SELECT doc_id, CAST(SUM(cnt * cnt) AS DOUBLE) AS nn FROM bins GROUP BY doc_id
+), alldp AS (
+  SELECT x.doc_id AS id_a, y.doc_id AS id_b,
+         CAST(SUM(x.cnt * y.cnt) AS DOUBLE) AS dp
+  FROM bins x JOIN bins y ON y.bin = x.bin AND x.doc_id < y.doc_id
+  GROUP BY 1, 2
+), truth AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_true
+  FROM alldp d JOIN norms na ON na.doc_id = d.id_a
+               JOIN norms nb ON nb.doc_id = d.id_b
+  WHERE d.dp / (sqrt(na.nn) * sqrt(nb.nn)) >= 0.99999
+), det AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_detected
+  FROM cand c JOIN alldp d ON d.id_a = c.id_a AND d.id_b = c.id_b
+  JOIN norms na ON na.doc_id = c.id_a
+  JOIN norms nb ON nb.doc_id = c.id_b
+  WHERE d.dp / (sqrt(na.nn) * sqrt(nb.nn)) >= 0.99999
+)
+SELECT truth.n_true, det.n_detected,
+       CAST(CASE WHEN truth.n_true > 0
+            THEN (1000 * det.n_detected) // truth.n_true
+            ELSE 1000 END AS BIGINT) AS recall_milli
+FROM truth, det
+"""
 
 
 MULTIMODAL_NEARDUP_SQL = """
@@ -1857,6 +1984,9 @@ QUERIES: dict[str, QuerySpec] = {
     ),
     "multimodal_neardup_banded": QuerySpec(
         multimodal_neardup_banded, MULTIMODAL_NEARDUP_SQL
+    ),
+    "multimodal_neardup_recall": QuerySpec(
+        multimodal_neardup_recall, _neardup_recall_sql()
     ),
     "multimodal_embed_search": QuerySpec(
         multimodal_embed_search, MULTIMODAL_EMBED_SEARCH_SQL
