@@ -2016,6 +2016,88 @@ FROM sl ORDER BY event_type
 
 
 
+def events_autocorrelation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lag-1 serial correlation of event values per type — the temporal-
+    drift / non-stationarity audit (IID metrics assume r1 ~ 0; a feed
+    whose consecutive values correlate is batched, stuck, or ramping):
+    Pearson r between each value and its successor in the deterministic
+    (ts, event_id) order. Exactly the grouped-regression determinism
+    discipline: values centi-quantized per row, the lag pairing is one
+    (type)-keyed window, the five moment sums accumulate in decimal, and
+    both engines run the identical IEEE double expression over those
+    exact sums. Returns (event_type, n_pairs, r1). One window + one
+    aggregate sharing the (event_type) exchange; per-type data volume is
+    the sessionize-cliff caveat, with the same chunked escape hatch."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy("ts", "event_id")
+    base = (
+        ev.select(
+            "event_type",
+            "ts",
+            "event_id",
+            F.expr("cast(round(value * 100) as bigint)").alias("xc"),
+        )
+        .withColumn("yc", F.lead("xc").over(w))
+        .filter(F.col("yc").isNotNull())
+    )
+    s = base.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.expr("cast(sum(cast(xc as decimal(28,0))) as double)").alias("sx"),
+        F.expr(
+            "cast(sum(cast(xc as decimal(19,0)) * cast(xc as decimal(19,0)))"
+            " as double)"
+        ).alias("sxx"),
+        F.expr("cast(sum(cast(yc as decimal(28,0))) as double)").alias("sy"),
+        F.expr(
+            "cast(sum(cast(xc as decimal(19,0)) * cast(yc as decimal(19,0)))"
+            " as double)"
+        ).alias("sxy"),
+        F.expr(
+            "cast(sum(cast(yc as decimal(19,0)) * cast(yc as decimal(19,0)))"
+            " as double)"
+        ).alias("syy"),
+    )
+    nn = F.col("n_pairs").cast("double")
+    den = F.sqrt(
+        (nn * F.col("sxx") - F.col("sx") * F.col("sx"))
+        * (nn * F.col("syy") - F.col("sy") * F.col("sy"))
+    )
+    return s.select(
+        "event_type",
+        "n_pairs",
+        ((nn * F.col("sxy") - F.col("sx") * F.col("sy")) / den).alias("r1"),
+    ).orderBy("event_type")
+
+
+EVENTS_AUTOCORRELATION_SQL = """
+WITH base AS (
+  SELECT event_type,
+         CAST(round(value * 100) AS BIGINT) AS xc,
+         LEAD(CAST(round(value * 100) AS BIGINT))
+           OVER (PARTITION BY event_type ORDER BY ts, event_id) AS yc
+  FROM events
+), p AS (
+  SELECT event_type, xc, yc FROM base WHERE yc IS NOT NULL
+), s AS (
+  SELECT event_type, COUNT(*) AS n_pairs,
+         CAST(SUM(CAST(xc AS DECIMAL(28,0))) AS DOUBLE) AS sx,
+         CAST(SUM(CAST(xc AS DECIMAL(19,0)) * CAST(xc AS DECIMAL(19,0)))
+           AS DOUBLE) AS sxx,
+         CAST(SUM(CAST(yc AS DECIMAL(28,0))) AS DOUBLE) AS sy,
+         CAST(SUM(CAST(xc AS DECIMAL(19,0)) * CAST(yc AS DECIMAL(19,0)))
+           AS DOUBLE) AS sxy,
+         CAST(SUM(CAST(yc AS DECIMAL(19,0)) * CAST(yc AS DECIMAL(19,0)))
+           AS DOUBLE) AS syy
+  FROM p GROUP BY event_type
+)
+SELECT event_type, n_pairs,
+       (CAST(n_pairs AS DOUBLE) * sxy - sx * sy)
+         / sqrt((CAST(n_pairs AS DOUBLE) * sxx - sx * sx)
+                * (CAST(n_pairs AS DOUBLE) * syy - sy * sy)) AS r1
+FROM s ORDER BY event_type
+"""
+
+
 def events_attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Last-touch attribution — the marketing-analytics enrichment: each
     purchase is credited to the user's most recent PRECEDING non-purchase
@@ -2441,6 +2523,9 @@ QUERIES: dict[str, QuerySpec] = {
     ),
     "events_attribution_time_decay": QuerySpec(
         events_attribution_time_decay, EVENTS_ATTRIBUTION_DECAY_SQL
+    ),
+    "events_autocorrelation": QuerySpec(
+        events_autocorrelation, EVENTS_AUTOCORRELATION_SQL
     ),
     "events_winsorize_clip": QuerySpec(events_winsorize_clip, EVENTS_WINSORIZE_SQL),
     "events_grouped_regression": QuerySpec(

@@ -948,3 +948,33 @@ def test_time_decay_attribution_shares(spark, tmp_path):
     assert got[3]["w_micro"] == 10**6 and got[2]["w_micro"] == 500000
     assert abs(got[3]["credit_share"] - 2 / 3) < 1e-12
     assert abs(got[2]["credit_share"] - 1 / 3) < 1e-12
+
+
+def test_autocorrelation_detects_trend_vs_alternation(spark, tmp_path):
+    """A monotone ramp must give r1 ~ +1, a perfect alternation r1 ~ -1 —
+    the two extremes of the lag-1 audit."""
+    import datetime as dt
+    import os
+
+    from sdc_mapreduce_spark.queries.events_queries import (
+        events_autocorrelation,
+    )
+
+    t0 = dt.datetime(2024, 6, 1)
+    rows = []
+    for i in range(40):
+        rows.append((i, t0 + dt.timedelta(minutes=i), 1, "ramp", float(i), "{}"))
+        rows.append(
+            (100 + i, t0 + dt.timedelta(minutes=i), 1, "alt",
+             float(i % 2), "{}")
+        )
+    ev = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp_ntz, user_id long, event_type string,"
+        " value double, props string",
+    )
+    d = str(tmp_path / "ac")
+    ev.write.mode("overwrite").parquet(os.path.join(d, "events.parquet"))
+    got = {r["event_type"]: r["r1"] for r in events_autocorrelation(spark, d).collect()}
+    assert got["ramp"] > 0.99
+    assert got["alt"] < -0.99
