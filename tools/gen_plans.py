@@ -84,6 +84,8 @@ EXTRA_SHAPES = [
     "events_attribution_time_decay",
     "multimodal_neardup_banded",
     "dedup_keep_best",
+    "events_autocorrelation",
+    "multimodal_neardup_recall",
 ]
 
 HEADER = """# PLANS — formatted physical plans of the headline bench queries plus the
