@@ -98,8 +98,8 @@ for _name in _MODULE_ORDER:
 #     multimodal_neardup_banded, dedup_keep_best, sample_quota_allocation,
 #     text_zipf_audit, table_k_anonymity, agg_weighted_median,
 #     events_attribution_time_decay, events_streaming_restart_certified,
-#     multimodal_neardup_recall, events_autocorrelation —
-#     builder-oracle-green, never driver-sampled);
+#     multimodal_neardup_recall, events_autocorrelation,
+#     dedup_cluster_sizes — builder-oracle-green, never driver-sampled);
 #     (1) the 7 r3-last-sampled
 #     queries squeezed out of the r8 window (dedup_exact ..
 #     simsearch_ann_recall); (2) the 12 remaining r3-last-sampled
@@ -191,6 +191,7 @@ _ROTATED_OUT: tuple[str, ...] = (
     "events_streaming_restart_certified",
     "multimodal_neardup_recall",
     "events_autocorrelation",
+    "dedup_cluster_sizes",
     # r9 window head: r3-last-sampled queries squeezed out of the r8 window
     "multimodal_meta",
     "multimodal_frame_stats",

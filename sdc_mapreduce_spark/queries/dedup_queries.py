@@ -271,6 +271,52 @@ SELECT s AS doc_id, MIN(t) AS rep_id FROM reach GROUP BY s ORDER BY doc_id
 """
 
 
+def dedup_cluster_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup cluster-size histogram — the duplication-rate report a
+    curation run is judged by (what fraction of the corpus is singletons
+    vs pairs vs mega-clusters; the dedup savings is Σ(size−1)·n_clusters):
+    one row per distinct cluster size with (cluster_size, n_clusters,
+    n_docs). Built on the same LSH→connected-components machinery as
+    dedup_clusters; two O(clusters) aggregates on top — cost is the
+    clustering, the report is free."""
+    clusters = D.near_dup_clusters(
+        load_table(spark, sf_dir, "documents"),
+        num_hashes=128,
+        bands=32,
+        n=3,
+        threshold=0.8,
+    )
+    sizes = clusters.groupBy("rep_id").agg(
+        F.count(F.lit(1)).alias("cluster_size")
+    )
+    return (
+        sizes.groupBy("cluster_size")
+        .agg(F.count(F.lit(1)).alias("n_clusters"))
+        .select(
+            "cluster_size",
+            "n_clusters",
+            (F.col("cluster_size") * F.col("n_clusters")).alias("n_docs"),
+        )
+        .orderBy("cluster_size")
+    )
+
+
+DEDUP_CLUSTER_SIZES_SQL = (
+    DEDUP_CLUSTERS_SQL.replace(
+        "SELECT s AS doc_id, MIN(t) AS rep_id FROM reach GROUP BY s ORDER BY doc_id",
+        """SELECT cluster_size, CAST(COUNT(*) AS BIGINT) AS n_clusters,
+       CAST(cluster_size * COUNT(*) AS BIGINT) AS n_docs
+FROM (
+  SELECT rep_id, CAST(COUNT(*) AS BIGINT) AS cluster_size
+  FROM (SELECT s AS doc_id, MIN(t) AS rep_id FROM reach GROUP BY s)
+  GROUP BY rep_id
+)
+GROUP BY cluster_size
+ORDER BY cluster_size""",
+    )
+)
+
+
 def dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quality-aware near-dup resolution — the curation decision the
     cluster labels exist FOR: within every near-dup cluster (LSH pairs →
@@ -1241,6 +1287,7 @@ QUERIES: dict[str, QuerySpec] = {
     "dedup_simhash": QuerySpec(dedup_simhash, DEDUP_SIMHASH_SQL),
     "dedup_clusters": QuerySpec(dedup_clusters, DEDUP_CLUSTERS_SQL),
     "dedup_keep_best": QuerySpec(dedup_keep_best, _dedup_keep_best_sql()),
+    "dedup_cluster_sizes": QuerySpec(dedup_cluster_sizes, DEDUP_CLUSTER_SIZES_SQL),
     "dedup_embedding_cosine": QuerySpec(dedup_embedding_cosine, DEDUP_EMBEDDING_SQL),
     "dedup_embedding_ann": QuerySpec(
         dedup_embedding_ann, _dedup_embedding_ann_sql(), bench=True
