@@ -37,16 +37,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def oracle_sql() -> dict[str, str]:
-    """DuckDB-runnable ANSI-SQL twin for every SQL-expressible query.
-
-    Omitted (rows-only check) for exactly ONE query: simsearch_ann_ivf,
-    whose FITTED KMeans coarse quantizer no external engine can replay —
-    the IVF family is oracle-checked through simsearch_ann_ivf_recall and
-    simsearch_ann_ivf_index_recall (deterministic seeded quantizer), and
-    the fitted path is unit-tested against exact references
-    (tests/test_simsearch.py). Every other approximate query carries a
-    full-result or bounds oracle: simsearch_ann_srp and the SRP-blocked
-    dedup family replay their plan-literal hyperplanes end-to-end, and
-    agg_approx_sketches asserts each sketch inside its published error.
+    """DuckDB-runnable ANSI-SQL twin for EVERY registered query (226/226
+    since round 8, when simsearch_ann_ivf switched to the deterministic
+    seeded-centroid quantizer and gained a full oracle). Approximate
+    queries carry full-result or bounds oracles: simsearch_ann_srp and the
+    SRP-blocked dedup family replay their plan-literal hyperplanes
+    end-to-end, and agg_approx_sketches asserts each sketch inside its
+    published error.
     """
     return qreg.oracle_sql()
