@@ -25,12 +25,35 @@ from sdc_mapreduce_spark.session import get_spark
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 REPEATS = int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "3"))
+# Variance guard (VERDICT r8 ask #3): when a query's raw spread exceeds
+# SPREAD_MAX after REPEATS samples, keep sampling (up to MAX_REPEATS) so a
+# single contended run can't dominate a 3-sample median. Combined with the
+# per-query clearCache below (which removes the accumulated executor-storage
+# pressure that produced the r8 outliers: 24.1 s first skew run, 2.0 s
+# pipeline_curation tail), headline raw spreads stay < 2x.
+MAX_REPEATS = int(os.environ.get("SPARK_GRAFT_BENCH_MAX_REPEATS", "7"))
+SPREAD_MAX = 2.0
 
 
 def _median(xs: list[float]) -> float:
     s = sorted(xs)
     n = len(s)
     return s[n // 2] if n % 2 else (s[n // 2 - 1] + s[n // 2]) / 2
+
+
+def _timed_runs(run_once) -> list[float]:
+    """REPEATS timed samples, extended adaptively while max/min > SPREAD_MAX
+    (an outlier this large is contention, not the plan — extra samples pull
+    the median back to steady-state and the raw list stays inspectable)."""
+    samples: list[float] = []
+    while len(samples) < REPEATS or (
+        len(samples) < MAX_REPEATS
+        and max(samples) / max(min(samples), 1e-9) > SPREAD_MAX
+    ):
+        t0 = time.time()
+        run_once()
+        samples.append(round(time.time() - t0, 3))
+    return samples
 
 
 def _make_skewed_events(spark, hot_users: str = "1pct") -> str:
@@ -94,11 +117,14 @@ def _make_skewed_events(spark, hot_users: str = "1pct") -> str:
 
 
 def _skew_suite(spark, path: str, fixture_desc: str) -> dict:
-    """Plain-vs-skew-resistant wall-clock on the hot-key fixture: the
-    chunked sessionize must hold close to (and on the hot-user fixture
-    beat) the plain plan, and at real scale the plain plan is the one that
-    cliffs. Reported separately from the headline set (not in `value`) so
-    round-over-round totals stay comparable."""
+    """Plain-vs-skew-resistant wall-clock on the hot-key fixture. Scoped
+    claim (re-measured r9, see operators/skew.py): chunked WINS the
+    single-hot-user fixture ~1.5x (plain serializes 60% of the corpus into
+    one window task); on the moderate 1%-skew fixture plain wins by a fixed
+    ~0.3-0.4 s of extra stage overhead — the chunked plan's second pipeline
+    is a constant, amortized away at real scale. Both fixtures are reported
+    so the crossover stays visible round-over-round. Reported separately
+    from the headline set (not in `value`) so totals stay comparable."""
     from sdc_mapreduce_spark.operators.skew import sessionize_chunked, sessionize_plain
 
     ev = spark.read.parquet(path)
@@ -110,14 +136,12 @@ def _skew_suite(spark, path: str, fixture_desc: str) -> dict:
     for name, build in cases.items():
         # untimed warm-up: the first execution of each plan pays whole-stage
         # codegen compile (observed 2-4x outliers), which would land one
-        # cold sample in every median-of-3
+        # cold sample in every median-of-3; it also faults the fixture's
+        # parquet into page cache so run 1 isn't a cold-scan outlier
         build().write.format("noop").mode("overwrite").save()
-        samples = []
-        for _ in range(REPEATS):
-            t0 = time.time()
-            build().write.format("noop").mode("overwrite").save()
-            samples.append(round(time.time() - t0, 3))
-        runs[name] = samples
+        runs[name] = _timed_runs(
+            lambda: build().write.format("noop").mode("overwrite").save()
+        )
     return {
         "fixture": fixture_desc,
         "queries": {name: round(_median(s), 3) for name, s in runs.items()},
@@ -147,13 +171,14 @@ def main() -> None:
         # 2-4x outliers that previously landed one cold sample in every
         # median-of-3 and showed up as round-over-round "drift"
         fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
-        samples = []
-        for _ in range(REPEATS):
-            t0 = time.time()
-            df = fn(spark, SF_DIR)
-            df.write.format("noop").mode("overwrite").save()
-            samples.append(round(time.time() - t0, 3))
-        runs[name] = samples
+        runs[name] = _timed_runs(
+            lambda: fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
+        )
+        # per-query cache hygiene: queries that persist() shared frames
+        # (vocab, histograms) would otherwise stack cached copies across
+        # the whole 20-query session — by the skew suite at the end, that
+        # storage pressure produced the r8 24.1 s outlier
+        spark.catalog.clearCache()
 
     timings = {name: round(_median(s), 3) for name, s in runs.items()}
     total = round(sum(timings.values()), 3)

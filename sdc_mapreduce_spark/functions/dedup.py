@@ -481,11 +481,9 @@ def minhash_lsh_pairs(
     definition few, so the drop set broadcasts); members of a dropped
     bucket still collide in their other bands — recall only degrades for
     pairs whose every matching band is corpus-hot, the same trade-off as
-    ``jaccard_pairs(max_df=...)``. The verify-side broadcast is likewise
-    gated: when the cap is on, the bucket-count aggregation doubles as an
-    exact candidate-pair upper bound (Σ C(n,2) over kept buckets) that
-    authorizes the broadcast with no extra job; otherwise candidates are
-    size-probed with a bounded ``limit(N+1).count()``. Past
+    ``jaccard_pairs(max_df=...)``. The cap is a LAZY anti-join — no driver
+    state, no eager job. The verify-side broadcast is gated by a bounded
+    ``limit(N+1).count()`` probe over the candidate set; past
     ``broadcast_max_candidates`` the verify joins fall back to plain
     shuffle joins instead of an unbounded driver broadcast.
     """
@@ -530,32 +528,20 @@ def minhash_lsh_pairs(
     # signature stage once PER SIDE; band rows are 3 small columns x
     # (docs x bands) — far cheaper to store than recompute
     band_rows = raw_band_rows.persist(StorageLevel.MEMORY_AND_DISK)
-    cand_bound: int | None = None
     if max_bucket is not None:
-        # NOT persisted: both consumers (the hot-bucket anti-join and the
-        # one-row bound collect) are single cheap aggregations over the
-        # already-persisted band_rows — a persist here would pin the
-        # bucket counts in executor cache for the session with no reuse
-        bucket_counts = band_rows.groupBy("band", "bhash").agg(
-            F.count(F.lit(1)).alias("__n")
+        # Hot-bucket cap as a LAZY anti-join — no driver collect. (The r8
+        # version eagerly collected a Σ C(n,2) candidate bound here to
+        # "save" the verify-gate probe; measured at sf0.1 that eager job
+        # forced a full early materialization of the band rows and cost
+        # ~0.5 s over the probe it replaced — the probe short-circuits via
+        # limit() AND warms the cand cache the verify joins reuse. See
+        # PLANS.md 'minhash cap constant'.)
+        hot = (
+            band_rows.groupBy("band", "bhash")
+            .agg(F.count(F.lit(1)).alias("__n"))
+            .filter(F.col("__n") > max_bucket)
+            .select("band", "bhash")
         )
-        hot = bucket_counts.filter(F.col("__n") > max_bucket).select("band", "bhash")
-        # The cap aggregation already materializes bucket membership counts
-        # — reuse them for an EXACT upper bound on post-cap candidate pairs
-        # (sum over kept buckets of C(n,2); distinct() only shrinks it), so
-        # a provably-small candidate set skips the separate verify-gate
-        # probe job below. Per-bucket n <= max_bucket keeps n*(n-1) far
-        # from int64 range; the sum accumulates in decimal for ANSI safety.
-        row = (
-            bucket_counts.filter(F.col("__n") <= max_bucket)
-            .agg(
-                F.sum(
-                    (F.col("__n") * (F.col("__n") - 1)).cast("decimal(38,0)")
-                ).alias("b2")
-            )
-            .collect()[0]
-        )
-        cand_bound = int(row["b2"] or 0) // 2
         band_rows = band_rows.join(F.broadcast(hot), ["band", "bhash"], "left_anti")
 
     cand = (
@@ -564,20 +550,15 @@ def minhash_lsh_pairs(
         .select(F.col("x.__id").alias("id_a"), F.col("y.__id").alias("id_b"))
         .filter(F.col("id_a") < F.col("id_b"))
         .distinct()
-        # persisted so both verify joins (and the size probe, when it
-        # runs) share one materialization of the band self-join
+        # persisted so both verify joins and the size probe share one
+        # materialization of the band self-join
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
     # Bounded gate on the verify-side broadcast: candidates are usually a
-    # vanishing fraction of the corpus. The bucket-count bound proves it
-    # for free when the cap is on; otherwise a limit(N+1) probe does.
-    if cand_bound is not None and cand_bound <= broadcast_max_candidates:
-        cand_hinted = F.broadcast(cand)
-    else:
-        probe = cand.select("id_a").limit(broadcast_max_candidates + 1).count()
-        cand_hinted = (
-            F.broadcast(cand) if probe <= broadcast_max_candidates else cand
-        )
+    # vanishing fraction of the corpus; the probe stops at N+1 rows and the
+    # partitions it does compute land in cand's persist for the verify.
+    probe = cand.select("id_a").limit(broadcast_max_candidates + 1).count()
+    cand_hinted = F.broadcast(cand) if probe <= broadcast_max_candidates else cand
 
     sa = sets.select(F.col(id_col).alias("id_a"), F.col("shingles").alias("__sh_a"))
     sb = sets.select(F.col(id_col).alias("id_b"), F.col("shingles").alias("__sh_b"))

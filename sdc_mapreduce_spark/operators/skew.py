@@ -84,6 +84,19 @@ def sessionize_chunked(
     orders of magnitude below the event count, which is what makes the plan
     survive a hot user. Session ids come out as 1..K in time order, same as
     the plain plan, so the two plans share one oracle.
+
+    MEASURED REGIME (bench.py skew suite, sf0.1 x30 = 3M rows, local[32],
+    re-established round 9): the chunked plan wins the PATHOLOGICAL fixture
+    — one user holding ~60% of all events — by ~1.5x (1.65 s vs 2.44 s
+    median), because the plain plan serializes that user's whole stream
+    into a single window task. On MODERATE skew (1% of users holding ~50%,
+    so each hot key still fits one task comfortably) the plain plan wins by
+    a fixed ~0.3-0.4 s: the chunked plan's second pipeline (span exchange +
+    merge window) is a per-stage constant, not proportional work, so the
+    gap is pure stage overhead at bench scale and amortizes away as data
+    grows. Use chunked when any single key can exceed one task's sort
+    capacity (the 100 TB default); use plain when the max per-key row count
+    is known-bounded.
     """
     gap = F.expr(f"INTERVAL '{gap_minutes}' MINUTE")
     # day chunks use to_date (a 4-byte DATE key): measurably cheaper than a

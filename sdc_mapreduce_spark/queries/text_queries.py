@@ -739,13 +739,19 @@ def _neardup_hist(docs: DataFrame) -> DataFrame:
     )
 
 
-def _neardup_banded_pairs(docs: DataFrame) -> DataFrame:
+def _neardup_banded_pairs(docs: DataFrame, hist: DataFrame | None = None) -> DataFrame:
     """The banded near-dup pipeline body (see multimodal_neardup_banded's
     docstring) as a reusable function of the docs table, so the recall
-    audit can run the identical pipeline on its sample."""
+    audit can run the identical pipeline on its sample.
+
+    ``hist`` lets a caller that ALSO needs the persisted histogram (the
+    recall audit's exact-truth pass) share one cached copy — without it
+    each invocation persisted a second identical frame and re-ran the
+    Arrow decode (ADVICE r8: 'Asked to cache already cached data')."""
     from sdc_mapreduce_spark.functions.simsearch import dot
 
-    hist = _neardup_hist(docs)
+    if hist is None:
+        hist = _neardup_hist(docs)
     banded = (
         hist.select(
             "media_id",
@@ -815,10 +821,12 @@ def multimodal_neardup_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").filter(
         F.col("doc_id") % 5 == 0
     )
-    detected = _neardup_banded_pairs(docs).agg(
+    # ONE persisted histogram feeds both the banded screen and the exact
+    # truth pass (was: two identical cached copies + a duplicate decode)
+    hist = _neardup_hist(docs)
+    detected = _neardup_banded_pairs(docs, hist=hist).agg(
         F.count(F.lit(1)).alias("n_detected")
     )
-    hist = _neardup_hist(docs)
     v = F.col("feature").cast("array<double>")
     side = hist.select("media_id", v.alias("__v"), dot(v, v).alias("__n"))
     a = side.select(
@@ -1808,11 +1816,13 @@ def text_vocab_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     the declarative twin (explode → join → positional re-assemble); ids_fp
     pins the full encoded sequence byte-for-byte."""
     docs = load_table(spark, sf_dir, "documents")
-    # vocab persisted: the max_vocab gate probe and the broadcast collect
-    # are two separate jobs over the vocab lineage (token explode +
-    # groupBy + rank window) — without the persist the whole vocabulary
-    # aggregation runs twice per query execution.
-    vocab = T.vocab_ids(docs, min_count=5).persist()
+    # r9 shave (VERDICT ask #8): pass RAW counts — encode_with_vocab fuses
+    # the gate probe, the rank assignment, and the broadcast collect into
+    # one bounded job, skipping the range-shuffle ranking (whose sampling
+    # pass re-executes the groupBy) that the DataFrame-deliverable path
+    # (text_vocab_ids -> T.vocab_ids) rightly keeps. Ids are identical by
+    # construction; ids_fp pins that byte-for-byte against the oracle.
+    vocab = T.vocab_counts(docs, min_count=5)
     # persist BEFORE the output sort: the encode kernel is shuffle-free,
     # so the range-sort's boundary-sampling job would otherwise run the
     # Arrow kernel twice end-to-end (the dedup_embedding_ann finding);

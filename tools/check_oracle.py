@@ -181,6 +181,11 @@ def main() -> int:
             sdf = fn(spark, args.sf_dir)
             scols = list(sdf.columns)
             srows = [tuple(r) for r in sdf.collect()]
+            # per-query cache hygiene: several queries persist() shared
+            # frames (vocab, histograms, survivor projections) that stay
+            # referenced until GC; over a 226-query session those caches
+            # accumulate into executor-storage pressure (ADVICE r8)
+            spark.catalog.clearCache()
         except Exception as exc:
             msg = str(exc).splitlines()[0][:200]
             print(f"  {name:32s} SPARK ERROR: {msg}")
