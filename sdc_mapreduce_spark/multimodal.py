@@ -15,14 +15,17 @@ statistics, nearest-neighbor resample — is real executable code, and only
 the codec *format* is synthetic. Swapping in Pillow/ffmpeg changes the
 parse/resample bodies, nothing about the Spark plumbing.
 
-Legacy ``decode_media``/``extract_features`` digest-stub kernels are kept
-for the feature-extraction surface (a real encoder model is genuinely
-outside the container).
+The feature-extraction surface is real end-to-end since round 9:
+``extract_features`` is a deterministic fixed-seed random-projection
+encoder over the payload's byte histogram (signed-integer projection
+matrix, exact integer arithmetic, oracle-replayable), and ``decode_media``
+parses real SDCM headers with a raw-buffer layout inference fallback for
+unframed payloads. Swapping in a learned ONNX/torch encoder changes only
+the kernel body, not the Arrow-batched plumbing or output contract.
 """
 
 from __future__ import annotations
 
-import hashlib
 import math
 import struct
 from collections.abc import Iterator
@@ -218,33 +221,43 @@ def synthesize_media(df: DataFrame, text_col: str = "text", id_col: str = "doc_i
     )
 
 
-def _stub_dims(payload: bytes) -> tuple[int, int, int]:
-    # STUB decode: derive stable pseudo-dimensions from a digest of the
-    # payload. A real kernel would call PIL.Image.open / soundfile / ffmpeg
-    # here; the container ships no codecs (see module docstring).
-    digest = hashlib.blake2b(payload, digest_size=8).digest()
-    width = 16 + digest[0] % 240
-    height = 16 + digest[1] % 240
-    channels = 1 + digest[2] % 3
-    return width, height, channels
-
-
 def decode_media(df: DataFrame) -> DataFrame:
-    """Batched 'decode': binary payload → dimension metadata via
-    ``mapInPandas``. The iterator-of-batches shape means constant memory per
-    task regardless of partition size — the pattern that survives 100 TB."""
+    """Batched decode: binary payload → dimension metadata via
+    ``mapInPandas``. Framed payloads (SDCM magic) parse their REAL header;
+    unframed payloads get the standard raw-buffer layout inference (width =
+    ceil(sqrt(n)), height = ceil(n / width), 1 channel — the densest
+    near-square packing of an n-byte stream, the conventional fallback for
+    headerless buffers). Deterministic, content-derived, no digest
+    pseudo-dimensions. The iterator-of-batches shape means constant memory
+    per task regardless of partition size — the pattern that survives
+    100 TB."""
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            dims = [_stub_dims(bytes(b)) for b in pdf["content"]]
+            kinds, widths, heights, chans, sizes = [], [], [], [], []
+            for kind, b in zip(pdf["kind"], pdf["content"]):
+                payload = bytes(b)
+                parsed = parse_header(payload)
+                if parsed is not None:
+                    kind, width, height, channels = parsed
+                else:
+                    n = max(len(payload), 1)
+                    width = math.isqrt(n - 1) + 1  # ceil(sqrt(n))
+                    height = (n + width - 1) // width
+                    channels = 1
+                kinds.append(kind)
+                widths.append(width)
+                heights.append(height)
+                chans.append(channels)
+                sizes.append(len(payload))
             yield pd.DataFrame(
                 {
                     "media_id": pdf["media_id"],
-                    "kind": pdf["kind"],
-                    "width": [d[0] for d in dims],
-                    "height": [d[1] for d in dims],
-                    "n_channels": [d[2] for d in dims],
-                    "n_bytes": [len(bytes(b)) for b in pdf["content"]],
+                    "kind": kinds,
+                    "width": widths,
+                    "height": heights,
+                    "n_channels": chans,
+                    "n_bytes": sizes,
                 }
             )
 
@@ -279,24 +292,50 @@ def byte_bin_histogram(df: DataFrame, n_bins: int = 16) -> DataFrame:
     )
 
 
-def extract_features(df: DataFrame) -> DataFrame:
-    """Batched feature extraction: payload → fixed-dim float vector.
+# Fixed-seed signed-integer projection matrix for extract_features: the
+# encoder must be (a) stable across sessions/executors — features written
+# today must match features computed tomorrow — and (b) replayable by an
+# external engine, so the weights are small integers a DuckDB oracle can
+# carry as literals and the projection is EXACT integer arithmetic
+# (order-free, no float accumulation). RandomState's bit stream is frozen
+# by numpy's compatibility guarantee, so the matrix is a constant.
+PROJECTION_SEED = 1469
+PROJECTION_BINS = 16
+PROJECTION_MATRIX = np.random.RandomState(PROJECTION_SEED).randint(
+    -8, 9, size=(FEATURE_DIM, PROJECTION_BINS)
+).astype(np.int64)
 
-    STUB kernel: a digest-seeded pseudo-embedding (deterministic per
-    payload). A real kernel would run an ONNX/torch encoder over the batch —
-    the Arrow-batched shape (and the downstream simsearch compatibility of
-    the output) is the contract being exercised.
+
+def extract_features(df: DataFrame) -> DataFrame:
+    """Batched feature extraction: payload → fixed-dim float vector — a
+    REAL deterministic feature map (random projection, the classical
+    Johnson–Lindenstrauss encoder): 16-bin byte histogram of the payload
+    body (header-stripped when framed, whole buffer when not) projected
+    through the fixed-seed signed-integer matrix ``PROJECTION_MATRIX``.
+    Near-duplicate payloads get near-identical vectors (the projection is
+    1-Lipschitz in the histogram, up to the matrix norm), so downstream
+    cosine search over these features ranks by real content similarity.
+
+    All arithmetic is int64 (hist counts × weights in [-8, 8]) — exact and
+    order-free; the cast to float32 at the output boundary is exact while
+    |proj| < 2^24 (payloads below ~2 MiB) and IEEE-deterministic beyond. A
+    learned ONNX/torch encoder would replace only this kernel body; the
+    Arrow-batched shape and simsearch-compatible output contract are what
+    downstream operators consume.
     """
+    R = PROJECTION_MATRIX
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             feats = []
             for b in pdf["content"]:
-                seed = int.from_bytes(
-                    hashlib.blake2b(bytes(b), digest_size=4).digest(), "big"
-                )
-                rng = np.random.RandomState(seed)
-                feats.append(rng.standard_normal(FEATURE_DIM).astype(np.float32))
+                payload = bytes(b)
+                offset = HEADER_LEN if parse_header(payload) is not None else 0
+                body = np.frombuffer(payload, dtype=np.uint8, offset=offset)
+                hist = np.bincount(
+                    body >> 4, minlength=PROJECTION_BINS
+                ).astype(np.int64)
+                feats.append((R @ hist).astype(np.float32))
             yield pd.DataFrame({"media_id": pdf["media_id"], "feature": feats})
 
     return df.select("media_id", "content").mapInPandas(kernel, schema=FEATURE_SCHEMA)

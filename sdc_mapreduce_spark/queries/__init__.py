@@ -106,75 +106,19 @@ for _name in _MODULE_ORDER:
 #     (embedding_stats .. corpus_mix_rebalance); (3) any query whose code
 #     or oracle changes in round 9; (4) the r4-last-sampled block;
 #     (5) oldest-first thereafter.
-_WINDOW_R8: tuple[str, ...] = (
-    # (1) new or changed in round 8
-    "embedding_label_silhouette",
-    "simsearch_ann_ivf",
-    "table_benford_audit",
-    "dedup_incremental_embedding_index",
-    "dedup_minhash_lsh",
-    # (2) added in r7 after its window froze + post-freeze re-cert
-    "events_streaming_session_certified",
-    "dedup_source_leakage_matrix",
-    "events_changepoint_cusum",
-    "text_vocab_encode",
-    # (3) round-6 additions, never driver-sampled (r7 window voided)
-    "bucketed_join_certified",
-    "compact_parquet_certified",
-    "dedup_embedding_ann",
-    "dedup_incremental_embedding",
-    "dedup_embedding_clusters",
-    "corpus_source_cap",
-    "events_cdc_apply",
-    "join_fuzzy_names",
-    "events_scd2_history",
-    "events_pit_enrichment",
-    "events_winsorize_clip",
-    "events_grouped_regression",
-    "table_chisq_independence",
-    "table_ks_drift",
-    "table_mutual_information",
-    "events_attribution_last_touch",
-    "table_gini_concentration",
-    "events_streaming_cdc_certified",
-    "dedup_cluster_labels",
-    "text_score_distribution",
-    # (4) r7 re-certs (minhash_lsh_pairs probe-trim feeds these too)
-    "graph_pagerank_neardup",
-    "dedup_containment_pairs",
-    # (5) head of the r3-last-sampled block (19 of 39)
-    "wordcount_pipe",
-    "text_token_stats",
-    "text_quality",
-    "text_language_id",
-    "text_fingerprint",
-    "text_rolling_fingerprint",
-    "text_top_bigrams",
-    "text_udtf_sentences",
-    "text_posexplode",
-    "text_tfidf_top_terms",
-    "text_repetition",
-    "text_pii_redact",
-    "text_contamination",
-    "text_chunking",
-    "text_quality_gate_per_lang",
-    "pipeline_embedding_stats",
-    "pipeline_curation_full",
-    # (6) oracles changed in r8 while fixing 10x-scale findings: q1's
-    # sql_dsum now converts DECIMAL->DOUBLE via VARCHAR (DuckDB's direct
-    # conversion double-rounds past 2^53); events_asof_join's oracle
-    # replays the Spark tie-break explicitly instead of native ASOF (which
-    # picks an unspecified row among equal timestamps). The other 25
-    # sql_dsum/davg users are textually-changed but value-identical at
-    # certification SFs (unscaled sums < 2^53) — builder-verified 27/27 at
-    # sf0.01 (CHECKS_r08), rotation unchanged for them.
-    "q1_pricing_summary",
-    "events_asof_join",
-)
-_ROTATED_OUT: tuple[str, ...] = (
-    # r9 window head, part 0: queries ADDED in r8 after its window froze
-    # (certified by the builder oracle in CHECKS_r08 but never
-    # driver-sampled — same treatment the r7 post-freeze block got)
+#   round 9 window (this order; realizes the r9 plan above): (0) the 17
+#     queries ADDED in r8 post-freeze (builder-oracle-green in CHECKS_r08,
+#     never driver-sampled); (1) queries NEW or CHANGED in r9 —
+#     multimodal_encoder_topk (NEW: real fixed-seed random-projection
+#     encoder replacing the digest stub, oracle carries the 256 literal
+#     weights), text_vocab_encode (fused gate-probe+rank+collect),
+#     text_vocab_ids (vocab_counts refactor), dedup_minhash_lsh (lazy
+#     hot-bucket cap) and its cluster/pagerank consumers; (2) the 8
+#     r3-last-sampled queries squeezed out of the r8 window; (3) the 12
+#     remaining r3-last-sampled; (4) the head of the r4-last-sampled block.
+#     After the window: the old rotation order (stalest first), with the
+#     r8-sampled window entries (freshest) at the very end.
+_WINDOW_R9: tuple[str, ...] = (
     "text_bm25_topk",
     "dedup_streaming_embedding_certified",
     "graph_triangle_stats",
@@ -192,17 +136,21 @@ _ROTATED_OUT: tuple[str, ...] = (
     "multimodal_neardup_recall",
     "events_autocorrelation",
     "dedup_cluster_sizes",
-    # r9 window head: r3-last-sampled queries squeezed out of the r8 window
+    "multimodal_encoder_topk",
+    "text_vocab_encode",
+    "text_vocab_ids",
+    "dedup_minhash_lsh",
+    "dedup_clusters",
+    "dedup_cluster_labels",
+    "graph_pagerank_neardup",
     "multimodal_meta",
     "multimodal_frame_stats",
     "dedup_exact",
     "dedup_normalized",
-    "dedup_clusters",
     "dedup_embedding_cosine",
     "simsearch_topk",
     "simsearch_topk_arrow",
     "simsearch_ann_recall",
-    # then the remainder of the r3-last-sampled block
     "embedding_stats",
     "q2_min_balance_supplier",
     "q8_market_share",
@@ -215,15 +163,15 @@ _ROTATED_OUT: tuple[str, ...] = (
     "sample_hash_bucket",
     "sample_stratified",
     "corpus_mix_rebalance",
-    # last driver sample r4 (2 rounds old after r6)
     "join_skew_salted",
     "agg_salted_distinct",
     "simsearch_ann_ivf_recall",
     "multimodal_resize_audit",
     "latest_event_per_user",
     "events_range_join",
+)
+_ROTATED_OUT: tuple[str, ...] = (
     "events_dedup_windowed",
-    # q1_pricing_summary moved into the r8 window (sql_dsum oracle change)
     "q3_shipping_priority",
     "q12_late_shipments",
     "q17_small_quantity_revenue",
@@ -260,7 +208,6 @@ _ROTATED_OUT: tuple[str, ...] = (
     "sql_surface_correlated",
     "join_inner",
     "join_left_agg",
-    # last driver sample r5 (1 round old after r6)
     "join_semi",
     "join_anti",
     "join_broadcast_dim",
@@ -286,7 +233,6 @@ _ROTATED_OUT: tuple[str, ...] = (
     "events_sliding",
     "events_json_extract",
     "events_map_fns",
-    # events_asof_join moved into the r8 window (oracle tie-break change)
     "agg_collect_sets",
     "agg_approx_sketches",
     "simsearch_ann_ivf_index_recall",
@@ -311,7 +257,6 @@ _ROTATED_OUT: tuple[str, ...] = (
     "layout_zorder_keys",
     "text_countmin_freq",
     "dedup_incremental_minhash",
-    # last driver sample r6 (freshest; minus the three r7 re-certs above)
     "csv_malformed_audit",
     "orc_partitioned_certified",
     "parquet_schema_evolution_certified",
@@ -329,11 +274,9 @@ _ROTATED_OUT: tuple[str, ...] = (
     "events_rfm_features",
     "events_asof_join_forward",
     "text_bigram_lm_score",
-    # text_vocab_encode moved into the r8 window (post-freeze persist re-cert)
     "text_language_confusion",
     "text_tfidf_cosine_pairs",
     "text_duplicate_spans",
-    "text_vocab_ids",
     "pipeline_pretrain_mix",
     "dedup_exact_substring",
     "embedding_nearest_centroid",
@@ -359,9 +302,55 @@ _ROTATED_OUT: tuple[str, ...] = (
     "wordcount",
     "kv_parse_sum",
     "pipeline_curation",
+    "embedding_label_silhouette",
+    "simsearch_ann_ivf",
+    "table_benford_audit",
+    "dedup_incremental_embedding_index",
+    "events_streaming_session_certified",
+    "dedup_source_leakage_matrix",
+    "events_changepoint_cusum",
+    "bucketed_join_certified",
+    "compact_parquet_certified",
+    "dedup_embedding_ann",
+    "dedup_incremental_embedding",
+    "dedup_embedding_clusters",
+    "corpus_source_cap",
+    "events_cdc_apply",
+    "join_fuzzy_names",
+    "events_scd2_history",
+    "events_pit_enrichment",
+    "events_winsorize_clip",
+    "events_grouped_regression",
+    "table_chisq_independence",
+    "table_ks_drift",
+    "table_mutual_information",
+    "events_attribution_last_touch",
+    "table_gini_concentration",
+    "events_streaming_cdc_certified",
+    "text_score_distribution",
+    "dedup_containment_pairs",
+    "wordcount_pipe",
+    "text_token_stats",
+    "text_quality",
+    "text_language_id",
+    "text_fingerprint",
+    "text_rolling_fingerprint",
+    "text_top_bigrams",
+    "text_udtf_sentences",
+    "text_posexplode",
+    "text_tfidf_top_terms",
+    "text_repetition",
+    "text_pii_redact",
+    "text_contamination",
+    "text_chunking",
+    "text_quality_gate_per_lang",
+    "pipeline_embedding_stats",
+    "pipeline_curation_full",
+    "q1_pricing_summary",
+    "events_asof_join",
 )
 _PRIORITY: tuple[str, ...] = (
-    *_WINDOW_R8,
+    *_WINDOW_R9,
     *_ROTATED_OUT,
 )
 if not IMPORT_QUARANTINE:

@@ -52,17 +52,18 @@ def test_every_registered_query_is_prioritized():
     )
 
 
-def test_window_head_is_the_r8_plan():
+def test_window_head_is_the_r9_plan():
     """First 50 registry entries are the driver's certification sample —
-    pin the r8 head so an accidental reorder is caught before the round
-    ends (new/changed queries must lead)."""
+    pin the r9 head so an accidental reorder is caught before the round
+    ends (post-freeze r8 additions and r9-changed queries must lead)."""
     import sdc_mapreduce_spark.queries as q
 
     head = list(q.REGISTRY)[:50]
-    assert head[0] == "embedding_label_silhouette"
-    assert "simsearch_ann_ivf" in head
-    assert "table_benford_audit" in head
-    assert "dedup_incremental_embedding_index" in head
+    assert head[0] == "text_bm25_topk"
+    assert "events_streaming_restart_certified" in head
+    assert "multimodal_encoder_topk" in head
+    assert "text_vocab_encode" in head
+    assert "dedup_minhash_lsh" in head
     assert len(head) == 50
 
 
