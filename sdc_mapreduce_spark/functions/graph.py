@@ -41,7 +41,15 @@ def triangle_stats(
     fan-out is Σ outdeg² ≤ m^1.5 instead of Σ deg² (quadratic in the max
     hub degree). All three joins are equi-joins on node ids — shuffles,
     never broadcast-dependent — and each triangle is generated exactly
-    once (rank(u) < rank(v) < rank(w)), so no distinct pass is needed."""
+    once (rank(u) < rank(v) < rank(w)), so no distinct pass is needed.
+
+    Session-lifetime cost (ADVICE r8): the eager ``localCheckpoint`` below
+    pins its RDD blocks in executor storage until the DataFrame is GC'd —
+    repeated calls in a long-lived driver session accumulate storage the
+    way leaked persists do (``spark.catalog.clearCache()`` does NOT free
+    checkpoints). Acceptable at fixture scale and in the per-query
+    harnesses; a resident service calling this in a loop should hold the
+    result, not the lineage, or recycle the session."""
     e = (
         edges.select(
             F.least(F.col(id_a), F.col(id_b)).alias("a"),

@@ -320,8 +320,12 @@ def quota_sample(
     content-hash order (md5(salt||key), key) — so the selected set is
     cluster-shape- and engine-independent and Σquota = budget EXACTLY
     (temperature/cap mixing only hit their budgets in expectation).
-    Requires budget <= N; quotas then never exceed stratum sizes
-    (floor(B·n_g/N)+1 <= n_g whenever B <= N). Returns the selected rows
+    Requires budget <= N and ENFORCES it (ADVICE r8): with budget > N some
+    strata would get quota > n_docs and the function would silently return
+    fewer than ``budget`` rows, breaking the advertised exact-total
+    invariant — so an oversized budget raises instead. The guard is one
+    1-row aggregate collect (an extra count pass over ``df``; this is an
+    eval-set builder, not a hot-path operator). Returns the selected rows
     (key, group, pick_rank, quota).
 
     All allocation arithmetic is integer floor/mod — replays bitwise in
@@ -335,6 +339,13 @@ def quota_sample(
 
     counts = df.groupBy(group_col).agg(F.count(F.lit(1)).alias("n_docs"))
     total = counts.agg(F.sum("n_docs").alias("__N"))
+    n_total = total.collect()[0]["__N"] or 0
+    if budget > n_total:
+        raise ValueError(
+            f"quota_sample: budget={budget} exceeds population N={n_total}; "
+            "the exact-total allocation is only defined for budget <= N "
+            "(some strata would need quota > their size)"
+        )
     alloc = counts.crossJoin(F.broadcast(total)).select(
         group_col,
         "n_docs",

@@ -137,6 +137,7 @@ _WINDOW_R9: tuple[str, ...] = (
     "events_autocorrelation",
     "dedup_cluster_sizes",
     "multimodal_encoder_topk",
+    "kvtext_streaming_restart_certified",
     "text_vocab_encode",
     "text_vocab_ids",
     "dedup_minhash_lsh",
@@ -168,9 +169,9 @@ _WINDOW_R9: tuple[str, ...] = (
     "simsearch_ann_ivf_recall",
     "multimodal_resize_audit",
     "latest_event_per_user",
-    "events_range_join",
 )
 _ROTATED_OUT: tuple[str, ...] = (
+    "events_range_join",
     "events_dedup_windowed",
     "q3_shipping_priority",
     "q12_late_shipments",

@@ -853,7 +853,13 @@ def events_streaming_watermark_certified(
     micro-batches but input rows arriving late in a later batch MERGE
     into (or re-open) their window's state rather than being dropped —
     the hard guarantee is finalization, not input-dropping, so the twin
-    must count ALL rows; (2) the event-time watermark is millisecond-
+    must count ALL rows. SPARK-VERSION DEPENDENCY (ADVICE r8): Spark
+    documents late-data dropping as "may or may not" — pinned on Spark
+    4.1.2 by tests/test_streaming.py (the aligned fixture and
+    test_watermark_drops_late_rows), which must stay in CI across any
+    Spark upgrade; if this cert ever goes red after a version bump,
+    triage it as an ENGINE-BEHAVIOR change (re-derive the twin's counting
+    rule), not an oracle bug; (2) the event-time watermark is millisecond-
     floored, which cannot flip the emitted set here because window ends
     are minute-aligned while the fixture's max ts is misaligned by
     seconds (checked at every SF). Event time must be a zoned TIMESTAMP

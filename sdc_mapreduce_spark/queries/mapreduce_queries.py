@@ -198,6 +198,114 @@ FROM lineitem GROUP BY l_returnflag ORDER BY key
 """
 
 
+def kvtext_streaming_restart_certified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Checkpoint-restart exactly-once certification for the custom
+    STREAMING kvtext source (datasource.py::KVTextStreamReader — offset =
+    ingested file set, VERDICT r8 ask #7; the events restart cert covers
+    the streaming ENGINE, this one covers the custom SOURCE's offset
+    contract). Two availableNow runs share one checkpoint: run 1 streams
+    the phase-1 blobs through a grouped running sum (update mode,
+    foreachBatch appends with batch ids); new blobs then land in the
+    directory and run 2 restarts from the checkpoint. Last-batch-wins per
+    key must equal the batch totals over ALL lines, which the oracle
+    computes straight from parquet — a source that re-ingests committed
+    files after restart doubles the affected keys, one that loses offset
+    or aggregation state undershoots, and either hash-mismatches.
+    Malformed lines interleave in BOTH phases and must be dropped by the
+    shard reader (O15 under streaming). Scratch dirs are removed after the
+    small result is materialized eagerly."""
+    import glob
+    import shutil
+    import tempfile
+
+    from pyspark.sql import Window
+
+    from sdc_mapreduce_spark.datasource import register_kvtext
+
+    src = tempfile.mkdtemp(prefix="sdcms_kvstream_src_")
+    ckpt = tempfile.mkdtemp(prefix="sdcms_kvstream_ckpt_")
+    sink = tempfile.mkdtemp(prefix="sdcms_kvstream_sink_")
+    try:
+        li = load_table(spark, sf_dir, "lineitem")
+        lines = li.select(
+            F.concat_ws(" ", F.col("l_returnflag"), F.col("l_linenumber")).alias(
+                "value"
+            ),
+            (F.col("l_orderkey") % 2 == 0).alias("__p1"),
+        )
+        malformed = spark.createDataFrame(
+            [("toofew", True), ("way too many tokens here", False), ("badint xyz", True)],
+            "value string, __p1 boolean",
+        )
+        lines = lines.unionByName(malformed)
+
+        def land_phase(phase_df: DataFrame, name: str) -> None:
+            # the streaming source lists SRC itself, so phase files are
+            # written to scratch and copied in flat with unique names
+            scratch = tempfile.mkdtemp(prefix="sdcms_kvstream_tmp_")
+            try:
+                phase_df.select("value").coalesce(2).write.mode(
+                    "overwrite"
+                ).text(scratch)
+                for i, part in enumerate(
+                    sorted(glob.glob(os.path.join(scratch, "part-*")))
+                ):
+                    shutil.copy(part, os.path.join(src, f"{name}_{i}.txt"))
+            finally:
+                shutil.rmtree(scratch, ignore_errors=True)
+
+        register_kvtext(spark)
+
+        def run() -> None:
+            parsed = (
+                spark.readStream.format("kvtext")
+                .option("path", src)
+                .option("shard_size", 4096)
+                .load()
+            )
+            agg = parsed.groupBy("key").agg(F.sum("value").alias("total"))
+
+            def land(batch_df: DataFrame, batch_id: int) -> None:
+                batch_df.withColumn("__b", F.lit(batch_id)).write.mode(
+                    "append"
+                ).parquet(sink)
+
+            q = (
+                agg.writeStream.foreachBatch(land)
+                .outputMode("update")
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination(300)
+
+        land_phase(lines.filter(F.col("__p1")), "p1")
+        run()
+        land_phase(lines.filter(~F.col("__p1")), "p2")
+        run()
+
+        emitted = spark.read.parquet(sink)
+        w = Window.partitionBy("key").orderBy(F.col("__b").desc())
+        result = (
+            emitted.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .select("key", "total")
+            .orderBy("key")
+        )
+        rows = result.collect()
+        return spark.createDataFrame(rows, schema=result.schema)
+    finally:
+        shutil.rmtree(src, ignore_errors=True)
+        shutil.rmtree(ckpt, ignore_errors=True)
+        shutil.rmtree(sink, ignore_errors=True)
+
+
+KVTEXT_STREAMING_RESTART_SQL = """
+SELECT l_returnflag AS key, CAST(SUM(l_linenumber) AS BIGINT) AS total
+FROM lineitem GROUP BY l_returnflag ORDER BY key
+"""
+
+
 def csv_malformed_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PERMISSIVE-mode malformed-record contract, driver-certified: events
     are materialized as CSV with a deterministic corruption rule (every
@@ -537,4 +645,7 @@ QUERIES: dict[str, QuerySpec] = {
     "kv_parse_sum": QuerySpec(kv_parse_sum, KV_PARSE_SUM_SQL),
     "kvtext_scan_certified": QuerySpec(kvtext_scan_certified, KVTEXT_SCAN_SQL),
     "kv_sink_certified": QuerySpec(kv_sink_certified, KV_SINK_CERT_SQL),
+    "kvtext_streaming_restart_certified": QuerySpec(
+        kvtext_streaming_restart_certified, KVTEXT_STREAMING_RESTART_SQL
+    ),
 }

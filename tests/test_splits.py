@@ -362,3 +362,18 @@ def test_quota_sample_exact_budget_and_largest_remainder(spark):
     # determinism: same call returns the same doc ids
     again = {r["doc_id"] for r in quota_sample(df, "lang", budget=5).collect()}
     assert again == {r["doc_id"] for r in got}
+
+
+def test_quota_sample_refuses_budget_over_population(spark):
+    """budget > N would silently undershoot the exact-total invariant
+    (some strata get quota > their size) — the guard raises instead
+    (ADVICE r8)."""
+    import pytest
+
+    from sdc_mapreduce_spark.functions.splits import quota_sample
+
+    df = spark.createDataFrame(
+        [(1, "a"), (2, "a"), (3, "b")], "doc_id long, lang string"
+    )
+    with pytest.raises(ValueError, match="budget=10 exceeds population N=3"):
+        quota_sample(df, "lang", budget=10)
