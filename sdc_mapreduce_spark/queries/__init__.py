@@ -118,6 +118,11 @@ for _name in _MODULE_ORDER:
 #     remaining r3-last-sampled; (4) the head of the r4-last-sampled block.
 #     After the window: the old rotation order (stalest first), with the
 #     r8-sampled window entries (freshest) at the very end.
+#     Round 9 also CLOSED the 10x-replica sweep: the 26 queries not covered
+#     by CHECKS_r08/scale_sf1ish*.txt (embedding/simsearch block, late
+#     additions, both r9 queries) are hash-verified at the 10x corpus in
+#     CHECKS_r09/scale_sf1ish_remaining.txt — all 228 registered queries
+#     now have a ~SF1 hash-verified run.
 _WINDOW_R9: tuple[str, ...] = (
     "text_bm25_topk",
     "dedup_streaming_embedding_certified",

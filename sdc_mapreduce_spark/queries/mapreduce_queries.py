@@ -257,10 +257,16 @@ def kvtext_streaming_restart_certified(spark: SparkSession, sf_dir: str) -> Data
         register_kvtext(spark)
 
         def run() -> None:
+            # 1 MiB shards: this cert exercises OFFSET semantics (which
+            # files a restarted batch replans), not byte-sharding —
+            # kvtext_scan_certified owns that contract with deliberately
+            # tiny shards. 4 KiB shards here meant tens of thousands of
+            # Python-source partitions per micro-batch at the 10x corpus,
+            # which starved worker startup ("failed to connect back").
             parsed = (
                 spark.readStream.format("kvtext")
                 .option("path", src)
-                .option("shard_size", 4096)
+                .option("shard_size", 1 << 20)
                 .load()
             )
             agg = parsed.groupBy("key").agg(F.sum("value").alias("total"))

@@ -86,6 +86,8 @@ EXTRA_SHAPES = [
     "dedup_keep_best",
     "events_autocorrelation",
     "multimodal_neardup_recall",
+    # round-9 additions
+    "multimodal_encoder_topk",
 ]
 
 HEADER = """# PLANS — formatted physical plans of the headline bench queries plus the
@@ -93,6 +95,24 @@ HEADER = """# PLANS — formatted physical plans of the headline bench queries p
 
 Regenerate: `python tools/gen_plans.py`;
 plan properties are enforced in tests/test_plans.py.
+
+## Notes
+
+**minhash cap constant (r9, VERDICT r8 ask #5).** The r5→r8
+`dedup_minhash_lsh` slowdown (0.656→1.112 s) was two parts session noise
+(fixed by bench.py's per-query clearCache + adaptive repeats), one part
+the hot-bucket cap's real constant. Interleaved A/B at sf0.1 with caches
+cleared between runs: cap-on median 1.72 s vs cap-off 1.35 s — the cap
+costs ~0.3 s of FIXED stage overhead (one bucket-count shuffle over the
+band rows + one broadcast exchange for the anti-join), not proportional
+work: the aggregation input is O(docs·bands) tiny rows and is
+map-side-combined. That constant is the insurance premium against the
+quadratic failure mode — one templated/boilerplate bucket of d docs yields
+d² candidate pairs, which is the plan that dies at 100 TB — so the cap
+stays on by default. r9 also replaced the r8 eager Σ C(n,2) bound collect
+with a lazy anti-join + the bounded limit(N+1) verify probe: same
+semantics, no eager job, no driver state, and the probe's computed
+partitions land in the candidate persist the verify joins reuse.
 """
 
 
