@@ -1151,3 +1151,130 @@ def bm25_topk(
         )
         .orderBy("query_id", "rank")
     )
+
+
+def bpe_merges(
+    df: DataFrame,
+    k: int = 4,
+    text_col: str = "text",
+    min_word_freq: int = 1,
+) -> DataFrame:
+    """Distributed BPE merge learning — the tokenizer-TRAINING step proper
+    ([[vocab_ids]] builds the type vocabulary; this learns the merge table
+    a byte-pair-encoding tokenizer is made of), canonical Sennrich
+    (ACL'16 ``learn_bpe``) semantics re-expressed relationally:
+
+    1. word table: whitespace tokens restricted to ASCII alphanumerics
+       (the documented scope — Spark and DuckDB disagree on non-ASCII
+       string indexing, bytes vs code points, so the cross-engine contract
+       pins the symbol alphabet), grouped to (word, freq);
+    2. state: each word as an ordered symbol array, initially characters;
+    3. per iteration: count EVERY adjacent symbol position weighted by
+       word freq (overlaps included — 'aaa' contributes ('a','a') twice,
+       exactly ``get_stats``), pick the max pair with the deterministic
+       tie-break (count desc, left asc, right asc), then apply the merge
+       GREEDY LEFT-TO-RIGHT with overlap skipping — 'a a a' under ('a','a')
+       becomes 'aa a', not 'aa aa' — the way ``learn_bpe`` re-segments.
+
+    The greedy application needs no sequential scan: within each maximal
+    run of consecutive matching positions, exactly the even offsets merge.
+    run_start comes from a running MAX over the last non-matching position
+    (one window), offset parity is arithmetic, and the consumed position is
+    a LAG — three window expressions per iteration, identical in Spark and
+    the DuckDB oracle, no regex/replace whose overlap semantics the engines
+    could disagree on.
+
+    Scale shape: state is O(distinct words x avg word length) symbol rows —
+    the classic corpus-BPE working set, shuffled k times on the word key
+    (windows partition by word, so no global sort). Driver state per
+    iteration is ONE collected row (the argmax pair); each iteration's
+    result is eagerly localCheckpointed to truncate the k-deep lineage
+    (bounded rows; same session-lifetime note as graph.triangle_stats).
+    Returns the merge table: (merge_rank, left_sym, right_sym, pair_count),
+    merge_rank 1..k in learned order. Stops early if no pair repeats.
+    """
+    from pyspark.sql import Window
+
+    words = (
+        df.select(F.explode(tokens(text_col)).alias("w"))
+        .filter(F.col("w").rlike("^[A-Za-z0-9]+$"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .filter(F.col("freq") >= min_word_freq)
+    )
+    state = words.select(
+        "w",
+        "freq",
+        F.expr(
+            "transform(sequence(1, length(w)), i -> substring(w, i, 1))"
+        ).alias("syms"),
+    ).localCheckpoint(eager=True)
+
+    spark = df.sparkSession
+    merges: list[tuple[int, str, str, int]] = []
+    for rank in range(1, k + 1):
+        pos = state.select(
+            "w", "freq", F.posexplode("syms").alias("pos", "sym")
+        )
+        w_ord = Window.partitionBy("w").orderBy("pos")
+        paired = pos.withColumn("nxt", F.lead("sym").over(w_ord))
+        best_rows = (
+            paired.filter(F.col("nxt").isNotNull())
+            .groupBy("sym", "nxt")
+            .agg(F.sum("freq").alias("cnt"))
+            .orderBy(F.col("cnt").desc(), F.col("sym").asc(), F.col("nxt").asc())
+            .limit(1)
+            .collect()
+        )
+        if not best_rows or best_rows[0]["cnt"] < 2:
+            break
+        a, b, cnt = best_rows[0]["sym"], best_rows[0]["nxt"], int(best_rows[0]["cnt"])
+        merges.append((rank, a, b, cnt))
+
+        # m must be 0 (not NULL) at the word-final position, where nxt is
+        # NULL — a NULL would vanish from the run_start MAX below and make
+        # the last position look like part of a match run
+        m = (F.col("sym") == F.lit(a)) & (F.col("nxt") == F.lit(b))
+        flagged = paired.withColumn(
+            "m", F.coalesce(m.cast("int"), F.lit(0))
+        )
+        # run_start = 1 + last non-matching position before me (or 0);
+        # greedy left-to-right == merge at even offsets within each run
+        # (runs longer than 1 only arise when a == b, e.g. 'aaaa')
+        last_nomatch = F.max(
+            F.when(F.col("m") == 0, F.col("pos"))
+        ).over(w_ord.rowsBetween(Window.unboundedPreceding, -1))
+        run_start = F.coalesce(last_nomatch + 1, F.lit(0))
+        merge_here = (F.col("m") == 1) & (
+            (F.col("pos") - run_start) % 2 == 0
+        )
+        # staged withColumns: __consumed lags the MATERIALIZED __merge
+        # column (window-over-window needs separate projections)
+        out = flagged.withColumn("__merge", merge_here).withColumn(
+            "__consumed",
+            F.lag(F.col("__merge").cast("int"), 1, 0).over(w_ord) == 1,
+        )
+        rebuilt = (
+            out.filter(~F.col("__consumed"))
+            .select(
+                "w",
+                "freq",
+                "pos",
+                F.when(F.col("__merge"), F.concat("sym", "nxt"))
+                .otherwise(F.col("sym"))
+                .alias("out_sym"),
+            )
+            .groupBy("w", "freq")
+            .agg(
+                F.expr(
+                    "transform(array_sort(collect_list(struct(pos, out_sym))),"
+                    " s -> s.out_sym)"
+                ).alias("syms")
+            )
+        )
+        state = rebuilt.localCheckpoint(eager=True)
+
+    return spark.createDataFrame(
+        merges or [],
+        "merge_rank int, left_sym string, right_sym string, pair_count bigint",
+    )

@@ -111,7 +111,11 @@ for _name in _MODULE_ORDER:
 #     never driver-sampled); (1) queries NEW or CHANGED in r9 —
 #     multimodal_encoder_topk (NEW: real fixed-seed random-projection
 #     encoder replacing the digest stub, oracle carries the 256 literal
-#     weights), text_vocab_encode (fused gate-probe+rank+collect),
+#     weights), kvtext_streaming_restart_certified (NEW: exactly-once
+#     offset contract of the custom streaming source across a
+#     checkpointed restart), text_bpe_merges (NEW: distributed BPE merge
+#     learning, canonical Sennrich semantics, 4-stage CTE oracle),
+#     text_vocab_encode (fused gate-probe+rank+collect),
 #     text_vocab_ids (vocab_counts refactor), dedup_minhash_lsh (lazy
 #     hot-bucket cap) and its cluster/pagerank consumers; (2) the 8
 #     r3-last-sampled queries squeezed out of the r8 window; (3) the 12
@@ -143,6 +147,7 @@ _WINDOW_R9: tuple[str, ...] = (
     "dedup_cluster_sizes",
     "multimodal_encoder_topk",
     "kvtext_streaming_restart_certified",
+    "text_bpe_merges",
     "text_vocab_encode",
     "text_vocab_ids",
     "dedup_minhash_lsh",
@@ -173,9 +178,9 @@ _WINDOW_R9: tuple[str, ...] = (
     "agg_salted_distinct",
     "simsearch_ann_ivf_recall",
     "multimodal_resize_audit",
-    "latest_event_per_user",
 )
 _ROTATED_OUT: tuple[str, ...] = (
+    "latest_event_per_user",
     "events_range_join",
     "events_dedup_windowed",
     "q3_shipping_priority",

@@ -2041,6 +2041,99 @@ SELECT bin, COUNT(*) AS n_docs,
 FROM b GROUP BY bin ORDER BY bin
 """
 
+
+def text_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed BPE merge learning (functions.text.bpe_merges — the
+    tokenizer-TRAINING step; text_vocab_ids/encode cover the type-vocab
+    side): 4 merge iterations over the ASCII-alphanumeric word table of
+    the documents corpus, canonical Sennrich semantics (every adjacent
+    position counted, greedy left-to-right merge application via the
+    run-parity window — no regex replace, whose overlap behavior engines
+    disagree on). The DuckDB twin replays all 4 iterations as staged CTEs
+    with the per-stage argmax as a scalar 1-row cross join, so the learned
+    merge table (merge_rank, left_sym, right_sym, pair_count) matches
+    byte-for-byte. Early-stop parity note: the Spark side stops when the
+    best pair's count < 2; the SQL always emits 4 stages — equivalent on
+    any corpus where 4 productive merges exist (every fixture SF; unit
+    tests cover the degenerate cases)."""
+    from sdc_mapreduce_spark.functions.text import bpe_merges
+
+    docs = load_table(spark, sf_dir, "documents")
+    return bpe_merges(docs, k=4).orderBy("merge_rank")
+
+
+def _bpe_merges_sql(k: int = 4) -> str:
+    stages = []
+    for i in range(1, k + 1):
+        prev = f"s{i - 1}"
+        stages.append(f"""
+pa{i} AS (
+  SELECT w, freq,
+         UNNEST([{{'pos': j - 1, 'sym': syms[j]}}
+                 FOR j IN range(1, len(syms) + 1)]) AS u
+  FROM {prev}
+), p{i} AS (
+  SELECT w, freq, u.pos AS pos, u.sym AS sym,
+         lead(u.sym) OVER (PARTITION BY w ORDER BY u.pos) AS nxt
+  FROM pa{i}
+), best{i} AS (
+  SELECT sym AS a, nxt AS b, CAST(SUM(freq) AS BIGINT) AS cnt
+  FROM p{i} WHERE nxt IS NOT NULL
+  GROUP BY sym, nxt
+  ORDER BY cnt DESC, a ASC, b ASC
+  LIMIT 1
+), f{i} AS (
+  SELECT p.w, p.freq, p.pos, p.sym, p.nxt,
+         CASE WHEN p.sym = b.a AND p.nxt = b.b THEN 1 ELSE 0 END AS m
+  FROM p{i} p CROSS JOIN best{i} b
+), g{i} AS (
+  SELECT *, COALESCE(MAX(CASE WHEN m = 0 THEN pos END) OVER (
+              PARTITION BY w ORDER BY pos
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+            ) + 1, 0) AS run_start
+  FROM f{i}
+), h{i} AS (
+  SELECT *, CASE WHEN m = 1 AND (pos - run_start) % 2 = 0
+                 THEN 1 ELSE 0 END AS mg
+  FROM g{i}
+), c{i} AS (
+  SELECT *, COALESCE(LAG(mg) OVER (PARTITION BY w ORDER BY pos), 0)
+              AS consumed
+  FROM h{i}
+), s{i} AS (
+  SELECT w, freq,
+         list(CASE WHEN mg = 1 THEN sym || nxt ELSE sym END
+              ORDER BY pos) AS syms
+  FROM c{i} WHERE consumed = 0
+  GROUP BY w, freq
+)""")
+    finals = "\nUNION ALL\n".join(
+        f"SELECT {i} AS merge_rank, a AS left_sym, b AS right_sym, "
+        f"cnt AS pair_count FROM best{i}"
+        for i in range(1, k + 1)
+    )
+    return f"""
+WITH w0 AS (
+  SELECT w, COUNT(*) AS freq FROM (
+    SELECT UNNEST(string_split_regex(trim(text), '\\s+')) AS w
+    FROM documents
+  ) WHERE regexp_full_match(w, '[A-Za-z0-9]+')
+  GROUP BY w
+), s0 AS (
+  SELECT w, freq,
+         [substr(w, i, 1) FOR i IN range(1, CAST(strlen(w) AS INT) + 1)]
+           AS syms
+  FROM w0
+),{",".join(stages)}
+SELECT CAST(merge_rank AS INT) AS merge_rank, left_sym, right_sym,
+       pair_count
+FROM ({finals})
+ORDER BY merge_rank
+"""
+
+
+TEXT_BPE_MERGES_SQL = _bpe_merges_sql()
+
 QUERIES: dict[str, QuerySpec] = {
     "text_score_distribution": QuerySpec(
         text_score_distribution, TEXT_SCORE_DISTRIBUTION_SQL
@@ -2114,6 +2207,7 @@ QUERIES: dict[str, QuerySpec] = {
     "multimodal_encoder_topk": QuerySpec(
         multimodal_encoder_topk, MULTIMODAL_ENCODER_TOPK_SQL
     ),
+    "text_bpe_merges": QuerySpec(text_bpe_merges, TEXT_BPE_MERGES_SQL),
     "multimodal_resize_audit": QuerySpec(
         multimodal_resize_audit, MULTIMODAL_RESIZE_AUDIT_SQL
     ),

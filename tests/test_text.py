@@ -566,3 +566,79 @@ def test_zipf_audit_recovers_planted_power_law(spark, tmp_path):
     assert row["n_terms"] == 40 and row["vocab_size"] == 40
     assert -1.1 < row["slope"] < -0.9
     assert row["r"] < -0.99
+
+
+def _reference_bpe(word_freqs: dict[str, int], k: int):
+    """Pure-Python Sennrich learn_bpe: count every adjacent symbol position
+    (overlaps included), merge the max pair greedy left-to-right with skip,
+    ties by (count desc, left asc, right asc)."""
+    state = {w: list(w) for w in word_freqs}
+    merges = []
+    for _ in range(k):
+        counts: dict[tuple[str, str], int] = {}
+        for w, syms in state.items():
+            f = word_freqs[w]
+            for i in range(len(syms) - 1):
+                pair = (syms[i], syms[i + 1])
+                counts[pair] = counts.get(pair, 0) + f
+        if not counts:
+            break
+        best = min(counts.items(), key=lambda kv: (-kv[1], kv[0]))
+        (a, b), cnt = best
+        if cnt < 2:
+            break
+        merges.append((a, b, cnt))
+        for w, syms in state.items():
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            state[w] = out
+    return merges
+
+
+def test_bpe_merges_matches_reference_incl_overlaps(spark):
+    """The relational BPE learner must reproduce canonical learn_bpe on a
+    fixture that exercises the hard cases: overlapping same-symbol runs
+    ('aaaa' merges to 'aa aa', 'aaa' to 'aa a'), re-merging of merged
+    symbols across iterations, frequency weighting, and the deterministic
+    tie-break."""
+    from sdc_mapreduce_spark.functions.text import bpe_merges
+
+    word_freqs = {
+        "aaaa": 3,
+        "aaab": 2,
+        "banana": 4,
+        "bandana": 2,
+        "low": 5,
+        "lower": 2,
+        "lowest": 1,
+        "newest": 3,
+        "widest": 2,
+    }
+    rows = [(" ".join([w] * f),) for w, f in word_freqs.items()]
+    df = spark.createDataFrame(rows, "text string")
+    got = [
+        (r["left_sym"], r["right_sym"], r["pair_count"])
+        for r in bpe_merges(df, k=6).orderBy("merge_rank").collect()
+    ]
+    expect = _reference_bpe(word_freqs, 6)
+    assert got == expect, f"\n got: {got}\nwant: {expect}"
+
+
+def test_bpe_merges_single_hot_run(spark):
+    """One word of repeated symbols: 'aaaa' x2 -> ('a','a') counted at
+    every adjacent position (6 with freq 2), merged with overlap skip to
+    ['aa','aa'], then ('aa','aa')."""
+    from sdc_mapreduce_spark.functions.text import bpe_merges
+
+    df = spark.createDataFrame([("aaaa aaaa",)], "text string")
+    got = [
+        (r["merge_rank"], r["left_sym"], r["right_sym"], r["pair_count"])
+        for r in bpe_merges(df, k=2).orderBy("merge_rank").collect()
+    ]
+    assert got == [(1, "a", "a", 6), (2, "aa", "aa", 2)]
