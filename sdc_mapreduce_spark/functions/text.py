@@ -1193,6 +1193,73 @@ def bpe_merges(
     Returns the merge table: (merge_rank, left_sym, right_sym, pair_count),
     merge_rank 1..k in learned order. Stops early if no pair repeats.
     """
+    merges, _state = _bpe_learn(
+        df, k=k, text_col=text_col, min_word_freq=min_word_freq
+    )
+    return df.sparkSession.createDataFrame(
+        merges or [],
+        "merge_rank int, left_sym string, right_sym string, pair_count bigint",
+    )
+
+
+def bpe_segment(
+    df: DataFrame,
+    k: int = 4,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_word_freq: int = 1,
+) -> DataFrame:
+    """BPE APPLY — segment every document with the merge table
+    [[bpe_merges]] learns on the same corpus, through the distinct-word
+    memoization join (the production shape: segmentation is a pure
+    function of the word, so the O(distinct words) learned state IS the
+    segmentation table; per-doc work is an equi-join, never a re-scan of
+    the merge loop). Emits per document, for its ASCII-alphanumeric tokens
+    (documents with none are omitted — segmentation of an empty stream is
+    undefined): (doc_id, n_words, n_subwords, subword_fp) where subword_fp
+    is the md5 of the space-joined subword stream in document token order
+    — the byte-exact witness of the segmentation without shuffling it."""
+    _merges, state = _bpe_learn(
+        df, k=k, text_col=text_col, min_word_freq=min_word_freq
+    )
+    toks = df.select(
+        F.col(id_col), F.posexplode(tokens(text_col)).alias("tpos", "w")
+    ).filter(F.col("w").rlike("^[A-Za-z0-9]+$"))
+    seg = toks.join(state.select("w", "syms"), "w")
+    return (
+        seg.groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_words"),
+            F.sum(F.size("syms")).cast("bigint").alias("n_subwords"),
+            F.md5(
+                F.concat_ws(
+                    " ",
+                    F.flatten(
+                        F.expr(
+                            "transform(array_sort(collect_list(struct(tpos, syms))),"
+                            " s -> s.syms)"
+                        )
+                    ),
+                )
+            ).alias("subword_fp"),
+        )
+        .select(
+            id_col,
+            F.col("n_words").cast("int").alias("n_words"),
+            "n_subwords",
+            "subword_fp",
+        )
+    )
+
+
+def _bpe_learn(
+    df: DataFrame,
+    k: int,
+    text_col: str,
+    min_word_freq: int,
+) -> tuple[list[tuple[int, str, str, int]], DataFrame]:
+    """The shared BPE loop: returns (merge list, final per-word state
+    (w, freq, syms)). See bpe_merges for semantics."""
     from pyspark.sql import Window
 
     words = (
@@ -1210,7 +1277,6 @@ def bpe_merges(
         ).alias("syms"),
     ).localCheckpoint(eager=True)
 
-    spark = df.sparkSession
     merges: list[tuple[int, str, str, int]] = []
     for rank in range(1, k + 1):
         pos = state.select(
@@ -1274,7 +1340,4 @@ def bpe_merges(
         )
         state = rebuilt.localCheckpoint(eager=True)
 
-    return spark.createDataFrame(
-        merges or [],
-        "merge_rank int, left_sym string, right_sym string, pair_count bigint",
-    )
+    return merges, state

@@ -148,6 +148,7 @@ _WINDOW_R9: tuple[str, ...] = (
     "multimodal_encoder_topk",
     "kvtext_streaming_restart_certified",
     "text_bpe_merges",
+    "text_bpe_segment",
     "text_vocab_encode",
     "text_vocab_ids",
     "dedup_minhash_lsh",
@@ -177,11 +178,11 @@ _WINDOW_R9: tuple[str, ...] = (
     "join_skew_salted",
     "agg_salted_distinct",
     "simsearch_ann_ivf_recall",
-    "multimodal_resize_audit",
 )
 _ROTATED_OUT: tuple[str, ...] = (
-    "latest_event_per_user",
+    "multimodal_resize_audit",
     "events_range_join",
+    "latest_event_per_user",
     "events_dedup_windowed",
     "q3_shipping_priority",
     "q12_late_shipments",

@@ -2062,7 +2062,9 @@ def text_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bpe_merges(docs, k=4).orderBy("merge_rank")
 
 
-def _bpe_merges_sql(k: int = 4) -> str:
+def _bpe_stages_sql(k: int = 4) -> str:
+    """Shared WITH-prefix for the BPE oracles: word table, character
+    state, and k learn+apply stages (argmax as a 1-row cross join)."""
     stages = []
     for i in range(1, k + 1):
         prev = f"s{i - 1}"
@@ -2107,11 +2109,6 @@ pa{i} AS (
   FROM c{i} WHERE consumed = 0
   GROUP BY w, freq
 )""")
-    finals = "\nUNION ALL\n".join(
-        f"SELECT {i} AS merge_rank, a AS left_sym, b AS right_sym, "
-        f"cnt AS pair_count FROM best{i}"
-        for i in range(1, k + 1)
-    )
     return f"""
 WITH w0 AS (
   SELECT w, COUNT(*) AS freq FROM (
@@ -2124,7 +2121,16 @@ WITH w0 AS (
          [substr(w, i, 1) FOR i IN range(1, CAST(strlen(w) AS INT) + 1)]
            AS syms
   FROM w0
-),{",".join(stages)}
+),{",".join(stages)}"""
+
+
+def _bpe_merges_sql(k: int = 4) -> str:
+    finals = "\nUNION ALL\n".join(
+        f"SELECT {i} AS merge_rank, a AS left_sym, b AS right_sym, "
+        f"cnt AS pair_count FROM best{i}"
+        for i in range(1, k + 1)
+    )
+    return f"""{_bpe_stages_sql(k)}
 SELECT CAST(merge_rank AS INT) AS merge_rank, left_sym, right_sym,
        pair_count
 FROM ({finals})
@@ -2132,7 +2138,52 @@ ORDER BY merge_rank
 """
 
 
+def text_bpe_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE APPLY (functions.text.bpe_segment): segment every document with
+    the 4-merge table learned on the same corpus, via the distinct-word
+    memoization join — segmentation is a pure function of the word, so the
+    learned O(distinct words) state IS the segmentation table and per-doc
+    work is one equi-join. Emits (doc_id, n_words, n_subwords, subword_fp)
+    for documents with >= 1 ASCII-alphanumeric token; subword_fp pins the
+    space-joined subword stream in document token order byte-for-byte. The
+    DuckDB twin replays learn + apply: the shared 4-stage CTE prefix, a
+    positional token explode, the same join, and an ordered string_agg."""
+    from sdc_mapreduce_spark.functions.text import bpe_segment
+
+    docs = load_table(spark, sf_dir, "documents")
+    return bpe_segment(docs, k=4).orderBy("doc_id")
+
+
+def _bpe_segment_sql(k: int = 4) -> str:
+    return f"""{_bpe_stages_sql(k)},
+dt AS (
+  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks
+  FROM documents
+), dz AS (
+  SELECT doc_id,
+         UNNEST([{{'i': i, 't': toks[i]}}
+                 FOR i IN range(1, len(toks) + 1)]) AS s
+  FROM dt
+), dw AS (
+  SELECT doc_id, s.i - 1 AS tpos, s.t AS w
+  FROM dz WHERE regexp_full_match(s.t, '[A-Za-z0-9]+')
+), seg AS (
+  SELECT dw.doc_id, dw.tpos, s{k}.syms
+  FROM dw JOIN s{k} ON s{k}.w = dw.w
+)
+SELECT doc_id,
+       CAST(COUNT(*) AS INT) AS n_words,
+       CAST(SUM(len(syms)) AS BIGINT) AS n_subwords,
+       md5(string_agg(array_to_string(syms, ' '), ' ' ORDER BY tpos))
+         AS subword_fp
+FROM seg
+GROUP BY doc_id
+ORDER BY doc_id
+"""
+
+
 TEXT_BPE_MERGES_SQL = _bpe_merges_sql()
+TEXT_BPE_SEGMENT_SQL = _bpe_segment_sql()
 
 QUERIES: dict[str, QuerySpec] = {
     "text_score_distribution": QuerySpec(
@@ -2208,6 +2259,7 @@ QUERIES: dict[str, QuerySpec] = {
         multimodal_encoder_topk, MULTIMODAL_ENCODER_TOPK_SQL
     ),
     "text_bpe_merges": QuerySpec(text_bpe_merges, TEXT_BPE_MERGES_SQL),
+    "text_bpe_segment": QuerySpec(text_bpe_segment, TEXT_BPE_SEGMENT_SQL),
     "multimodal_resize_audit": QuerySpec(
         multimodal_resize_audit, MULTIMODAL_RESIZE_AUDIT_SQL
     ),

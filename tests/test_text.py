@@ -642,3 +642,52 @@ def test_bpe_merges_single_hot_run(spark):
         for r in bpe_merges(df, k=2).orderBy("merge_rank").collect()
     ]
     assert got == [(1, "a", "a", 6), (2, "aa", "aa", 2)]
+
+
+def test_bpe_segment_consistent_with_reference(spark):
+    """Segment stats must equal re-segmenting each doc with the reference
+    learner's merge table: same word -> same subword split, doc order
+    preserved in the fingerprint."""
+    import hashlib
+
+    from sdc_mapreduce_spark.functions.text import bpe_segment
+
+    word_freqs = {"banana": 4, "bandana": 2, "low": 5, "lower": 2, "newest": 3}
+    docs = [
+        (0, "banana bandana low"),
+        (1, "lower newest banana"),
+        (2, "low low newest"),
+        (3, "!!! ???"),  # no alnum tokens -> omitted
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    # corpus word freqs for learning = token occurrences in these docs
+    corpus_freqs: dict[str, int] = {}
+    for _, text in docs:
+        for w in text.split():
+            if w.isalnum() and w.isascii():
+                corpus_freqs[w] = corpus_freqs.get(w, 0) + 1
+    merges = _reference_bpe(corpus_freqs, 4)
+
+    def seg_word(w):
+        syms = list(w)
+        for a, b, _ in merges:
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            syms = out
+        return syms
+
+    got = {r["doc_id"]: r for r in bpe_segment(df, k=4).collect()}
+    assert set(got) == {0, 1, 2}
+    for doc_id, text in docs[:3]:
+        words = [w for w in text.split() if w.isalnum() and w.isascii()]
+        subs = [s for w in words for s in seg_word(w)]
+        r = got[doc_id]
+        assert r["n_words"] == len(words)
+        assert r["n_subwords"] == len(subs)
+        assert r["subword_fp"] == hashlib.md5(" ".join(subs).encode()).hexdigest()
