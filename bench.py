@@ -192,8 +192,13 @@ def main() -> None:
         _make_skewed_events(spark, "single"),
         "events with ONE user holding ~60% of rows",
     )
+    # sf is best-effort metadata: a non-"sfX.Y" dir name (e.g. the 10x
+    # replica corpus) must not crash the run AFTER all timings are in
     sf = SF_DIR.rstrip("/").split("/")[-1].replace("sf", "")
-    sf_val = float(sf) if sf else None
+    try:
+        sf_val: float | None = float(sf)
+    except ValueError:
+        sf_val = None
     detail = json.dumps(
         {
             "metric": "headline_query_set_wall_clock",
