@@ -2,7 +2,8 @@
 
 The driver ships fixtures only up to sf0.1; the 2x-of-baseline gate and the
 100 TB design arguments deserve at least one measured order-of-magnitude
-slope. This tool replicates the sf0.1 `documents` and `embeddings` tables
+slope. This tool replicates the sf0.1 `documents`, `embeddings`, and
+(since r8, with consistent key shifts) `events`/`orders`/`lineitem` tables
 N times (default 10 -> "sf1-ish") with REMAPPED ids and a per-replica token
 prefix so each replica's shingle space is disjoint: the near-duplicate
 structure inside every replica is preserved, total near-pairs scale
