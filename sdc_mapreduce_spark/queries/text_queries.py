@@ -2256,7 +2256,7 @@ QUERIES: dict[str, QuerySpec] = {
         multimodal_embed_search, MULTIMODAL_EMBED_SEARCH_SQL
     ),
     "multimodal_encoder_topk": QuerySpec(
-        multimodal_encoder_topk, MULTIMODAL_ENCODER_TOPK_SQL
+        multimodal_encoder_topk, MULTIMODAL_ENCODER_TOPK_SQL, bench=True
     ),
     "text_bpe_merges": QuerySpec(text_bpe_merges, TEXT_BPE_MERGES_SQL),
     "text_bpe_segment": QuerySpec(text_bpe_segment, TEXT_BPE_SEGMENT_SQL),
