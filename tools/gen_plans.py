@@ -86,9 +86,7 @@ EXTRA_SHAPES = [
     "dedup_keep_best",
     "events_autocorrelation",
     "multimodal_neardup_recall",
-    # round-9 additions
-    "multimodal_encoder_topk",
-]
+]  # (multimodal_encoder_topk moved into the bench set in r9)
 
 HEADER = """# PLANS — formatted physical plans of the headline bench queries plus the
 # adapted TPC-H subquery shapes (sf0.01)
