@@ -1216,7 +1216,9 @@ def bpe_segment(
     segmentation table; per-doc work is an equi-join, never a re-scan of
     the merge loop). Emits per document, for its ASCII-alphanumeric tokens
     (documents with none are omitted — segmentation of an empty stream is
-    undefined): (doc_id, n_words, n_subwords, subword_fp) where subword_fp
+    undefined; with ``min_word_freq > 1`` the learned state excludes rare
+    words and the inner join drops them from the stats too):
+    (doc_id, n_words, n_subwords, subword_fp) where subword_fp
     is the md5 of the space-joined subword stream in document token order
     — the byte-exact witness of the segmentation without shuffling it."""
     _merges, state = _bpe_learn(

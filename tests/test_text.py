@@ -691,3 +691,31 @@ def test_bpe_segment_consistent_with_reference(spark):
         assert r["n_words"] == len(words)
         assert r["n_subwords"] == len(subs)
         assert r["subword_fp"] == hashlib.md5(" ".join(subs).encode()).hexdigest()
+
+
+def test_encode_with_vocab_counts_path_equals_ranked_path(spark):
+    """The r9 fused path (raw vocab_counts in, rank assigned driver-side
+    inside the bounded collect) must produce byte-identical encodes to the
+    distributed-ranking path — including tie-breaks on equal frequencies
+    and the max_vocab gate."""
+    import pytest as _pytest
+
+    from sdc_mapreduce_spark.functions.text import (
+        encode_with_vocab,
+        vocab_counts,
+        vocab_ids,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, "aa bb aa cc dd"),
+            (2, "bb cc aa zz bb"),
+            (3, "dd dd cc"),
+        ],
+        ["doc_id", "text"],
+    )
+    ranked = encode_with_vocab(df, vocab_ids(df, min_count=2)).collect()
+    counted = encode_with_vocab(df, vocab_counts(df, min_count=2)).collect()
+    assert sorted(map(tuple, ranked)) == sorted(map(tuple, counted))
+    with _pytest.raises(ValueError, match="max_vocab"):
+        encode_with_vocab(df, vocab_counts(df, min_count=1), max_vocab=2).collect()
