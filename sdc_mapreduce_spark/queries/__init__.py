@@ -125,8 +125,18 @@ for _name in _MODULE_ORDER:
 #     Round 9 also CLOSED the 10x-replica sweep: the 26 queries not covered
 #     by CHECKS_r08/scale_sf1ish*.txt (embedding/simsearch block, late
 #     additions, both r9 queries) are hash-verified at the 10x corpus in
-#     CHECKS_r09/scale_sf1ish_remaining.txt — all 228 registered queries
-#     now have a ~SF1 hash-verified run.
+#     CHECKS_r09/scale_sf1ish_remaining.txt — all 230 registered queries
+#     now have a ~SF1 hash-verified run (full_registry_sf0.01.txt is the
+#     one-sweep 230/230 at round HEAD).
+#   round 10 plan, in priority order (pre-sequenced so a truncated round
+#     still certifies the stalest first): (0) any query added in r9 after
+#     this window froze; (1) the three entries demoted from the r9 window
+#     to keep it at 50 (multimodal_resize_audit, events_range_join,
+#     latest_event_per_user — r4-last-sampled, stalest in the registry);
+#     (2) any query whose code or oracle changes in round 10; (3) the
+#     remainder of the r4-last-sampled block (events_dedup_windowed ..
+#     join_left_agg); (4) the r5-last-sampled block; oldest-first
+#     thereafter.
 _WINDOW_R9: tuple[str, ...] = (
     "text_bm25_topk",
     "dedup_streaming_embedding_certified",
