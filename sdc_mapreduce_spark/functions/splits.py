@@ -559,3 +559,31 @@ def weighted_sample(
         .orderBy(F.col("priority_nano").desc(), F.col(key).asc())
         .limit(k)
     )
+
+
+def time_purged_split(
+    df: DataFrame,
+    cutoff: str,
+    embargo_minutes: int = 60,
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Leakage-free temporal split — the event-data analog of the purged
+    walk-forward split (Lopez de Prado, "Advances in Financial ML", ch.7):
+    train takes rows strictly before ``cutoff``; an EMBARGO band of
+    ``embargo_minutes`` after the cutoff is PURGED (rows whose labels/
+    features could straddle the boundary — e.g. a session or a rolling
+    window open at the cutoff — belong to neither side); test takes
+    everything at or after cutoff + embargo. Pure column expressions: a
+    map-stage tag, no shuffle, partition-prunable when the table is
+    date-partitioned. Adds a ``split`` column in {train, purged, test}."""
+    c = F.expr(f"timestamp_ntz'{cutoff}'")
+    e = F.expr(
+        f"timestamp_ntz'{cutoff}' + INTERVAL {int(embargo_minutes)} MINUTES"
+    )
+    t = F.col(ts_col)
+    return df.withColumn(
+        "split",
+        F.when(t < c, F.lit("train")).when(t < e, F.lit("purged")).otherwise(
+            F.lit("test")
+        ),
+    )

@@ -115,6 +115,9 @@ for _name in _MODULE_ORDER:
 #     offset contract of the custom streaming source across a
 #     checkpointed restart), text_bpe_merges (NEW: distributed BPE merge
 #     learning, canonical Sennrich semantics, 4-stage CTE oracle),
+#     text_bpe_segment (NEW: BPE apply via the distinct-word
+#     memoization join), events_time_purged_split (NEW: purged
+#     walk-forward temporal split + leakage audit),
 #     text_vocab_encode (fused gate-probe+rank+collect),
 #     text_vocab_ids (vocab_counts refactor), dedup_minhash_lsh (lazy
 #     hot-bucket cap) and its cluster/pagerank consumers; (2) the 8
@@ -159,6 +162,7 @@ _WINDOW_R9: tuple[str, ...] = (
     "kvtext_streaming_restart_certified",
     "text_bpe_merges",
     "text_bpe_segment",
+    "events_time_purged_split",
     "text_vocab_encode",
     "text_vocab_ids",
     "dedup_minhash_lsh",
@@ -187,9 +191,9 @@ _WINDOW_R9: tuple[str, ...] = (
     "corpus_mix_rebalance",
     "join_skew_salted",
     "agg_salted_distinct",
-    "simsearch_ann_ivf_recall",
 )
 _ROTATED_OUT: tuple[str, ...] = (
+    "simsearch_ann_ivf_recall",
     "multimodal_resize_audit",
     "events_range_join",
     "latest_event_per_user",

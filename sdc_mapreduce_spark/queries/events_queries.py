@@ -2514,7 +2514,92 @@ ORDER BY user_id, session_start
 """
 
 
+
+def events_time_purged_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-free temporal split audit (functions.splits.
+    time_purged_split — the purged walk-forward split of Lopez de Prado
+    ch.7, the standard eval protocol for event/time-series models): tag
+    every event train / purged / test around a cutoff with a 12-hour
+    embargo band, then audit each side — row and user counts, the split's
+    time span, and leaky_users, the number of this split's users that also
+    appear in another split (time splits cannot avoid entity overlap; the
+    audit QUANTIFIES the temporal-leakage pressure instead of hiding it).
+    The split tag is a pure map-stage expression (partition-prunable on a
+    date-partitioned table); the audit is two aggregations."""
+    from sdc_mapreduce_spark.functions.splits import time_purged_split
+
+    ev = load_table(spark, sf_dir, "events")
+    tagged = time_purged_split(
+        ev, cutoff="2024-01-20 00:00:00", embargo_minutes=720
+    )
+    per_split_users = tagged.select("split", "user_id").distinct()
+    multi = (
+        per_split_users.groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("__ns"))
+        .filter(F.col("__ns") > 1)
+        .select("user_id")
+    )
+    leaky = (
+        per_split_users.join(multi, "user_id")
+        .groupBy("split")
+        .agg(F.count(F.lit(1)).alias("__leaky"))
+    )
+    stats = tagged.groupBy("split").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.countDistinct("user_id").alias("n_users"),
+        F.min("ts").alias("min_ts"),
+        F.max("ts").alias("max_ts"),
+    )
+    return (
+        stats.join(leaky, "split", "left")
+        .select(
+            "split",
+            "n_events",
+            "n_users",
+            F.coalesce(F.col("__leaky"), F.lit(0)).cast("bigint").alias(
+                "leaky_users"
+            ),
+            "min_ts",
+            "max_ts",
+        )
+        .orderBy("split")
+    )
+
+
+EVENTS_TIME_PURGED_SPLIT_SQL = """
+WITH tagged AS (
+  SELECT user_id, CAST(ts AS TIMESTAMP) AS ts,
+         CASE WHEN CAST(ts AS TIMESTAMP) < TIMESTAMP '2024-01-20 00:00:00'
+                THEN 'train'
+              WHEN CAST(ts AS TIMESTAMP) < TIMESTAMP '2024-01-20 00:00:00'
+                     + INTERVAL 720 MINUTE
+                THEN 'purged'
+              ELSE 'test' END AS split
+  FROM events
+), psu AS (
+  SELECT DISTINCT split, user_id FROM tagged
+), multi AS (
+  SELECT user_id FROM psu GROUP BY user_id HAVING COUNT(*) > 1
+), leaky AS (
+  SELECT split, COUNT(*) AS n FROM psu JOIN multi USING (user_id)
+  GROUP BY split
+)
+SELECT t.split,
+       COUNT(*) AS n_events,
+       COUNT(DISTINCT t.user_id) AS n_users,
+       CAST(COALESCE(ANY_VALUE(l.n), 0) AS BIGINT) AS leaky_users,
+       MIN(t.ts) AS min_ts,
+       MAX(t.ts) AS max_ts
+FROM tagged t LEFT JOIN leaky l ON l.split = t.split
+GROUP BY t.split
+ORDER BY t.split
+"""
+
+
 QUERIES: dict[str, QuerySpec] = {
+    "events_time_purged_split": QuerySpec(
+        events_time_purged_split, EVENTS_TIME_PURGED_SPLIT_SQL
+    ),
     "events_streaming_session_certified": QuerySpec(
         events_streaming_session_certified, EVENTS_STREAMING_SESSION_SQL
     ),

@@ -626,3 +626,57 @@ def ts(minute: int, second: int = 0):
     import datetime as dt
 
     return dt.datetime(2024, 1, 1, 10, minute, second)
+
+
+def _ref_bpe_learn(word_freqs: dict[str, int], k: int):
+    """Pure-Python Sennrich learn_bpe (same as tests/test_text.py's
+    reference): overlap-counted stats, greedy left-to-right merge with
+    skip, (count desc, left asc, right asc) tie-break."""
+    state = {w: list(w) for w in word_freqs}
+    merges = []
+    for _ in range(k):
+        counts: dict[tuple[str, str], int] = {}
+        for w, syms in state.items():
+            f = word_freqs[w]
+            for i in range(len(syms) - 1):
+                p = (syms[i], syms[i + 1])
+                counts[p] = counts.get(p, 0) + f
+        if not counts:
+            break
+        (a, b), cnt = min(counts.items(), key=lambda kv: (-kv[1], kv[0]))
+        if cnt < 2:
+            break
+        merges.append((a, b, cnt))
+        for w, syms in state.items():
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            state[w] = out
+    return merges
+
+
+# short words over a 3-letter alphabet: tiny alphabets maximize repeated
+# pairs, overlapping runs ('aaa'), and frequency ties — the hard paths of
+# the run-parity window and the deterministic tie-break
+bpe_word = st.text(alphabet="abc", min_size=1, max_size=6)
+
+
+@SETTINGS
+@given(words=st.lists(bpe_word, min_size=1, max_size=12))
+def test_bpe_merges_matches_reference_on_random_corpora(spark, words):
+    from collections import Counter as _Counter
+
+    from sdc_mapreduce_spark.functions.text import bpe_merges
+
+    df = spark.createDataFrame([(" ".join(words),)], "text string")
+    got = [
+        (r["left_sym"], r["right_sym"], r["pair_count"])
+        for r in bpe_merges(df, k=3).orderBy("merge_rank").collect()
+    ]
+    expect = _ref_bpe_learn(dict(_Counter(words)), 3)
+    assert got == expect, f"words={words}\n got={got}\nwant={expect}"

@@ -377,3 +377,29 @@ def test_quota_sample_refuses_budget_over_population(spark):
     )
     with pytest.raises(ValueError, match="budget=10 exceeds population N=3"):
         quota_sample(df, "lang", budget=10)
+
+
+def test_time_purged_split_three_way_partition(spark):
+    """Every row lands in exactly one of train/purged/test; boundaries are
+    half-open ([train)[purged)[test…): cutoff itself is purged, cutoff +
+    embargo is test; the union is the input."""
+    import datetime as dt
+
+    from sdc_mapreduce_spark.functions.splits import time_purged_split
+
+    base = dt.datetime(2024, 1, 20, 0, 0, 0)
+    rows = [
+        (1, base - dt.timedelta(seconds=1)),   # train (strictly before)
+        (2, base),                              # purged (== cutoff)
+        (3, base + dt.timedelta(minutes=59)),   # purged (inside embargo)
+        (4, base + dt.timedelta(minutes=60)),   # test (== cutoff+embargo)
+        (5, base + dt.timedelta(days=2)),       # test
+    ]
+    df = spark.createDataFrame(rows, "event_id long, ts timestamp_ntz")
+    got = {
+        r["event_id"]: r["split"]
+        for r in time_purged_split(
+            df, cutoff="2024-01-20 00:00:00", embargo_minutes=60
+        ).collect()
+    }
+    assert got == {1: "train", 2: "purged", 3: "purged", 4: "test", 5: "test"}
