@@ -118,6 +118,9 @@ for _name in _MODULE_ORDER:
 #     text_bpe_segment (NEW: BPE apply via the distinct-word
 #     memoization join), events_time_purged_split (NEW: purged
 #     walk-forward temporal split + leakage audit),
+#     dedup_cluster_safe_split (NEW: near-dup-safe train/test split by
+#     cluster representative; audit proves 0 straddling pairs vs the
+#     naive per-doc hash's >0),
 #     text_vocab_encode (fused gate-probe+rank+collect),
 #     text_vocab_ids (vocab_counts refactor), dedup_minhash_lsh (lazy
 #     hot-bucket cap) and its cluster/pagerank consumers; (2) the 8
@@ -163,6 +166,7 @@ _WINDOW_R9: tuple[str, ...] = (
     "text_bpe_merges",
     "text_bpe_segment",
     "events_time_purged_split",
+    "dedup_cluster_safe_split",
     "text_vocab_encode",
     "text_vocab_ids",
     "dedup_minhash_lsh",
@@ -190,9 +194,9 @@ _WINDOW_R9: tuple[str, ...] = (
     "sample_stratified",
     "corpus_mix_rebalance",
     "join_skew_salted",
-    "agg_salted_distinct",
 )
 _ROTATED_OUT: tuple[str, ...] = (
+    "agg_salted_distinct",
     "simsearch_ann_ivf_recall",
     "multimodal_resize_audit",
     "events_range_join",

@@ -1261,7 +1261,155 @@ WHERE rn <= 3 ORDER BY rep_id, rank
 """
 
 
+
+def dedup_cluster_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup-SAFE train/test splitting — the composition that prevents
+    the classic eval-contamination bug: hash-splitting documents
+    independently lets near-duplicates straddle train and test (the model
+    is then evaluated on paraphrases of its training data). Here the split
+    key is the near-dup CLUSTER representative (near_dup_clusters: LSH
+    pairs -> connected components), so every member of a cluster inherits
+    one assignment and no verified near-dup pair can ever cross the
+    boundary. The output PROVES it: per split (90/10 by rep_id content
+    hash) — doc and cluster counts — plus two constant audit columns
+    counting near-dup pairs whose endpoints landed in different splits
+    under the safe assignment (structurally 0) and under the naive
+    per-document hash with the same salt (>0 on any corpus with near-dups:
+    the bug being prevented, quantified). Scale shape: clustering is the
+    already hot-capped LSH + O(diameter) label propagation; the split tag
+    and audits are O(docs) + O(pairs) joins with probe-gated broadcasts."""
+    from sdc_mapreduce_spark.functions.splits import split_column
+
+    fractions = {"train": 0.9, "test": 0.1}
+    salt = "cluster-split-v1"
+    docs = load_table(spark, sf_dir, "documents")
+    clusters = D.near_dup_clusters(
+        docs, num_hashes=128, bands=32, n=3, threshold=0.8
+    ).persist()
+    tagged = clusters.select(
+        "doc_id",
+        "rep_id",
+        split_column("rep_id", fractions, salt).alias("split"),
+        split_column("doc_id", fractions, salt).alias("naive_split"),
+    ).persist()
+    pairs = D.minhash_lsh_pairs(
+        docs, num_hashes=128, bands=32, n=3, threshold=0.8
+    ).select("id_a", "id_b")
+    sa = tagged.select(
+        F.col("doc_id").alias("id_a"),
+        F.col("split").alias("__spa"),
+        F.col("naive_split").alias("__npa"),
+    )
+    sb = tagged.select(
+        F.col("doc_id").alias("id_b"),
+        F.col("split").alias("__spb"),
+        F.col("naive_split").alias("__npb"),
+    )
+    straddle = (
+        broadcast_if_small(pairs, 10_000_000)
+        .join(sa, "id_a")
+        .join(sb, "id_b")
+        .agg(
+            F.sum((F.col("__spa") != F.col("__spb")).cast("long")).alias(
+                "safe_straddle_pairs"
+            ),
+            F.sum((F.col("__npa") != F.col("__npb")).cast("long")).alias(
+                "naive_straddle_pairs"
+            ),
+        )
+    )
+    per_split = tagged.groupBy("split").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.countDistinct("rep_id").alias("n_clusters"),
+    )
+    return (
+        per_split.crossJoin(F.broadcast(straddle))
+        .select(
+            "split",
+            "n_docs",
+            "n_clusters",
+            F.coalesce("safe_straddle_pairs", F.lit(0)).alias(
+                "safe_straddle_pairs"
+            ),
+            F.coalesce("naive_straddle_pairs", F.lit(0)).alias(
+                "naive_straddle_pairs"
+            ),
+        )
+        .orderBy("split")
+    )
+
+
+def _cluster_safe_split_sql() -> str:
+    from sdc_mapreduce_spark.functions.splits import split_sql_case
+
+    fractions = {"train": 0.9, "test": 0.1}
+    case_rep = split_sql_case("rep_id", fractions, salt="cluster-split-v1")
+    case_doc = split_sql_case("doc_id", fractions, salt="cluster-split-v1")
+    return f"""
+WITH RECURSIVE t AS (
+  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks FROM documents
+), sh AS (
+  SELECT doc_id,
+         list_distinct(CASE WHEN len(toks) >= 3
+           THEN [toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+                 FOR i IN range(1, len(toks) - 1)]
+           ELSE [array_to_string(toks, ' ')] END) AS shingles
+  FROM t
+), sz AS (
+  SELECT doc_id, len(shingles) AS sz FROM sh
+), inv AS (
+  SELECT doc_id, UNNEST(shingles) AS s FROM sh
+), common AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS c
+  FROM inv a JOIN inv b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+), pairs AS (
+  SELECT id_a, id_b FROM common
+  JOIN sz za ON za.doc_id = id_a
+  JOIN sz zb ON zb.doc_id = id_b
+  WHERE c / (za.sz + zb.sz - c) >= 0.8
+), edges AS (
+  SELECT id_a AS s, id_b AS t FROM pairs
+  UNION ALL
+  SELECT id_b, id_a FROM pairs
+), reach AS (
+  SELECT doc_id AS s, doc_id AS t FROM documents
+  UNION
+  SELECT r.s, e.t FROM reach r JOIN edges e ON r.t = e.s
+), comp AS (
+  SELECT s AS doc_id, MIN(t) AS rep_id FROM reach GROUP BY s
+), tagged AS (
+  SELECT doc_id, rep_id,
+         {case_rep} AS split,
+         {case_doc} AS naive_split
+  FROM comp
+), straddle AS (
+  SELECT
+    CAST(COALESCE(SUM(CASE WHEN ta.split <> tb.split THEN 1 ELSE 0 END), 0)
+      AS BIGINT) AS safe_straddle_pairs,
+    CAST(COALESCE(SUM(CASE WHEN ta.naive_split <> tb.naive_split
+      THEN 1 ELSE 0 END), 0) AS BIGINT) AS naive_straddle_pairs
+  FROM pairs p
+  JOIN tagged ta ON ta.doc_id = p.id_a
+  JOIN tagged tb ON tb.doc_id = p.id_b
+)
+SELECT split, COUNT(*) AS n_docs,
+       COUNT(DISTINCT rep_id) AS n_clusters,
+       ANY_VALUE(s.safe_straddle_pairs) AS safe_straddle_pairs,
+       ANY_VALUE(s.naive_straddle_pairs) AS naive_straddle_pairs
+FROM tagged CROSS JOIN straddle s
+GROUP BY split
+ORDER BY split
+"""
+
+
+DEDUP_CLUSTER_SAFE_SPLIT_SQL = _cluster_safe_split_sql()
+
+
 QUERIES: dict[str, QuerySpec] = {
+    "dedup_cluster_safe_split": QuerySpec(
+        dedup_cluster_safe_split, DEDUP_CLUSTER_SAFE_SPLIT_SQL
+    ),
     "dedup_cluster_labels": QuerySpec(
         dedup_cluster_labels, DEDUP_CLUSTER_LABELS_SQL
     ),
