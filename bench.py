@@ -21,6 +21,7 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from sdc_mapreduce_spark import queries as qreg
+from sdc_mapreduce_spark.queries.base import drain_pins
 from sdc_mapreduce_spark.session import get_spark
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -174,11 +175,13 @@ def main() -> None:
         runs[name] = _timed_runs(
             lambda: fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
         )
-        # per-query cache hygiene: queries that persist() shared frames
+        # per-query cache hygiene: queries that pin() shared frames
         # (vocab, histograms) would otherwise stack cached copies across
         # the whole 20-query session — by the skew suite at the end, that
-        # storage pressure produced the r8 24.1 s outlier
-        spark.catalog.clearCache()
+        # storage pressure produced the r8 24.1 s outlier. drain_pins also
+        # releases the pin ledger and nudges the ContextCleaner for
+        # localCheckpoint blocks (queries/base.py, VERDICT r9 ask #5).
+        drain_pins(spark)
 
     timings = {name: round(_median(s), 3) for name, s in runs.items()}
     total = round(sum(timings.values()), 3)

@@ -52,6 +52,21 @@ from pyspark.sql.datasource import (
 DEFAULT_SHARD_SIZE = 50_000  # the reference client's SHARD_SIZE default
 # (reference clientsdk/job_details.py:5)
 
+# Streaming-only partition-count guard (VERDICT r9 ask #1). A micro-batch
+# materializes ONE Python worker per planned partition more or less at
+# once, so an unbounded shard count is a crash cliff, not just overhead:
+# at the 10x corpus the 50 KB default planned thousands of Python-source
+# partitions in a single batch and starved worker startup ("Python worker
+# failed to connect back", CHECKS_r09/scale_sf1ish_remaining.txt). The
+# batch reader is deliberately NOT capped — batch tasks launch through the
+# scheduler at executor-slot concurrency and reuse workers, and the scan
+# certs exercise deliberately tiny shards there. The stream reader
+# coalesces its planned shards to at most this many partitions per batch
+# (override with the max_batch_shards option); the shard PLAN is unchanged
+# — coalescing concatenates whole record-aligned shards, so row ownership
+# is untouched.
+DEFAULT_MAX_BATCH_SHARDS = 128
+
 
 class KVShard(InputPartition):
     """One capacity-packed shard: a list of ``(path, start, end)`` byte-range
@@ -120,6 +135,31 @@ def plan_shards(paths: list[str], shard_size: int, pack: bool) -> list[KVShard]:
     return shards
 
 
+def coalesce_shards(shards: list[KVShard], max_shards: int) -> list[KVShard]:
+    """Cap a shard plan at ``max_shards`` partitions by concatenating
+    CONTIGUOUS runs of shards (adjacent in plan order, so merged segments
+    stay sequential within each file — one seek per original shard at
+    most). Each output shard holds ceil/floor(n / max_shards) inputs, so
+    byte capacity stays balanced: inputs are equal-sized by construction
+    (only the final one may be smaller). Row ownership is untouched —
+    ``read_shard`` applies the line-boundary protocol per SEGMENT, and
+    coalescing only concatenates whole segments."""
+    if max_shards < 1:
+        raise ValueError(f"max_shards must be >= 1, got {max_shards}")
+    n = len(shards)
+    if n <= max_shards:
+        return shards
+    out: list[KVShard] = []
+    base, extra = divmod(n, max_shards)
+    i = 0
+    for g in range(max_shards):
+        take = base + (1 if g < extra else 0)
+        group = shards[i : i + take]
+        i += take
+        out.append(KVShard([seg for s in group for seg in s.segments]))
+    return out
+
+
 def read_shard(partition: KVShard) -> Iterator[tuple]:
     for path, start, end in partition.segments:
         with open(path, "rb") as fh:
@@ -182,6 +222,14 @@ class KVTextStreamReader(DataSourceStreamReader):
             raise ValueError(
                 f"kvtext streaming: 'path' must be a directory, got {self._path!r}"
             )
+        self.max_batch_shards = int(
+            options.get("max_batch_shards", DEFAULT_MAX_BATCH_SHARDS)
+        )
+        if self.max_batch_shards < 1:
+            raise ValueError(
+                "kvtext streaming: max_batch_shards must be >= 1, got "
+                f"{self.max_batch_shards}"
+            )
 
     def initialOffset(self) -> dict:
         return {"files": []}
@@ -192,6 +240,11 @@ class KVTextStreamReader(DataSourceStreamReader):
     def partitions(self, start: dict, end: dict):
         new = sorted(set(end.get("files", [])) - set(start.get("files", [])))
         shards = plan_shards(new, self.shard_size, self.pack)
+        # Partition-count guard (see DEFAULT_MAX_BATCH_SHARDS): a
+        # micro-batch must never plan unbounded Python partitions — the
+        # shard planner mirrors the reference's capacity packing
+        # (src/master/sharding.h:27-83) and the cap re-packs per batch.
+        shards = coalesce_shards(shards, self.max_batch_shards)
         # Spark requires >= 1 partition per batch; an empty shard reads 0 rows
         return shards or [KVShard([])]
 

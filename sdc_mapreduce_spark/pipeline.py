@@ -25,6 +25,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import Window
 
 from sdc_mapreduce_spark.functions.dedup import near_dup_clusters
+from sdc_mapreduce_spark.queries.base import pin
 from sdc_mapreduce_spark.functions.text import (
     contamination_check,
     language_id,
@@ -59,7 +60,7 @@ def curate(
     # narrow persist before the threshold filter — same rationale as
     # curate_full: pushdown would re-expand the aliased feature expressions
     # (tokenization included) inside the interpreted Filter condition
-    featured = feats.drop("text").persist().filter(
+    featured = pin(feats.drop("text")).filter(
         F.col("quality_score") >= min_quality
     )
     if langs:
@@ -144,7 +145,7 @@ def curate_full(
     # condition (measured 13.2 s of the 14.9 s total at sf0.1; the scoring
     # itself is 1.5 s). The persist is also what the dedup window and the
     # survivor semi-join re-read, so the scoring pass runs exactly once.
-    feats_narrow = feats.drop("text").persist()
+    feats_narrow = pin(feats.drop("text"))
     kept = feats_narrow.filter(
         (F.col("quality_score") >= min_quality)
         & (F.col("dup_2gram_fraction") <= max_dup_2gram)

@@ -396,7 +396,25 @@ REGISTRY.update({name: spec for name, spec in _ALL.items() if name not in REGIST
 
 
 def queries():
-    return {name: spec.fn for name, spec in REGISTRY.items()}
+    # Each callable drains the PREVIOUS query's pin()'d persists before
+    # building its own frame (queries/base.py, VERDICT r9 ask #5): the
+    # driver's window and any long-lived sweep session stay flat on
+    # executor storage instead of accumulating 200+ cached frames. Safe by
+    # construction — the prior query was materialized before the harness
+    # asked for the next one, and an early drain only costs recompute.
+    import functools
+
+    from sdc_mapreduce_spark.queries.base import drain_pins
+
+    def _with_drain(fn):
+        @functools.wraps(fn)
+        def run(spark, sf_dir):
+            drain_pins(spark)
+            return fn(spark, sf_dir)
+
+        return run
+
+    return {name: _with_drain(spec.fn) for name, spec in REGISTRY.items()}
 
 
 def oracle_sql():

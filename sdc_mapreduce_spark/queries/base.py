@@ -42,6 +42,47 @@ class QuerySpec:
     description: str = ""
 
 
+# --- per-query cache hygiene (VERDICT r9 ask #5) -------------------------
+# Query builders that persist() shared frames (vocab, histograms, cluster
+# labels) used to leave the pins live for the session: over a 230-query
+# sweep those caches — plus the localCheckpoint blocks graph/BPE pin until
+# GC — accumulate into real executor-storage pressure. Builders now route
+# persists through pin(); every harness (bench.py, tools/check_oracle.py,
+# tests that sweep the registry) calls drain_pins(spark) after it has
+# MATERIALIZED the query's result. Draining earlier is safe for
+# correctness (Spark falls back to recompute) but defeats the point of the
+# persist, so the hook belongs after collect()/write(), never inside the
+# builder.
+
+_PINNED: list[DataFrame] = []
+
+
+def pin(df: DataFrame) -> DataFrame:
+    """persist() a frame AND register it for post-materialization release."""
+    df.persist()
+    _PINNED.append(df)
+    return df
+
+
+def drain_pins(spark: SparkSession | None = None) -> None:
+    """Release every pin()'d frame (blocking=False: eviction proceeds in the
+    background), drop any stray cache entries, and nudge the JVM GC so the
+    ContextCleaner can reap localCheckpoint RDD blocks whose Python/JVM
+    references just died with the query's frames."""
+    for df in _PINNED:
+        try:
+            df.unpersist()
+        except Exception:
+            pass  # session may already be stopped; nothing to release
+    _PINNED.clear()
+    if spark is not None:
+        try:
+            spark.catalog.clearCache()
+            spark.sparkContext._jvm.System.gc()
+        except Exception:
+            pass
+
+
 def dsum(expr: str, alias: str, scale: int = 2) -> Column:
     """Order-independent double sum via exact decimal accumulation."""
     return F.expr(

@@ -18,7 +18,7 @@ from sdc_mapreduce_spark.catalog import load_table
 from sdc_mapreduce_spark.functions import dedup as D
 from sdc_mapreduce_spark.functions.simsearch import embedding_near_pairs
 from sdc_mapreduce_spark.operators.relational import broadcast_if_small
-from sdc_mapreduce_spark.queries.base import QuerySpec
+from sdc_mapreduce_spark.queries.base import QuerySpec, pin
 
 
 def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -481,13 +481,11 @@ def dedup_exact_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
     # range-sort's sampling job would re-run it end to end (the
     # dedup_embedding_ann finding); the persisted frame is one summary
     # row per document.
-    return (
+    return pin(
         D.exact_substring_dedup(
             load_table(spark, sf_dir, "documents"), chunk_size=16
         )
-        .persist()
-        .orderBy("doc_id")
-    )
+    ).orderBy("doc_id")
 
 
 DEDUP_EXACT_SUBSTRING_SQL = """
@@ -745,7 +743,7 @@ def dedup_embedding_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     # re-run the whole candidate verify a second time (measured ~0.9 s of
     # the query's 2.3 s at sf0.1). The persisted set is the small verified
     # pair list, not the candidate volume.
-    return pairs.persist().orderBy("id_a", "id_b")
+    return pin(pairs).orderBy("id_a", "id_b")
 
 
 def dedup_incremental_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1131,10 +1129,9 @@ def dedup_source_leakage_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     of the pair list into the two doc→source attach joins, and the output
     is O(sources²) rows."""
     docs = load_table(spark, sf_dir, "documents")
-    pairs = (
+    pairs = pin(
         D.minhash_lsh_pairs(docs, num_hashes=128, bands=32, n=3, threshold=0.8)
         .select("id_a", "id_b")
-        .persist()
     )
     src = docs.select("doc_id", "source")
     hinted = broadcast_if_small(pairs, 10_000_000)

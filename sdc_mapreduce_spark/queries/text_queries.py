@@ -7,7 +7,7 @@ from pyspark.sql import functions as F
 
 from sdc_mapreduce_spark.catalog import load_table
 from sdc_mapreduce_spark.functions import text as T
-from sdc_mapreduce_spark.queries.base import QuerySpec
+from sdc_mapreduce_spark.queries.base import QuerySpec, pin
 
 
 def _stop_list_sql() -> str:
@@ -834,7 +834,7 @@ def _neardup_hist(docs: DataFrame) -> DataFrame:
     )
 
     media = synthesize_framed_media(docs)
-    return (
+    hist = (
         byte_bin_histogram(media)
         .withColumn(
             "__tot",
@@ -843,10 +843,11 @@ def _neardup_hist(docs: DataFrame) -> DataFrame:
             ),
         )
         .filter(F.col("__tot") > 0)
-        # reused by the banding pass and both verify joins; the Arrow
-        # kernel would otherwise re-decode every payload per consumer
-        .persist()
     )
+    # reused by the banding pass and both verify joins; the Arrow
+    # kernel would otherwise re-decode every payload per consumer.
+    # pin (not bare persist): released by the harness's drain_pins()
+    return pin(hist)
 
 
 def _neardup_banded_pairs(docs: DataFrame, hist: DataFrame | None = None) -> DataFrame:
@@ -1266,10 +1267,8 @@ def pipeline_pretrain_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     # scans its input twice (group counts, then the keep pass) and each scan
     # would otherwise recompute the whole curation DAG — the 5-gram
     # contamination join included (19.8 s -> ~3 s at sf0.01)
-    strata = (
-        docs.join(survivors, "doc_id", "leftsemi")
-        .select("doc_id", "lang")
-        .persist()
+    strata = pin(
+        docs.join(survivors, "doc_id", "leftsemi").select("doc_id", "lang")
     )
     return temperature_mix(
         strata, group_col="lang", alpha=0.3, budget_frac=0.5
@@ -1937,7 +1936,7 @@ def text_vocab_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     # so the range-sort's boundary-sampling job would otherwise run the
     # Arrow kernel twice end-to-end (the dedup_embedding_ann finding);
     # the persisted frame is one summary row per document.
-    return T.encode_with_vocab(docs, vocab).persist().orderBy("doc_id")
+    return pin(T.encode_with_vocab(docs, vocab)).orderBy("doc_id")
 
 
 TEXT_VOCAB_ENCODE_SQL = """

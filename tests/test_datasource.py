@@ -189,6 +189,84 @@ def test_kvtext_streaming_ingests_new_files_exactly_once(spark, tmp_path):
     assert len(spark.read.parquet(out).collect()) == 4
 
 
+def test_coalesce_shards_caps_and_preserves_segments():
+    """The partition-count guard re-packs CONTIGUOUS shard runs: capacity
+    is conserved, segment order is preserved, and n <= cap passes through
+    untouched."""
+    from sdc_mapreduce_spark.datasource import KVShard, coalesce_shards
+
+    shards = [KVShard([(f"f{i // 3}", (i % 3) * 10, (i % 3) * 10 + 10)]) for i in range(11)]
+    out = coalesce_shards(shards, 4)
+    assert len(out) == 4
+    # contiguous: flattened segments identical and in order
+    assert [seg for s in out for seg in s.segments] == [
+        seg for s in shards for seg in s.segments
+    ]
+    # balanced: group sizes differ by at most one input shard
+    sizes = [len(s.segments) for s in out]
+    assert max(sizes) - min(sizes) <= 1
+    assert sum(s.capacity for s in out) == sum(s.capacity for s in shards)
+    # no-op below the cap; hard error on a nonsensical bound
+    assert coalesce_shards(shards, 11) is shards
+    with pytest.raises(ValueError):
+        coalesce_shards(shards, 0)
+
+
+def test_kvtext_streaming_partition_guard(spark, tmp_path):
+    """Regression for the r9 10x-corpus crash ("Python worker failed to
+    connect back"): a micro-batch over a corpus that plans thousands of
+    default-size shards must coalesce to <= max_batch_shards partitions AT
+    THE SOURCE — and still read every row exactly once."""
+    from sdc_mapreduce_spark.datasource import (
+        DEFAULT_MAX_BATCH_SHARDS,
+        KVTextStreamReader,
+    )
+
+    d = tmp_path / "guard"
+    d.mkdir()
+    expected: dict[str, int] = {}
+    for f in range(3):
+        lines = []
+        for i in range(400):
+            key = f"f{f}k{i}"
+            expected[key] = i
+            lines.append(f"{key} {i}")
+        (d / f"blob{f}.txt").write_text("\n".join(lines) + "\n")
+
+    # tiny shards -> way more planned shards than the cap
+    reader = KVTextStreamReader({"path": str(d), "shard_size": "64"})
+    end = reader.latestOffset()
+    parts = reader.partitions({"files": []}, end)
+    assert 1 <= len(parts) <= DEFAULT_MAX_BATCH_SHARDS
+    # an explicit tighter cap is honored too
+    reader8 = KVTextStreamReader(
+        {"path": str(d), "shard_size": "64", "max_batch_shards": "8"}
+    )
+    assert len(reader8.partitions({"files": []}, end)) == 8
+
+    # end-to-end: the coalesced batch still yields every line exactly once
+    register_kvtext(spark)
+    out = str(tmp_path / "guard_out")
+    q = (
+        spark.readStream.format("kvtext")
+        .option("path", str(d))
+        .option("shard_size", 64)
+        .option("max_batch_shards", 8)
+        .load()
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", str(tmp_path / "guard_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        assert q.awaitTermination(300), "stream did not finish in time"
+    finally:
+        q.stop()
+    got = {r["key"]: r["value"] for r in spark.read.parquet(out).collect()}
+    assert got == expected
+
+
 def test_streaming_wordcount_same_plan_as_batch(spark, tmp_path):
     """The reference's one application, continuously: the UNCHANGED batch
     word_count definition (tokenize -> groupBy -> count) runs on the

@@ -23,6 +23,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import duckdb
 
 from sdc_mapreduce_spark.catalog import TABLES, table_path
+from sdc_mapreduce_spark.queries.base import drain_pins
 from sdc_mapreduce_spark.session import get_spark
 
 
@@ -181,11 +182,11 @@ def main() -> int:
             sdf = fn(spark, args.sf_dir)
             scols = list(sdf.columns)
             srows = [tuple(r) for r in sdf.collect()]
-            # per-query cache hygiene: several queries persist() shared
-            # frames (vocab, histograms, survivor projections) that stay
-            # referenced until GC; over a 226-query session those caches
-            # accumulate into executor-storage pressure (ADVICE r8)
-            spark.catalog.clearCache()
+            # per-query cache hygiene: release pin()'d persists + stray
+            # cache entries + nudge the ContextCleaner for localCheckpoint
+            # blocks — a full-registry session stays flat on executor
+            # storage (queries/base.py::drain_pins, VERDICT r9 ask #5)
+            drain_pins(spark)
         except Exception as exc:
             msg = str(exc).splitlines()[0][:200]
             print(f"  {name:32s} SPARK ERROR: {msg}")
