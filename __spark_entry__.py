@@ -37,9 +37,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def oracle_sql() -> dict[str, str]:
-    """DuckDB-runnable ANSI-SQL twin for EVERY registered query (226/226
-    since round 8, when simsearch_ann_ivf switched to the deterministic
-    seeded-centroid quantizer and gained a full oracle). Approximate
+    """DuckDB-runnable ANSI-SQL twin for EVERY registered query (no
+    rows-only entries since round 8, when simsearch_ann_ivf switched to
+    the deterministic seeded-centroid quantizer and gained a full oracle;
+    tests/test_00_import_integrity.py pins the live count). Approximate
     queries carry full-result or bounds oracles: simsearch_ann_srp and the
     SRP-blocked dedup family replay their plan-literal hyperplanes
     end-to-end, and agg_approx_sketches asserts each sketch inside its

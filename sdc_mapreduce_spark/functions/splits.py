@@ -576,10 +576,13 @@ def time_purged_split(
     everything at or after cutoff + embargo. Pure column expressions: a
     map-stage tag, no shuffle, partition-prunable when the table is
     date-partitioned. Adds a ``split`` column in {train, purged, test}."""
-    c = F.expr(f"timestamp_ntz'{cutoff}'")
-    e = F.expr(
-        f"timestamp_ntz'{cutoff}' + INTERVAL {int(embargo_minutes)} MINUTES"
-    )
+    # build the cutoff literal safely (ADVICE r9): lit().cast() keeps a
+    # malformed caller string out of the SQL parser — under ANSI mode a bad
+    # cutoff raises a clear cast error instead of an opaque parse error,
+    # and a quote-containing string can't alter the expression at all. The
+    # only F.expr is over the validated int.
+    c = F.lit(cutoff).cast("timestamp_ntz")
+    e = c + F.expr(f"INTERVAL {int(embargo_minutes)} MINUTES")
     t = F.col(ts_col)
     return df.withColumn(
         "split",

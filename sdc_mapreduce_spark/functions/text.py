@@ -1161,8 +1161,13 @@ def bpe_merges(
 ) -> DataFrame:
     """Distributed BPE merge learning — the tokenizer-TRAINING step proper
     ([[vocab_ids]] builds the type vocabulary; this learns the merge table
-    a byte-pair-encoding tokenizer is made of), canonical Sennrich
-    (ACL'16 ``learn_bpe``) semantics re-expressed relationally:
+    a byte-pair-encoding tokenizer is made of): Sennrich (ACL'16
+    ``learn_bpe``) counting/merge semantics with a SMALLEST-pair
+    deterministic tie-break — note subword-nmt itself breaks count ties by
+    the lexicographically LARGEST pair, so merge tables can diverge from
+    it on tied corpora (the tie-break here is pinned cross-engine with the
+    DuckDB oracle, which is the contract that matters) — re-expressed
+    relationally:
 
     1. word table: whitespace tokens restricted to ASCII alphanumerics
        (the documented scope — Spark and DuckDB disagree on non-ASCII

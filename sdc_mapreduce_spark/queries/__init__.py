@@ -131,9 +131,11 @@ for _name in _MODULE_ORDER:
 #     Round 9 also CLOSED the 10x-replica sweep: the 26 queries not covered
 #     by CHECKS_r08/scale_sf1ish*.txt (embedding/simsearch block, late
 #     additions, both r9 queries) are hash-verified at the 10x corpus in
-#     CHECKS_r09/scale_sf1ish_remaining.txt — all 230 registered queries
-#     now have a ~SF1 hash-verified run (full_registry_sf0.01.txt is the
-#     one-sweep 230/230 at round HEAD).
+#     CHECKS_r09/scale_sf1ish_remaining.txt — every query registered at
+#     that point had a ~SF1 hash-verified run (full_registry_sf0.01.txt is
+#     the corresponding one-sweep pass at that round's HEAD; the two
+#     post-sweep r9 split queries were each certified x4 configs incl.
+#     the 10x corpus).
 #   round 10 plan, in priority order (pre-sequenced so a truncated round
 #     still certifies the stalest first): (0) any query added in r9 after
 #     this window froze; (1) the three entries demoted from the r9 window

@@ -1275,23 +1275,31 @@ def dedup_cluster_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     the bug being prevented, quantified). Scale shape: clustering is the
     already hot-capped LSH + O(diameter) label propagation; the split tag
     and audits are O(docs) + O(pairs) joins with probe-gated broadcasts."""
+    from sdc_mapreduce_spark.functions.dedup import min_label_propagation
     from sdc_mapreduce_spark.functions.splits import split_column
 
     fractions = {"train": 0.9, "test": 0.1}
     salt = "cluster-split-v1"
     docs = load_table(spark, sf_dir, "documents")
-    clusters = D.near_dup_clusters(
-        docs, num_hashes=128, bands=32, n=3, threshold=0.8
-    ).persist()
-    tagged = clusters.select(
-        "doc_id",
-        "rep_id",
-        split_column("rep_id", fractions, salt).alias("split"),
-        split_column("doc_id", fractions, salt).alias("naive_split"),
-    ).persist()
-    pairs = D.minhash_lsh_pairs(
-        docs, num_hashes=128, bands=32, n=3, threshold=0.8
-    ).select("id_a", "id_b")
+    # ONE LSH pass (ADVICE r9: this query used to run the full MinHash
+    # pipeline twice — once inside near_dup_clusters, again for the
+    # straddle audit): compute the verified pair set once, pin it, feed it
+    # to label propagation for the clustering AND reuse the same frame for
+    # the straddle audit below.
+    pairs = pin(
+        D.minhash_lsh_pairs(
+            docs, num_hashes=128, bands=32, n=3, threshold=0.8
+        ).select("id_a", "id_b")
+    )
+    clusters = min_label_propagation(docs.select("doc_id"), pairs)
+    tagged = pin(
+        clusters.select(
+            "doc_id",
+            "rep_id",
+            split_column("rep_id", fractions, salt).alias("split"),
+            split_column("doc_id", fractions, salt).alias("naive_split"),
+        )
+    )
     sa = tagged.select(
         F.col("doc_id").alias("id_a"),
         F.col("split").alias("__spa"),
