@@ -126,12 +126,21 @@ def _skew_suite(spark, path: str, fixture_desc: str) -> dict:
     is a constant, amortized away at real scale. Both fixtures are reported
     so the crossover stays visible round-over-round. Reported separately
     from the headline set (not in `value`) so totals stay comparable."""
-    from sdc_mapreduce_spark.operators.skew import sessionize_chunked, sessionize_plain
+    from sdc_mapreduce_spark.operators.skew import (
+        sessionize_auto,
+        sessionize_chunked,
+        sessionize_plain,
+    )
 
     ev = spark.read.parquet(path)
     cases = {
         "skew_sessionize_plain": lambda: sessionize_plain(ev),
         "skew_sessionize_chunked": lambda: sessionize_chunked(ev),
+        # auto = key-stats probe + whichever plan the stats dictate
+        # (operators/skew.py::sessionize_auto, VERDICT r9 ask #8); its
+        # timing INCLUDES the probe job, so the suite shows the real cost
+        # of not knowing the skew regime in advance
+        "skew_sessionize_auto": lambda: sessionize_auto(ev),
     }
     runs: dict[str, list[float]] = {}
     for name, build in cases.items():

@@ -142,6 +142,51 @@ def sessionize_chunked(
     )
 
 
+def sessionize_auto(
+    ev: DataFrame,
+    gap_minutes: int = 30,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    max_rows_per_task: int = 500_000,
+    sample_fraction: float = 0.05,
+    seed: int = 42,
+) -> DataFrame:
+    """Statistics-driven sessionize plan selection (VERDICT r9 ask #8):
+    the chunked/plain regime split documented on sessionize_chunked, as
+    code instead of advice. One cheap probe — sample ``sample_fraction``
+    of the KEY COLUMN ONLY (column-pruned scan, no other columns move),
+    count rows per key, scale the max back up — then:
+
+    - estimated max-key rows > ``max_rows_per_task``: some key would
+      overflow a single window task's sort at materialization time →
+      ``sessionize_chunked`` (the hot key spreads over its active days);
+    - otherwise: ``sessionize_plain`` — one shuffle, no second pipeline,
+      the measured winner whenever every key fits a task.
+
+    The probe is one sampled aggregation job at plan-build time: O(keys)
+    shuffle rows, independent of fact width. The two candidate plans are
+    result-identical (shared oracle; tests/test_skew.py), so a sampling
+    misestimate near the threshold costs only the plans' measured
+    ~0.3-0.4 s constant, never correctness. Default threshold 500k rows
+    ≈ a comfortable single-task window sort at ~100 B/row; tune DOWN for
+    wide rows or small executors. ``sample_fraction=1.0`` probes exactly
+    (still just (key, count) rows through the shuffle)."""
+    probe = ev.select(user_col)
+    if sample_fraction < 1.0:
+        probe = probe.sample(fraction=sample_fraction, seed=seed)
+    row = probe.groupBy(user_col).count().agg(F.max("count").alias("mx")).first()
+    est_max = (row["mx"] or 0) / min(sample_fraction, 1.0)
+    plan = sessionize_chunked if est_max > max_rows_per_task else sessionize_plain
+    return plan(
+        ev,
+        gap_minutes=gap_minutes,
+        user_col=user_col,
+        ts_col=ts_col,
+        id_col=id_col,
+    )
+
+
 def salted_join(
     skewed: DataFrame,
     small: DataFrame,

@@ -1095,6 +1095,14 @@ def events_streaming_restart_certified(
         shutil.rmtree(sink, ignore_errors=True)
 
 
+# SPARK-VERSION-PINNED ORACLE (VERDICT r9 ask #7): the two-watermark
+# counting rule below encodes OBSERVED Spark 4.1.2 availableNow behavior —
+# rows below the recovered watermark in run 2 are dropped at INPUT, while
+# within a run, late rows in a later planned micro-batch merge into their
+# window's state (upstream documents late dropping only as "may or may
+# not"). tests/test_streaming.py::test_watermark_drops_late_rows and
+# ::test_streaming_cert_spark_version_pin trip on any behavior/version
+# change; on a bump, re-derive this rule empirically, don't patch the SQL.
 EVENTS_STREAMING_RESTART_SQL = """
 WITH p1 AS (
   SELECT CAST(ts AS TIMESTAMP) AS ts, event_type FROM events
@@ -1128,6 +1136,14 @@ ORDER BY window_start, event_type
 """
 
 
+# SPARK-VERSION-PINNED ORACLE (VERDICT r9 ask #7): counts ALL rows of a
+# closed window — pinned Spark 4.1.2 availableNow behavior is that
+# below-watermark rows arriving in a LATER PLANNED BATCH of the same run
+# still merge into (or re-open) window state before append finalization;
+# the emission boundary is inclusive (window_end <= watermark). Tripwires:
+# tests/test_streaming.py::test_watermark_append_emission_boundary_is_inclusive
+# and ::test_streaming_cert_spark_version_pin. On a Spark bump, re-verify
+# the behavior first; a red here is an engine change, not an oracle bug.
 EVENTS_STREAMING_WATERMARK_SQL = """
 WITH m AS (SELECT MAX(CAST(ts AS TIMESTAMP)) AS mx FROM events)
 SELECT time_bucket(INTERVAL '5 minutes', CAST(ts AS TIMESTAMP)) AS window_start,

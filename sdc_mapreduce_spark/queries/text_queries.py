@@ -610,10 +610,14 @@ def multimodal_embed_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     # drop zero-norm (empty-body) vectors: they have no cosine direction,
     # and the DuckDB twin's bin-join drops them implicitly (an empty text
     # yields no bins rows) — without this filter an empty doc would surface
-    # here as a NaN-scored row the oracle never produces
-    prepared = hist.select(
-        "media_id", v.alias("__v"), dot(v, v).alias("__nn")
-    ).filter(F.col("__nn") > 0)
+    # here as a NaN-scored row the oracle never produces. Pinned: the frame
+    # feeds both sides of the theta-join, and the Arrow histogram kernel
+    # would otherwise run twice (same shape as multimodal_encoder_topk).
+    prepared = pin(
+        hist.select(
+            "media_id", v.alias("__v"), dot(v, v).alias("__nn")
+        ).filter(F.col("__nn") > 0)
+    )
     queries = prepared.filter(F.col("media_id").isin([0, 1, 2, 3, 4])).select(
         F.col("media_id").alias("query_id"),
         F.col("__v").alias("__q"),
@@ -707,9 +711,15 @@ def multimodal_encoder_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     media = synthesize_framed_media(load_table(spark, sf_dir, "documents"))
     feats = extract_features(media)
     v = F.col("feature").cast("array<double>")
-    prepared = feats.select(
-        "media_id", v.alias("__v"), dot(v, v).alias("__nn")
-    ).filter(F.col("__nn") > 0)
+    # pin the bounded (media_id, vector, norm) feature frame: it feeds
+    # BOTH the query side and the corpus side of the theta-join, and
+    # without the persist each side re-runs synthesize + the Arrow encode
+    # kernel end-to-end — the whole cost of this query (VERDICT r9 ask #4)
+    prepared = pin(
+        feats.select(
+            "media_id", v.alias("__v"), dot(v, v).alias("__nn")
+        ).filter(F.col("__nn") > 0)
+    )
     queries = prepared.filter(F.col("media_id").isin([0, 1, 2, 3, 4])).select(
         F.col("media_id").alias("query_id"),
         F.col("__v").alias("__q"),
@@ -2181,8 +2191,116 @@ ORDER BY doc_id
 """
 
 
+def text_bpe_merges_batched(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batched BPE merge learning (functions.text.bpe_merges_batched —
+    VERDICT r9 ask #3, the scale-honest variant of text_bpe_merges): 3
+    passes x up-to-3 merges over the same ASCII-alphanumeric word table,
+    selecting per pass the maximal pairwise-symbol-disjoint PREFIX of the
+    (count desc, left, right)-ranked candidates and applying the whole
+    batch in ONE run-parity rewrite — O(k/m_eff) driver-sequenced jobs
+    instead of the sequential learner's O(k). The DuckDB twin replays all
+    3 passes as staged CTEs: rank -> first-conflict cutoff (a rank
+    self-join) -> disjoint prefix -> simultaneous apply via a LEFT JOIN
+    flag, so the learned table — merge_rank, pass_id included — matches
+    byte-for-byte."""
+    from sdc_mapreduce_spark.functions.text import bpe_merges_batched
+
+    docs = load_table(spark, sf_dir, "documents")
+    return bpe_merges_batched(docs, passes=3, m=3).orderBy("merge_rank")
+
+
+def _bpe_batched_sql(passes: int = 3, m: int = 3) -> str:
+    """DuckDB twin of bpe_merges_batched: per pass — candidate counts
+    (>= 2), rank by (cnt desc, a, b) capped at m, first-conflict cutoff
+    via a rank self-join (a pair conflicts when it shares a symbol with
+    ANY earlier-ranked pair; rows before the first conflict are exactly
+    the accepted disjoint prefix), then the shared run-parity apply with
+    the match flag coming from a LEFT JOIN against the selected pairs
+    (sound: selected pairs are symbol-disjoint, so each position matches
+    at most one and matches are never adjacent across pairs)."""
+    stages = []
+    for i in range(1, passes + 1):
+        prev = f"s{i - 1}"
+        stages.append(f"""
+pa{i} AS (
+  SELECT w, freq,
+         UNNEST([{{'pos': j - 1, 'sym': syms[j]}}
+                 FOR j IN range(1, len(syms) + 1)]) AS u
+  FROM {prev}
+), p{i} AS (
+  SELECT w, freq, u.pos AS pos, u.sym AS sym,
+         lead(u.sym) OVER (PARTITION BY w ORDER BY u.pos) AS nxt
+  FROM pa{i}
+), cnt{i} AS (
+  SELECT sym AS a, nxt AS b, CAST(SUM(freq) AS BIGINT) AS cnt
+  FROM p{i} WHERE nxt IS NOT NULL
+  GROUP BY sym, nxt HAVING SUM(freq) >= 2
+), rk{i} AS (
+  SELECT a, b, cnt, rn FROM (
+    SELECT a, b, cnt,
+           row_number() OVER (ORDER BY cnt DESC, a ASC, b ASC) AS rn
+    FROM cnt{i}
+  ) WHERE rn <= {m}
+), cf{i} AS (
+  SELECT MIN(r2.rn) AS fc FROM rk{i} r1 JOIN rk{i} r2
+  ON r1.rn < r2.rn
+     AND (r1.a IN (r2.a, r2.b) OR r1.b IN (r2.a, r2.b))
+), sel{i} AS (
+  SELECT a, b, cnt, rn FROM rk{i} CROSS JOIN cf{i}
+  WHERE fc IS NULL OR rn < fc
+), f{i} AS (
+  SELECT p.w, p.freq, p.pos, p.sym, p.nxt,
+         CASE WHEN s.a IS NOT NULL THEN 1 ELSE 0 END AS m
+  FROM p{i} p LEFT JOIN sel{i} s ON s.a = p.sym AND s.b = p.nxt
+), g{i} AS (
+  SELECT *, COALESCE(MAX(CASE WHEN m = 0 THEN pos END) OVER (
+              PARTITION BY w ORDER BY pos
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+            ) + 1, 0) AS run_start
+  FROM f{i}
+), h{i} AS (
+  SELECT *, CASE WHEN m = 1 AND (pos - run_start) % 2 = 0
+                 THEN 1 ELSE 0 END AS mg
+  FROM g{i}
+), c{i} AS (
+  SELECT *, COALESCE(LAG(mg) OVER (PARTITION BY w ORDER BY pos), 0)
+              AS consumed
+  FROM h{i}
+), s{i} AS (
+  SELECT w, freq,
+         list(CASE WHEN mg = 1 THEN sym || nxt ELSE sym END
+              ORDER BY pos) AS syms
+  FROM c{i} WHERE consumed = 0
+  GROUP BY w, freq
+)""")
+    finals = "\nUNION ALL\n".join(
+        f"SELECT {i} AS pass_id, rn, a, b, cnt FROM sel{i}"
+        for i in range(1, passes + 1)
+    )
+    return f"""
+WITH w0 AS (
+  SELECT w, COUNT(*) AS freq FROM (
+    SELECT UNNEST(string_split_regex(trim(text), '\\s+')) AS w
+    FROM documents
+  ) WHERE regexp_full_match(w, '[A-Za-z0-9]+')
+  GROUP BY w
+), s0 AS (
+  SELECT w, freq,
+         [substr(w, i, 1) FOR i IN range(1, CAST(strlen(w) AS INT) + 1)]
+           AS syms
+  FROM w0
+),{",".join(stages)}
+SELECT CAST(row_number() OVER (ORDER BY pass_id, rn) AS INT) AS merge_rank,
+       CAST(pass_id AS INT) AS pass_id, a AS left_sym, b AS right_sym,
+       cnt AS pair_count
+FROM ({finals})
+ORDER BY merge_rank
+"""
+
+
 TEXT_BPE_MERGES_SQL = _bpe_merges_sql()
 TEXT_BPE_SEGMENT_SQL = _bpe_segment_sql()
+TEXT_BPE_MERGES_BATCHED_SQL = _bpe_batched_sql()
 
 QUERIES: dict[str, QuerySpec] = {
     "text_score_distribution": QuerySpec(
@@ -2258,6 +2376,9 @@ QUERIES: dict[str, QuerySpec] = {
         multimodal_encoder_topk, MULTIMODAL_ENCODER_TOPK_SQL, bench=True
     ),
     "text_bpe_merges": QuerySpec(text_bpe_merges, TEXT_BPE_MERGES_SQL),
+    "text_bpe_merges_batched": QuerySpec(
+        text_bpe_merges_batched, TEXT_BPE_MERGES_BATCHED_SQL
+    ),
     "text_bpe_segment": QuerySpec(text_bpe_segment, TEXT_BPE_SEGMENT_SQL),
     "multimodal_resize_audit": QuerySpec(
         multimodal_resize_audit, MULTIMODAL_RESIZE_AUDIT_SQL

@@ -164,6 +164,30 @@ def test_sessionize_chunked_equals_plain_hot_user(spark, sf_dir):
         ev.unpersist()
 
 
+def test_sessionize_auto_selects_by_key_stats_and_matches_oracle(spark, sf_dir):
+    """sessionize_auto must (a) return the shared-oracle result whatever
+    plan it picks, and (b) pick the plan the key statistics dictate: a
+    tiny per-task threshold forces the chunked decomposition (visible as
+    the __chunk key in the analyzed plan), a huge one forces plain."""
+    from sdc_mapreduce_spark.operators.skew import sessionize_auto
+
+    ev = _hot_user_events(spark, sf_dir).cache()
+    try:
+        # default probe on the hot fixture — whatever it picks must match
+        assert _rows(sessionize_auto(ev)) == _rows(_plain_sessionize(ev))
+        forced_chunk = sessionize_auto(ev, max_rows_per_task=1, sample_fraction=1.0)
+        forced_plain = sessionize_auto(
+            ev, max_rows_per_task=10**12, sample_fraction=1.0
+        )
+        assert "__chunk" in forced_chunk._jdf.queryExecution().analyzed().toString()
+        assert (
+            "__chunk" not in forced_plain._jdf.queryExecution().analyzed().toString()
+        )
+        assert _rows(forced_chunk) == _rows(forced_plain)
+    finally:
+        ev.unpersist()
+
+
 def test_sessionize_chunked_merges_cross_boundary_sessions(spark):
     """A stream straddling midnight with gaps < timeout must come out as
     ONE session (the local day-chunk split is invisible), while a > timeout

@@ -669,3 +669,25 @@ def test_streaming_embedding_screen_matches_batch_index(spark, sf_dir):
         map(tuple, dedup_incremental_embedding_index(spark, sf_dir).collect())
     )
     assert got == want and len(got) > 0
+
+
+def test_streaming_cert_spark_version_pin():
+    """Version tripwire (VERDICT r9 ask #7): the watermark-cert oracles
+    (EVENTS_STREAMING_WATERMARK_SQL / EVENTS_STREAMING_RESTART_SQL) encode
+    availableNow late-data behavior OBSERVED on Spark 4.1.x — upstream
+    documents late dropping only as "may or may not", so a minor/major
+    bump is allowed to change it legally. This assertion fails on any
+    version change so the upgrade consciously re-runs the behavior pins
+    (test_watermark_drops_late_rows,
+    test_watermark_append_emission_boundary_is_inclusive) and re-derives
+    the oracle counting rules if the engine moved."""
+    import pyspark
+
+    assert pyspark.__version__.startswith("4.1."), (
+        f"Spark version is now {pyspark.__version__}: re-verify the "
+        "availableNow watermark behavior pinned by "
+        "test_watermark_drops_late_rows / "
+        "test_watermark_append_emission_boundary_is_inclusive and "
+        "re-derive the EVENTS_STREAMING_{WATERMARK,RESTART}_SQL counting "
+        "rules in queries/events_queries.py before trusting the certs"
+    )

@@ -644,6 +644,108 @@ def test_bpe_merges_single_hot_run(spark):
     assert got == [(1, "a", "a", 6), (2, "aa", "aa", 2)]
 
 
+def _reference_bpe_batched(word_freqs: dict[str, int], passes: int, m: int):
+    """Pure-Python twin of bpe_merges_batched's pinned semantics: per pass,
+    rank pairs (count desc, left, right) with count >= 2, keep the maximal
+    pairwise-symbol-disjoint PREFIX capped at m, apply all simultaneously
+    (greedy left-to-right per pair; disjointness makes order irrelevant)."""
+    state = {w: list(w) for w in word_freqs}
+    merges = []
+    for pass_id in range(1, passes + 1):
+        counts: dict[tuple[str, str], int] = {}
+        for w, syms in state.items():
+            f = word_freqs[w]
+            for i in range(len(syms) - 1):
+                pair = (syms[i], syms[i + 1])
+                counts[pair] = counts.get(pair, 0) + f
+        ranked = sorted(
+            ((c, a, b) for (a, b), c in counts.items() if c >= 2),
+            key=lambda t: (-t[0], t[1], t[2]),
+        )[:m]
+        if not ranked:
+            break
+        sel, used = [], set()
+        for c, a, b in ranked:
+            if a in used or b in used:
+                break
+            sel.append((a, b, c))
+            used.update((a, b))
+        for a, b, c in sel:
+            merges.append((len(merges) + 1, pass_id, a, b, c))
+        lefts = {a: (a, b) for a, b, _ in sel}
+        for w, syms in state.items():
+            out, i = [], 0
+            while i < len(syms):
+                pair = lefts.get(syms[i])
+                if pair and i + 1 < len(syms) and syms[i + 1] == pair[1]:
+                    out.append(pair[0] + pair[1])
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            state[w] = out
+    return merges
+
+
+def test_bpe_merges_batched_matches_reference(spark):
+    """The batched learner must reproduce the pinned batch semantics on the
+    same hard fixture (overlapping runs, re-merges, tie-breaks) — and when
+    the top pairs are disjoint, agree with the SEQUENTIAL learner's prefix."""
+    from sdc_mapreduce_spark.functions.text import bpe_merges_batched
+
+    word_freqs = {
+        "aaaa": 3,
+        "aaab": 2,
+        "banana": 4,
+        "bandana": 2,
+        "low": 5,
+        "lower": 2,
+        "lowest": 1,
+        "newest": 3,
+        "widest": 2,
+    }
+    rows = [(" ".join([w] * f),) for w, f in word_freqs.items()]
+    df = spark.createDataFrame(rows, "text string")
+    got = [
+        (r["merge_rank"], r["pass_id"], r["left_sym"], r["right_sym"], r["pair_count"])
+        for r in bpe_merges_batched(df, passes=3, m=3).orderBy("merge_rank").collect()
+    ]
+    expect = _reference_bpe_batched(word_freqs, 3, 3)
+    assert got == expect, f"\n got: {got}\nwant: {expect}"
+
+
+def test_bpe_merges_batched_conflict_prefix_rule(spark):
+    """Adversarial overlap: 'x a b' x100 — top pairs (a,b) and (x,a) share
+    'a', so the batch degrades to ONE merge per pass (the disjoint-prefix
+    rule), and pass 2 proceeds on the REBUILT state exactly like the
+    sequential learner would."""
+    from sdc_mapreduce_spark.functions.text import bpe_merges, bpe_merges_batched
+
+    df = spark.createDataFrame([("xab " * 5,), ("xab xab",)], "text string")
+    batched = [
+        (r["pass_id"], r["left_sym"], r["right_sym"], r["pair_count"])
+        for r in bpe_merges_batched(df, passes=2, m=3).orderBy("merge_rank").collect()
+    ]
+    seq = [
+        (r["merge_rank"], r["left_sym"], r["right_sym"], r["pair_count"])
+        for r in bpe_merges(df, k=2).orderBy("merge_rank").collect()
+    ]
+    # every top-3 candidate in pass 1 shares a symbol -> batch of 1; the
+    # conflict-degraded batched run IS the sequential run here
+    assert [(p, a, b, c) for p, a, b, c in batched] == [
+        (i, a, b, c) for (i, a, b, c) in [(r[0], r[1], r[2], r[3]) for r in seq]
+    ]
+    assert [b[0] for b in batched] == [1, 2]
+
+
+def test_bpe_merges_batched_no_repeating_pairs(spark):
+    """No pair with count >= 2 -> empty merge table, no crash."""
+    from sdc_mapreduce_spark.functions.text import bpe_merges_batched
+
+    df = spark.createDataFrame([("ab cd",)], "text string")
+    assert bpe_merges_batched(df, passes=2, m=2).count() == 0
+
+
 def test_bpe_segment_consistent_with_reference(spark):
     """Segment stats must equal re-segmenting each doc with the reference
     learner's merge table: same word -> same subword split, doc order
