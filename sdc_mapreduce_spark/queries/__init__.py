@@ -145,64 +145,52 @@ for _name in _MODULE_ORDER:
 #     remainder of the r4-last-sampled block (events_dedup_windowed ..
 #     join_left_agg); (4) the r5-last-sampled block; oldest-first
 #     thereafter.
-_WINDOW_R9: tuple[str, ...] = (
-    "text_bm25_topk",
-    "dedup_streaming_embedding_certified",
-    "graph_triangle_stats",
-    "events_streaming_watermark_certified",
-    "text_term_cooccurrence",
-    "events_streaming_update_certified",
-    "multimodal_neardup_banded",
-    "dedup_keep_best",
-    "sample_quota_allocation",
-    "text_zipf_audit",
-    "table_k_anonymity",
-    "agg_weighted_median",
-    "events_attribution_time_decay",
-    "events_streaming_restart_certified",
-    "multimodal_neardup_recall",
-    "events_autocorrelation",
-    "dedup_cluster_sizes",
-    "multimodal_encoder_topk",
-    "kvtext_streaming_restart_certified",
-    "text_bpe_merges",
-    "text_bpe_segment",
-    "events_time_purged_split",
-    "dedup_cluster_safe_split",
-    "text_vocab_encode",
-    "text_vocab_ids",
-    "dedup_minhash_lsh",
-    "dedup_clusters",
-    "dedup_cluster_labels",
-    "graph_pagerank_neardup",
-    "multimodal_meta",
-    "multimodal_frame_stats",
-    "dedup_exact",
-    "dedup_normalized",
-    "dedup_embedding_cosine",
-    "simsearch_topk",
-    "simsearch_topk_arrow",
-    "simsearch_ann_recall",
-    "embedding_stats",
-    "q2_min_balance_supplier",
-    "q8_market_share",
-    "q9_profit_by_nation_year",
-    "q13_customer_distribution",
-    "q15_top_supplier",
-    "q16_supplier_count",
-    "split_assignment",
-    "corpus_shard_packing",
-    "sample_hash_bucket",
-    "sample_stratified",
-    "corpus_mix_rebalance",
-    "join_skew_salted",
-)
-_ROTATED_OUT: tuple[str, ...] = (
+#   round 10 window (this order; realizes the r10 plan above): (0) nothing
+#     was added in r9 post-freeze; (1) the five stalest rotation entries,
+#     including the three demoted from the r9 window (agg_salted_distinct,
+#     simsearch_ann_ivf_recall, multimodal_resize_audit, events_range_join,
+#     latest_event_per_user); (2) the 17 queries NEW or CHANGED in r10 —
+#     events_sessionize_auto (NEW: stats-driven plan selection),
+#     kvtext_streaming_restart_certified (source-level partition guard +
+#     default shard size + timeout check), text_bpe_merges_batched (NEW:
+#     batched disjoint-prefix merge learning, O(k/m) passes),
+#     text_bpe_merges/segment (shared _bpe_apply_merges refactor),
+#     events_time_purged_split (safe cutoff literal),
+#     dedup_cluster_safe_split (single LSH pass),
+#     multimodal_encoder_topk/embed_search (+_neardup family) and the
+#     pin()-refactored persist sites (dedup_exact_substring,
+#     dedup_source_leakage_matrix, text_vocab_encode, pipeline_* family);
+#     (3) the remainder of the r4-last-sampled block (events_dedup_windowed
+#     .. q19_disjunctive_filters; q22 spills to the rotation head).
+#   round 11 plan, in priority order (pre-sequenced so a truncated round
+#     still certifies the stalest first): (0) any query added in r10 after
+#     this window froze; (1) any query whose code or oracle changes in
+#     round 11; (2) the tail of the r4-last-sampled block squeezed out of
+#     this window (agg_pivot .. join_left_agg); (3) the r5-last-sampled
+#     block (join_semi ..); oldest-first thereafter.
+_WINDOW_R10: tuple[str, ...] = (
     "agg_salted_distinct",
     "simsearch_ann_ivf_recall",
     "multimodal_resize_audit",
     "events_range_join",
     "latest_event_per_user",
+    "kvtext_streaming_restart_certified",
+    "text_bpe_merges_batched",
+    "events_sessionize_auto",
+    "text_bpe_merges",
+    "text_bpe_segment",
+    "events_time_purged_split",
+    "dedup_cluster_safe_split",
+    "multimodal_encoder_topk",
+    "multimodal_embed_search",
+    "multimodal_neardup_banded",
+    "multimodal_neardup_recall",
+    "dedup_exact_substring",
+    "dedup_source_leakage_matrix",
+    "text_vocab_encode",
+    "pipeline_pretrain_mix",
+    "pipeline_curation",
+    "pipeline_curation_full",
     "events_dedup_windowed",
     "q3_shipping_priority",
     "q12_late_shipments",
@@ -231,6 +219,8 @@ _ROTATED_OUT: tuple[str, ...] = (
     "q14_promo_share",
     "q18_large_volume",
     "q19_disjunctive_filters",
+)
+_ROTATED_OUT: tuple[str, ...] = (
     "q22_global_sales_opportunity",
     "agg_pivot",
     "agg_percentiles",
@@ -309,8 +299,6 @@ _ROTATED_OUT: tuple[str, ...] = (
     "text_language_confusion",
     "text_tfidf_cosine_pairs",
     "text_duplicate_spans",
-    "pipeline_pretrain_mix",
-    "dedup_exact_substring",
     "embedding_nearest_centroid",
     "simsearch_range_search",
     "embedding_power_iteration",
@@ -327,19 +315,16 @@ _ROTATED_OUT: tuple[str, ...] = (
     "table_integrity_audit",
     "corpus_pack_sequences",
     "window_rank_topn_salted",
-    "multimodal_embed_search",
     "dedup_jaccard_pairs",
     "events_sessionize",
     "simsearch_ann_srp",
     "wordcount",
     "kv_parse_sum",
-    "pipeline_curation",
     "embedding_label_silhouette",
     "simsearch_ann_ivf",
     "table_benford_audit",
     "dedup_incremental_embedding_index",
     "events_streaming_session_certified",
-    "dedup_source_leakage_matrix",
     "events_changepoint_cusum",
     "bucketed_join_certified",
     "compact_parquet_certified",
@@ -377,12 +362,52 @@ _ROTATED_OUT: tuple[str, ...] = (
     "text_chunking",
     "text_quality_gate_per_lang",
     "pipeline_embedding_stats",
-    "pipeline_curation_full",
     "q1_pricing_summary",
     "events_asof_join",
+    "text_bm25_topk",
+    "dedup_streaming_embedding_certified",
+    "graph_triangle_stats",
+    "events_streaming_watermark_certified",
+    "text_term_cooccurrence",
+    "events_streaming_update_certified",
+    "dedup_keep_best",
+    "sample_quota_allocation",
+    "text_zipf_audit",
+    "table_k_anonymity",
+    "agg_weighted_median",
+    "events_attribution_time_decay",
+    "events_streaming_restart_certified",
+    "events_autocorrelation",
+    "dedup_cluster_sizes",
+    "text_vocab_ids",
+    "dedup_minhash_lsh",
+    "dedup_clusters",
+    "dedup_cluster_labels",
+    "graph_pagerank_neardup",
+    "multimodal_meta",
+    "multimodal_frame_stats",
+    "dedup_exact",
+    "dedup_normalized",
+    "dedup_embedding_cosine",
+    "simsearch_topk",
+    "simsearch_topk_arrow",
+    "simsearch_ann_recall",
+    "embedding_stats",
+    "q2_min_balance_supplier",
+    "q8_market_share",
+    "q9_profit_by_nation_year",
+    "q13_customer_distribution",
+    "q15_top_supplier",
+    "q16_supplier_count",
+    "split_assignment",
+    "corpus_shard_packing",
+    "sample_hash_bucket",
+    "sample_stratified",
+    "corpus_mix_rebalance",
+    "join_skew_salted",
 )
 _PRIORITY: tuple[str, ...] = (
-    *_WINDOW_R9,
+    *_WINDOW_R10,
     *_ROTATED_OUT,
 )
 if not IMPORT_QUARANTINE:

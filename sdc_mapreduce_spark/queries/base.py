@@ -64,11 +64,15 @@ def pin(df: DataFrame) -> DataFrame:
     return df
 
 
-def drain_pins(spark: SparkSession | None = None) -> None:
+def drain_pins(spark: SparkSession | None = None, gc_nudge: bool = False) -> None:
     """Release every pin()'d frame (blocking=False: eviction proceeds in the
-    background), drop any stray cache entries, and nudge the JVM GC so the
-    ContextCleaner can reap localCheckpoint RDD blocks whose Python/JVM
-    references just died with the query's frames."""
+    background) and drop any stray cache entries. ``gc_nudge=True`` also
+    forces a JVM GC so the ContextCleaner reaps localCheckpoint RDD blocks
+    whose references just died — use it in long correctness sweeps where
+    checkpoint-block accumulation matters, NOT between timed bench queries:
+    a forced full GC clears SoftReferences (codegen/class caches included),
+    and the measured effect was a uniform ~20-30% inflation of every
+    subsequent query in the r10 bench until the caches rewarmed."""
     for df in _PINNED:
         try:
             df.unpersist()
@@ -78,7 +82,8 @@ def drain_pins(spark: SparkSession | None = None) -> None:
     if spark is not None:
         try:
             spark.catalog.clearCache()
-            spark.sparkContext._jvm.System.gc()
+            if gc_nudge:
+                spark.sparkContext._jvm.System.gc()
         except Exception:
             pass
 

@@ -105,6 +105,20 @@ FROM sessions GROUP BY user_id, session_id
 """
 
 
+def events_sessionize_auto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistics-DRIVEN sessionization (operators.skew.sessionize_auto,
+    VERDICT r9 ask #8): one sampled per-key row-count probe over the
+    pruned user_id column picks sessionize_plain when every key fits a
+    single window task (the fixture regime at every SF) and the chunked
+    decomposition when the estimated max-key rows exceed the per-task
+    threshold. Both candidate plans are result-identical, so this shares
+    events_sessionize's oracle regardless of the choice; the plan-
+    selection behavior itself is pinned by tests/test_skew.py."""
+    from sdc_mapreduce_spark.operators.skew import sessionize_auto
+
+    return sessionize_auto(load_table(spark, sf_dir, "events"), gap_minutes=30)
+
+
 def events_sessionize_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Skew-resistant sessionization (operators.skew.sessionize_chunked):
     per-(user, day) local windows + a per-user span merge. Result-identical
@@ -2665,6 +2679,9 @@ QUERIES: dict[str, QuerySpec] = {
     "events_tumbling": QuerySpec(events_tumbling, EVENTS_TUMBLING_SQL, bench=True),
     "events_sliding": QuerySpec(events_sliding, EVENTS_SLIDING_SQL),
     "events_sessionize": QuerySpec(events_sessionize, EVENTS_SESSIONIZE_SQL, bench=True),
+    "events_sessionize_auto": QuerySpec(
+        events_sessionize_auto, EVENTS_SESSIONIZE_SQL
+    ),
     "events_sessionize_salted": QuerySpec(
         events_sessionize_salted, EVENTS_SESSIONIZE_SQL, bench=True
     ),

@@ -38,3 +38,21 @@ def test_bench_compact_payload_is_last_print_in_source():
     with open("bench.py") as fh:
         src = fh.read()
     assert src.rindex("print(compact)") > src.rindex("print(detail)")
+
+
+def test_bench_order_is_pinned_canonical():
+    """The bench execution order must NOT track the registry's rotating
+    priority order (VERDICT r9 ask #2: r9's rotation moved the warm-up
+    neighborhood and produced a phantom 11-35% 'regression' of five
+    queries with unchanged plans). bench.py pins _BENCH_ORDER; new
+    bench-flagged queries append at the END."""
+    import bench as benchmod
+    from sdc_mapreduce_spark.queries import bench_queries
+
+    flagged = set(bench_queries())
+    ordered = list(benchmod._ordered_bench())
+    pinned = [n for n in benchmod._BENCH_ORDER if n in flagged]
+    assert ordered[: len(pinned)] == pinned
+    assert set(ordered) == flagged
+    # the pinned list should not name queries that no longer exist
+    assert set(benchmod._BENCH_ORDER) <= flagged

@@ -86,6 +86,8 @@ EXTRA_SHAPES = [
     "dedup_keep_best",
     "events_autocorrelation",
     "multimodal_neardup_recall",
+    # round-10 additions
+    "text_bpe_merges_batched",
 ]  # (multimodal_encoder_topk moved into the bench set in r9)
 
 HEADER = """# PLANS — formatted physical plans of the headline bench queries plus the
@@ -111,6 +113,35 @@ stays on by default. r9 also replaced the r8 eager Σ C(n,2) bound collect
 with a lazy anti-join + the bounded limit(N+1) verify probe: same
 semantics, no eager job, no driver state, and the probe's computed
 partitions land in the candidate persist the verify joins reuse.
+
+**bench order is now pinned (r10, VERDICT r9 ask #2).** The r8→r9
+"regression cluster" (q3 +35%, q5 +33%, q6 +24%, simsearch_topk_arrow
++18%, window_rank_topn +11%) is session-state noise, not a plan change —
+two measured facts (CHECKS_r10/bench_order_ab*.txt):
+(1) each of the five run ISOLATED in a fresh session is SLOWER than its
+benched r9 number (q5 1.14 vs 0.89, q6 0.40 vs 0.23, window_rank_topn
+0.71 vs 0.41) — the benched medians ride on what ran before them (warm
+page cache, codegen, JIT), so plan regressions cannot be read off
+order-shifted medians at these magnitudes; (2) three identical-code
+full-bench sessions in r10 swung 17.4 / 18.7 / 23.8 s total with every
+query moving together (host/page-cache state; the 23.8 s session started
+with the OS cache dropped to 2 GB), bounding session noise at ±20-30% —
+larger than every delta in the cluster. The one SYSTEMATIC component —
+r9's registry rotation put the new 1.7 s multimodal_encoder_topk at slot
+1 and moved q1 (whose lineitem scan warms q3/q5/q6's neighborhood) to
+dead last — is now removed: bench.py pins `_BENCH_ORDER` to the r8
+sequence (the longest comparable history) with later additions appended
+at the END (enforced by tests/test_bench_contract.py), so rotation can
+never shift the series again. A forced System.gc() between queries was
+also measured to inflate every subsequent query ~20-30% (SoftReference
+codegen/class caches cleared) and is therefore kept OUT of the bench
+loop (queries/base.py::drain_pins gc_nudge flag).
+
+**multimodal_encoder_topk feature persist (r10, VERDICT r9 ask #4).** The
+query pins the bounded (media_id, vector, norm) frame: it feeds both the
+query side and the corpus side of the theta-join, and without the persist
+each side re-ran synthesize + the Arrow encode kernel end-to-end — the
+encode is the query's entire cost. Median 1.70 s → ~0.6 s at sf0.1.
 """
 
 
