@@ -52,18 +52,19 @@ def test_every_registered_query_is_prioritized():
     )
 
 
-def test_window_head_is_the_r9_plan():
+def test_window_head_is_the_r10_plan():
     """First 50 registry entries are the driver's certification sample —
-    pin the r9 head so an accidental reorder is caught before the round
-    ends (post-freeze r8 additions and r9-changed queries must lead)."""
+    pin the r10 head so an accidental reorder is caught before the round
+    ends (stalest rotation entries and r10-changed queries must lead)."""
     import sdc_mapreduce_spark.queries as q
 
     head = list(q.REGISTRY)[:50]
-    assert head[0] == "text_bm25_topk"
-    assert "events_streaming_restart_certified" in head
+    assert head[0] == "agg_salted_distinct"
+    assert "kvtext_streaming_restart_certified" in head
+    assert "text_bpe_merges_batched" in head
+    assert "events_sessionize_auto" in head
     assert "multimodal_encoder_topk" in head
-    assert "text_vocab_encode" in head
-    assert "dedup_minhash_lsh" in head
+    assert "dedup_cluster_safe_split" in head
     assert len(head) == 50
 
 
