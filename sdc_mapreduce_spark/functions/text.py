@@ -1236,6 +1236,36 @@ def bpe_segment(
     _merges, state = _bpe_learn(
         df, k=k, text_col=text_col, min_word_freq=min_word_freq
     )
+    return _segment_with_state(df, state, text_col=text_col, id_col=id_col)
+
+
+def bpe_segment_batched(
+    df: DataFrame,
+    passes: int = 3,
+    m: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_word_freq: int = 1,
+) -> DataFrame:
+    """BPE APPLY for the batched learner: segment every document with the
+    merge state [[bpe_merges_batched]] learns on the same corpus (up to m
+    disjoint merges per pass, O(k/m_eff) driver-sequenced jobs), through
+    the same distinct-word memoization join as [[bpe_segment]] — the
+    learned per-word state IS the segmentation table, so apply cost is
+    one equi-join regardless of how the merges were learned. Output shape
+    matches bpe_segment: (doc_id, n_words, n_subwords, subword_fp)."""
+    _merges, state = _bpe_learn_batched(
+        df, passes=passes, m=m, text_col=text_col, min_word_freq=min_word_freq
+    )
+    return _segment_with_state(df, state, text_col=text_col, id_col=id_col)
+
+
+def _segment_with_state(
+    df: DataFrame, state: DataFrame, text_col: str, id_col: str
+) -> DataFrame:
+    """Shared BPE apply body: join the per-word learned state (w, syms)
+    against the positional token stream and emit per-doc stats + the
+    order-exact subword fingerprint. See bpe_segment for semantics."""
     toks = df.select(
         F.col(id_col), F.posexplode(tokens(text_col)).alias("tpos", "w")
     ).filter(F.col("w").rlike("^[A-Za-z0-9]+$"))

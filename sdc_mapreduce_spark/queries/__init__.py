@@ -164,7 +164,11 @@ for _name in _MODULE_ORDER:
 #     .. q19_disjunctive_filters; q22 spills to the rotation head).
 #   round 11 plan, in priority order (pre-sequenced so a truncated round
 #     still certifies the stalest first): (0) any query added in r10 after
-#     this window froze; (1) any query whose code or oracle changes in
+#     this window froze — so far text_bpe_segment_batched (NEW: batched
+#     learner state through the shared memoization-join apply body;
+#     builder-oracle-green at sf0.001/sf0.01, plus sf0.1/Kolkata/10x in
+#     CHECKS_r10/text_bpe_segment_batched_x3.txt); (1) any query whose
+#     code or oracle changes in
 #     round 11; (2) the tail of the r4-last-sampled block squeezed out of
 #     this window (agg_pivot .. join_left_agg); (3) the r5-last-sampled
 #     block (join_semi ..); oldest-first thereafter.
@@ -221,6 +225,9 @@ _WINDOW_R10: tuple[str, ...] = (
     "q19_disjunctive_filters",
 )
 _ROTATED_OUT: tuple[str, ...] = (
+    # post-freeze r10 addition — rotation head so the r11 window (plan
+    # item 0) samples it first
+    "text_bpe_segment_batched",
     "q22_global_sales_opportunity",
     "agg_pivot",
     "agg_percentiles",

@@ -2209,15 +2209,17 @@ def text_bpe_merges_batched(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bpe_merges_batched(docs, passes=3, m=3).orderBy("merge_rank")
 
 
-def _bpe_batched_sql(passes: int = 3, m: int = 3) -> str:
-    """DuckDB twin of bpe_merges_batched: per pass — candidate counts
-    (>= 2), rank by (cnt desc, a, b) capped at m, first-conflict cutoff
-    via a rank self-join (a pair conflicts when it shares a symbol with
-    ANY earlier-ranked pair; rows before the first conflict are exactly
-    the accepted disjoint prefix), then the shared run-parity apply with
-    the match flag coming from a LEFT JOIN against the selected pairs
-    (sound: selected pairs are symbol-disjoint, so each position matches
-    at most one and matches are never adjacent across pairs)."""
+def _bpe_batched_stages_sql(passes: int = 3, m: int = 3) -> str:
+    """Shared WITH-prefix for the batched-BPE oracles: per pass —
+    candidate counts (>= 2), rank by (cnt desc, a, b) capped at m,
+    first-conflict cutoff via a rank self-join (a pair conflicts when it
+    shares a symbol with ANY earlier-ranked pair; rows before the first
+    conflict are exactly the accepted disjoint prefix), then the shared
+    run-parity apply with the match flag coming from a LEFT JOIN against
+    the selected pairs (sound: selected pairs are symbol-disjoint, so
+    each position matches at most one and matches are never adjacent
+    across pairs). Exposes sel{{i}} (the pass-i accepted merges) and
+    s{{passes}} (the final per-word state)."""
     stages = []
     for i in range(1, passes + 1):
         prev = f"s{i - 1}"
@@ -2273,10 +2275,6 @@ pa{i} AS (
   FROM c{i} WHERE consumed = 0
   GROUP BY w, freq
 )""")
-    finals = "\nUNION ALL\n".join(
-        f"SELECT {i} AS pass_id, rn, a, b, cnt FROM sel{i}"
-        for i in range(1, passes + 1)
-    )
     return f"""
 WITH w0 AS (
   SELECT w, COUNT(*) AS freq FROM (
@@ -2289,7 +2287,17 @@ WITH w0 AS (
          [substr(w, i, 1) FOR i IN range(1, CAST(strlen(w) AS INT) + 1)]
            AS syms
   FROM w0
-),{",".join(stages)}
+),{",".join(stages)}"""
+
+
+def _bpe_batched_sql(passes: int = 3, m: int = 3) -> str:
+    """Merge-table oracle over the batched stages: the accepted disjoint
+    prefixes of all passes in (pass_id, rank) order."""
+    finals = "\nUNION ALL\n".join(
+        f"SELECT {i} AS pass_id, rn, a, b, cnt FROM sel{i}"
+        for i in range(1, passes + 1)
+    )
+    return f"""{_bpe_batched_stages_sql(passes, m)}
 SELECT CAST(row_number() OVER (ORDER BY pass_id, rn) AS INT) AS merge_rank,
        CAST(pass_id AS INT) AS pass_id, a AS left_sym, b AS right_sym,
        cnt AS pair_count
@@ -2298,9 +2306,54 @@ ORDER BY merge_rank
 """
 
 
+def text_bpe_segment_batched(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE APPLY over the BATCHED learner (functions.text.
+    bpe_segment_batched): segment every document with the state learned
+    by the 3-pass x up-to-3-merge batched run, through the same
+    distinct-word memoization join as text_bpe_segment — apply cost is
+    one equi-join regardless of how the merge table was learned, so the
+    scale-honest learner composes with the production apply path. Output
+    shape matches text_bpe_segment; the DuckDB twin replays the 3 batched
+    passes as staged CTEs, then the positional token explode + join +
+    ordered fingerprint."""
+    from sdc_mapreduce_spark.functions.text import bpe_segment_batched
+
+    docs = load_table(spark, sf_dir, "documents")
+    return bpe_segment_batched(docs, passes=3, m=3).orderBy("doc_id")
+
+
+def _bpe_segment_batched_sql(passes: int = 3, m: int = 3) -> str:
+    return f"""{_bpe_batched_stages_sql(passes, m)},
+dt AS (
+  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks
+  FROM documents
+), dz AS (
+  SELECT doc_id,
+         UNNEST([{{'i': i, 't': toks[i]}}
+                 FOR i IN range(1, len(toks) + 1)]) AS s
+  FROM dt
+), dw AS (
+  SELECT doc_id, s.i - 1 AS tpos, s.t AS w
+  FROM dz WHERE regexp_full_match(s.t, '[A-Za-z0-9]+')
+), seg AS (
+  SELECT dw.doc_id, dw.tpos, s{passes}.syms
+  FROM dw JOIN s{passes} ON s{passes}.w = dw.w
+)
+SELECT doc_id,
+       CAST(COUNT(*) AS INT) AS n_words,
+       CAST(SUM(len(syms)) AS BIGINT) AS n_subwords,
+       md5(string_agg(array_to_string(syms, ' '), ' ' ORDER BY tpos))
+         AS subword_fp
+FROM seg
+GROUP BY doc_id
+ORDER BY doc_id
+"""
+
+
 TEXT_BPE_MERGES_SQL = _bpe_merges_sql()
 TEXT_BPE_SEGMENT_SQL = _bpe_segment_sql()
 TEXT_BPE_MERGES_BATCHED_SQL = _bpe_batched_sql()
+TEXT_BPE_SEGMENT_BATCHED_SQL = _bpe_segment_batched_sql()
 
 QUERIES: dict[str, QuerySpec] = {
     "text_score_distribution": QuerySpec(
@@ -2380,6 +2433,9 @@ QUERIES: dict[str, QuerySpec] = {
         text_bpe_merges_batched, TEXT_BPE_MERGES_BATCHED_SQL
     ),
     "text_bpe_segment": QuerySpec(text_bpe_segment, TEXT_BPE_SEGMENT_SQL),
+    "text_bpe_segment_batched": QuerySpec(
+        text_bpe_segment_batched, TEXT_BPE_SEGMENT_BATCHED_SQL
+    ),
     "multimodal_resize_audit": QuerySpec(
         multimodal_resize_audit, MULTIMODAL_RESIZE_AUDIT_SQL
     ),

@@ -684,7 +684,7 @@ def _reference_bpe_batched(word_freqs: dict[str, int], passes: int, m: int):
                     out.append(syms[i])
                     i += 1
             state[w] = out
-    return merges
+    return merges, state
 
 
 def test_bpe_merges_batched_matches_reference(spark):
@@ -710,7 +710,7 @@ def test_bpe_merges_batched_matches_reference(spark):
         (r["merge_rank"], r["pass_id"], r["left_sym"], r["right_sym"], r["pair_count"])
         for r in bpe_merges_batched(df, passes=3, m=3).orderBy("merge_rank").collect()
     ]
-    expect = _reference_bpe_batched(word_freqs, 3, 3)
+    expect, _ = _reference_bpe_batched(word_freqs, 3, 3)
     assert got == expect, f"\n got: {got}\nwant: {expect}"
 
 
@@ -789,6 +789,42 @@ def test_bpe_segment_consistent_with_reference(spark):
     for doc_id, text in docs[:3]:
         words = [w for w in text.split() if w.isalnum() and w.isascii()]
         subs = [s for w in words for s in seg_word(w)]
+        r = got[doc_id]
+        assert r["n_words"] == len(words)
+        assert r["n_subwords"] == len(subs)
+        assert r["subword_fp"] == hashlib.md5(" ".join(subs).encode()).hexdigest()
+
+
+def test_bpe_segment_batched_consistent_with_reference(spark):
+    """bpe_segment_batched must segment each doc with the BATCHED
+    learner's final per-word state — checked against the pure-Python
+    batched reference's state on a fixture with conflicts and re-merges,
+    with doc token order preserved in the fingerprint."""
+    import hashlib
+
+    from sdc_mapreduce_spark.functions.text import bpe_segment_batched
+
+    docs = [
+        (0, "banana bandana low xab"),
+        (1, "lower newest banana aaaa"),
+        (2, "low low newest xab xab"),
+        (3, "!!! ???"),  # no alnum tokens -> omitted
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    corpus_freqs: dict[str, int] = {}
+    for _, text in docs:
+        for w in text.split():
+            if w.isalnum() and w.isascii():
+                corpus_freqs[w] = corpus_freqs.get(w, 0) + 1
+    _merges, state = _reference_bpe_batched(corpus_freqs, 3, 3)
+
+    got = {
+        r["doc_id"]: r for r in bpe_segment_batched(df, passes=3, m=3).collect()
+    }
+    assert set(got) == {0, 1, 2}
+    for doc_id, text in docs[:3]:
+        words = [w for w in text.split() if w.isalnum() and w.isascii()]
+        subs = [s for w in words for s in state[w]]
         r = got[doc_id]
         assert r["n_words"] == len(words)
         assert r["n_subwords"] == len(subs)
