@@ -929,8 +929,12 @@ def _neardup_banded_pairs(docs: DataFrame, hist: DataFrame | None = None) -> Dat
 def multimodal_neardup_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Measured recall of the banded multimodal near-dup screen — the
     docstring claim ("banding trades recall for the bounded candidate
-    set") as a certified number: on a deterministic 20% sample
-    (doc_id % 5 == 0, keeping the exact-truth side bounded), run the
+    set") as a certified number: on a deterministic 20% sample with an
+    ABSOLUTE cap (doc_id % 5 == 0 AND doc_id < 100000 — a pure fraction
+    would grow the exact-truth side linearly with the corpus and its
+    all-pairs cost quadratically; the cap bounds truth at <= 20k docs /
+    ~200M pairs at ANY corpus size, and is a no-op at every test SF
+    incl. the 10x corpus whose doc_ids top out at 49999), run the
     IDENTICAL banded pipeline and an exact all-pairs cosine >= 0.99999
     truth pass, and emit (n_true, n_detected, recall_milli =
     floor(1000·detected/true)). The verify step only filters candidates,
@@ -940,7 +944,7 @@ def multimodal_neardup_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     from sdc_mapreduce_spark.functions.simsearch import dot
 
     docs = load_table(spark, sf_dir, "documents").filter(
-        F.col("doc_id") % 5 == 0
+        (F.col("doc_id") % 5 == 0) & (F.col("doc_id") < 100000)
     )
     # ONE persisted histogram feeds both the banded screen and the exact
     # truth pass (was: two identical cached copies + a duplicate decode)
@@ -983,7 +987,7 @@ def _neardup_recall_sql() -> str:
 WITH b AS (
   SELECT doc_id, hex(encode(text)) AS h,
          octet_length(encode(text)) AS n
-  FROM documents WHERE doc_id % 5 = 0
+  FROM documents WHERE doc_id % 5 = 0 AND doc_id < 100000
 ), e AS (
   SELECT doc_id,
     UNNEST([strpos('0123456789ABCDEF', h[2*i-1:2*i-1]) - 1
