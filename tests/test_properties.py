@@ -680,3 +680,70 @@ def test_bpe_merges_matches_reference_on_random_corpora(spark, words):
     ]
     expect = _ref_bpe_learn(dict(_Counter(words)), 3)
     assert got == expect, f"words={words}\n got={got}\nwant={expect}"
+
+
+def _ref_bpe_batched(word_freqs: dict[str, int], passes: int, m: int):
+    """Pure-Python batched reference (same pinned semantics as
+    tests/test_text.py): per pass, rank pairs (count desc, left, right)
+    with count >= 2, keep the maximal pairwise-symbol-disjoint PREFIX
+    capped at m, apply all simultaneously."""
+    state = {w: list(w) for w in word_freqs}
+    merges = []
+    for pass_id in range(1, passes + 1):
+        counts: dict[tuple[str, str], int] = {}
+        for w, syms in state.items():
+            f = word_freqs[w]
+            for i in range(len(syms) - 1):
+                p = (syms[i], syms[i + 1])
+                counts[p] = counts.get(p, 0) + f
+        ranked = sorted(
+            ((c, a, b) for (a, b), c in counts.items() if c >= 2),
+            key=lambda t: (-t[0], t[1], t[2]),
+        )[:m]
+        if not ranked:
+            break
+        sel, used = [], set()
+        for c, a, b in ranked:
+            if a in used or b in used:
+                break
+            sel.append((a, b, c))
+            used.update((a, b))
+        for a, b, c in sel:
+            merges.append((len(merges) + 1, pass_id, a, b, c))
+        lefts = {a: (a, b) for a, b, _ in sel}
+        for w, syms in state.items():
+            out, i = [], 0
+            while i < len(syms):
+                pair = lefts.get(syms[i])
+                if pair and i + 1 < len(syms) and syms[i + 1] == pair[1]:
+                    out.append(pair[0] + pair[1])
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            state[w] = out
+    return merges
+
+
+@SETTINGS
+@given(words=st.lists(bpe_word, min_size=1, max_size=12))
+def test_bpe_merges_batched_matches_reference_on_random_corpora(spark, words):
+    """The distributed batched learner (disjoint-prefix selection + one
+    simultaneous run-parity apply per pass) must reproduce the pure-Python
+    batched reference on random tiny-alphabet corpora — the same hard
+    paths (overlapping runs, ties, conflict-degraded batches) as the
+    sequential property test."""
+    from collections import Counter as _Counter
+
+    from sdc_mapreduce_spark.functions.text import bpe_merges_batched
+
+    df = spark.createDataFrame([(" ".join(words),)], "text string")
+    got = [
+        (r["merge_rank"], r["pass_id"], r["left_sym"], r["right_sym"],
+         r["pair_count"])
+        for r in bpe_merges_batched(df, passes=2, m=3)
+        .orderBy("merge_rank")
+        .collect()
+    ]
+    expect = _ref_bpe_batched(dict(_Counter(words)), 2, 3)
+    assert got == expect, f"words={words}\n got={got}\nwant={expect}"
