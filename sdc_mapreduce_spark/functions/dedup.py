@@ -36,6 +36,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from sdc_mapreduce_spark.cache import pin
 from sdc_mapreduce_spark.functions.text import normalized_text, token_hash60, tokens
 
 RNG_SEED_MINHASH = 7
@@ -255,7 +256,7 @@ def jaccard_pairs(
         # only the uncapped path reads `sets` twice (inverted index AND
         # sizes); the capped path derives sizes from the filtered index, so
         # persisting the wide shingle arrays there would be dead weight
-        sets = sets.persist(StorageLevel.MEMORY_AND_DISK)
+        sets = pin(sets, StorageLevel.MEMORY_AND_DISK)
     inv = sets.select(
         F.col(id_col).alias("__id"),
         F.explode(
@@ -273,8 +274,9 @@ def jaccard_pairs(
             .filter(F.col("__df") > max_df)
             .select("__shingle")
         )
-        inv = inv.join(F.broadcast(hot), "__shingle", "left_anti").persist(
-            StorageLevel.MEMORY_AND_DISK
+        inv = pin(
+            inv.join(F.broadcast(hot), "__shingle", "left_anti"),
+            StorageLevel.MEMORY_AND_DISK,
         )
         sizes = inv.groupBy(F.col("__id")).agg(F.count(F.lit(1)).alias("__sz"))
     else:
@@ -494,8 +496,9 @@ def minhash_lsh_pairs(
     # pipeline — MEMORY_AND_DISK spills gracefully.
     from pyspark import StorageLevel
 
-    sets = shingle_sets(df, n=n, text_col=text_col, id_col=id_col).persist(
-        StorageLevel.MEMORY_AND_DISK
+    sets = pin(
+        shingle_sets(df, n=n, text_col=text_col, id_col=id_col),
+        StorageLevel.MEMORY_AND_DISK,
     )
     if signature_impl == "arrow":
         # minima AND band mixing fused in one Arrow kernel — no K-column
@@ -527,7 +530,7 @@ def minhash_lsh_pairs(
     # persisted because the self-join below would otherwise run the whole
     # signature stage once PER SIDE; band rows are 3 small columns x
     # (docs x bands) — far cheaper to store than recompute
-    band_rows = raw_band_rows.persist(StorageLevel.MEMORY_AND_DISK)
+    band_rows = pin(raw_band_rows, StorageLevel.MEMORY_AND_DISK)
     if max_bucket is not None:
         # Hot-bucket cap as a LAZY anti-join — no driver collect. (The r8
         # version eagerly collected a Σ C(n,2) candidate bound here to
@@ -544,15 +547,15 @@ def minhash_lsh_pairs(
         )
         band_rows = band_rows.join(F.broadcast(hot), ["band", "bhash"], "left_anti")
 
-    cand = (
+    cand = pin(
         band_rows.alias("x")
         .join(band_rows.alias("y"), ["band", "bhash"])
         .select(F.col("x.__id").alias("id_a"), F.col("y.__id").alias("id_b"))
         .filter(F.col("id_a") < F.col("id_b"))
-        .distinct()
-        # persisted so both verify joins and the size probe share one
+        .distinct(),
+        # pinned so both verify joins and the size probe share one
         # materialization of the band self-join
-        .persist(StorageLevel.MEMORY_AND_DISK)
+        StorageLevel.MEMORY_AND_DISK,
     )
     # Bounded gate on the verify-side broadcast: candidates are usually a
     # vanishing fraction of the corpus; the probe stops at N+1 rows and the
@@ -611,11 +614,13 @@ def incremental_minhash_dedup(
     shuffle joins instead of an unbounded driver broadcast."""
     from pyspark import StorageLevel
 
-    sets_new = shingle_sets(new_batch, n=n, text_col=text_col, id_col=id_col).persist(
-        StorageLevel.MEMORY_AND_DISK
+    sets_new = pin(
+        shingle_sets(new_batch, n=n, text_col=text_col, id_col=id_col),
+        StorageLevel.MEMORY_AND_DISK,
     )
-    sets_ex = shingle_sets(existing, n=n, text_col=text_col, id_col=id_col).persist(
-        StorageLevel.MEMORY_AND_DISK
+    sets_ex = pin(
+        shingle_sets(existing, n=n, text_col=text_col, id_col=id_col),
+        StorageLevel.MEMORY_AND_DISK,
     )
     bands_new = _band_rows_arrow(
         sets_new, num_hashes=num_hashes, bands=bands, id_col=id_col
@@ -623,11 +628,11 @@ def incremental_minhash_dedup(
     bands_ex = _band_rows_arrow(
         sets_ex, num_hashes=num_hashes, bands=bands, id_col=id_col
     ).withColumnRenamed(id_col, "__ex_id")
-    cand = (
+    cand = pin(
         bands_ex.join(F.broadcast(bands_new), ["band", "bhash"])
         .select("__new_id", "__ex_id")
-        .distinct()
-        .persist(StorageLevel.MEMORY_AND_DISK)
+        .distinct(),
+        StorageLevel.MEMORY_AND_DISK,
     )
     probe = cand.select("__new_id").limit(broadcast_max_candidates + 1).count()
     cand_hinted = (
@@ -742,11 +747,12 @@ def min_label_propagation(
     """
     if check_every < 1:
         raise ValueError(f"check_every must be >= 1, got {check_every}")
-    edges = (
+    # pin + explicit local release at the end of the loop: the pin makes a
+    # harness drain the backstop if an exception skips the unpersist below
+    edges = pin(
         pairs.select("id_a", "id_b")
         .union(pairs.select(F.col("id_b"), F.col("id_a")))
         .toDF("src", "dst")
-        .persist()
     )
     labels = nodes.select(
         F.col(id_col).alias("node"), F.col(id_col).alias("label")
@@ -964,10 +970,10 @@ def exact_substring_dedup(
         )
         .groupBy("__id")
         .agg(F.sort_array(F.collect_list("chunk_id")).alias("__drop_ids"))
-        # persisted so the size probe below and the rebuild join share one
-        # materialization of the inventory aggregation
-        .persist(StorageLevel.MEMORY_AND_DISK)
     )
+    # pinned so the size probe below and the rebuild join share one
+    # materialization of the inventory aggregation
+    drops = pin(drops, StorageLevel.MEMORY_AND_DISK)
     # Bounded gate: the probe stops scanning the persisted list at N+1 rows;
     # only a provably-small drop list earns the broadcast hint.
     probe = drops.select("__id").limit(broadcast_max_docs + 1).count()
@@ -1099,7 +1105,7 @@ def fuzzy_name_pairs(
     # stage on a 100 TB fact table — runs exactly once.
     from pyspark import StorageLevel
 
-    names = names.withColumn("__blk", blk).persist(StorageLevel.MEMORY_AND_DISK)
+    names = pin(names.withColumn("__blk", blk), StorageLevel.MEMORY_AND_DISK)
     if max_block is not None:
         hot = (
             names.groupBy("__blk")

@@ -26,6 +26,7 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from sdc_mapreduce_spark.cache import pin
 from sdc_mapreduce_spark.operators.relational import top_k_per_group
 
 RNG_SEED = 42
@@ -918,12 +919,12 @@ def embedding_near_pairs_blocked(
 
     v = _as_double(F.col(vec_col))
     n = l2_norm(v)
-    # persisted: feeds the narrow band rows AND both verify sides, so the
+    # pinned: feeds the narrow band rows AND both verify sides, so the
     # unit-normalization pass runs once
-    prepared = (
+    prepared = pin(
         corpus.select(F.col(id_col), F.transform(v, lambda x: x / n).alias("__unit"))
-        .withColumn("__bucket", srp_bucket(F.col("__unit"), _hyperplanes(dim, n_planes)))
-        .persist(StorageLevel.MEMORY_AND_DISK)
+        .withColumn("__bucket", srp_bucket(F.col("__unit"), _hyperplanes(dim, n_planes))),
+        StorageLevel.MEMORY_AND_DISK,
     )
     # multi-probe on ONE side only: each left row visits its own bucket plus
     # every 1-bit flip, so adjacent-bucket pairs meet exactly once
@@ -949,10 +950,9 @@ def embedding_near_pairs_blocked(
     # sf0.1: join rows == distinct pairs (230,484 == 230,484). A
     # dropDuplicates here would be a pure no-op shuffle of the candidate
     # set — the largest intermediate in the plan.
-    cand_ids = (
-        left.join(right, "__bucket")
-        .filter(F.col("id_a") < F.col("id_b"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
+    cand_ids = pin(
+        left.join(right, "__bucket").filter(F.col("id_a") < F.col("id_b")),
+        StorageLevel.MEMORY_AND_DISK,
     )
     # bounded gate on the verify-side broadcast (minhash_lsh_pairs pattern)
     probe_n = cand_ids.select("id_a").limit(broadcast_max_candidates + 1).count()

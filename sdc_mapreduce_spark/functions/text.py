@@ -528,12 +528,13 @@ def boilerplate_strip(
     # branch (same discipline as the MinHash/SimHash signature stages).
     from pyspark import StorageLevel
 
-    seg_rows = (
+    from sdc_mapreduce_spark.cache import pin
+
+    seg_rows = pin(
         with_segs.select(
             F.col(id_col), F.posexplode("__segs").alias("seg_idx", "seg")
-        )
-        .withColumn("__h", F.md5("seg"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
+        ).withColumn("__h", F.md5("seg")),
+        StorageLevel.MEMORY_AND_DISK,
     )
     hot = (
         seg_rows.groupBy("__h")
@@ -1082,16 +1083,18 @@ def bm25_topk(
     qterms = spark.createDataFrame(qrows, schema="query_id string, term string")
 
     # pairs feeds THREE consumers (doc lengths, query-term dfs, the scoring
-    # join); persisting the narrow (doc, term, tf) set tokenizes the corpus
+    # join); pinning the narrow (doc, term, tf) set tokenizes the corpus
     # once instead of three times (3.7 -> 3.0 s on the 10x replica corpus;
-    # far larger on real long documents where tokenize dominates). The
-    # cache dies with the plan — each invocation builds a fresh frame.
-    pairs = (
+    # far larger on real long documents where tokenize dominates). Released
+    # by the harness's drain_pins after materialization.
+    from sdc_mapreduce_spark.cache import pin
+
+    pairs = pin(
         df.select(F.col(id_col), F.explode(tokens(text_col)).alias("term"))
         .filter(F.col("term") != "")
         .groupBy(id_col, "term")
         .agg(F.count(F.lit(1)).alias("tf"))
-    ).persist()
+    )
     dl = pairs.groupBy(id_col).agg(F.sum("tf").alias("dl"))
     stats = df.select(F.countDistinct(id_col).alias("n_docs")).join(
         dl.select(F.sum("dl").alias("__total_dl"))
@@ -1410,15 +1413,18 @@ def bpe_merges_batched(
     build. This variant learns up to ``m`` merges per pass, so the job
     count is O(k / m_eff): exactly ``passes`` rounds, each = one bounded
     candidate aggregation (limit m, collected — O(m) driver rows) + one
-    distributed state rewrite. m_eff is the DISJOINT-PREFIX size, worst
-    case 1 on adversarial corpora where every top pair shares a symbol,
-    ~m on natural text where top pairs are mostly disjoint.
+    distributed state rewrite. m_eff is the greedy disjoint-selection
+    size, worst case 1 on adversarial corpora where every top pair shares
+    one symbol, ~m on natural text where top pairs are mostly disjoint.
 
     Batch selection rule (pinned cross-engine by the DuckDB oracle):
-    rank candidate pairs by (count desc, left asc, right asc), keep the
-    MAXIMAL PAIRWISE-SYMBOL-DISJOINT PREFIX capped at m — scanning in rank
-    order, stop at the first pair sharing a symbol with an already-kept
-    pair. Disjointness is what makes the simultaneous application exact:
+    rank candidate pairs by (count desc, left asc, right asc), then GREEDY
+    SKIP-AND-CONTINUE over the top m — scanning in rank order, SKIP any
+    pair sharing a symbol with an already-kept pair and keep scanning, so
+    a single conflict no longer ends the batch (VERDICT r10 ask #2; the
+    old first-conflict cutoff measured ~2.3 merges/pass at m=3). The kept
+    set is still pairwise symbol-disjoint, which is what makes the
+    simultaneous application exact:
     matches of different selected pairs can never overlap positionally
     (adjacent matches would have to share the boundary symbol), so one
     run-parity pass applies the whole batch with byte-identical results to
@@ -1490,7 +1496,12 @@ def _bpe_learn_batched(
         used: set[str] = set()
         for row in cand:
             if row["sym"] in used or row["nxt"] in used:
-                break  # disjoint-PREFIX rule: first conflict ends the batch
+                # skip-and-continue (VERDICT r10 ask #2): a conflicting
+                # candidate is SKIPPED, not batch-ending — later disjoint
+                # candidates still join the batch, pushing utilization
+                # toward m (the old first-conflict cutoff measured ~2.3
+                # merges/pass at m=3)
+                continue
             sel.append((row["sym"], row["nxt"], int(row["cnt"])))
             used.update((row["sym"], row["nxt"]))
         for a, b, cnt in sel:

@@ -43,49 +43,12 @@ class QuerySpec:
 
 
 # --- per-query cache hygiene (VERDICT r9 ask #5) -------------------------
-# Query builders that persist() shared frames (vocab, histograms, cluster
-# labels) used to leave the pins live for the session: over a 230-query
-# sweep those caches — plus the localCheckpoint blocks graph/BPE pin until
-# GC — accumulate into real executor-storage pressure. Builders now route
-# persists through pin(); every harness (bench.py, tools/check_oracle.py,
-# tests that sweep the registry) calls drain_pins(spark) after it has
-# MATERIALIZED the query's result. Draining earlier is safe for
-# correctness (Spark falls back to recompute) but defeats the point of the
-# persist, so the hook belongs after collect()/write(), never inside the
-# builder.
+# The pin()/drain_pins() ledger lives in sdc_mapreduce_spark.cache (so
+# library modules under functions/ can use it without importing the query
+# layer — VERDICT r10 ask #5); re-exported here for the harnesses and
+# tests that historically import it from queries.base.
 
-_PINNED: list[DataFrame] = []
-
-
-def pin(df: DataFrame) -> DataFrame:
-    """persist() a frame AND register it for post-materialization release."""
-    df.persist()
-    _PINNED.append(df)
-    return df
-
-
-def drain_pins(spark: SparkSession | None = None, gc_nudge: bool = False) -> None:
-    """Release every pin()'d frame (blocking=False: eviction proceeds in the
-    background) and drop any stray cache entries. ``gc_nudge=True`` also
-    forces a JVM GC so the ContextCleaner reaps localCheckpoint RDD blocks
-    whose references just died — use it in long correctness sweeps where
-    checkpoint-block accumulation matters, NOT between timed bench queries:
-    a forced full GC clears SoftReferences (codegen/class caches included),
-    and the measured effect was a uniform ~20-30% inflation of every
-    subsequent query in the r10 bench until the caches rewarmed."""
-    for df in _PINNED:
-        try:
-            df.unpersist()
-        except Exception:
-            pass  # session may already be stopped; nothing to release
-    _PINNED.clear()
-    if spark is not None:
-        try:
-            spark.catalog.clearCache()
-            if gc_nudge:
-                spark.sparkContext._jvm.System.gc()
-        except Exception:
-            pass
+from sdc_mapreduce_spark.cache import drain_pins, pin, pinned_frames  # noqa: F401
 
 
 def dsum(expr: str, alias: str, scale: int = 2) -> Column:

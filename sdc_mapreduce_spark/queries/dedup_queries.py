@@ -1069,11 +1069,11 @@ def dedup_cluster_labels(
     clusters = D.near_dup_clusters(
         docs, num_hashes=128, bands=32, n=3, threshold=0.8
     )
-    sizes = (
+    sizes = pin(
         clusters.groupBy("rep_id")
         .agg(F.count(F.lit(1)).alias("n_docs"))
-        .filter(F.col("n_docs") >= 2)
-        .persist(StorageLevel.MEMORY_AND_DISK)
+        .filter(F.col("n_docs") >= 2),
+        StorageLevel.MEMORY_AND_DISK,
     )
     members = clusters.join(
         broadcast_if_small(sizes, broadcast_max_clusters), "rep_id"
@@ -1082,11 +1082,11 @@ def dedup_cluster_labels(
         "doc_id",
         F.explode(F.split(F.trim("text"), "\\s+")).alias("term"),
     )
-    tf = (
+    tf = pin(
         members.join(toks, "doc_id")
         .groupBy("rep_id", "n_docs", "term")
-        .agg(F.count(F.lit(1)).alias("tf"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
+        .agg(F.count(F.lit(1)).alias("tf")),
+        StorageLevel.MEMORY_AND_DISK,
     )
     cdf = tf.groupBy("term").agg(F.count(F.lit(1)).alias("cdf"))
     ncl = sizes.agg(F.count(F.lit(1)).alias("n_clusters"))

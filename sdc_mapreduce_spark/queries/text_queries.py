@@ -2199,12 +2199,13 @@ def text_bpe_merges_batched(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Batched BPE merge learning (functions.text.bpe_merges_batched —
     VERDICT r9 ask #3, the scale-honest variant of text_bpe_merges): 3
     passes x up-to-3 merges over the same ASCII-alphanumeric word table,
-    selecting per pass the maximal pairwise-symbol-disjoint PREFIX of the
-    (count desc, left, right)-ranked candidates and applying the whole
-    batch in ONE run-parity rewrite — O(k/m_eff) driver-sequenced jobs
-    instead of the sequential learner's O(k). The DuckDB twin replays all
-    3 passes as staged CTEs: rank -> first-conflict cutoff (a rank
-    self-join) -> disjoint prefix -> simultaneous apply via a LEFT JOIN
+    greedily selecting per pass a pairwise-symbol-disjoint subset of the
+    (count desc, left, right)-ranked candidates — skip-and-continue past
+    conflicts (VERDICT r10 ask #2) — and applying the whole batch in ONE
+    run-parity rewrite: O(k/m_eff) driver-sequenced jobs instead of the
+    sequential learner's O(k). The DuckDB twin replays all 3 passes as
+    staged CTEs: rank -> unrolled greedy scan (m chained single-row CTEs
+    carrying the used-symbol list) -> simultaneous apply via a LEFT JOIN
     flag, so the learned table — merge_rank, pass_id included — matches
     byte-for-byte."""
     from sdc_mapreduce_spark.functions.text import bpe_merges_batched
@@ -2215,18 +2216,51 @@ def text_bpe_merges_batched(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _bpe_batched_stages_sql(passes: int = 3, m: int = 3) -> str:
     """Shared WITH-prefix for the batched-BPE oracles: per pass —
-    candidate counts (>= 2), rank by (cnt desc, a, b) capped at m,
-    first-conflict cutoff via a rank self-join (a pair conflicts when it
-    shares a symbol with ANY earlier-ranked pair; rows before the first
-    conflict are exactly the accepted disjoint prefix), then the shared
-    run-parity apply with the match flag coming from a LEFT JOIN against
-    the selected pairs (sound: selected pairs are symbol-disjoint, so
-    each position matches at most one and matches are never adjacent
-    across pairs). Exposes sel{{i}} (the pass-i accepted merges) and
-    s{{passes}} (the final per-word state)."""
+    candidate counts (>= 2), rank by (cnt desc, a, b) capped at m, then
+    GREEDY SKIP-AND-CONTINUE selection (VERDICT r10 ask #2) unrolled as m
+    chained single-row CTEs: st{{i}}_j consumes rank j, accepting it iff
+    neither symbol appears in the accumulated used-symbol list of the
+    ranks accepted so far (a conflicting rank is skipped, the scan
+    continues — the old rule ended the batch at the first conflict).
+    Then the shared run-parity apply with the match flag coming from a
+    LEFT JOIN against the selected pairs (sound: selected pairs are
+    pairwise symbol-disjoint, so each position matches at most one and
+    matches are never adjacent across pairs). Exposes sel{{i}} (the
+    pass-i accepted merges) and s{{passes}} (the final per-word state)."""
     stages = []
     for i in range(1, passes + 1):
         prev = f"s{i - 1}"
+        greedy = [
+            f"""
+st{i}_0 AS (
+  SELECT CAST([] AS VARCHAR[]) AS used,
+         CAST(NULL AS INT) AS rn, CAST(NULL AS VARCHAR) AS a,
+         CAST(NULL AS VARCHAR) AS b, CAST(NULL AS BIGINT) AS cnt,
+         FALSE AS taken
+)"""
+        ]
+        for j in range(1, m + 1):
+            greedy.append(f"""
+st{i}_{j} AS (
+  SELECT CASE WHEN r.a IS NOT NULL
+                   AND NOT (list_contains(p.used, r.a)
+                            OR list_contains(p.used, r.b))
+              THEN list_concat(p.used, [r.a, r.b]) ELSE p.used END AS used,
+         CAST(r.rn AS INT) AS rn, r.a, r.b, r.cnt,
+         COALESCE(r.a IS NOT NULL
+                  AND NOT (list_contains(p.used, r.a)
+                           OR list_contains(p.used, r.b)), FALSE) AS taken
+  FROM st{i}_{j - 1} p LEFT JOIN rk{i} r ON r.rn = {j}
+)""")
+        sel_union = "\n    UNION ALL ".join(
+            f"SELECT rn, a, b, cnt, taken FROM st{i}_{j}" for j in range(1, m + 1)
+        )
+        greedy.append(f"""
+sel{i} AS (
+  SELECT a, b, cnt, rn FROM (
+    {sel_union}
+  ) WHERE taken
+)""")
         stages.append(f"""
 pa{i} AS (
   SELECT w, freq,
@@ -2247,14 +2281,7 @@ pa{i} AS (
            row_number() OVER (ORDER BY cnt DESC, a ASC, b ASC) AS rn
     FROM cnt{i}
   ) WHERE rn <= {m}
-), cf{i} AS (
-  SELECT MIN(r2.rn) AS fc FROM rk{i} r1 JOIN rk{i} r2
-  ON r1.rn < r2.rn
-     AND (r1.a IN (r2.a, r2.b) OR r1.b IN (r2.a, r2.b))
-), sel{i} AS (
-  SELECT a, b, cnt, rn FROM rk{i} CROSS JOIN cf{i}
-  WHERE fc IS NULL OR rn < fc
-), f{i} AS (
+),{",".join(greedy)}, f{i} AS (
   SELECT p.w, p.freq, p.pos, p.sym, p.nxt,
          CASE WHEN s.a IS NOT NULL THEN 1 ELSE 0 END AS m
   FROM p{i} p LEFT JOIN sel{i} s ON s.a = p.sym AND s.b = p.nxt

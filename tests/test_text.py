@@ -646,8 +646,9 @@ def test_bpe_merges_single_hot_run(spark):
 
 def _reference_bpe_batched(word_freqs: dict[str, int], passes: int, m: int):
     """Pure-Python twin of bpe_merges_batched's pinned semantics: per pass,
-    rank pairs (count desc, left, right) with count >= 2, keep the maximal
-    pairwise-symbol-disjoint PREFIX capped at m, apply all simultaneously
+    rank pairs (count desc, left, right) with count >= 2, greedily keep
+    every top-m candidate disjoint from the already-kept set (skip-and-
+    continue past conflicts, VERDICT r10 ask #2), apply all simultaneously
     (greedy left-to-right per pair; disjointness makes order irrelevant)."""
     state = {w: list(w) for w in word_freqs}
     merges = []
@@ -667,7 +668,7 @@ def _reference_bpe_batched(word_freqs: dict[str, int], passes: int, m: int):
         sel, used = [], set()
         for c, a, b in ranked:
             if a in used or b in used:
-                break
+                continue  # skip-and-continue: conflict skips, scan goes on
             sel.append((a, b, c))
             used.update((a, b))
         for a, b, c in sel:
@@ -715,10 +716,10 @@ def test_bpe_merges_batched_matches_reference(spark):
 
 
 def test_bpe_merges_batched_conflict_prefix_rule(spark):
-    """Adversarial overlap: 'x a b' x100 — top pairs (a,b) and (x,a) share
-    'a', so the batch degrades to ONE merge per pass (the disjoint-prefix
-    rule), and pass 2 proceeds on the REBUILT state exactly like the
-    sequential learner would."""
+    """Adversarial overlap: 'x a b' x100 — the only two candidates (a,b)
+    and (x,a) share 'a', so even greedy skip-and-continue selection yields
+    ONE merge per pass, and pass 2 proceeds on the REBUILT state exactly
+    like the sequential learner would."""
     from sdc_mapreduce_spark.functions.text import bpe_merges, bpe_merges_batched
 
     df = spark.createDataFrame([("xab " * 5,), ("xab xab",)], "text string")
@@ -736,6 +737,22 @@ def test_bpe_merges_batched_conflict_prefix_rule(spark):
         (i, a, b, c) for (i, a, b, c) in [(r[0], r[1], r[2], r[3]) for r in seq]
     ]
     assert [b[0] for b in batched] == [1, 2]
+
+
+def test_bpe_merges_batched_skip_and_continue(spark):
+    """The case that separates skip-and-continue from the old first-
+    conflict cutoff: ranked candidates (a,b):10, (b,c):9, (d,e):8 — rank 2
+    conflicts with rank 1 on 'b', but rank 3 is disjoint and MUST still
+    join the batch (the old rule stopped at rank 2 and took only (a,b))."""
+    from sdc_mapreduce_spark.functions.text import bpe_merges_batched
+
+    rows = [("ab " * 10,), ("bc " * 9,), ("de " * 8,)]
+    df = spark.createDataFrame(rows, "text string")
+    got = [
+        (r["merge_rank"], r["pass_id"], r["left_sym"], r["right_sym"], r["pair_count"])
+        for r in bpe_merges_batched(df, passes=1, m=3).orderBy("merge_rank").collect()
+    ]
+    assert got == [(1, 1, "a", "b", 10), (2, 1, "d", "e", 8)], got
 
 
 def test_bpe_merges_batched_no_repeating_pairs(spark):

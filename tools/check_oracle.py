@@ -186,7 +186,7 @@ def main() -> int:
             # cache entries + nudge the ContextCleaner for localCheckpoint
             # blocks — a full-registry session stays flat on executor
             # storage (queries/base.py::drain_pins, VERDICT r9 ask #5)
-            drain_pins(spark, gc_nudge=True)
+            drain_pins(spark, gc_nudge=True, clear_cache=True)
         except Exception as exc:
             msg = str(exc).splitlines()[0][:200]
             print(f"  {name:32s} SPARK ERROR: {msg}")
