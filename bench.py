@@ -37,6 +37,10 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 # additions appended at the END, where they cannot shift the established
 # series. New bench-flagged queries are appended automatically (sorted,
 # after the pinned list) and should be folded into the literal next round.
+# NOTE (r11, ADVICE r10): timed samples are now pin-drained individually
+# (see the loop in main), so medians for pin-reusing queries are higher
+# than r10-and-earlier by one shared-frame build per run — an honest
+# convention change, not a regression.
 _BENCH_ORDER = [
     "dedup_minhash_lsh",
     "text_vocab_encode",
@@ -86,18 +90,47 @@ def _median(xs: list[float]) -> float:
     return s[n // 2] if n % 2 else (s[n // 2 - 1] + s[n // 2]) / 2
 
 
-def _timed_runs(run_once) -> list[float]:
+def _timed_runs(
+    run_once,
+    after_run=None,
+    name: str = "",
+    stall_events: list | None = None,
+) -> list[float]:
     """REPEATS timed samples, extended adaptively while max/min > SPREAD_MAX
-    (an outlier this large is contention, not the plan — extra samples pull
-    the median back to steady-state and the raw list stays inspectable)."""
+    (an outlier this large is contention or a host stall, not the plan —
+    extra samples pull the median back to steady-state and the raw list
+    stays inspectable). When the rule fires, the event is RECORDED in
+    ``stall_events`` (VERDICT r10 ask #4: the r10 10x session where
+    join_broadcast_dim swung 1.68-62.2 s showed a host stall can
+    contaminate a driver-visible BENCH artifact silently) — "settled"
+    says whether the extra samples brought the raw spread back under the
+    bound; either way the reported median is outlier-resistant.
+
+    ``after_run`` runs AFTER each sample's timer stops (cache hygiene
+    between runs stays out of the measurement)."""
+
     samples: list[float] = []
+
+    def spread() -> float:
+        return max(samples) / max(min(samples), 1e-9)
+
     while len(samples) < REPEATS or (
-        len(samples) < MAX_REPEATS
-        and max(samples) / max(min(samples), 1e-9) > SPREAD_MAX
+        len(samples) < MAX_REPEATS and spread() > SPREAD_MAX
     ):
         t0 = time.time()
         run_once()
         samples.append(round(time.time() - t0, 3))
+        if after_run is not None:
+            after_run()
+    if stall_events is not None and len(samples) > REPEATS:
+        stall_events.append(
+            {
+                "query": name,
+                "samples": samples,
+                "final_spread": round(spread(), 2),
+                "settled": spread() <= SPREAD_MAX,
+            }
+        )
     return samples
 
 
@@ -181,12 +214,16 @@ def _skew_suite(spark, path: str, fixture_desc: str) -> dict:
         "skew_sessionize_plain": lambda: sessionize_plain(ev),
         "skew_sessionize_chunked": lambda: sessionize_chunked(ev),
         # auto = key-stats probe + whichever plan the stats dictate
-        # (operators/skew.py::sessionize_auto, VERDICT r9 ask #8); its
-        # timing INCLUDES the probe job, so the suite shows the real cost
-        # of not knowing the skew regime in advance
+        # (operators/skew.py::sessionize_auto, VERDICT r9 ask #8). The
+        # probe result is cached per table plan (r10 ask #3), so the
+        # untimed warm-up below pays the one probe job and the timed
+        # repeats measure the amortized shape — auto should land within
+        # noise of whichever plan it picked. The cold first-call cost is
+        # the probe job itself, visible in the warm-up, not the median.
         "skew_sessionize_auto": lambda: sessionize_auto(ev),
     }
     runs: dict[str, list[float]] = {}
+    stalls: list = []
     for name, build in cases.items():
         # untimed warm-up: the first execution of each plan pays whole-stage
         # codegen compile (observed 2-4x outliers), which would land one
@@ -194,12 +231,15 @@ def _skew_suite(spark, path: str, fixture_desc: str) -> dict:
         # parquet into page cache so run 1 isn't a cold-scan outlier
         build().write.format("noop").mode("overwrite").save()
         runs[name] = _timed_runs(
-            lambda: build().write.format("noop").mode("overwrite").save()
+            lambda: build().write.format("noop").mode("overwrite").save(),
+            name=name,
+            stall_events=stalls,
         )
     return {
         "fixture": fixture_desc,
         "queries": {name: round(_median(s), 3) for name, s in runs.items()},
         "runs": runs,
+        "stall_reruns": stalls,
     }
 
 
@@ -219,22 +259,28 @@ def main() -> None:
     ).write.format("noop").mode("overwrite").save()
 
     runs: dict[str, list[float]] = {}
+    stalls: list = []
     for name, fn in bench.items():
         # untimed per-query warm-up (matching the skew suite): the first
         # execution of each plan pays whole-stage-codegen compile — observed
         # 2-4x outliers that previously landed one cold sample in every
         # median-of-3 and showed up as round-over-round "drift"
         fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
-        runs[name] = _timed_runs(
-            lambda: fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
-        )
-        # per-query cache hygiene: queries that pin() shared frames
-        # (vocab, histograms) would otherwise stack cached copies across
-        # the whole 20-query session — by the skew suite at the end, that
-        # storage pressure produced the r8 24.1 s outlier. drain_pins also
-        # releases the pin ledger and nudges the ContextCleaner for
-        # localCheckpoint blocks (queries/base.py, VERDICT r9 ask #5).
+        # MEASUREMENT CONVENTION (changed r11, ADVICE r10): pins are
+        # drained after the warm-up AND after every timed sample (outside
+        # the timer), so each timed run is self-contained — a query that
+        # pin()s a shared frame pays one build + intra-query reuse per
+        # run, instead of riding the warm-up's cache. Queries whose pins
+        # were cross-run-reused before (e.g. multimodal_encoder_topk)
+        # report honestly higher medians from r11 on; compare r10-and-
+        # earlier numbers with that in mind.
         drain_pins(spark)
+        runs[name] = _timed_runs(
+            lambda: fn(spark, SF_DIR).write.format("noop").mode("overwrite").save(),
+            after_run=lambda: drain_pins(spark),
+            name=name,
+            stall_events=stalls,
+        )
 
     timings = {name: round(_median(s), 3) for name, s in runs.items()}
     total = round(sum(timings.values()), 3)
@@ -262,6 +308,7 @@ def main() -> None:
             "unit": "sec",
             "queries": timings,
             "runs": runs,
+            "stall_reruns": stalls,
             "skew": skew,
             "skew_hot_user": skew_hot_user,
             "sf": sf_val,

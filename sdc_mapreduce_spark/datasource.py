@@ -40,6 +40,7 @@ from __future__ import annotations
 
 import glob
 import os
+import warnings
 from collections.abc import Iterator
 
 from pyspark.sql.datasource import (
@@ -66,6 +67,14 @@ DEFAULT_SHARD_SIZE = 50_000  # the reference client's SHARD_SIZE default
 # — coalescing concatenates whole record-aligned shards, so row ownership
 # is untouched.
 DEFAULT_MAX_BATCH_SHARDS = 128
+
+# Advisory bound for the BATCH reader (VERDICT r10 ask #7): batch scans
+# are deliberately uncapped (tasks launch at executor-slot concurrency and
+# reuse workers, unlike a micro-batch's all-at-once worker fan-out), but a
+# plan wider than this warns — cheap insurance that a 10x-style corpus
+# surprise announces itself instead of silently planning 100k partitions.
+# Override per read with the warn_partitions option.
+DEFAULT_WARN_BATCH_PARTITIONS = 10_000
 
 
 class KVShard(InputPartition):
@@ -139,24 +148,55 @@ def coalesce_shards(shards: list[KVShard], max_shards: int) -> list[KVShard]:
     """Cap a shard plan at ``max_shards`` partitions by concatenating
     CONTIGUOUS runs of shards (adjacent in plan order, so merged segments
     stay sequential within each file — one seek per original shard at
-    most). Each output shard holds ceil/floor(n / max_shards) inputs, so
-    byte capacity stays balanced: inputs are equal-sized by construction
-    (only the final one may be smaller). Row ownership is untouched —
-    ``read_shard`` applies the line-boundary protocol per SEGMENT, and
-    coalescing only concatenates whole segments."""
+    most). Groups are balanced by CUMULATIVE SEGMENT BYTES, not shard
+    count (ADVICE r10): with ``pack=false`` every file's tail shard is
+    short, so count-balanced groups over many small files were
+    byte-skewed; for equal-sized inputs — every pack=true plan — the byte
+    split degenerates to the old count split.
+    Row ownership is untouched — ``read_shard`` applies the
+    line-boundary protocol per SEGMENT, and coalescing only concatenates
+    whole segments.
+
+    The split is the OPTIMAL contiguous min-max partition (binary search
+    on the bottleneck bytes + greedy feasibility, O(n log total)): the
+    largest coalesced partition is as small as any contiguous grouping
+    can make it — the property that matters, since the widest partition
+    is the straggler task. May emit fewer than ``max_shards`` groups when
+    that loses nothing (the bottleneck is a single fat shard)."""
     if max_shards < 1:
         raise ValueError(f"max_shards must be >= 1, got {max_shards}")
     n = len(shards)
     if n <= max_shards:
         return shards
+    caps = [s.capacity for s in shards]
+
+    def groups_needed(limit: int) -> int:
+        groups, acc = 1, 0
+        for c in caps:
+            if acc + c <= limit:
+                acc += c
+            else:
+                groups += 1
+                acc = c
+        return groups
+
+    lo, hi = max(caps), sum(caps)
+    while lo < hi:
+        mid = (lo + hi) // 2
+        if groups_needed(mid) <= max_shards:
+            hi = mid
+        else:
+            lo = mid + 1
     out: list[KVShard] = []
-    base, extra = divmod(n, max_shards)
-    i = 0
-    for g in range(max_shards):
-        take = base + (1 if g < extra else 0)
-        group = shards[i : i + take]
-        i += take
-        out.append(KVShard([seg for s in group for seg in s.segments]))
+    cur_segs: list[tuple[str, int, int]] = []
+    acc = 0
+    for s in shards:
+        if cur_segs and acc + s.capacity > lo:
+            out.append(KVShard(cur_segs))
+            cur_segs, acc = [], 0
+        cur_segs.extend(s.segments)
+        acc += s.capacity
+    out.append(KVShard(cur_segs))
     return out
 
 
@@ -193,9 +233,27 @@ class KVTextReader(DataSourceReader):
         self.paths = _list_files(path)
         if not self.paths:
             raise ValueError(f"kvtext: no files under {path!r}")
+        self.warn_partitions = int(
+            options.get("warn_partitions", DEFAULT_WARN_BATCH_PARTITIONS)
+        )
 
     def partitions(self):
         shards = plan_shards(self.paths, self.shard_size, self.pack)
+        if len(shards) > self.warn_partitions:
+            # Advisory only (VERDICT r10 ask #7): the batch reader stays
+            # deliberately uncapped — batch tasks launch at executor-slot
+            # concurrency and reuse workers, and the scan certs exercise
+            # deliberately tiny shards — but a plan this wide usually
+            # means the shard_size default met a much bigger corpus (the
+            # 10x streaming incident shape). Announce it instead of
+            # letting the next scale surprise arrive silently.
+            warnings.warn(
+                f"kvtext: planned {len(shards)} batch partitions "
+                f"(> {self.warn_partitions}); consider a larger "
+                "shard_size for this input size, or raise "
+                "warn_partitions to silence",
+                stacklevel=2,
+            )
         return shards or [KVShard([(self.paths[0], 0, 0)])]
 
     def read(self, partition: KVShard) -> Iterator[tuple]:

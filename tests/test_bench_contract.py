@@ -40,6 +40,63 @@ def test_bench_compact_payload_is_last_print_in_source():
     assert src.rindex("print(compact)") > src.rindex("print(detail)")
 
 
+def test_timed_runs_stall_rerun_rule(monkeypatch):
+    """VERDICT r10 ask #4: a sample set whose max/min spread exceeds
+    SPREAD_MAX must trigger extra samples (up to MAX_REPEATS) AND record
+    the event — the r10 10x 'stallrun' artifact (join_broadcast_dim
+    1.68-62.2 s in one session) showed a silent host stall contaminating
+    a driver-visible bench number. Deterministic via a scripted clock."""
+    import bench as benchmod
+
+    # scripted per-sample durations: sample 3 is a 10 s host stall
+    durations = [0.1, 0.1, 10.0, 0.1, 0.1, 0.1, 0.1, 0.1, 0.1, 0.1]
+    ticks = []
+    t = 0.0
+    for d in durations:
+        ticks += [t, t + d]
+        t += d + 1.0
+    it = iter(ticks)
+    monkeypatch.setattr(benchmod.time, "time", lambda: next(it))
+
+    events: list = []
+    after_calls = []
+    samples = benchmod._timed_runs(
+        lambda: None,
+        after_run=lambda: after_calls.append(1),
+        name="stalled_query",
+        stall_events=events,
+    )
+    # the stall keeps global max/min above SPREAD_MAX forever, so the rule
+    # extends to exactly MAX_REPEATS and stops
+    assert len(samples) == benchmod.MAX_REPEATS
+    assert len(after_calls) == len(samples)  # hygiene hook ran per sample
+    assert benchmod._median(samples) == 0.1  # median self-heals the stall
+    assert len(events) == 1
+    ev = events[0]
+    assert ev["query"] == "stalled_query"
+    assert ev["samples"] == samples
+    assert ev["final_spread"] == 100.0
+    assert ev["settled"] is False
+
+
+def test_timed_runs_quiet_run_records_nothing(monkeypatch):
+    """A clean 3-sample run must not extend and must not log an event."""
+    import bench as benchmod
+
+    durations = [0.1, 0.11, 0.1]
+    ticks = []
+    t = 0.0
+    for d in durations:
+        ticks += [t, t + d]
+        t += d + 1.0
+    it = iter(ticks)
+    monkeypatch.setattr(benchmod.time, "time", lambda: next(it))
+    events: list = []
+    samples = benchmod._timed_runs(lambda: None, name="q", stall_events=events)
+    assert len(samples) == benchmod.REPEATS
+    assert events == []
+
+
 def test_bench_order_is_pinned_canonical():
     """The bench execution order must NOT track the registry's rotating
     priority order (VERDICT r9 ask #2: r9's rotation moved the warm-up

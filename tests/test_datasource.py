@@ -212,6 +212,70 @@ def test_coalesce_shards_caps_and_preserves_segments():
         coalesce_shards(shards, 0)
 
 
+def test_coalesce_shards_balances_bytes_not_counts():
+    """ADVICE r10: with pack=false each file's tail shard is short, so a
+    COUNT-balanced grouping is byte-skewed. The coalesce must minimize the
+    largest group's bytes over contiguous splits (the straggler task)."""
+    from sdc_mapreduce_spark.datasource import KVShard, coalesce_shards
+
+    # 6 files x (one 50 B body shard + one 1 B tail shard), pack=false shape
+    shards = []
+    for i in range(6):
+        shards.append(KVShard([(f"f{i}", 0, 50)]))
+        shards.append(KVShard([(f"f{i}", 50, 51)]))
+    out = coalesce_shards(shards, 4)
+    assert len(out) <= 4
+    # contiguity + byte conservation
+    assert [seg for s in out for seg in s.segments] == [
+        seg for s in shards for seg in s.segments
+    ]
+    assert sum(s.capacity for s in out) == 306
+    # optimal contiguous min-max here is 101 B (two 50 B bodies must share
+    # a group by pigeonhole); the old count split also hit 101 on THIS
+    # fixture, so pin the optimality bound rather than a beats-old claim
+    assert max(s.capacity for s in out) == 101
+    # a fixture where the count split (3+3+3+3) yields a 150 B bottleneck:
+    # per-file shards 50/50/1 — byte-optimal keeps every group <= 101
+    shards2 = []
+    for i in range(4):
+        shards2.append(KVShard([(f"g{i}", 0, 50)]))
+        shards2.append(KVShard([(f"g{i}", 50, 100)]))
+        shards2.append(KVShard([(f"g{i}", 100, 101)]))
+    out2 = coalesce_shards(shards2, 4)
+    assert len(out2) <= 4
+    assert max(s.capacity for s in out2) == 101
+    assert sum(s.capacity for s in out2) == 404
+
+
+def test_kvtext_batch_reader_warns_on_wide_plans(tmp_path):
+    """VERDICT r10 ask #7: the batch reader stays uncapped, but a plan
+    wider than warn_partitions must emit an advisory warning (and stay
+    silent below it)."""
+    import warnings
+
+    from sdc_mapreduce_spark.datasource import KVTextReader
+
+    f = tmp_path / "data.txt"
+    f.write_bytes(b"k 1\n" * 200)  # 800 bytes
+    # shard_size=8 -> 100 shards > warn bound 10
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        reader = KVTextReader(
+            {"path": str(f), "shard_size": "8", "warn_partitions": "10"}
+        )
+        parts = reader.partitions()
+        assert len(parts) == 100
+    assert any("kvtext: planned 100 batch partitions" in str(x.message) for x in w)
+    # below the bound: silent
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        reader = KVTextReader(
+            {"path": str(f), "shard_size": "8", "warn_partitions": "1000"}
+        )
+        reader.partitions()
+    assert not w
+
+
 def test_kvtext_streaming_partition_guard(spark, tmp_path):
     """Regression for the r9 10x-corpus crash ("Python worker failed to
     connect back"): a micro-batch over a corpus that plans thousands of

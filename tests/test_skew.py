@@ -188,6 +188,57 @@ def test_sessionize_auto_selects_by_key_stats_and_matches_oracle(spark, sf_dir):
         ev.unpersist()
 
 
+def test_sessionize_auto_validates_sample_fraction(spark, sf_dir):
+    """ADVICE r10: 0 used to ZeroDivisionError at est_max and a negative
+    value failed opaquely inside Spark's sample() — both must be a clear
+    ValueError before any job runs."""
+    import pytest
+
+    from sdc_mapreduce_spark.catalog import load_table
+    from sdc_mapreduce_spark.operators.skew import sessionize_auto
+
+    ev = load_table(spark, sf_dir, "events")
+    for bad in (0.0, -0.5, 1.5):
+        with pytest.raises(ValueError, match="sample_fraction"):
+            sessionize_auto(ev, sample_fraction=bad)
+
+
+def test_sessionize_auto_key_stats_cache(spark, sf_dir):
+    """VERDICT r10 ask #3: the probe result is cached per (plan, key,
+    fraction, seed) — a second call over the same table must reuse it (no
+    new cache entry, same plan choice), the threshold stays per-call (a
+    cached est_max still flips the plan), and use_cached_stats=False
+    re-probes without error."""
+    from sdc_mapreduce_spark.catalog import load_table
+    from sdc_mapreduce_spark.operators.skew import (
+        _KEY_STATS_CACHE,
+        clear_key_stats_cache,
+        sessionize_auto,
+    )
+
+    clear_key_stats_cache()
+    ev = load_table(spark, sf_dir, "events")
+    sessionize_auto(ev, sample_fraction=1.0)
+    assert len(_KEY_STATS_CACHE) == 1
+    est = next(iter(_KEY_STATS_CACHE.values()))
+    # same probe parameters -> cache hit, no second entry; plan choice
+    # still honors the caller's threshold against the CACHED est_max
+    forced_chunk = sessionize_auto(ev, max_rows_per_task=0, sample_fraction=1.0)
+    forced_plain = sessionize_auto(ev, max_rows_per_task=10**12, sample_fraction=1.0)
+    assert len(_KEY_STATS_CACHE) == 1
+    assert "__chunk" in forced_chunk._jdf.queryExecution().analyzed().toString()
+    assert "__chunk" not in forced_plain._jdf.queryExecution().analyzed().toString()
+    # a re-probe refreshes the same entry with the same exact-count answer
+    sessionize_auto(ev, sample_fraction=1.0, use_cached_stats=False)
+    assert len(_KEY_STATS_CACHE) == 1
+    assert next(iter(_KEY_STATS_CACHE.values())) == est
+    # different fraction = different key statistics -> separate entry
+    sessionize_auto(ev, sample_fraction=0.5)
+    assert len(_KEY_STATS_CACHE) == 2
+    clear_key_stats_cache()
+    assert not _KEY_STATS_CACHE
+
+
 def test_sessionize_chunked_merges_cross_boundary_sessions(spark):
     """A stream straddling midnight with gaps < timeout must come out as
     ONE session (the local day-chunk split is invisible), while a > timeout

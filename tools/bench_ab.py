@@ -40,17 +40,22 @@ def main() -> None:
         lambda it: it, schema="id long"
     ).write.format("noop").mode("overwrite").save()
 
+    from bench import _median
+
     out: dict[str, list[float]] = {}
     for name, fn in specs.items():
         fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
+        drain_pins(spark)  # bench.py's r11 convention: timed runs start cold
         samples = []
         for _ in range(3):
             t0 = time.time()
             fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
             samples.append(round(time.time() - t0, 3))
+            drain_pins(spark)
         out[name] = samples
-        drain_pins(spark)
-    med = {n: sorted(s)[1] for n, s in out.items()}
+    # _median is repeat-count-agnostic (ADVICE r10: the old sorted(s)[1]
+    # was only the median for exactly 3 samples)
+    med = {n: _median(s) for n, s in out.items()}
     spark.stop()
     print(json.dumps({"order": names, "median": med, "runs": out}))
 
