@@ -685,8 +685,9 @@ def test_bpe_merges_matches_reference_on_random_corpora(spark, words):
 def _ref_bpe_batched(word_freqs: dict[str, int], passes: int, m: int):
     """Pure-Python batched reference (same pinned semantics as
     tests/test_text.py): per pass, rank pairs (count desc, left, right)
-    with count >= 2, keep the maximal pairwise-symbol-disjoint PREFIX
-    capped at m, apply all simultaneously."""
+    with count >= 2, greedily keep every top-m candidate disjoint from
+    the already-kept set (skip-and-continue past conflicts, VERDICT r10
+    ask #2), apply all simultaneously."""
     state = {w: list(w) for w in word_freqs}
     merges = []
     for pass_id in range(1, passes + 1):
@@ -705,7 +706,7 @@ def _ref_bpe_batched(word_freqs: dict[str, int], passes: int, m: int):
         sel, used = [], set()
         for c, a, b in ranked:
             if a in used or b in used:
-                break
+                continue  # skip-and-continue: conflict skips, scan goes on
             sel.append((a, b, c))
             used.update((a, b))
         for a, b, c in sel:
@@ -728,11 +729,11 @@ def _ref_bpe_batched(word_freqs: dict[str, int], passes: int, m: int):
 @SETTINGS
 @given(words=st.lists(bpe_word, min_size=1, max_size=12))
 def test_bpe_merges_batched_matches_reference_on_random_corpora(spark, words):
-    """The distributed batched learner (disjoint-prefix selection + one
-    simultaneous run-parity apply per pass) must reproduce the pure-Python
-    batched reference on random tiny-alphabet corpora — the same hard
-    paths (overlapping runs, ties, conflict-degraded batches) as the
-    sequential property test."""
+    """The distributed batched learner (greedy skip-and-continue disjoint
+    selection + one simultaneous run-parity apply per pass) must reproduce
+    the pure-Python batched reference on random tiny-alphabet corpora —
+    the same hard paths (overlapping runs, ties, conflict-degraded
+    batches) as the sequential property test."""
     from collections import Counter as _Counter
 
     from sdc_mapreduce_spark.functions.text import bpe_merges_batched
