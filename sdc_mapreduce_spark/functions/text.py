@@ -1399,6 +1399,14 @@ def _bpe_apply_merges(paired: DataFrame, match, w_ord) -> DataFrame:
     return rebuilt.localCheckpoint(eager=True)
 
 
+# Candidate-pool over-fetch for batched BPE selection: the greedy scan
+# ranks 4*m candidates so slots freed by skipped (conflicting) pairs can
+# backfill from ranks past m. Driver cost stays O(m) collected rows; the
+# batch itself is still capped at m merges. Pinned cross-engine — the
+# DuckDB oracle unrolls the same pool depth.
+_BPE_CANDIDATE_OVERFETCH = 4
+
+
 def bpe_merges_batched(
     df: DataFrame,
     passes: int = 3,
@@ -1419,12 +1427,16 @@ def bpe_merges_batched(
 
     Batch selection rule (pinned cross-engine by the DuckDB oracle):
     rank candidate pairs by (count desc, left asc, right asc), then GREEDY
-    SKIP-AND-CONTINUE over the top m — scanning in rank order, SKIP any
-    pair sharing a symbol with an already-kept pair and keep scanning, so
-    a single conflict no longer ends the batch (VERDICT r10 ask #2; the
-    old first-conflict cutoff measured ~2.3 merges/pass at m=3). The kept
-    set is still pairwise symbol-disjoint, which is what makes the
-    simultaneous application exact:
+    SKIP-AND-CONTINUE over the top ``4*m`` — scanning in rank order, SKIP
+    any pair sharing a symbol with an already-kept pair and keep scanning
+    until m pairs are kept or the pool runs out, so a conflict no longer
+    ends the batch (VERDICT r10 ask #2; the old first-conflict cutoff
+    measured ~2.3 merges/pass at m=3) and skipped slots BACKFILL from
+    ranks past m (without the 4x over-fetch, natural-text top-m pools
+    still left utilization below 0.8*m). The collect stays O(m) driver
+    rows; at most m merges apply per pass. The kept set is pairwise
+    symbol-disjoint, which is what makes the simultaneous application
+    exact:
     matches of different selected pairs can never overlap positionally
     (adjacent matches would have to share the boundary symbol), so one
     run-parity pass applies the whole batch with byte-identical results to
@@ -1461,6 +1473,7 @@ def _bpe_learn_batched(
 
     if passes < 1 or m < 1:
         raise ValueError(f"passes and m must be >= 1, got {passes}, {m}")
+    pool = m * _BPE_CANDIDATE_OVERFETCH
     words = (
         df.select(F.explode(tokens(text_col)).alias("w"))
         .filter(F.col("w").rlike("^[A-Za-z0-9]+$"))
@@ -1487,7 +1500,7 @@ def _bpe_learn_batched(
             .agg(F.sum("freq").alias("cnt"))
             .filter(F.col("cnt") >= 2)
             .orderBy(F.col("cnt").desc(), F.col("sym").asc(), F.col("nxt").asc())
-            .limit(m)
+            .limit(pool)
             .collect()
         )
         if not cand:
@@ -1495,12 +1508,14 @@ def _bpe_learn_batched(
         sel: list[tuple[str, str, int]] = []
         used: set[str] = set()
         for row in cand:
+            if len(sel) >= m:
+                break  # batch full: at most m merges apply per pass
             if row["sym"] in used or row["nxt"] in used:
                 # skip-and-continue (VERDICT r10 ask #2): a conflicting
                 # candidate is SKIPPED, not batch-ending — later disjoint
-                # candidates still join the batch, pushing utilization
-                # toward m (the old first-conflict cutoff measured ~2.3
-                # merges/pass at m=3)
+                # candidates (including over-fetched ranks past m) still
+                # join the batch, pushing utilization toward m (the old
+                # first-conflict cutoff measured ~2.3 merges/pass at m=3)
                 continue
             sel.append((row["sym"], row["nxt"], int(row["cnt"])))
             used.update((row["sym"], row["nxt"]))

@@ -2216,47 +2216,54 @@ def text_bpe_merges_batched(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _bpe_batched_stages_sql(passes: int = 3, m: int = 3) -> str:
     """Shared WITH-prefix for the batched-BPE oracles: per pass —
-    candidate counts (>= 2), rank by (cnt desc, a, b) capped at m, then
-    GREEDY SKIP-AND-CONTINUE selection (VERDICT r10 ask #2) unrolled as m
-    chained single-row CTEs: st{{i}}_j consumes rank j, accepting it iff
-    neither symbol appears in the accumulated used-symbol list of the
-    ranks accepted so far (a conflicting rank is skipped, the scan
-    continues — the old rule ended the batch at the first conflict).
-    Then the shared run-parity apply with the match flag coming from a
-    LEFT JOIN against the selected pairs (sound: selected pairs are
-    pairwise symbol-disjoint, so each position matches at most one and
-    matches are never adjacent across pairs). Exposes sel{{i}} (the
-    pass-i accepted merges) and s{{passes}} (the final per-word state)."""
+    candidate counts (>= 2), rank by (cnt desc, a, b) capped at the 4*m
+    over-fetched pool, then GREEDY SKIP-AND-CONTINUE selection (VERDICT
+    r10 ask #2) unrolled as 4*m chained single-row CTEs: st{{i}}_j
+    consumes rank j, accepting it iff fewer than m pairs are accepted so
+    far AND neither symbol appears in the accumulated used-symbol list (a
+    conflicting rank is skipped, the scan continues, and over-fetched
+    ranks past m backfill — the old rule ended the batch at the first
+    conflict). Then the shared run-parity apply with the match flag
+    coming from a LEFT JOIN against the selected pairs (sound: selected
+    pairs are pairwise symbol-disjoint, so each position matches at most
+    one and matches are never adjacent across pairs). Exposes sel{{i}}
+    (the pass-i accepted merges) and s{{passes}} (the final per-word
+    state)."""
+    from sdc_mapreduce_spark.functions.text import _BPE_CANDIDATE_OVERFETCH
+
+    pool = m * _BPE_CANDIDATE_OVERFETCH
     stages = []
     for i in range(1, passes + 1):
         prev = f"s{i - 1}"
         greedy = [
             f"""
 st{i}_0 AS (
-  SELECT CAST([] AS VARCHAR[]) AS used,
+  SELECT CAST([] AS VARCHAR[]) AS used, 0 AS n_taken,
          CAST(NULL AS INT) AS rn, CAST(NULL AS VARCHAR) AS a,
          CAST(NULL AS VARCHAR) AS b, CAST(NULL AS BIGINT) AS cnt,
          FALSE AS taken
 )"""
         ]
-        for j in range(1, m + 1):
+        for j in range(1, pool + 1):
+            accept = (
+                f"p.n_taken < {m} AND r.a IS NOT NULL"
+                " AND NOT (list_contains(p.used, r.a)"
+                " OR list_contains(p.used, r.b))"
+            )
             greedy.append(f"""
 st{i}_{j} AS (
-  SELECT CASE WHEN r.a IS NOT NULL
-                   AND NOT (list_contains(p.used, r.a)
-                            OR list_contains(p.used, r.b))
+  SELECT CASE WHEN {accept}
               THEN list_concat(p.used, [r.a, r.b]) ELSE p.used END AS used,
+         p.n_taken + CASE WHEN {accept} THEN 1 ELSE 0 END AS n_taken,
          CAST(r.rn AS INT) AS rn, r.a, r.b, r.cnt,
-         COALESCE(r.a IS NOT NULL
-                  AND NOT (list_contains(p.used, r.a)
-                           OR list_contains(p.used, r.b)), FALSE) AS taken
+         COALESCE({accept}, FALSE) AS taken
   FROM st{i}_{j - 1} p LEFT JOIN rk{i} r ON r.rn = {j}
 )""")
         sel_union = "\n    UNION ALL ".join(
-            f"SELECT rn, a, b, cnt, taken FROM st{i}_{j}" for j in range(1, m + 1)
+            f"SELECT rn, a, b, cnt, taken FROM st{i}_{j}" for j in range(1, pool + 1)
         )
         greedy.append(f"""
-sel{i} AS (
+sel{i} AS MATERIALIZED (
   SELECT a, b, cnt, rn FROM (
     {sel_union}
   ) WHERE taken
@@ -2267,7 +2274,12 @@ pa{i} AS (
          UNNEST([{{'pos': j - 1, 'sym': syms[j]}}
                  FOR j IN range(1, len(syms) + 1)]) AS u
   FROM {prev}
-), p{i} AS (
+), p{i} AS MATERIALIZED (
+  -- MATERIALIZED (here and on rk/sel/s below): the greedy-selection
+  -- chain references rk{i} once per unrolled rank; letting DuckDB
+  -- inline these multi-referenced CTEs re-expands the whole upstream
+  -- lineage per reference — measured as hundreds of parquet re-opens
+  -- (EMFILE) at pool=12 x 3 passes
   SELECT w, freq, u.pos AS pos, u.sym AS sym,
          lead(u.sym) OVER (PARTITION BY w ORDER BY u.pos) AS nxt
   FROM pa{i}
@@ -2275,12 +2287,12 @@ pa{i} AS (
   SELECT sym AS a, nxt AS b, CAST(SUM(freq) AS BIGINT) AS cnt
   FROM p{i} WHERE nxt IS NOT NULL
   GROUP BY sym, nxt HAVING SUM(freq) >= 2
-), rk{i} AS (
+), rk{i} AS MATERIALIZED (
   SELECT a, b, cnt, rn FROM (
     SELECT a, b, cnt,
            row_number() OVER (ORDER BY cnt DESC, a ASC, b ASC) AS rn
     FROM cnt{i}
-  ) WHERE rn <= {m}
+  ) WHERE rn <= {pool}
 ),{",".join(greedy)}, f{i} AS (
   SELECT p.w, p.freq, p.pos, p.sym, p.nxt,
          CASE WHEN s.a IS NOT NULL THEN 1 ELSE 0 END AS m

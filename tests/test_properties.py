@@ -685,9 +685,12 @@ def test_bpe_merges_matches_reference_on_random_corpora(spark, words):
 def _ref_bpe_batched(word_freqs: dict[str, int], passes: int, m: int):
     """Pure-Python batched reference (same pinned semantics as
     tests/test_text.py): per pass, rank pairs (count desc, left, right)
-    with count >= 2, greedily keep every top-m candidate disjoint from
-    the already-kept set (skip-and-continue past conflicts, VERDICT r10
-    ask #2), apply all simultaneously."""
+    with count >= 2, greedily scan the 4*m over-fetched pool keeping
+    candidates disjoint from the already-kept set until m are kept
+    (skip-and-continue past conflicts, VERDICT r10 ask #2), apply all
+    simultaneously."""
+    from sdc_mapreduce_spark.functions.text import _BPE_CANDIDATE_OVERFETCH
+
     state = {w: list(w) for w in word_freqs}
     merges = []
     for pass_id in range(1, passes + 1):
@@ -700,11 +703,13 @@ def _ref_bpe_batched(word_freqs: dict[str, int], passes: int, m: int):
         ranked = sorted(
             ((c, a, b) for (a, b), c in counts.items() if c >= 2),
             key=lambda t: (-t[0], t[1], t[2]),
-        )[:m]
+        )[: m * _BPE_CANDIDATE_OVERFETCH]
         if not ranked:
             break
         sel, used = [], set()
         for c, a, b in ranked:
+            if len(sel) >= m:
+                break  # batch full
             if a in used or b in used:
                 continue  # skip-and-continue: conflict skips, scan goes on
             sel.append((a, b, c))

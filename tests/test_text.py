@@ -646,10 +646,13 @@ def test_bpe_merges_single_hot_run(spark):
 
 def _reference_bpe_batched(word_freqs: dict[str, int], passes: int, m: int):
     """Pure-Python twin of bpe_merges_batched's pinned semantics: per pass,
-    rank pairs (count desc, left, right) with count >= 2, greedily keep
-    every top-m candidate disjoint from the already-kept set (skip-and-
-    continue past conflicts, VERDICT r10 ask #2), apply all simultaneously
-    (greedy left-to-right per pair; disjointness makes order irrelevant)."""
+    rank pairs (count desc, left, right) with count >= 2, greedily scan
+    the 4*m over-fetched pool keeping candidates disjoint from the
+    already-kept set until m are kept (skip-and-continue past conflicts,
+    VERDICT r10 ask #2), apply all simultaneously (greedy left-to-right
+    per pair; disjointness makes order irrelevant)."""
+    from sdc_mapreduce_spark.functions.text import _BPE_CANDIDATE_OVERFETCH
+
     state = {w: list(w) for w in word_freqs}
     merges = []
     for pass_id in range(1, passes + 1):
@@ -662,11 +665,13 @@ def _reference_bpe_batched(word_freqs: dict[str, int], passes: int, m: int):
         ranked = sorted(
             ((c, a, b) for (a, b), c in counts.items() if c >= 2),
             key=lambda t: (-t[0], t[1], t[2]),
-        )[:m]
+        )[: m * _BPE_CANDIDATE_OVERFETCH]
         if not ranked:
             break
         sel, used = [], set()
         for c, a, b in ranked:
+            if len(sel) >= m:
+                break  # batch full
             if a in used or b in used:
                 continue  # skip-and-continue: conflict skips, scan goes on
             sel.append((a, b, c))
@@ -753,6 +758,23 @@ def test_bpe_merges_batched_skip_and_continue(spark):
         for r in bpe_merges_batched(df, passes=1, m=3).orderBy("merge_rank").collect()
     ]
     assert got == [(1, 1, "a", "b", 10), (2, 1, "d", "e", 8)], got
+
+
+def test_bpe_merges_batched_overfetch_backfills(spark):
+    """Skipped slots must backfill from ranks PAST m: with m=2 and ranked
+    candidates (a,b):10, (b,c):9, (c,d):8, (d,e):7, rank 2 conflicts on
+    'b' — the batch must still fill to 2 merges by reaching rank 3, which
+    a pool capped at m could never see. The cap still holds: (d,e) is
+    disjoint too but the batch is full."""
+    from sdc_mapreduce_spark.functions.text import bpe_merges_batched
+
+    rows = [("ab " * 10,), ("bc " * 9,), ("cd " * 8,), ("de " * 7,)]
+    df = spark.createDataFrame(rows, "text string")
+    got = [
+        (r["merge_rank"], r["pass_id"], r["left_sym"], r["right_sym"], r["pair_count"])
+        for r in bpe_merges_batched(df, passes=1, m=2).orderBy("merge_rank").collect()
+    ]
+    assert got == [(1, 1, "a", "b", 10), (2, 1, "c", "d", 8)], got
 
 
 def test_bpe_merges_batched_no_repeating_pairs(spark):
