@@ -172,62 +172,26 @@ for _name in _MODULE_ORDER:
 #     round 11; (2) the tail of the r4-last-sampled block squeezed out of
 #     this window (agg_pivot .. join_left_agg); (3) the r5-last-sampled
 #     block (join_semi ..); oldest-first thereafter.
-_WINDOW_R10: tuple[str, ...] = (
-    "agg_salted_distinct",
-    "simsearch_ann_ivf_recall",
-    "multimodal_resize_audit",
-    "events_range_join",
-    "latest_event_per_user",
-    "kvtext_streaming_restart_certified",
+#   round 11 window (this order; realizes the r11 plan above): (0) the
+#     post-freeze r10 addition text_bpe_segment_batched; (1) the queries
+#     whose code or oracle changed in r11 — text_bpe_merges_batched (+
+#     segment twin) after the skip-and-continue batch selection rewrote
+#     both learners' oracle SQL, events_sessionize_auto after the
+#     key-stats cache, kvtext_streaming_restart_certified +
+#     kvtext_scan_certified after the byte-balanced coalesce_shards; (2)
+#     the r4-last-sampled tail squeezed out of the r10 window (q22,
+#     agg_pivot .. join_left_agg); (3) the r5-last-sampled block
+#     (join_semi ..) and onward oldest-first through kv_sink_certified.
+#   round 12 plan, in priority order (pre-sequenced so a truncated round
+#     still certifies the stalest first): (0) any query added or changed
+#     in round 12; (1) the rotation head (events_sessionize_salted ..),
+#     oldest-first; (2) the r10-window block (freshest, rotation tail).
+_WINDOW_R11: tuple[str, ...] = (
+    "text_bpe_segment_batched",
     "text_bpe_merges_batched",
     "events_sessionize_auto",
-    "text_bpe_merges",
-    "text_bpe_segment",
-    "events_time_purged_split",
-    "dedup_cluster_safe_split",
-    "multimodal_encoder_topk",
-    "multimodal_embed_search",
-    "multimodal_neardup_banded",
-    "multimodal_neardup_recall",
-    "dedup_exact_substring",
-    "dedup_source_leakage_matrix",
-    "text_vocab_encode",
-    "pipeline_pretrain_mix",
-    "pipeline_curation",
-    "pipeline_curation_full",
-    "events_dedup_windowed",
-    "q3_shipping_priority",
-    "q12_late_shipments",
-    "q17_small_quantity_revenue",
-    "q21_waiting_suppliers",
-    "join_cross",
-    "join_full_outer_coalesce",
-    "join_null_safe",
-    "agg_minmax_by",
-    "agg_stats_moments",
-    "agg_unpivot",
-    "window_distribution_fns",
-    "set_except_all",
-    "set_intersect_all",
-    "scalar_regex_fns",
-    "table_profile",
-    "events_cohort_retention",
-    "events_from_json_struct",
-    "events_funnel",
-    "events_monthly_rollup",
-    "q4_order_priority",
-    "q5_local_supplier",
-    "q6_forecast_revenue",
-    "q7_nation_volume",
-    "q10_returned_items",
-    "q14_promo_share",
-    "q18_large_volume",
-    "q19_disjunctive_filters",
-)
-_ROTATED_OUT: tuple[str, ...] = (
-    # post-freeze r10 addition — rotation head so the r11 window (plan
-    # item 0) samples it first
-    "text_bpe_segment_batched",
+    "kvtext_streaming_restart_certified",
+    "kvtext_scan_certified",
     "q22_global_sales_opportunity",
     "agg_pivot",
     "agg_percentiles",
@@ -272,8 +236,11 @@ _ROTATED_OUT: tuple[str, ...] = (
     "q20_potential_promotion",
     "events_resample_gapfill",
     "events_streaming_tumbling_certified",
-    "kvtext_scan_certified",
     "kv_sink_certified",
+)
+_ROTATED_OUT: tuple[str, ...] = (
+    # old-rotation remainder in its existing (stalest-first) order, then
+    # the r10-window block: sampled last round, so freshest, so last.
     "events_sessionize_salted",
     "multimodal_decode_profile",
     "dedup_simhash",
@@ -412,9 +379,56 @@ _ROTATED_OUT: tuple[str, ...] = (
     "sample_stratified",
     "corpus_mix_rebalance",
     "join_skew_salted",
+    "agg_salted_distinct",
+    "simsearch_ann_ivf_recall",
+    "multimodal_resize_audit",
+    "events_range_join",
+    "latest_event_per_user",
+    "text_bpe_merges",
+    "text_bpe_segment",
+    "events_time_purged_split",
+    "dedup_cluster_safe_split",
+    "multimodal_encoder_topk",
+    "multimodal_embed_search",
+    "multimodal_neardup_banded",
+    "multimodal_neardup_recall",
+    "dedup_exact_substring",
+    "dedup_source_leakage_matrix",
+    "text_vocab_encode",
+    "pipeline_pretrain_mix",
+    "pipeline_curation",
+    "pipeline_curation_full",
+    "events_dedup_windowed",
+    "q3_shipping_priority",
+    "q12_late_shipments",
+    "q17_small_quantity_revenue",
+    "q21_waiting_suppliers",
+    "join_cross",
+    "join_full_outer_coalesce",
+    "join_null_safe",
+    "agg_minmax_by",
+    "agg_stats_moments",
+    "agg_unpivot",
+    "window_distribution_fns",
+    "set_except_all",
+    "set_intersect_all",
+    "scalar_regex_fns",
+    "table_profile",
+    "events_cohort_retention",
+    "events_from_json_struct",
+    "events_funnel",
+    "events_monthly_rollup",
+    "q4_order_priority",
+    "q5_local_supplier",
+    "q6_forecast_revenue",
+    "q7_nation_volume",
+    "q10_returned_items",
+    "q14_promo_share",
+    "q18_large_volume",
+    "q19_disjunctive_filters",
 )
 _PRIORITY: tuple[str, ...] = (
-    *_WINDOW_R10,
+    *_WINDOW_R11,
     *_ROTATED_OUT,
 )
 if not IMPORT_QUARANTINE:

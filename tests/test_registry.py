@@ -52,19 +52,25 @@ def test_every_registered_query_is_prioritized():
     )
 
 
-def test_window_head_is_the_r10_plan():
+def test_window_head_is_the_r11_plan():
     """First 50 registry entries are the driver's certification sample —
-    pin the r10 head so an accidental reorder is caught before the round
-    ends (stalest rotation entries and r10-changed queries must lead)."""
+    pin the r11 head so an accidental reorder is caught before the round
+    ends (r11-changed queries first, then the stalest rotation block)."""
     import sdc_mapreduce_spark.queries as q
 
     head = list(q.REGISTRY)[:50]
-    assert head[0] == "agg_salted_distinct"
-    assert "kvtext_streaming_restart_certified" in head
-    assert "text_bpe_merges_batched" in head
-    assert "events_sessionize_auto" in head
-    assert "multimodal_encoder_topk" in head
-    assert "dedup_cluster_safe_split" in head
+    # plan item 0: the post-freeze r10 addition leads
+    assert head[0] == "text_bpe_segment_batched"
+    # plan item 1: every query whose code or oracle changed in r11
+    assert head[1:5] == [
+        "text_bpe_merges_batched",
+        "events_sessionize_auto",
+        "kvtext_streaming_restart_certified",
+        "kvtext_scan_certified",
+    ]
+    # plan items 2-3: stalest rotation entries fill the remainder
+    assert head[5] == "q22_global_sales_opportunity"
+    assert head[-1] == "kv_sink_certified"
     assert len(head) == 50
 
 
