@@ -82,6 +82,14 @@ REPEATS = int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "3"))
 # pipeline_curation tail), headline raw spreads stay < 2x.
 MAX_REPEATS = int(os.environ.get("SPARK_GRAFT_BENCH_MAX_REPEATS", "7"))
 SPREAD_MAX = 2.0
+# SPARK_GRAFT_BENCH_SKEW=0 skips the two skew-fixture suites (detail JSON
+# records null for "skew"/"skew_hot_user"). The fixtures replicate the
+# events table 30x, which is fine at sf0.1/10x but at the 100x scale
+# corpus would mean a ~450M-row write plus a single-task window sort over
+# ~270M rows — the suite would dwarf the headline measurement it
+# accompanies. Headline timings are unaffected (the suites run after and
+# are reported separately from "value").
+RUN_SKEW = os.environ.get("SPARK_GRAFT_BENCH_SKEW", "1") != "0"
 
 
 def _median(xs: list[float]) -> float:
@@ -284,16 +292,18 @@ def main() -> None:
 
     timings = {name: round(_median(s), 3) for name, s in runs.items()}
     total = round(sum(timings.values()), 3)
-    skew = _skew_suite(
-        spark,
-        _make_skewed_events(spark, "1pct"),
-        "events with 1% of users holding ~50% of rows",
-    )
-    skew_hot_user = _skew_suite(
-        spark,
-        _make_skewed_events(spark, "single"),
-        "events with ONE user holding ~60% of rows",
-    )
+    skew = skew_hot_user = None
+    if RUN_SKEW:
+        skew = _skew_suite(
+            spark,
+            _make_skewed_events(spark, "1pct"),
+            "events with 1% of users holding ~50% of rows",
+        )
+        skew_hot_user = _skew_suite(
+            spark,
+            _make_skewed_events(spark, "single"),
+            "events with ONE user holding ~60% of rows",
+        )
     # sf is best-effort metadata: a non-"sfX.Y" dir name (e.g. the 10x
     # replica corpus) must not crash the run AFTER all timings are in
     sf = SF_DIR.rstrip("/").split("/")[-1].replace("sf", "")

@@ -97,6 +97,26 @@ def test_timed_runs_quiet_run_records_nothing(monkeypatch):
     assert events == []
 
 
+def test_bench_skew_toggle(monkeypatch):
+    """SPARK_GRAFT_BENCH_SKEW=0 must disable the skew suites (used for the
+    100x scale-corpus run, where the fixtures' 30x events replication
+    would dwarf the headline measurement); default is on."""
+    import importlib
+
+    import bench as benchmod
+
+    monkeypatch.setenv("SPARK_GRAFT_BENCH_SKEW", "0")
+    importlib.reload(benchmod)
+    assert benchmod.RUN_SKEW is False
+    monkeypatch.delenv("SPARK_GRAFT_BENCH_SKEW")
+    importlib.reload(benchmod)
+    assert benchmod.RUN_SKEW is True
+    # main() must consult the toggle before building the skew fixtures
+    with open("bench.py") as fh:
+        src = fh.read()
+    assert src.index("if RUN_SKEW:") < src.index('_make_skewed_events(spark, "1pct")')
+
+
 def test_bench_order_is_pinned_canonical():
     """The bench execution order must NOT track the registry's rotating
     priority order (VERDICT r9 ask #2: r9's rotation moved the warm-up
