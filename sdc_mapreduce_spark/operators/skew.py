@@ -147,8 +147,9 @@ def sessionize_chunked(
 # key — depends only on (source plan, key column, fraction, seed), NOT on
 # the caller's threshold. Caching it makes repeated auto calls over the
 # same table pay the probe once; the threshold comparison stays per-call.
-# Keyed by the probe frame's semanticHash (logical-plan identity), so two
-# textually different but semantically equal reads share an entry. The
+# Keyed by the PARENT frame's semanticHash (logical-plan identity) plus
+# the key-column name, so two textually different but semantically equal
+# reads share an entry. The
 # cache assumes the data behind a plan is stable within a process — after
 # rewriting the table in place, pass use_cached_stats=False or call
 # clear_key_stats_cache().
@@ -205,8 +206,14 @@ def sessionize_auto(
         )
     cache_key = None
     try:
+        # hash the PARENT frame, not ev.select(user_col): (parent plan,
+        # key column) determines the probe answer just as well, and the
+        # parent's analyzed plan is cached JVM-side so repeat calls cost
+        # ~1 ms — building a fresh select() per call re-analyzed it every
+        # time (~0.1-0.2 s, the residual constant that kept auto 0.2 s
+        # behind the winning plan on the r10 hot-user bench fixture)
         cache_key = (
-            ev.select(user_col).semanticHash(),
+            ev.semanticHash(),
             user_col,
             sample_fraction,
             seed,
