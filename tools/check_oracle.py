@@ -135,6 +135,24 @@ def main() -> int:
         "round-5 timezone-independence audit)",
     )
     ap.add_argument(
+        "--conf",
+        action="append",
+        default=[],
+        metavar="K=V",
+        help="extra Spark conf(s) for the sweep session, e.g. "
+        "--conf spark.sql.adaptive.enabled=false or "
+        "--conf spark.sql.autoBroadcastJoinThreshold=-1 — certifies that "
+        "results are independent of the physical-plan strategy the conf "
+        "controls (only effective at session launch; repeatable)",
+    )
+    ap.add_argument(
+        "--shuffle-partitions",
+        type=int,
+        default=None,
+        help="override spark.sql.shuffle.partitions at session launch "
+        "(e.g. 7 certifies partition-count independence)",
+    )
+    ap.add_argument(
         "--head",
         type=int,
         default=None,
@@ -165,7 +183,30 @@ def main() -> int:
     if args.head is not None:
         names = names[: args.head]
 
-    spark = get_spark("check-oracle")
+    extra = {}
+    for kv in args.conf:
+        k, sep, v = kv.partition("=")
+        if not sep:
+            print(f"FATAL: --conf expects K=V, got {kv!r}")
+            return 2
+        extra[k] = v
+    spark = get_spark(
+        "check-oracle",
+        shuffle_partitions=args.shuffle_partitions,
+        extra_conf=extra or None,
+    )
+    for k, v in extra.items():
+        # getOrCreate silently ignores launch confs on a pre-existing
+        # session; re-set the SQL-dynamic ones and verify the rest took
+        try:
+            spark.conf.set(k, v)
+        except Exception:
+            pass
+        got = spark.conf.get(k, None)
+        if got != v:
+            print(f"FATAL: conf {k} is {got!r}, wanted {v!r} (static conf "
+                  f"on an existing session?) — sweep would be mislabeled")
+            return 2
     if args.tz:
         spark.conf.set("spark.sql.session.timeZone", args.tz)
     con = duckdb.connect()
