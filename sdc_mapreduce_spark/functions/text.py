@@ -682,6 +682,114 @@ def countmin_token_freq(
     )
 
 
+def heavy_hitters_twopass(
+    df: DataFrame,
+    k: int = 20,
+    summary_size: int = 2048,
+    text_col: str = "text",
+) -> DataFrame:
+    """VERIFIED two-pass exact top-k tokens without a full-vocabulary
+    shuffle — the scale-path complement to ``countmin_token_freq`` (whose
+    probe still pays a full token groupBy) and to ``vocab_counts`` (which
+    ranks the whole vocabulary):
+
+    - **pass 1**: per-partition Misra-Gries summaries (Misra & Gries 1982,
+      batched reduction: merge each Arrow batch's value_counts into the
+      counter dict, and when it exceeds ``summary_size`` subtract the
+      (m+1)-th largest count from every counter and drop the non-positive
+      — each reduction debits >= m+1 counters so total debit per partition
+      is <= n_p/(m+1), preserving the classic guarantee that any token
+      with partition count > n_p/(m+1) survives). Each partition also
+      emits one null-token row carrying its token total, so corpus size N
+      rides along without a third scan. Shuffle: O(partitions x m) summary
+      rows — never the vocabulary.
+    - **pass 2**: exact recount of the candidate union via a BROADCAST
+      semi-join on the token stream + top-k with a deterministic
+      (count desc, token asc) tie-break.
+    - **verification**: by pigeonhole, any token with global count
+      > N/(m+1) exceeds n_p/(m+1) in some partition, so it IS a candidate.
+      If the k-th recounted candidate satisfies cnt*(m+1) > N (exact
+      integer arithmetic), every non-candidate is strictly below it and
+      the fast answer PROVABLY equals the full aggregation's; otherwise
+      fall back to the full groupBy — a correctness valve, so the result
+      is exact either way and the DuckDB oracle can be plain
+      GROUP BY / ORDER BY / LIMIT.
+
+    The driver holds only the k verified rows plus two scalars; the
+    collected top-k is re-emitted as a local DataFrame so verification
+    never re-runs the job. Cost is two corpus scans (inherent to
+    two-pass); at real scale that beats shuffling a billion-type
+    vocabulary by orders of magnitude. Returns (token, cnt, rank)."""
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    if summary_size < k:
+        raise ValueError(
+            f"summary_size ({summary_size}) must be >= k ({k}): the "
+            "summary could not even hold the answer"
+        )
+    m = summary_size
+    spark = df.sparkSession
+    toks = df.select(F.explode(tokens(text_col)).alias("tok"))
+
+    def mg_summaries(batches):
+        import numpy as np
+        import pandas as pd
+
+        counters: dict[str, int] = {}
+        n_p = 0
+        for pdf in batches:
+            vc = pdf["tok"].value_counts()
+            n_p += int(vc.sum())
+            for t, c in vc.items():
+                counters[t] = counters.get(t, 0) + int(c)
+            if len(counters) > m:
+                vals = np.sort(np.fromiter(counters.values(), dtype=np.int64))
+                delta = int(vals[-(m + 1)])
+                counters = {t: c - delta for t, c in counters.items() if c > delta}
+        out = pd.DataFrame(
+            {
+                "tok": list(counters.keys()) + [None],
+                "cnt": list(counters.values()) + [n_p],
+            }
+        )
+        yield out.astype({"cnt": "int64"})
+
+    summaries = toks.mapInPandas(mg_summaries, "tok string, cnt long")
+    # one bounded collect: <= partitions x (m+1) rows of (token, count)
+    srows = summaries.collect()
+    n_total = sum(r["cnt"] for r in srows if r["tok"] is None)
+    candidates = sorted({r["tok"] for r in srows if r["tok"] is not None})
+
+    result_schema = "token string, cnt long, rank int"
+    if candidates:
+        cand_df = spark.createDataFrame([(t,) for t in candidates], "tok string")
+        exact = (
+            toks.join(F.broadcast(cand_df), "tok")
+            .groupBy("tok")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+            .orderBy(F.col("cnt").desc(), F.col("tok").asc())
+            .limit(k)
+        )
+        top = exact.collect()
+        if len(top) == k and top[-1]["cnt"] * (m + 1) > n_total:
+            return spark.createDataFrame(
+                [(r["tok"], r["cnt"], i + 1) for i, r in enumerate(top)],
+                result_schema,
+            )
+    # valve: candidate set could not be proven to contain the true top-k
+    # (tiny m, or k larger than the heavy tail) — pay the full shuffle
+    full = (
+        toks.groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.col("cnt").desc(), F.col("tok").asc())
+        .limit(k)
+    )
+    return spark.createDataFrame(
+        [(r["tok"], r["cnt"], i + 1) for i, r in enumerate(full.collect())],
+        result_schema,
+    )
+
+
 def term_cooccurrence_lift(
     df: DataFrame,
     text_col: str = "text",

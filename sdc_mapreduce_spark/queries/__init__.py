@@ -187,6 +187,7 @@ for _name in _MODULE_ORDER:
 #     in round 12; (1) the rotation head (events_sessionize_salted ..),
 #     oldest-first; (2) the r10-window block (freshest, rotation tail).
 _WINDOW_R11: tuple[str, ...] = (
+    "text_heavy_hitters",  # new in r11: verified two-pass Misra-Gries top-k
     "text_bpe_segment_batched",
     "text_bpe_merges_batched",
     "events_sessionize_auto",

@@ -1843,6 +1843,32 @@ FROM est ORDER BY token
 """
 
 
+def text_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Verified two-pass exact top-20 tokens (functions.text.
+    heavy_hitters_twopass): per-partition Misra-Gries summaries, broadcast
+    candidate recount, pigeonhole exactness proof with a full-aggregation
+    valve — the vocabulary never shuffles on the fast path. The oracle is
+    a plain GROUP BY / ORDER BY / LIMIT because the result is exact by
+    construction either way."""
+    return T.heavy_hitters_twopass(
+        load_table(spark, sf_dir, "documents"), k=20, summary_size=2048
+    ).orderBy("rank")
+
+
+TEXT_HEAVY_HITTERS_SQL = """
+WITH toks AS (
+  SELECT unnest(string_split_regex(trim(text), '\\s+')) AS tok FROM documents
+), exact AS (
+  SELECT tok, COUNT(*) AS cnt FROM toks GROUP BY tok
+), ranked AS (
+  SELECT tok AS token, cnt,
+         CAST(ROW_NUMBER() OVER (ORDER BY cnt DESC, tok ASC) AS INT) AS rank
+  FROM exact
+)
+SELECT token, cnt, rank FROM ranked WHERE rank <= 20 ORDER BY rank
+"""
+
+
 def text_boilerplate_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cross-document boilerplate removal (functions.text.boilerplate_strip):
     segment docs into 2-token windows, drop segments shared by > 20 docs,
@@ -2439,6 +2465,7 @@ QUERIES: dict[str, QuerySpec] = {
         text_quality_classifier, TEXT_QUALITY_CLASSIFIER_SQL
     ),
     "text_countmin_freq": QuerySpec(text_countmin_freq, TEXT_COUNTMIN_SQL),
+    "text_heavy_hitters": QuerySpec(text_heavy_hitters, TEXT_HEAVY_HITTERS_SQL),
     "text_duplicate_spans": QuerySpec(text_duplicate_spans, TEXT_DUPLICATE_SPANS_SQL),
     "text_vocab_ids": QuerySpec(text_vocab_ids, TEXT_VOCAB_IDS_SQL),
     "text_quality_gate_per_lang": QuerySpec(

@@ -32,8 +32,8 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 # exact pin would make adding a query a two-file edit. A module-level import
 # failure quarantines a WHOLE module (the smallest is ~10 queries), so any
 # quarantine drops the count far below this floor. Raise when the registry
-# grows (r10: 235).
-MIN_QUERIES = 235
+# grows (r11: 236).
+MIN_QUERIES = 236
 
 
 def test_driver_contract_materializes_in_fresh_interpreter():

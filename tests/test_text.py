@@ -896,3 +896,61 @@ def test_encode_with_vocab_counts_path_equals_ranked_path(spark):
     assert sorted(map(tuple, ranked)) == sorted(map(tuple, counted))
     with _pytest.raises(ValueError, match="max_vocab"):
         encode_with_vocab(df, vocab_counts(df, min_count=1), max_vocab=2).collect()
+
+
+def test_heavy_hitters_twopass_matches_full_aggregation(spark):
+    """Fast path (MG summaries + broadcast recount, verification passes)
+    must equal the plain full-shuffle top-k, ranks included."""
+    import pytest as _pytest
+
+    rows = []
+    # zipf-ish: token t{i} appears (30 - i) times, i in 0..29 — clear
+    # heavy head so the k-th count clears the N/(m+1) proof threshold
+    doc = 0
+    for i in range(30):
+        for _ in range(30 - i):
+            rows.append((doc, f"t{i:02d}"))
+            doc += 1
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = T.heavy_hitters_twopass(df, k=5, summary_size=64).collect()
+    want = (
+        df.select(F.explode(T.tokens("text")).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.col("cnt").desc(), F.col("tok").asc())
+        .limit(5)
+        .collect()
+    )
+    assert [(r["token"], r["cnt"]) for r in got] == [
+        (r["tok"], r["cnt"]) for r in want
+    ]
+    assert [r["rank"] for r in got] == [1, 2, 3, 4, 5]
+    # partitioning invariance: the candidate SET depends on partition
+    # boundaries but the verified answer must not
+    got11 = T.heavy_hitters_twopass(df.repartition(11), k=5, summary_size=64).collect()
+    assert sorted(map(tuple, got11)) == sorted(map(tuple, got))
+    with _pytest.raises(ValueError, match="summary_size"):
+        T.heavy_hitters_twopass(df, k=10, summary_size=5)
+    with _pytest.raises(ValueError, match="k must be"):
+        T.heavy_hitters_twopass(df, k=0)
+
+
+def test_heavy_hitters_twopass_fallback_valve(spark):
+    """With summary_size == k on a flat distribution the pigeonhole proof
+    cannot certify the candidates (k-th count <= N/(m+1)), so the valve
+    must fall back to the exact full aggregation — same answer, never a
+    wrong one."""
+    rows = [(i, f"u{i % 40:02d}") for i in range(400)]  # all counts equal
+    df = spark.createDataFrame(rows, ["doc_id", "text"]).repartition(8)
+    got = T.heavy_hitters_twopass(df, k=6, summary_size=6).collect()
+    want = (
+        df.select(F.explode(T.tokens("text")).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.col("cnt").desc(), F.col("tok").asc())
+        .limit(6)
+        .collect()
+    )
+    assert [(r["token"], r["cnt"]) for r in got] == [
+        (r["tok"], r["cnt"]) for r in want
+    ]
