@@ -2465,7 +2465,9 @@ QUERIES: dict[str, QuerySpec] = {
         text_quality_classifier, TEXT_QUALITY_CLASSIFIER_SQL
     ),
     "text_countmin_freq": QuerySpec(text_countmin_freq, TEXT_COUNTMIN_SQL),
-    "text_heavy_hitters": QuerySpec(text_heavy_hitters, TEXT_HEAVY_HITTERS_SQL),
+    "text_heavy_hitters": QuerySpec(
+        text_heavy_hitters, TEXT_HEAVY_HITTERS_SQL, bench=True
+    ),
     "text_duplicate_spans": QuerySpec(text_duplicate_spans, TEXT_DUPLICATE_SPANS_SQL),
     "text_vocab_ids": QuerySpec(text_vocab_ids, TEXT_VOCAB_IDS_SQL),
     "text_quality_gate_per_lang": QuerySpec(
