@@ -753,3 +753,35 @@ def test_bpe_merges_batched_matches_reference_on_random_corpora(spark, words):
     ]
     expect = _ref_bpe_batched(dict(_Counter(words)), 2, 3)
     assert got == expect, f"words={words}\n got={got}\nwant={expect}"
+
+
+@given(
+    words=st.lists(
+        st.text(alphabet="abc", min_size=1, max_size=2), min_size=1, max_size=60
+    ),
+    parts=st.integers(min_value=1, max_value=7),
+    m=st.integers(min_value=3, max_value=12),
+)
+@SETTINGS
+def test_heavy_hitters_twopass_always_exact(spark, words, parts, m):
+    """heavy_hitters_twopass must equal the full aggregation for ANY
+    token stream, partitioning, and summary size >= k — whether the
+    pigeonhole verification certifies the fast path or the valve falls
+    back, the answer is exact (functions.text.heavy_hitters_twopass)."""
+    from collections import Counter
+
+    from sdc_mapreduce_spark.functions.text import heavy_hitters_twopass
+
+    k = 3
+    if m < k:
+        m = k
+    df = spark.createDataFrame(
+        [(i, w) for i, w in enumerate(words)], ["doc_id", "text"]
+    ).repartition(parts)
+    got = [
+        (r["token"], r["cnt"], r["rank"])
+        for r in heavy_hitters_twopass(df, k=k, summary_size=m).collect()
+    ]
+    counts = Counter(words)
+    want = sorted(counts.items(), key=lambda t: (-t[1], t[0]))[:k]
+    assert got == [(tok, cnt, i + 1) for i, (tok, cnt) in enumerate(want)]
