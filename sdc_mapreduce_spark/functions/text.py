@@ -3,10 +3,12 @@
 The reference's entire scalar-function surface is a whitespace split plus an
 ``isalnum`` filter (reference src/app/mapper.py:6,16); this module provides
 the text layer a 100 TB training-data pipeline needs — token statistics,
-quality scoring, language ID, fingerprinting, n-grams — built exclusively
-from ``pyspark.sql.functions`` (split/regexp/higher-order lambdas), so every
-expression stays inside whole-stage codegen. No Python UDFs anywhere in this
-module.
+quality scoring, language ID, fingerprinting, n-grams — built from
+``pyspark.sql.functions`` (split/regexp/higher-order lambdas) so expressions
+stay inside whole-stage codegen wherever possible. No row-at-a-time Python
+UDFs anywhere; the only Python paths are Arrow-batched ``mapInPandas``
+kernels where per-partition sequential state is inherent (vocab encode's
+broadcast-dict apply, Misra-Gries summaries).
 """
 
 from __future__ import annotations
