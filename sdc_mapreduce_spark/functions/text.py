@@ -756,15 +756,19 @@ def heavy_hitters_twopass(
         )
         yield out.astype({"cnt": "int64"})
 
-    summaries = toks.mapInPandas(mg_summaries, "tok string, cnt long")
-    # one bounded collect: <= partitions x (m+1) rows of (token, count)
-    srows = summaries.collect()
-    n_total = sum(r["cnt"] for r in srows if r["tok"] is None)
-    candidates = sorted({r["tok"] for r in srows if r["tok"] is not None})
-
+    # summaries stay DISTRIBUTED: at 1000 executors x m=2048 the union is
+    # ~2M rows — fine for a shuffle/broadcast, wrong for a driver collect.
+    # The frame is tiny (<= partitions x (m+1) rows) but feeds two jobs
+    # (N + the recount join), so persist it locally for one corpus scan;
+    # released in the finally below, never leaked to the caller.
+    summaries = toks.mapInPandas(mg_summaries, "tok string, cnt long").persist()
     result_schema = "token string, cnt long, rank int"
-    if candidates:
-        cand_df = spark.createDataFrame([(t,) for t in candidates], "tok string")
+    try:
+        n_row = (
+            summaries.filter(F.col("tok").isNull()).agg(F.sum("cnt").alias("n")).first()
+        )
+        n_total = n_row["n"] or 0
+        cand_df = summaries.filter(F.col("tok").isNotNull()).select("tok").distinct()
         exact = (
             toks.join(F.broadcast(cand_df), "tok")
             .groupBy("tok")
@@ -772,12 +776,16 @@ def heavy_hitters_twopass(
             .orderBy(F.col("cnt").desc(), F.col("tok").asc())
             .limit(k)
         )
+        # bounded collect: exactly k rows — the verification needs the
+        # k-th count on the driver either way
         top = exact.collect()
-        if len(top) == k and top[-1]["cnt"] * (m + 1) > n_total:
-            return spark.createDataFrame(
-                [(r["tok"], r["cnt"], i + 1) for i, r in enumerate(top)],
-                result_schema,
-            )
+    finally:
+        summaries.unpersist()
+    if len(top) == k and top[-1]["cnt"] * (m + 1) > n_total:
+        return spark.createDataFrame(
+            [(r["tok"], r["cnt"], i + 1) for i, r in enumerate(top)],
+            result_schema,
+        )
     # valve: candidate set could not be proven to contain the true top-k
     # (tiny m, or k larger than the heavy tail) — pay the full shuffle
     full = (
