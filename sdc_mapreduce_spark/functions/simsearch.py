@@ -1547,3 +1547,139 @@ def kmeans_lloyd_step(
     return joined.select(
         F.col("__cell").alias("cell"), "n_members", cos.alias("cos_shift")
     )
+
+
+def mmr_topk(
+    corpus: DataFrame,
+    query_ids: list[int],
+    k: int = 5,
+    pool: int = 20,
+    lam_tenths: int = 7,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Maximal Marginal Relevance diversified top-k (Carbonell & Goldstein,
+    SIGIR'98) — retrieval that trades relevance against redundancy:
+
+        MMR(c) = λ·cos(q, c) − (1−λ)·max_{s ∈ selected} cos(c, s)
+
+    picked greedily k times. This is the retrieval-side twin of near-dedup:
+    a RAG/eval pipeline over a 100 TB corpus that returns the 5 nearest
+    neighbors of a hot query gets 5 near-copies; MMR returns the best
+    *non-redundant* set.
+
+    Scale design: the expensive part — scoring the corpus — is the same
+    broadcast-nested-loop + per-group top-k plan as
+    :func:`cosine_topk_bruteforce` (swap in the IVF probe for a persisted
+    index at scale); the greedy loop only ever sees the POOL (``pool``
+    candidates per query, pool² pairwise similarities), grouped per query
+    and reranked in one applyInPandas pass — O(queries · pool²) rows
+    total, never a driver collect, never corpus-sized state.
+
+    Determinism across engines: relevance and pairwise cosines are
+    quantized to integer micro-units first (the repo's milli-nat
+    discipline), and λ enters as ``lam_tenths``/10 so the greedy
+    comparisons are pure 64-bit integer arithmetic — score =
+    lam_tenths·rel − (10−lam_tenths)·maxsim — with ties broken by the
+    smaller candidate id. The DuckDB oracle replays the loop as k unrolled
+    CTE steps over the same quantized integers.
+    """
+    if not 0 <= lam_tenths <= 10:
+        raise ValueError(f"lam_tenths must be in [0, 10], got {lam_tenths}")
+    if k > pool:
+        raise ValueError(f"k={k} exceeds candidate pool={pool}")
+    from pyspark import StorageLevel
+
+    v = _as_double(F.col(vec_col))
+    n = l2_norm(v)
+    prepared = corpus.select(
+        F.col(id_col),
+        F.transform(v, lambda x: x / n).alias("__unit"),
+    )
+    queries = prepared.filter(F.col(id_col).isin(query_ids)).select(
+        F.col(id_col).alias("query_id"), F.col("__unit").alias("__qunit")
+    )
+    pairs = prepared.join(F.broadcast(queries), F.col(id_col) != F.col("query_id"))
+    scored = pairs.select(
+        "query_id",
+        F.col(id_col).alias("neighbor_id"),
+        dot(F.col("__qunit"), F.col("__unit")).alias("cosine"),
+        "__unit",
+    )
+    pooled = pin(
+        top_k_per_group(
+            scored,
+            ["query_id"],
+            [F.col("cosine").desc(), F.col("neighbor_id").asc()],
+            pool,
+            rank_col="__pool_rank",
+        ),
+        StorageLevel.MEMORY_AND_DISK,
+    )
+    rel = pooled.select(
+        "query_id",
+        "neighbor_id",
+        F.round(F.col("cosine") * 1e6).cast("bigint").alias("rel_micro"),
+    )
+    ua = pooled.alias("__mmr_a")
+    ub = pooled.alias("__mmr_b")
+    psim = (
+        ua.join(
+            ub,
+            (F.col("__mmr_a.query_id") == F.col("__mmr_b.query_id"))
+            & (F.col("__mmr_a.neighbor_id") != F.col("__mmr_b.neighbor_id")),
+        )
+        .select(
+            F.col("__mmr_a.query_id").alias("query_id"),
+            F.col("__mmr_a.neighbor_id").alias("__ca"),
+            F.col("__mmr_b.neighbor_id").alias("__cb"),
+            F.round(
+                dot(F.col("__mmr_a.__unit"), F.col("__mmr_b.__unit")) * 1e6
+            )
+            .cast("bigint")
+            .alias("sim_micro"),
+        )
+    )
+
+    lam = int(lam_tenths)
+
+    def greedy(rel_pdf: pd.DataFrame, sim_pdf: pd.DataFrame) -> pd.DataFrame:
+        if rel_pdf.empty:  # cogroup key present only on the psim side
+            return pd.DataFrame(columns=["query_id", "neighbor_id", "mmr_rank"])
+        qid = int(rel_pdf["query_id"].iloc[0])
+        rels = dict(
+            zip(rel_pdf["neighbor_id"].astype(int), rel_pdf["rel_micro"].astype(int))
+        )
+        sims: dict[tuple[int, int], int] = {}
+        for ca, cb, s in zip(
+            sim_pdf["__ca"].astype(int),
+            sim_pdf["__cb"].astype(int),
+            sim_pdf["sim_micro"].astype(int),
+        ):
+            sims[(ca, cb)] = s
+        selected: list[int] = []
+        out = []
+        remaining = set(rels)
+        for step in range(1, k + 1):
+            if not remaining:
+                break
+            best, best_key = None, None
+            for c in remaining:
+                ms = max((sims[(c, s)] for s in selected), default=0)
+                score = lam * rels[c] - (10 - lam) * ms
+                key = (score, -c)
+                if best_key is None or key > best_key:
+                    best, best_key = c, key
+            selected.append(best)
+            remaining.discard(best)
+            out.append((qid, best, step))
+        return pd.DataFrame(out, columns=["query_id", "neighbor_id", "mmr_rank"])
+
+    return (
+        rel.groupBy("query_id")
+        .cogroup(psim.groupBy("query_id"))
+        .applyInPandas(
+            lambda left, right: greedy(left, right),
+            schema="query_id long, neighbor_id long, mmr_rank int",
+        )
+    )

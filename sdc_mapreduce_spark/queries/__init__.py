@@ -173,6 +173,13 @@ for _name in _MODULE_ORDER:
 #     this window (agg_pivot .. join_left_agg); (3) the r5-last-sampled
 #     block (join_semi ..); oldest-first thereafter.
 #   round 11 window (this order; realizes the r11 plan above): (0) the
+#     five queries NEW in r11 — dedup_jaccard_prefix (AllPairs/PPJoin
+#     prefix-filtered exact Jaccard, shares the exhaustive oracle),
+#     table_psi_drift (PSI drift audit, micro-nat quantized),
+#     simsearch_mmr (MMR diversified top-k; integer greedy over
+#     micro-quantized cosines, k-step unrolled CTE oracle),
+#     dedup_sorted_neighborhood (SNM blocking over the two-phase global
+#     rank), text_heavy_hitters (two-pass Misra-Gries) — plus the
 #     post-freeze r10 addition text_bpe_segment_batched; (1) the queries
 #     whose code or oracle changed in r11 — text_bpe_merges_batched (+
 #     segment twin) after the skip-and-continue batch selection rewrote
@@ -187,6 +194,10 @@ for _name in _MODULE_ORDER:
 #     in round 12; (1) the rotation head (events_sessionize_salted ..),
 #     oldest-first; (2) the r10-window block (freshest, rotation tail).
 _WINDOW_R11: tuple[str, ...] = (
+    "dedup_jaccard_prefix",  # new in r11: AllPairs/PPJoin prefix-filtered Jaccard
+    "table_psi_drift",  # new in r11: PSI drift audit, micro-nat quantized
+    "simsearch_mmr",  # new in r11: MMR diversified top-k, integer greedy
+    "dedup_sorted_neighborhood",  # new in r11: SNM blocking, two-phase global rank
     "text_heavy_hitters",  # new in r11: verified two-pass Misra-Gries top-k
     "text_bpe_segment_batched",
     "text_bpe_merges_batched",

@@ -208,6 +208,52 @@ def dedup_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.jaccard_pairs(load_table(spark, sf_dir, "documents"), n=3, threshold=0.8)
 
 
+def dedup_jaccard_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 3-gram Jaccard pairs ≥ 0.8 via AllPairs/PPJoin prefix
+    filtering — lossless (same exhaustive oracle as dedup_jaccard_pairs):
+    only each doc's (1-t)-fraction rare-first prefix is indexed, so the
+    candidate self-join never sees hot boilerplate shingles."""
+    return D.jaccard_prefix_pairs(
+        load_table(spark, sf_dir, "documents"), n=3, threshold=0.8
+    )
+
+
+_SNM_SQL = """
+WITH t AS (
+  SELECT doc_id,
+         list_distinct(string_split_regex(trim(text), '\\s+')) AS toks,
+         substr(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), 1, 24)
+           || '#' || lpad(CAST(doc_id AS VARCHAR), 12, '0') AS k
+  FROM documents
+), r AS (
+  SELECT doc_id, toks, ROW_NUMBER() OVER (ORDER BY k) AS rn FROM t
+), cand AS (
+  SELECT a.doc_id AS id_x, b.doc_id AS id_y, a.toks AS ta, b.toks AS tb
+  FROM r a JOIN r b ON b.rn > a.rn AND b.rn < a.rn + 10
+), scored AS (
+  SELECT LEAST(id_x, id_y) AS id_a, GREATEST(id_x, id_y) AS id_b,
+         len(list_intersect(ta, tb))
+           / (len(ta) + len(tb) - len(list_intersect(ta, tb))) AS jaccard
+  FROM cand
+)
+SELECT id_a, id_b, jaccard FROM scored WHERE jaccard >= 0.5
+"""
+
+
+def dedup_sorted_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sorted-neighborhood blocking (Hernández–Stolfo merge/purge): rank
+    by the 24-char normalized-text prefix, verify distinct-token Jaccard
+    ≥ 0.5 within a 10-rank sliding window. The global rank is the
+    two-phase distributed running sum — never a one-partition window —
+    and the oracle replays the identical total order."""
+    return D.sorted_neighborhood_pairs(
+        load_table(spark, sf_dir, "documents"),
+        window=10,
+        threshold=0.5,
+        key_chars=24,
+    )
+
+
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash-LSH banded candidates + exact verification ≥ 0.8 — the
     100 TB near-dedup path; see module docstring for why the exhaustive
@@ -1428,6 +1474,8 @@ QUERIES: dict[str, QuerySpec] = {
         dedup_incremental_minhash, DEDUP_INCR_MINHASH_SQL
     ),
     "dedup_jaccard_pairs": QuerySpec(dedup_jaccard_pairs, _JACCARD_SQL),
+    "dedup_jaccard_prefix": QuerySpec(dedup_jaccard_prefix, _JACCARD_SQL),
+    "dedup_sorted_neighborhood": QuerySpec(dedup_sorted_neighborhood, _SNM_SQL),
     "dedup_exact_substring": QuerySpec(
         dedup_exact_substring, DEDUP_EXACT_SUBSTRING_SQL, bench=True
     ),

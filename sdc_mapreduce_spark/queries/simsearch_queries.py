@@ -51,6 +51,90 @@ ORDER BY query_id, rank
 """
 
 
+def simsearch_mmr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MMR-diversified top-5 (λ=0.7, pool=20) for query vectors 0..9 —
+    greedy relevance-vs-redundancy reranking over a bounded candidate
+    pool; pure integer arithmetic after micro-quantization, replayed by
+    the oracle as k unrolled CTE steps."""
+    return S.mmr_topk(
+        load_table(spark, sf_dir, "embeddings"),
+        QUERY_IDS,
+        k=TOP_K,
+        pool=20,
+        lam_tenths=7,
+    )
+
+
+def _mmr_sql(k: int = TOP_K, pool: int = 20, lam: int = 7) -> str:
+    """Unrolled greedy-MMR oracle: step i picks, per query, the candidate
+    maximizing lam·rel − (10−lam)·max(sim to already-selected) over the
+    micro-quantized cosines (ties to the smaller id). Plain CTEs — no
+    recursion — because k is a compile-time literal of the query."""
+    parts = [
+        f"""
+WITH u AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+), q AS (
+  SELECT vec_id AS query_id, v AS qv FROM u WHERE vec_id < 10
+), sc AS (
+  SELECT q.query_id, u.vec_id AS cand,
+         list_cosine_similarity(q.qv, u.v) AS cosine
+  FROM q JOIN u ON u.vec_id <> q.query_id
+), pool AS (
+  SELECT query_id, cand,
+         CAST(ROUND(1000000.0 * cosine) AS BIGINT) AS rel
+  FROM (
+    SELECT query_id, cand, cosine,
+           ROW_NUMBER() OVER (PARTITION BY query_id
+                              ORDER BY cosine DESC, cand ASC) AS pr
+    FROM sc) WHERE pr <= {pool}
+), psim AS (
+  SELECT p1.query_id, p1.cand AS ca, p2.cand AS cb,
+         CAST(ROUND(1000000.0 * list_cosine_similarity(v1.v, v2.v))
+              AS BIGINT) AS sim
+  FROM pool p1
+  JOIN pool p2 ON p2.query_id = p1.query_id AND p2.cand <> p1.cand
+  JOIN u v1 ON v1.vec_id = p1.cand
+  JOIN u v2 ON v2.vec_id = p2.cand
+), sel1 AS (
+  SELECT query_id, cand FROM (
+    SELECT query_id, cand,
+           ROW_NUMBER() OVER (PARTITION BY query_id
+                              ORDER BY rel DESC, cand ASC) AS rn
+    FROM pool) WHERE rn = 1
+), selall1 AS (SELECT query_id, cand, 1 AS mmr_rank FROM sel1)"""
+    ]
+    for i in range(2, k + 1):
+        parts.append(
+            f""", step{i} AS (
+  SELECT p.query_id, p.cand,
+         {lam} * p.rel - {10 - lam} * MAX(ps.sim) AS score
+  FROM pool p
+  JOIN psim ps ON ps.query_id = p.query_id AND ps.ca = p.cand
+  JOIN selall{i - 1} s ON s.query_id = ps.query_id AND s.cand = ps.cb
+  WHERE NOT EXISTS (SELECT 1 FROM selall{i - 1} x
+                    WHERE x.query_id = p.query_id AND x.cand = p.cand)
+  GROUP BY p.query_id, p.cand, p.rel
+), sel{i} AS (
+  SELECT query_id, cand FROM (
+    SELECT query_id, cand,
+           ROW_NUMBER() OVER (PARTITION BY query_id
+                              ORDER BY score DESC, cand ASC) AS rn
+    FROM step{i}) WHERE rn = 1
+), selall{i} AS (
+  SELECT * FROM selall{i - 1}
+  UNION ALL SELECT query_id, cand, {i} AS mmr_rank FROM sel{i}
+)"""
+        )
+    parts.append(
+        f"""
+SELECT query_id, CAST(cand AS BIGINT) AS neighbor_id,
+       CAST(mmr_rank AS INT) AS mmr_rank
+FROM selall{k}"""
+    )
+    return "".join(parts)
+
+
 def simsearch_topk_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The Arrow/BLAS exact path (mapInPandas + broadcast query matrix +
     per-batch partial top-k) — must produce the same answer as the JVM
@@ -1028,6 +1112,7 @@ QUERIES: dict[str, QuerySpec] = {
     # the Arrow/BLAS path is the bench entry (~3x the JVM higher-order
     # -function form at bench SF, identical results/oracle)
     "simsearch_topk": QuerySpec(simsearch_topk, SIMSEARCH_TOPK_SQL),
+    "simsearch_mmr": QuerySpec(simsearch_mmr, _mmr_sql()),
     "embedding_nearest_centroid": QuerySpec(
         embedding_nearest_centroid, EMBEDDING_NEAREST_CENTROID_SQL
     ),

@@ -1615,6 +1615,73 @@ FROM c ORDER BY ks_stat DESC, at_value ASC LIMIT 1
 
 
 
+def table_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population Stability Index audit — the standard production-ML
+    drift monitor (Siddiqi, "Credit Risk Scorecards", 2006): compare the
+    event_type mix before vs after a mid-window cutoff; PSI term per
+    category = (share_cur - share_ref) * ln(share_cur / share_ref), total
+    PSI = sum of terms (rule of thumb: > 0.1 investigate, > 0.25 act).
+
+    Scale design: one map-side-combinable groupBy over the fact table (the
+    period tag is a pure column expression, partition-prunable on a
+    date-partitioned layout); everything after the first aggregation is
+    O(categories) rows. Determinism follows the repo's milli-nat
+    discipline: shares are exact bigint/bigint double divisions —
+    IEEE-identical cross-engine — and the single transcendental ln term is
+    quantized to integer micro-units in both engines.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    cutoff = F.lit("2024-01-16 00:00:00").cast("timestamp_ntz")
+    counts = ev.groupBy("event_type").agg(
+        F.sum(F.when(F.col("ts") < cutoff, 1).otherwise(0)).alias("n_ref"),
+        F.sum(F.when(F.col("ts") >= cutoff, 1).otherwise(0)).alias("n_cur"),
+    )
+    totals = counts.agg(
+        F.sum("n_ref").alias("__t_ref"), F.sum("n_cur").alias("__t_cur")
+    )
+    shared = counts.crossJoin(F.broadcast(totals)).select(
+        "event_type",
+        "n_ref",
+        "n_cur",
+        (F.col("n_ref") / F.col("__t_ref")).alias("share_ref"),
+        (F.col("n_cur") / F.col("__t_cur")).alias("share_cur"),
+    )
+    term = (F.col("share_cur") - F.col("share_ref")) * F.log(
+        F.col("share_cur") / F.col("share_ref")
+    )
+    terms = shared.withColumn(
+        "psi_term_micro", F.round(term * 1e6).cast("bigint")
+    )
+    total = terms.agg(F.sum("psi_term_micro").alias("psi_micro_total"))
+    return terms.crossJoin(F.broadcast(total))
+
+
+TABLE_PSI_DRIFT_SQL = """
+WITH counts AS (
+  SELECT event_type,
+         SUM(CASE WHEN ts <  TIMESTAMP '2024-01-16 00:00:00' THEN 1 ELSE 0 END) AS n_ref,
+         SUM(CASE WHEN ts >= TIMESTAMP '2024-01-16 00:00:00' THEN 1 ELSE 0 END) AS n_cur
+  FROM events GROUP BY 1
+), tot AS (
+  SELECT SUM(n_ref) AS t_ref, SUM(n_cur) AS t_cur FROM counts
+), shared AS (
+  SELECT event_type,
+         CAST(n_ref AS BIGINT) AS n_ref, CAST(n_cur AS BIGINT) AS n_cur,
+         CAST(n_ref AS DOUBLE) / CAST(t_ref AS DOUBLE) AS share_ref,
+         CAST(n_cur AS DOUBLE) / CAST(t_cur AS DOUBLE) AS share_cur
+  FROM counts, tot
+), terms AS (
+  SELECT event_type, n_ref, n_cur, share_ref, share_cur,
+         CAST(ROUND(1000000.0 * ((share_cur - share_ref)
+               * ln(share_cur / share_ref))) AS BIGINT) AS psi_term_micro
+  FROM shared
+)
+SELECT event_type, n_ref, n_cur, share_ref, share_cur, psi_term_micro,
+       (SELECT CAST(SUM(psi_term_micro) AS BIGINT) FROM terms) AS psi_micro_total
+FROM terms
+"""
+
+
 def table_mutual_information(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mutual information between the same categorical pair as the
     chi-square audit (event_type x user cohort) — the information-theoretic
@@ -1817,6 +1884,7 @@ QUERIES: dict[str, QuerySpec] = {
         table_gini_concentration, TABLE_GINI_SQL
     ),
     "table_ks_drift": QuerySpec(table_ks_drift, TABLE_KS_DRIFT_SQL),
+    "table_psi_drift": QuerySpec(table_psi_drift, TABLE_PSI_DRIFT_SQL),
     "table_benford_audit": QuerySpec(table_benford_audit, TABLE_BENFORD_SQL),
     "table_mutual_information": QuerySpec(
         table_mutual_information, TABLE_MI_SQL

@@ -722,3 +722,120 @@ def test_dedup_keep_best_prefers_quality_over_min_id(spark, tmp_path):
     assert rows[0]["best_id"] == 1 and rows[1]["best_id"] == 1
     assert (rows[0]["is_kept"], rows[1]["is_kept"]) == (False, True)
     assert rows[2]["is_kept"] and rows[2]["best_id"] == 2
+
+
+# --- AllPairs/PPJoin prefix filtering (r11) -------------------------------
+
+
+def test_jaccard_prefix_parity_with_inverted_index(spark, sf_dir):
+    """Prefix filtering is LOSSLESS: the candidate reduction must return
+    exactly the unfiltered inverted-index result — ids AND jaccard values
+    — at the registered threshold."""
+    docs = load_table(spark, sf_dir, "documents")
+    full = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in D.jaccard_pairs(docs, n=3, threshold=0.8, max_df=None).collect()
+    }
+    pref = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in D.jaccard_prefix_pairs(docs, n=3, threshold=0.8).collect()
+    }
+    assert full  # fixture has planted near-dups
+    assert pref == full
+
+
+def test_jaccard_prefix_vs_python_low_threshold(spark, sf_dir):
+    """At a low threshold the prefixes are long and the size filter is
+    loose — exercises the ceil/epsilon prefix-length math across many doc
+    sizes against the brute-force reference."""
+    docs = load_table(spark, sf_dir, "documents").limit(120).cache()
+    rows = [(r["doc_id"], r["text"]) for r in docs.collect()]
+    expected = _python_jaccard_pairs(rows, threshold=0.5)
+    got = {
+        (r["id_a"], r["id_b"])
+        for r in D.jaccard_prefix_pairs(docs, n=3, threshold=0.5).collect()
+    }
+    assert got == expected
+
+
+def test_jaccard_prefix_indexes_fewer_postings(spark, sf_dir):
+    """The point of the filter: the prefix index must be materially
+    smaller than the full inverted index (≈ (1-t) fraction plus the +1
+    per doc) — guards against a regression that silently indexes
+    everything (still correct, no longer scalable)."""
+    docs = load_table(spark, sf_dir, "documents")
+    sets = D.shingle_sets(docs, n=3)
+    full_postings = sets.select(F.explode("shingles")).count()
+    t = 0.8
+    prefix_postings = sets.select(
+        F.greatest(
+            F.lit(1),
+            F.size("shingles")
+            - F.ceil(F.size("shingles") * t - 1e-9)
+            + 1,
+        ).alias("p")
+    ).agg(F.sum("p")).collect()[0][0]
+    assert prefix_postings < 0.35 * full_postings
+
+
+# --- sorted-neighborhood blocking (r11) -----------------------------------
+
+
+def _python_snm_pairs(rows, window=10, threshold=0.5, key_chars=24):
+    import re
+
+    def norm(s):
+        return re.sub(r"\s+", " ", s.lower()).strip()
+
+    keyed = sorted(
+        (norm(t)[:key_chars] + "#" + str(i).zfill(12), i, set(t.strip().split()))
+        for i, t in rows
+    )
+    out = set()
+    for a in range(len(keyed)):
+        for b in range(a + 1, min(a + window, len(keyed))):
+            sa, sb = keyed[a][2], keyed[b][2]
+            inter = len(sa & sb)
+            union = len(sa | sb)
+            if union and inter / union >= threshold:
+                out.add(tuple(sorted((keyed[a][1], keyed[b][1]))))
+    return out
+
+
+def test_sorted_neighborhood_vs_python(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    rows = [(r["doc_id"], r["text"]) for r in docs.collect()]
+    expected = _python_snm_pairs(rows, window=10, threshold=0.5)
+    got = {
+        (r["id_a"], r["id_b"])
+        for r in D.sorted_neighborhood_pairs(
+            docs, window=10, threshold=0.5, key_chars=24
+        ).collect()
+    }
+    assert expected  # fixture has planted near-dups with shared prefixes
+    assert got == expected
+
+
+def test_sorted_neighborhood_rank_is_partition_invariant(spark, sf_dir):
+    """The two-phase global rank must not depend on the input layout: a
+    repartitioned (shuffled-layout) input yields the identical pair set."""
+    docs = load_table(spark, sf_dir, "documents").limit(200)
+    base = {
+        (r["id_a"], r["id_b"])
+        for r in D.sorted_neighborhood_pairs(docs, window=5).collect()
+    }
+    shuffled = {
+        (r["id_a"], r["id_b"])
+        for r in D.sorted_neighborhood_pairs(
+            docs.repartition(13), window=5, num_partitions=7
+        ).collect()
+    }
+    assert base == shuffled
+
+
+def test_sorted_neighborhood_rejects_degenerate_window(spark, sf_dir):
+    import pytest
+
+    docs = load_table(spark, sf_dir, "documents")
+    with pytest.raises(ValueError, match="window"):
+        D.sorted_neighborhood_pairs(docs, window=1)

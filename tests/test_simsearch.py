@@ -469,3 +469,97 @@ def test_label_silhouette_deterministic(spark, sf_dir):
     a = [tuple(r) for r in label_silhouette_audit(emb).collect()]
     b = [tuple(r) for r in label_silhouette_audit(emb).collect()]
     assert a == b and len(a) > 0
+
+
+# --- MMR diversified retrieval (r11) ---------------------------------------
+
+
+def _python_mmr(rows, query_ids, k=5, pool=20, lam=7):
+    """Greedy MMR replay on micro-quantized cosines — the same integer
+    arithmetic the Spark path and the DuckDB oracle use."""
+    import math
+
+    ids = np.array([r[0] for r in rows])
+    V = np.asarray([r[1] for r in rows], dtype=np.float64)
+    # mirror the engine exactly: unit vectors via x / l2norm, dot via a
+    # strict LEFT-TO-RIGHT fold (numpy @ is pairwise-summed — off by ulps)
+    by_id = {}
+    for n, i in enumerate(ids):
+        nrm = math.sqrt(sum(float(x) * float(x) for x in V[n]))
+        by_id[int(i)] = [float(x) / nrm for x in V[n]]
+
+    def dot(a, b):
+        acc = 0.0
+        for x, y in zip(a, b):
+            acc += x * y
+        return acc
+
+    def micro(x: float) -> int:
+        return int(np.floor(x + 0.5)) if x >= 0 else int(np.ceil(x - 0.5))
+
+    out = set()
+    for q in query_ids:
+        qv = by_id[q]
+        scored = sorted(
+            ((dot(qv, by_id[c]), -c) for c in by_id if c != q), reverse=True
+        )
+        cands = [-negc for _, negc in scored[:pool]]
+        rel = {c: micro(1e6 * dot(qv, by_id[c])) for c in cands}
+        selected = []
+        for step in range(1, k + 1):
+            best = max(
+                (c for c in cands if c not in selected),
+                key=lambda c: (
+                    lam * rel[c]
+                    - (10 - lam)
+                    * max(
+                        (micro(1e6 * dot(by_id[c], by_id[s])) for s in selected),
+                        default=0,
+                    ),
+                    -c,
+                ),
+            )
+            selected.append(best)
+            out.add((q, best, step))
+    return out
+
+
+def test_mmr_matches_python_greedy(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    rows = [(r["vec_id"], list(r["embedding"])) for r in emb.collect()]
+    expected = _python_mmr(rows, QUERY_IDS, k=K, pool=20, lam=7)
+    got = {
+        (r["query_id"], r["neighbor_id"], r["mmr_rank"])
+        for r in S.mmr_topk(emb, QUERY_IDS, k=K, pool=20, lam_tenths=7).collect()
+    }
+    assert got == expected
+
+
+def test_mmr_first_pick_is_pure_relevance_and_diversifies_after(spark, sf_dir):
+    """Rank 1 must equal the brute-force top-1; with λ<1 the later picks
+    must diverge from plain top-k for at least one query on a corpus with
+    planted near-dup clusters — otherwise the diversity term is dead."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    plain = {
+        (r["query_id"], r["rank"]): r["neighbor_id"]
+        for r in S.cosine_topk_bruteforce(emb, QUERY_IDS, k=K).collect()
+    }
+    mmr = {
+        (r["query_id"], r["mmr_rank"]): r["neighbor_id"]
+        for r in S.mmr_topk(emb, QUERY_IDS, k=K, pool=20, lam_tenths=7).collect()
+    }
+    for q in QUERY_IDS:
+        assert mmr[(q, 1)] == plain[(q, 1)]
+    assert any(
+        mmr[(q, s)] != plain[(q, s)] for q in QUERY_IDS for s in range(2, K + 1)
+    )
+
+
+def test_mmr_validates_args(spark, sf_dir):
+    import pytest
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    with pytest.raises(ValueError, match="lam_tenths"):
+        S.mmr_topk(emb, QUERY_IDS, lam_tenths=11)
+    with pytest.raises(ValueError, match="pool"):
+        S.mmr_topk(emb, QUERY_IDS, k=30, pool=20)
