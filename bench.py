@@ -64,6 +64,7 @@ _BENCH_ORDER = [
     "pipeline_curation",
     "multimodal_encoder_topk",  # added r9; pinned last (heavyweight)
     "text_heavy_hitters",  # added r11; appended per the pinned-order rule
+    "dedup_jaccard_prefix",  # added r11; appended per the pinned-order rule
 ]
 
 

@@ -197,6 +197,7 @@ _WINDOW_R11: tuple[str, ...] = (
     "dedup_jaccard_prefix",  # new in r11: AllPairs/PPJoin prefix-filtered Jaccard
     "table_psi_drift",  # new in r11: PSI drift audit, micro-nat quantized
     "simsearch_mmr",  # new in r11: MMR diversified top-k, integer greedy
+    "events_streaming_sliding_certified",  # new in r11: sliding-window cert
     "dedup_sorted_neighborhood",  # new in r11: SNM blocking, two-phase global rank
     "text_heavy_hitters",  # new in r11: verified two-pass Misra-Gries top-k
     "text_bpe_segment_batched",

@@ -1474,7 +1474,7 @@ QUERIES: dict[str, QuerySpec] = {
         dedup_incremental_minhash, DEDUP_INCR_MINHASH_SQL
     ),
     "dedup_jaccard_pairs": QuerySpec(dedup_jaccard_pairs, _JACCARD_SQL),
-    "dedup_jaccard_prefix": QuerySpec(dedup_jaccard_prefix, _JACCARD_SQL),
+    "dedup_jaccard_prefix": QuerySpec(dedup_jaccard_prefix, _JACCARD_SQL, bench=True),
     "dedup_sorted_neighborhood": QuerySpec(dedup_sorted_neighborhood, _SNM_SQL),
     "dedup_exact_substring": QuerySpec(
         dedup_exact_substring, DEDUP_EXACT_SUBSTRING_SQL, bench=True

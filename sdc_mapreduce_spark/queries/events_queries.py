@@ -845,6 +845,79 @@ ORDER BY window_start, event_type
 """
 
 
+def events_streaming_sliding_certified(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """SLIDING-window twin of events_streaming_tumbling_certified: the
+    real micro-batch engine runs a 10-minute window sliding every 5
+    minutes (every event belongs to exactly TWO overlapping windows) to
+    completion, and the result earns its own oracle hash. Overlapping
+    window-assignment is a distinct state-store code path from tumbling —
+    Spark expands each row into duration/slide window copies before the
+    stateful aggregation — so the tumbling cert alone does not exercise
+    it. The oracle replays the expansion: window starts for event t are
+    bucket5(t) and bucket5(t) − 5 minutes. Counts only, as in the
+    tumbling cert (arrival-order double sums stay with batch twins)."""
+    import shutil
+    import tempfile
+    import uuid
+
+    src = tempfile.mkdtemp(prefix="sdcms_stream_cert_src_")
+    ckpt = tempfile.mkdtemp(prefix="sdcms_stream_cert_ckpt_")
+    name = f"stream_cert_{uuid.uuid4().hex[:8]}"
+    try:
+        ev = load_table(spark, sf_dir, "events")
+        ev.select(
+            "event_id",
+            F.date_format("ts", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("ts"),
+            "event_type",
+        ).repartition(4).write.mode("overwrite").json(src)
+        stream = (
+            spark.readStream.schema("event_id long, ts timestamp_ntz, event_type string")
+            .format("json")
+            .option("timestampNTZFormat", "yyyy-MM-dd HH:mm:ss.SSSSSS")
+            .load(src)
+        )
+        agg = (
+            stream.groupBy(
+                F.window("ts", "10 minutes", "5 minutes").alias("w"), "event_type"
+            )
+            .agg(F.count(F.lit(1)).alias("cnt"))
+            .select(F.col("w.start").alias("window_start"), "event_type", "cnt")
+        )
+        q = (
+            agg.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("complete")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        if not q.awaitTermination(300):
+            q.stop()
+            raise RuntimeError("sliding-window streaming cert did not finish in 300s")
+        result = spark.table(name).orderBy("window_start", "event_type")
+        rows = result.collect()
+        return spark.createDataFrame(rows, schema=result.schema)
+    finally:
+        shutil.rmtree(src, ignore_errors=True)
+        shutil.rmtree(ckpt, ignore_errors=True)
+
+
+EVENTS_STREAMING_SLIDING_SQL = """
+WITH expanded AS (
+  SELECT time_bucket(INTERVAL '5 minutes', CAST(ts AS TIMESTAMP))
+           - (t.o * INTERVAL '5 minutes') AS window_start,
+         event_type
+  FROM events, UNNEST([0, 1]) AS t(o)
+)
+SELECT window_start, event_type, COUNT(*) AS cnt
+FROM expanded
+GROUP BY 1, 2
+ORDER BY window_start, event_type
+"""
+
+
 def events_streaming_watermark_certified(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
@@ -2714,6 +2787,9 @@ QUERIES: dict[str, QuerySpec] = {
     ),
     "events_streaming_tumbling_certified": QuerySpec(
         events_streaming_tumbling_certified, EVENTS_STREAMING_TUMBLING_SQL
+    ),
+    "events_streaming_sliding_certified": QuerySpec(
+        events_streaming_sliding_certified, EVENTS_STREAMING_SLIDING_SQL
     ),
     "events_streaming_watermark_certified": QuerySpec(
         events_streaming_watermark_certified, EVENTS_STREAMING_WATERMARK_SQL
