@@ -446,3 +446,39 @@ def test_srp_index_probe_prunes_partitions_and_matches_memory(
     assert "PartitionFilters" in plan
     clauses = plan.split("PartitionFilters")[1:]
     assert any("__bucket" in c[:300] for c in clauses)
+
+
+def test_jaccard_prefix_windows_are_per_doc_and_no_cartesian(spark, sf_dir):
+    """The prefix build ranks shingles WITHIN each doc (window partitioned
+    by doc id — bounded by doc length, never a global sort) and the
+    candidate generation is an equi-join on the shingle hash — a
+    CartesianProduct anywhere means the filter degenerated to all-pairs."""
+    from sdc_mapreduce_spark.queries.dedup_queries import dedup_jaccard_prefix
+
+    plan = _plan(dedup_jaccard_prefix(spark, sf_dir))
+    assert "Window" in plan
+    assert "Exchange SinglePartition" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_sorted_neighborhood_never_single_partition(spark, sf_dir):
+    """SNM's defining scale hazard is the global rank collapsing to a
+    one-partition ORDER BY window; the two-phase running sum must keep
+    every exchange partitioned (range or hash), and neighbor pairing must
+    be an equi-join, not a cross join."""
+    from sdc_mapreduce_spark.queries.dedup_queries import dedup_sorted_neighborhood
+
+    plan = _plan(dedup_sorted_neighborhood(spark, sf_dir))
+    assert "Exchange SinglePartition" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_mmr_pool_scoring_broadcasts_queries(spark, sf_dir):
+    """MMR's corpus-scoring stage must be the broadcast nested-loop plan of
+    the brute-force path (tiny query side broadcast, corpus streams) —
+    a shuffle-both-sides pair generation would be the 100 TB bug."""
+    from sdc_mapreduce_spark.queries.simsearch_queries import simsearch_mmr
+
+    plan = _plan(simsearch_mmr(spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "Exchange SinglePartition" not in plan
