@@ -59,19 +59,26 @@ def test_window_head_is_the_r11_plan():
     import sdc_mapreduce_spark.queries as q
 
     head = list(q.REGISTRY)[:50]
-    # plan item 0: the in-round r11 addition leads, then the post-freeze
-    # r10 addition
-    assert head[0] == "text_heavy_hitters"
-    assert head[1] == "text_bpe_segment_batched"
+    # plan item 0: the six in-round r11 additions lead (newest certs
+    # first), then the post-freeze r10 addition
+    assert head[:7] == [
+        "dedup_jaccard_prefix",
+        "table_psi_drift",
+        "simsearch_mmr",
+        "events_streaming_sliding_certified",
+        "dedup_sorted_neighborhood",
+        "text_heavy_hitters",
+        "text_bpe_segment_batched",
+    ]
     # plan item 1: every query whose code or oracle changed in r11
-    assert head[2:6] == [
+    assert head[7:11] == [
         "text_bpe_merges_batched",
         "events_sessionize_auto",
         "kvtext_streaming_restart_certified",
         "kvtext_scan_certified",
     ]
     # plan items 2-3: stalest rotation entries fill the remainder
-    assert head[6] == "q22_global_sales_opportunity"
+    assert head[11] == "q22_global_sales_opportunity"
     assert len(head) == 50
 
 
