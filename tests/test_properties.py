@@ -785,3 +785,49 @@ def test_heavy_hitters_twopass_always_exact(spark, words, parts, m):
     counts = Counter(words)
     want = sorted(counts.items(), key=lambda t: (-t[1], t[0]))[:k]
     assert got == [(tok, cnt, i + 1) for i, (tok, cnt) in enumerate(want)]
+
+
+# --- AllPairs prefix-filter completeness lemma (r11) ------------------------
+#
+# The Spark operator (functions/dedup.py::jaccard_prefix_pairs) indexes only
+# each set's first p = |A| - ceil(t*|A|) + 1 elements under a shared total
+# order and claims no pair with J(A,B) >= t can be missed. The Spark-side
+# parity tests exercise fixture corpora; this pins the LEMMA itself over
+# arbitrary set systems, orders, and thresholds — pure Python, no Spark.
+
+
+@given(
+    sets=st.lists(
+        st.sets(st.integers(min_value=0, max_value=30), min_size=1, max_size=12),
+        min_size=2,
+        max_size=8,
+    ),
+    threshold=st.floats(min_value=0.05, max_value=1.0),
+    order_seed=st.integers(min_value=0, max_value=10_000),
+)
+@settings(max_examples=300, deadline=None)
+def test_prefix_filter_lemma_never_misses_a_qualifying_pair(
+    sets, threshold, order_seed
+):
+    import math
+    import random
+
+    universe = sorted(set().union(*sets))
+    rng = random.Random(order_seed)
+    rank = {v: i for i, v in enumerate(rng.sample(universe, len(universe)))}
+
+    def prefix(s):
+        ordered = sorted(s, key=rank.__getitem__)
+        p = len(s) - math.ceil(threshold * len(s) - 1e-9) + 1
+        return set(ordered[: max(1, p)])
+
+    for i in range(len(sets)):
+        for j in range(i + 1, len(sets)):
+            a, b = sets[i], sets[j]
+            jac = len(a & b) / len(a | b)
+            if jac >= threshold:
+                # the candidate join must surface (i, j): their PREFIXES
+                # under the shared order must intersect
+                assert prefix(a) & prefix(b), (
+                    a, b, jac, threshold, prefix(a), prefix(b),
+                )
