@@ -69,16 +69,29 @@ def _mmr_sql(k: int = TOP_K, pool: int = 20, lam: int = 7) -> str:
     """Unrolled greedy-MMR oracle: step i picks, per query, the candidate
     maximizing lam·rel − (10−lam)·max(sim to already-selected) over the
     micro-quantized cosines (ties to the smaller id). Plain CTEs — no
-    recursion — because k is a compile-time literal of the query."""
+    recursion — because k is a compile-time literal of the query.
+
+    Cosines follow the repo's oracle-twin convention (ADVICE r11):
+    unit-normalize each vector, then the left-to-right ``_FOLD_DOT`` —
+    the exact IEEE evaluation order of the Spark side's
+    ``transform(v, x -> x / l2_norm)`` + left-fold ``dot`` — so both
+    engines quantize identical doubles before the ×1e6 half-up rounding
+    that feeds the integer greedy (no 1-ulp rank/pool-boundary flips)."""
+    unit_norm = _FOLD_DOT.format(
+        a="(embedding::DOUBLE[])", b="(embedding::DOUBLE[])"
+    )
     parts = [
         f"""
 WITH u AS (
-  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+  SELECT vec_id,
+         list_transform(embedding::DOUBLE[],
+                        x -> x / sqrt({unit_norm})) AS v
+  FROM embeddings
 ), q AS (
   SELECT vec_id AS query_id, v AS qv FROM u WHERE vec_id < 10
 ), sc AS (
   SELECT q.query_id, u.vec_id AS cand,
-         list_cosine_similarity(q.qv, u.v) AS cosine
+         {_FOLD_DOT.format(a="q.qv", b="u.v")} AS cosine
   FROM q JOIN u ON u.vec_id <> q.query_id
 ), pool AS (
   SELECT query_id, cand,
@@ -90,7 +103,7 @@ WITH u AS (
     FROM sc) WHERE pr <= {pool}
 ), psim AS (
   SELECT p1.query_id, p1.cand AS ca, p2.cand AS cb,
-         CAST(ROUND(1000000.0 * list_cosine_similarity(v1.v, v2.v))
+         CAST(ROUND(1000000.0 * {_FOLD_DOT.format(a="v1.v", b="v2.v")})
               AS BIGINT) AS sim
   FROM pool p1
   JOIN pool p2 ON p2.query_id = p1.query_id AND p2.cand <> p1.cand
@@ -107,14 +120,21 @@ WITH u AS (
     for i in range(2, k + 1):
         parts.append(
             f""", step{i} AS (
+  -- LEFT JOIN + COALESCE(maxsim, 0) mirrors the Spark greedy's
+  -- max(..., default=0): a candidate with no recorded similarity to the
+  -- selected set (degenerate single-candidate pool) scores with maxsim=0,
+  -- so both engines emit min(k, pool) rows (ADVICE r11).
   SELECT p.query_id, p.cand,
-         {lam} * p.rel - {10 - lam} * MAX(ps.sim) AS score
+         {lam} * p.rel - {10 - lam} * COALESCE(m.msim, 0) AS score
   FROM pool p
-  JOIN psim ps ON ps.query_id = p.query_id AND ps.ca = p.cand
-  JOIN selall{i - 1} s ON s.query_id = ps.query_id AND s.cand = ps.cb
+  LEFT JOIN (
+    SELECT ps.query_id, ps.ca, MAX(ps.sim) AS msim
+    FROM psim ps
+    JOIN selall{i - 1} s ON s.query_id = ps.query_id AND s.cand = ps.cb
+    GROUP BY ps.query_id, ps.ca
+  ) m ON m.query_id = p.query_id AND m.ca = p.cand
   WHERE NOT EXISTS (SELECT 1 FROM selall{i - 1} x
                     WHERE x.query_id = p.query_id AND x.cand = p.cand)
-  GROUP BY p.query_id, p.cand, p.rel
 ), sel{i} AS (
   SELECT query_id, cand FROM (
     SELECT query_id, cand,

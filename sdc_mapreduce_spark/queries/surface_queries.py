@@ -1629,6 +1629,16 @@ def table_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     discipline: shares are exact bigint/bigint double divisions —
     IEEE-identical cross-engine — and the single transcendental ln term is
     quantized to integer micro-units in both engines.
+
+    Zero-share guard (ADVICE r11): a category present in only one period
+    would make ln(share_cur/share_ref) hit ln(0) or a 0-divisor — the
+    canonical PSI failure mode (a brand-new category IS maximal drift, yet
+    the naive formula NULLs its term and understates it). Standard fix:
+    Laplace +1 smoothing per (category, period) count. Smoothed share =
+    (n + 1) / (t + C) where C = category count — still an exact
+    bigint/bigint double division, so the cross-engine hash discipline is
+    preserved while every term stays finite. Raw n_ref/n_cur are emitted
+    unsmoothed; only the shares (and thus the terms) are smoothed.
     """
     ev = load_table(spark, sf_dir, "events")
     cutoff = F.lit("2024-01-16 00:00:00").cast("timestamp_ntz")
@@ -1637,14 +1647,15 @@ def table_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.when(F.col("ts") >= cutoff, 1).otherwise(0)).alias("n_cur"),
     )
     totals = counts.agg(
-        F.sum("n_ref").alias("__t_ref"), F.sum("n_cur").alias("__t_cur")
+        (F.sum("n_ref") + F.count(F.lit(1))).alias("__t_ref"),
+        (F.sum("n_cur") + F.count(F.lit(1))).alias("__t_cur"),
     )
     shared = counts.crossJoin(F.broadcast(totals)).select(
         "event_type",
         "n_ref",
         "n_cur",
-        (F.col("n_ref") / F.col("__t_ref")).alias("share_ref"),
-        (F.col("n_cur") / F.col("__t_cur")).alias("share_cur"),
+        ((F.col("n_ref") + F.lit(1)) / F.col("__t_ref")).alias("share_ref"),
+        ((F.col("n_cur") + F.lit(1)) / F.col("__t_cur")).alias("share_cur"),
     )
     term = (F.col("share_cur") - F.col("share_ref")) * F.log(
         F.col("share_cur") / F.col("share_ref")
@@ -1663,12 +1674,15 @@ WITH counts AS (
          SUM(CASE WHEN ts >= TIMESTAMP '2024-01-16 00:00:00' THEN 1 ELSE 0 END) AS n_cur
   FROM events GROUP BY 1
 ), tot AS (
-  SELECT SUM(n_ref) AS t_ref, SUM(n_cur) AS t_cur FROM counts
+  -- Laplace +1 smoothing: totals gain one pseudo-count per category so
+  -- one-sided categories keep finite PSI terms (mirrors the Spark path).
+  SELECT SUM(n_ref) + COUNT(*) AS t_ref, SUM(n_cur) + COUNT(*) AS t_cur
+  FROM counts
 ), shared AS (
   SELECT event_type,
          CAST(n_ref AS BIGINT) AS n_ref, CAST(n_cur AS BIGINT) AS n_cur,
-         CAST(n_ref AS DOUBLE) / CAST(t_ref AS DOUBLE) AS share_ref,
-         CAST(n_cur AS DOUBLE) / CAST(t_cur AS DOUBLE) AS share_cur
+         CAST(n_ref + 1 AS DOUBLE) / CAST(t_ref AS DOUBLE) AS share_ref,
+         CAST(n_cur + 1 AS DOUBLE) / CAST(t_cur AS DOUBLE) AS share_cur
   FROM counts, tot
 ), terms AS (
   SELECT event_type, n_ref, n_cur, share_ref, share_cur,

@@ -787,8 +787,14 @@ def _python_snm_pairs(rows, window=10, threshold=0.5, key_chars=24):
     def norm(s):
         return re.sub(r"\s+", " ", s.lower()).strip()
 
+    def toks(t):
+        # Mirror both engines (ADVICE r11): Spark split / DuckDB
+        # string_split_regex yield [''] for empty/whitespace-only text,
+        # not [] — so two empty docs have union=1 and jaccard=1.
+        return set(t.strip().split()) or {""}
+
     keyed = sorted(
-        (norm(t)[:key_chars] + "#" + str(i).zfill(12), i, set(t.strip().split()))
+        (norm(t)[:key_chars] + "#" + str(i).zfill(12), i, toks(t))
         for i, t in rows
     )
     out = set()

@@ -994,15 +994,19 @@ def test_table_psi_drift_matches_python(spark, sf_dir):
     cutoff = datetime(2024, 1, 16)
     ref = Counter(r["event_type"] for r in ev if r["ts"] < cutoff)
     cur = Counter(r["event_type"] for r in ev if r["ts"] >= cutoff)
-    t_ref, t_cur = sum(ref.values()), sum(cur.values())
+    cats = set(ref) | set(cur)
+    # Laplace +1 smoothing (ADVICE r11): +1 per (category, period), totals
+    # gain one pseudo-count per category — one-sided categories stay finite.
+    t_ref = sum(ref.values()) + len(cats)
+    t_cur = sum(cur.values()) + len(cats)
     def half_up(x: float) -> int:
         # Spark/DuckDB ROUND is half-away-from-zero; Python round() is
         # banker's — match the engines, not the stdlib
         return int(math.floor(x + 0.5)) if x >= 0 else int(math.ceil(x - 0.5))
 
     expected = {}
-    for et in set(ref) | set(cur):
-        sr, sc = ref[et] / t_ref, cur[et] / t_cur
+    for et in cats:
+        sr, sc = (ref[et] + 1) / t_ref, (cur[et] + 1) / t_cur
         expected[et] = (
             ref[et],
             cur[et],
@@ -1019,3 +1023,29 @@ def test_table_psi_drift_matches_python(spark, sf_dir):
     # balanced synthetic halves: drift should be small but the audit must
     # still resolve nonzero per-category movement at micro resolution
     assert any(r["psi_term_micro"] != 0 for r in rows)
+
+
+def test_table_psi_drift_one_sided_category_is_finite(spark, tmp_path):
+    """The canonical PSI failure mode (ADVICE r11): a category present in
+    only one period must yield a FINITE, non-NULL term that the total
+    includes — a brand-new category IS drift, not a dropped row."""
+    import os
+
+    from sdc_mapreduce_spark.queries.surface_queries import table_psi_drift
+
+    ev = spark.createDataFrame(
+        [("old", "2024-01-10 00:00:00")] * 50
+        + [("old", "2024-01-20 00:00:00")] * 30
+        + [("brand_new", "2024-01-20 00:00:00")] * 20,
+        "event_type string, ts_s string",
+    ).select("event_type", F.col("ts_s").cast("timestamp_ntz").alias("ts"))
+    d = str(tmp_path / "psi1s")
+    ev.write.mode("overwrite").parquet(os.path.join(d, "events.parquet"))
+    rows = {r["event_type"]: r for r in table_psi_drift(spark, d).collect()}
+    bn = rows["brand_new"]
+    assert (bn["n_ref"], bn["n_cur"]) == (0, 20)
+    assert bn["psi_term_micro"] is not None and bn["psi_term_micro"] > 0
+    # the total must carry the new-category term, not drop it via NULL-sum
+    assert bn["psi_micro_total"] == sum(
+        r["psi_term_micro"] for r in rows.values()
+    )
