@@ -35,8 +35,11 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 # shift, confirmed by the isolated A/B in CHECKS_r10). The order is now
 # pinned: the r8 sequence — the longest comparable history — with later
 # additions appended at the END, where they cannot shift the established
-# series. New bench-flagged queries are appended automatically (sorted,
-# after the pinned list) and should be folded into the literal next round.
+# series. A newly bench-flagged query not yet in the literal is appended
+# automatically (sorted, after the pinned list) for the round that adds
+# it, then folded into the literal — as of r12 every flagged query IS in
+# the literal (23 entries, pinned by tests/test_bench_contract.py).
+# BENCH_r12 is the comparison base for the r11 pin-drain convention.
 # NOTE (r11, ADVICE r10): timed samples are now pin-drained individually
 # (see the loop in main), so medians for pin-reusing queries are higher
 # than r10-and-earlier by one shared-frame build per run — an honest
@@ -92,6 +95,9 @@ SPREAD_MAX = 2.0
 # accompanies. Headline timings are unaffected (the suites run after and
 # are reported separately from "value").
 RUN_SKEW = os.environ.get("SPARK_GRAFT_BENCH_SKEW", "1") != "0"
+# VERDICT r11 ask #2: max fresh re-measurement passes for a skew-suite
+# query that stays unsettled (spread > SPREAD_MAX even at MAX_REPEATS).
+SKEW_SETTLE_PASSES = int(os.environ.get("SPARK_GRAFT_BENCH_SKEW_PASSES", "3"))
 
 
 def _median(xs: list[float]) -> float:
@@ -142,6 +148,32 @@ def _timed_runs(
             }
         )
     return samples
+
+
+def _settled_runs(run_once, name: str, stalls: list) -> tuple[list[float], bool, int]:
+    """Stall-robust sampling for the skew suite (VERDICT r11 ask #2): in
+    r11's official artifact one contended host window left every skew query
+    unsettled (samples 1.4-238 s) and INVERTED the suite's conclusion
+    (auto behind the winner) versus the verified quiet-session result.
+    Host stalls only ever INFLATE samples, so the steady-state signal is
+    recoverable: if a full ``_timed_runs`` set ends unsettled, throw it
+    away as a measurement (it stays inspectable in ``stalls``) and take a
+    FRESH pass, up to SKEW_SETTLE_PASSES; accept the first settled pass,
+    else keep the pass with the smallest median — the one least
+    contaminated by contention. Returns (samples, settled, passes_used)."""
+    best: tuple[list[float], bool] | None = None
+    for p in range(SKEW_SETTLE_PASSES):
+        evs: list = []
+        samples = _timed_runs(
+            run_once, name=f"{name}#pass{p + 1}", stall_events=evs
+        )
+        stalls.extend(evs)
+        settled = not evs or bool(evs[-1]["settled"])
+        if best is None or _median(samples) < _median(best[0]):
+            best = (samples, settled)
+        if settled:
+            return samples, True, p + 1
+    return best[0], best[1], SKEW_SETTLE_PASSES
 
 
 def _make_skewed_events(spark, hot_users: str = "1pct") -> str:
@@ -233,6 +265,7 @@ def _skew_suite(spark, path: str, fixture_desc: str) -> dict:
         "skew_sessionize_auto": lambda: sessionize_auto(ev),
     }
     runs: dict[str, list[float]] = {}
+    settle: dict[str, dict] = {}
     stalls: list = []
     for name, build in cases.items():
         # untimed warm-up: the first execution of each plan pays whole-stage
@@ -240,15 +273,18 @@ def _skew_suite(spark, path: str, fixture_desc: str) -> dict:
         # cold sample in every median-of-3; it also faults the fixture's
         # parquet into page cache so run 1 isn't a cold-scan outlier
         build().write.format("noop").mode("overwrite").save()
-        runs[name] = _timed_runs(
+        samples, settled, passes = _settled_runs(
             lambda: build().write.format("noop").mode("overwrite").save(),
             name=name,
-            stall_events=stalls,
+            stalls=stalls,
         )
+        runs[name] = samples
+        settle[name] = {"settled": settled, "passes": passes}
     return {
         "fixture": fixture_desc,
         "queries": {name: round(_median(s), 3) for name, s in runs.items()},
         "runs": runs,
+        "settle": settle,
         "stall_reruns": stalls,
     }
 

@@ -117,6 +117,58 @@ def test_bench_skew_toggle(monkeypatch):
     assert src.index("if RUN_SKEW:") < src.index('_make_skewed_events(spark, "1pct")')
 
 
+def _scripted_clock(monkeypatch, durations):
+    import bench as benchmod
+
+    ticks = []
+    t = 0.0
+    for d in durations:
+        ticks += [t, t + d]
+        t += d + 1.0
+    it = iter(ticks)
+    monkeypatch.setattr(benchmod.time, "time", lambda: next(it))
+
+
+def test_settled_runs_retries_unsettled_pass(monkeypatch):
+    """VERDICT r11 ask #2: one contended window must not be the skew
+    suite's official number. Pass 1 carries a persistent 10 s stall (never
+    settles, extends to MAX_REPEATS); pass 2 is clean — _settled_runs must
+    discard pass 1 and report pass 2 as settled."""
+    import bench as benchmod
+
+    pass1 = [0.1, 0.1, 10.0, 0.1, 0.1, 0.1, 0.1]  # MAX_REPEATS, unsettled
+    pass2 = [0.2, 0.2, 0.2]  # REPEATS, settled
+    _scripted_clock(monkeypatch, pass1 + pass2)
+    stalls: list = []
+    samples, settled, passes = benchmod._settled_runs(
+        lambda: None, name="q", stalls=stalls
+    )
+    assert samples == pass2
+    assert settled is True
+    assert passes == 2
+    # pass 1's contaminated set stays inspectable, tagged with its pass
+    assert len(stalls) == 1 and stalls[0]["query"] == "q#pass1"
+    assert stalls[0]["settled"] is False
+
+
+def test_settled_runs_keeps_min_median_when_nothing_settles(monkeypatch):
+    """If every pass is contended, report the minimum-median pass (stalls
+    only inflate) with settled=False so the artifact is honest."""
+    import bench as benchmod
+
+    bad = [0.5, 0.5, 30.0, 0.5, 0.5, 0.5, 0.5]  # median 0.5
+    worse = [2.0, 2.0, 30.0, 2.0, 2.0, 2.0, 2.0]  # median 2.0
+    _scripted_clock(monkeypatch, worse + bad + worse)
+    stalls: list = []
+    samples, settled, passes = benchmod._settled_runs(
+        lambda: None, name="q", stalls=stalls
+    )
+    assert samples == bad  # pass 2 had the smallest median
+    assert settled is False
+    assert passes == benchmod.SKEW_SETTLE_PASSES
+    assert len(stalls) == benchmod.SKEW_SETTLE_PASSES
+
+
 def test_bench_order_is_pinned_canonical():
     """The bench execution order must NOT track the registry's rotating
     priority order (VERDICT r9 ask #2: r9's rotation moved the warm-up
@@ -133,3 +185,8 @@ def test_bench_order_is_pinned_canonical():
     assert set(ordered) == flagged
     # the pinned list should not name queries that no longer exist
     assert set(benchmod._BENCH_ORDER) <= flagged
+    # r12: every bench-flagged query is folded into the literal — if this
+    # fails because you just bench-flagged a new query, append it to the
+    # END of _BENCH_ORDER (never reorder the established series)
+    assert len(benchmod._BENCH_ORDER) == 23
+    assert flagged == set(benchmod._BENCH_ORDER)
