@@ -203,24 +203,33 @@ def kvtext_streaming_restart_certified(spark: SparkSession, sf_dir: str) -> Data
     STREAMING kvtext source (datasource.py::KVTextStreamReader — offset =
     ingested file set, VERDICT r8 ask #7; the events restart cert covers
     the streaming ENGINE, this one covers the custom SOURCE's offset
-    contract). Two availableNow runs share one checkpoint: run 1 streams
-    the phase-1 blobs through a grouped running sum (update mode,
-    foreachBatch appends with batch ids); new blobs then land in the
-    directory and run 2 restarts from the checkpoint. Last-batch-wins per
-    key must equal the batch totals over ALL lines, which the oracle
-    computes straight from parquet — a source that re-ingests committed
-    files after restart doubles the affected keys, one that loses offset
-    or aggregation state undershoots, and either hash-mismatches.
-    Malformed lines interleave in BOTH phases and must be dropped by the
-    shard reader (O15 under streaming). Scratch dirs are removed after the
-    small result is materialized eagerly."""
+    contract). Two bounded AvailableNow-equivalent drains share one
+    checkpoint (VERDICT r11 ask #3): each run streams with
+    ``max_batch_files=1`` + ``available_now=true`` — the source-side
+    admission control that stands in for SupportsTriggerAvailableNow /
+    ReadLimit, which the Python DataSource API structurally cannot declare
+    (see KVTextStreamReader's docstring) — so every phase drains its blobs
+    across MULTIPLE micro-batches (a real bounded backfill, not the
+    engine's single-batch fallback), and ``drain_available_now`` stops the
+    query once the start-of-run snapshot is covered. Run 1 streams the
+    phase-1 blobs through a grouped running sum (update mode, foreachBatch
+    appends with batch ids); new blobs then land in the directory and run
+    2 restarts from the checkpoint. Last-batch-wins per key must equal the
+    batch totals over ALL lines, which the oracle computes straight from
+    parquet — a source that re-ingests committed files after restart
+    doubles the affected keys, one that loses offset or aggregation state
+    undershoots, and either hash-mismatches. ``multi_batch_ok`` certifies
+    that BOTH runs drained >= 2 data-carrying micro-batches (the oracle
+    pins it TRUE). Malformed lines interleave in BOTH phases and must be
+    dropped by the shard reader (O15 under streaming). Scratch dirs are
+    removed after the small result is materialized eagerly."""
     import glob
     import shutil
     import tempfile
 
     from pyspark.sql import Window
 
-    from sdc_mapreduce_spark.datasource import register_kvtext
+    from sdc_mapreduce_spark.datasource import drain_available_now, register_kvtext
 
     src = tempfile.mkdtemp(prefix="sdcms_kvstream_src_")
     ckpt = tempfile.mkdtemp(prefix="sdcms_kvstream_ckpt_")
@@ -241,10 +250,13 @@ def kvtext_streaming_restart_certified(spark: SparkSession, sf_dir: str) -> Data
 
         def land_phase(phase_df: DataFrame, name: str) -> None:
             # the streaming source lists SRC itself, so phase files are
-            # written to scratch and copied in flat with unique names
+            # written to scratch and copied in flat with unique names.
+            # repartition (NOT coalesce: a 1-partition scan coalesces to 1
+            # file, and the leftover file would hold only malformed lines —
+            # 0 valid rows — defeating the multi-batch data certification)
             scratch = tempfile.mkdtemp(prefix="sdcms_kvstream_tmp_")
             try:
-                phase_df.select("value").coalesce(2).write.mode(
+                phase_df.select("value").repartition(2).write.mode(
                     "overwrite"
                 ).text(scratch)
                 for i, part in enumerate(
@@ -256,16 +268,23 @@ def kvtext_streaming_restart_certified(spark: SparkSession, sf_dir: str) -> Data
 
         register_kvtext(spark)
 
-        def run() -> None:
+        def run() -> int:
             # DEFAULT shard_size on purpose (VERDICT r9 ask #1): the
             # partition-count guard now lives in the SOURCE —
             # KVTextStreamReader coalesces its shard plan to at most
             # max_batch_shards partitions per micro-batch — so this cert
             # exercises the default path every caller gets, at any corpus
             # size, instead of working around the old cliff query-side.
+            # max_batch_files=1 + available_now=true: each blob becomes
+            # its own micro-batch and the run stops once the files present
+            # at run start are drained — the bounded multi-batch catch-up
+            # Trigger.AvailableNow performs for JVM sources (r11 ask #3).
+            goal = sorted(glob.glob(os.path.join(src, "*.txt")))
             parsed = (
                 spark.readStream.format("kvtext")
                 .option("path", src)
+                .option("max_batch_files", 1)
+                .option("available_now", "true")
                 .load()
             )
             agg = parsed.groupBy("key").agg(F.sum("value").alias("total"))
@@ -279,30 +298,33 @@ def kvtext_streaming_restart_certified(spark: SparkSession, sf_dir: str) -> Data
                 agg.writeStream.foreachBatch(land)
                 .outputMode("update")
                 .option("checkpointLocation", ckpt)
-                .trigger(availableNow=True)
+                .trigger(processingTime="0 seconds")
                 .start()
             )
-            # awaitTermination returns False on timeout (ADVICE r9):
-            # proceeding would read a partial sink and start a second
-            # query against the still-active checkpoint — fail loudly.
-            if not q.awaitTermination(300):
-                q.stop()
-                raise TimeoutError(
-                    "kvtext streaming cert: availableNow run did not "
-                    "terminate within 300s"
-                )
+            # drain_available_now stops the query only after a COMPLETED
+            # batch's end offset covers the goal — a timeout here means the
+            # drain never caught up; proceeding would read a partial sink
+            # and start a second query against the still-active checkpoint.
+            return drain_available_now(q, goal, timeout=300)
 
         land_phase(lines.filter(F.col("__p1")), "p1")
-        run()
+        batches_run1 = run()
         land_phase(lines.filter(~F.col("__p1")), "p2")
-        run()
+        batches_run2 = run()
+        # each phase lands 2 blobs and max_batch_files=1, so a bounded
+        # multi-batch drain shows >= 2 data batches per run; the restart
+        # run must NOT re-ingest phase-1 blobs (that would show up both
+        # here as extra batches and in the oracle totals as doubling)
+        multi_batch_ok = batches_run1 >= 2 and batches_run2 >= 2
 
         emitted = spark.read.parquet(sink)
         w = Window.partitionBy("key").orderBy(F.col("__b").desc())
         result = (
             emitted.withColumn("__rn", F.row_number().over(w))
             .filter(F.col("__rn") == 1)
-            .select("key", "total")
+            .select(
+                "key", "total", F.lit(multi_batch_ok).alias("multi_batch_ok")
+            )
             .orderBy("key")
         )
         rows = result.collect()
@@ -314,7 +336,8 @@ def kvtext_streaming_restart_certified(spark: SparkSession, sf_dir: str) -> Data
 
 
 KVTEXT_STREAMING_RESTART_SQL = """
-SELECT l_returnflag AS key, CAST(SUM(l_linenumber) AS BIGINT) AS total
+SELECT l_returnflag AS key, CAST(SUM(l_linenumber) AS BIGINT) AS total,
+       TRUE AS multi_batch_ok
 FROM lineitem GROUP BY l_returnflag ORDER BY key
 """
 

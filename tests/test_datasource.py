@@ -382,3 +382,127 @@ def test_streaming_wordcount_same_plan_as_batch(spark, tmp_path):
         r["word"]: r["cnt"] for r in spark.sql("SELECT * FROM wc_stream2").collect()
     }
     assert got2 == {"alpha": 2, "beta": 1, "gamma": 1}
+
+
+# --- admission control / AvailableNow-equivalent (r12, VERDICT r11 #3) ----
+
+
+def test_kvtext_stream_admission_bounds_files_per_batch(tmp_path):
+    """max_batch_files is the ReadLimit analog: successive latestOffset
+    calls admit at most N new files each, in sorted order, until caught
+    up — then the offset stops advancing (no empty-batch churn)."""
+    from sdc_mapreduce_spark.datasource import KVTextStreamReader
+
+    d = tmp_path / "adm"
+    d.mkdir()
+    for f in range(5):
+        (d / f"blob{f}.txt").write_text(f"k{f} {f}\n")
+
+    r = KVTextStreamReader({"path": str(d), "max_batch_files": "2"})
+    assert r.initialOffset() == {"files": []}
+    o1 = r.latestOffset()
+    assert len(o1["files"]) == 2
+    o2 = r.latestOffset()
+    assert len(o2["files"]) == 4
+    assert set(o1["files"]) < set(o2["files"])
+    o3 = r.latestOffset()
+    assert len(o3["files"]) == 5
+    # caught up: offset is stable
+    assert r.latestOffset() == o3
+    # the per-batch delta is exactly the newly admitted files
+    parts = r.partitions(o1, o2)
+    segs = {p for part in parts for p, _, _ in part.segments}
+    assert segs == set(o2["files"]) - set(o1["files"])
+
+
+def test_kvtext_stream_admission_reseeds_from_replayed_batch(tmp_path):
+    """Checkpoint-restart path: a FRESH reader whose first engine call is
+    the replay of the last logged batch (partitions(start, end)) must
+    continue bounded admission from `end`, not re-admit from scratch."""
+    from sdc_mapreduce_spark.datasource import KVTextStreamReader
+
+    d = tmp_path / "replay"
+    d.mkdir()
+    files = []
+    for f in range(4):
+        p = d / f"blob{f}.txt"
+        p.write_text(f"k{f} {f}\n")
+        files.append(str(p))
+    files.sort()
+
+    r = KVTextStreamReader({"path": str(d), "max_batch_files": "1"})
+    # engine replays the last logged batch on restart (the contract
+    # pyspark's own _SimpleStreamReaderWrapper depends on)
+    r.partitions({"files": files[:1]}, {"files": files[:2]})
+    nxt = r.latestOffset()
+    assert nxt["files"] == files[:3]  # exactly one new file admitted
+
+    # commit() alone also re-seeds (belt and braces)
+    r2 = KVTextStreamReader({"path": str(d), "max_batch_files": "1"})
+    r2.commit({"files": files[:3]})
+    assert r2.latestOffset()["files"] == files[:4]
+
+    # no seed at all = fresh query start (first engine call IS
+    # latestOffset): bounded admission from the empty initial offset,
+    # mirroring pyspark's _SimpleStreamReaderWrapper
+    r3 = KVTextStreamReader({"path": str(d), "max_batch_files": "1"})
+    assert r3.latestOffset()["files"] == files[:1]
+
+
+def test_kvtext_stream_available_now_scopes_to_start_snapshot(tmp_path):
+    """available_now=true snapshots the listing at reader construction:
+    files landing later are NOT admitted (Trigger.AvailableNow scope)."""
+    from sdc_mapreduce_spark.datasource import KVTextStreamReader
+
+    d = tmp_path / "snap"
+    d.mkdir()
+    (d / "a.txt").write_text("a 1\n")
+    (d / "b.txt").write_text("b 2\n")
+    r = KVTextStreamReader(
+        {"path": str(d), "available_now": "true", "max_batch_files": "1"}
+    )
+    r.initialOffset()
+    (d / "c.txt").write_text("c 3\n")  # arrives after query start
+    o1 = r.latestOffset()
+    o2 = r.latestOffset()
+    o3 = r.latestOffset()
+    assert len(o1["files"]) == 1 and len(o2["files"]) == 2
+    assert o3 == o2  # caught up to the snapshot; c.txt is out of scope
+    assert not any(f.endswith("c.txt") for f in o2["files"])
+
+
+def test_kvtext_drain_available_now_multibatch(spark, tmp_path):
+    """End-to-end bounded multi-batch drain: 4 files, max_batch_files=1,
+    drain_available_now stops the query once the start snapshot is covered
+    and reports >= 4 data-carrying micro-batches; every row lands exactly
+    once."""
+    from sdc_mapreduce_spark.datasource import drain_available_now
+
+    d = tmp_path / "drain"
+    d.mkdir()
+    expected = {}
+    goal = []
+    for f in range(4):
+        p = d / f"blob{f}.txt"
+        p.write_text(f"k{f} {f * 10}\n")
+        expected[f"k{f}"] = f * 10
+        goal.append(str(p))
+
+    register_kvtext(spark)
+    out = str(tmp_path / "drain_out")
+    q = (
+        spark.readStream.format("kvtext")
+        .option("path", str(d))
+        .option("max_batch_files", 1)
+        .option("available_now", "true")
+        .load()
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", str(tmp_path / "drain_ckpt"))
+        .trigger(processingTime="0 seconds")
+        .start()
+    )
+    n_batches = drain_available_now(q, goal, timeout=300)
+    assert n_batches >= 4, f"expected a multi-batch drain, got {n_batches}"
+    got = {r["key"]: r["value"] for r in spark.read.parquet(out).collect()}
+    assert got == expected
