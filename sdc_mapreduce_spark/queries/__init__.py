@@ -193,17 +193,21 @@ for _name in _MODULE_ORDER:
 #     still certifies the stalest first): (0) any query added or changed
 #     in round 12; (1) the rotation head (events_sessionize_salted ..),
 #     oldest-first; (2) the r10-window block (freshest, rotation tail).
+_WINDOW_R12: tuple[str, ...] = (
+    # (0) added or changed in round 12 — certify the freshest code first
+    "simsearch_mmr_indexed",  # NEW r12: MMR pool from persisted IVF index + recall audit
+    "table_psi_drift",  # changed r12: Laplace +1 smoothing (ADVICE r11)
+    "simsearch_mmr",  # changed r12: oracle fold-dot parity + degenerate pools
+    "kvtext_streaming_restart_certified",  # changed r12: bounded multi-batch drain
+)
 _WINDOW_R11: tuple[str, ...] = (
     "dedup_jaccard_prefix",  # new in r11: AllPairs/PPJoin prefix-filtered Jaccard
-    "table_psi_drift",  # new in r11: PSI drift audit, micro-nat quantized
-    "simsearch_mmr",  # new in r11: MMR diversified top-k, integer greedy
     "events_streaming_sliding_certified",  # new in r11: sliding-window cert
     "dedup_sorted_neighborhood",  # new in r11: SNM blocking, two-phase global rank
     "text_heavy_hitters",  # new in r11: verified two-pass Misra-Gries top-k
     "text_bpe_segment_batched",
     "text_bpe_merges_batched",
     "events_sessionize_auto",
-    "kvtext_streaming_restart_certified",
     "kvtext_scan_certified",
     "q22_global_sales_opportunity",
     "agg_pivot",
@@ -441,6 +445,7 @@ _ROTATED_OUT: tuple[str, ...] = (
     "q19_disjunctive_filters",
 )
 _PRIORITY: tuple[str, ...] = (
+    *_WINDOW_R12,
     *_WINDOW_R11,
     *_ROTATED_OUT,
 )

@@ -31,7 +31,7 @@ def simsearch_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 SIMSEARCH_TOPK_SQL = f"""
-WITH u AS (
+WITH u AS MATERIALIZED (
   SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
 ), q AS (
   SELECT vec_id AS query_id, v AS qv FROM u WHERE vec_id < 10
@@ -82,7 +82,7 @@ def _mmr_sql(k: int = TOP_K, pool: int = 20, lam: int = 7) -> str:
     )
     parts = [
         f"""
-WITH u AS (
+WITH u AS MATERIALIZED (
   SELECT vec_id,
          list_transform(embedding::DOUBLE[],
                         x -> x / sqrt({unit_norm})) AS v
@@ -93,7 +93,7 @@ WITH u AS (
   SELECT q.query_id, u.vec_id AS cand,
          {_FOLD_DOT.format(a="q.qv", b="u.v")} AS cosine
   FROM q JOIN u ON u.vec_id <> q.query_id
-), pool AS (
+), pool AS MATERIALIZED (
   SELECT query_id, cand,
          CAST(ROUND(1000000.0 * cosine) AS BIGINT) AS rel
   FROM (
@@ -101,7 +101,7 @@ WITH u AS (
            ROW_NUMBER() OVER (PARTITION BY query_id
                               ORDER BY cosine DESC, cand ASC) AS pr
     FROM sc) WHERE pr <= {pool}
-), psim AS (
+), psim AS MATERIALIZED (
   SELECT p1.query_id, p1.cand AS ca, p2.cand AS cb,
          CAST(ROUND(1000000.0 * {_FOLD_DOT.format(a="v1.v", b="v2.v")})
               AS BIGINT) AS sim
@@ -109,7 +109,25 @@ WITH u AS (
   JOIN pool p2 ON p2.query_id = p1.query_id AND p2.cand <> p1.cand
   JOIN u v1 ON v1.vec_id = p1.cand
   JOIN u v2 ON v2.vec_id = p2.cand
-), sel1 AS (
+)"""
+    ]
+    parts.append(_mmr_greedy_sql(k, lam))
+    parts.append(
+        f"""
+SELECT query_id, CAST(cand AS BIGINT) AS neighbor_id,
+       CAST(mmr_rank AS INT) AS mmr_rank
+FROM selall{k}"""
+    )
+    return "".join(parts)
+
+
+def _mmr_greedy_sql(k: int, lam: int) -> str:
+    """The unrolled greedy-selection CTE chain shared by the brute-force
+    and indexed MMR oracles: requires ``pool(query_id, cand, rel)`` and
+    ``psim(query_id, ca, cb, sim)`` CTEs in scope; defines
+    ``selall{k}(query_id, cand, mmr_rank)``."""
+    parts = [
+        """, sel1 AS (
   SELECT query_id, cand FROM (
     SELECT query_id, cand,
            ROW_NUMBER() OVER (PARTITION BY query_id
@@ -146,13 +164,163 @@ WITH u AS (
   UNION ALL SELECT query_id, cand, {i} AS mmr_rank FROM sel{i}
 )"""
         )
-    parts.append(
-        f"""
-SELECT query_id, CAST(cand AS BIGINT) AS neighbor_id,
-       CAST(mmr_rank AS INT) AS mmr_rank
-FROM selall{k}"""
-    )
     return "".join(parts)
+
+
+def simsearch_mmr_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MMR diversified top-5 served FROM the persisted partition-pruned
+    IVF index (VERDICT r11 ask #4): build the seeded quantizer, write the
+    index (corpus one directory per cell + centroids), then run
+    ``mmr_topk(..., index_path=...)`` — the pool stage probes
+    ``IVF_PROBE`` cells per query and scans only those directories
+    (static ``__cell IN`` partition filter), so pool cost is
+    |corpus|·n_probe/n_cells instead of |corpus|. The greedy rerank is
+    unchanged (integer micro-unit arithmetic).
+
+    The result carries a recall audit alongside the ranks:
+    ``pool_hits20`` = how many of the indexed pool's 20 candidates appear
+    in the exact brute-force pool, per query — so the quality of the
+    approximate pool is itself oracle-verified, like
+    simsearch_ann_ivf_index_recall. The DuckDB oracle replays the WHOLE
+    pipeline from the corpus (seeded centroids → cell assignment → probe
+    selection → in-cell pool → pairwise sims → unrolled greedy → brute
+    pool overlap) on identical fold-dot doubles, so the approximate
+    RESULT hash-matches, not just a recall floor. Index dir is fresh per
+    invocation and removed after the small result materializes."""
+    import shutil
+    import tempfile
+
+    from sdc_mapreduce_spark.operators.relational import top_k_per_group
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = S.seeded_centroids(emb, n_cells=IVF_CELLS)
+    assigned = S.assign_cells(emb, cents)
+    path = tempfile.mkdtemp(prefix="sdcms_mmr_ivf_")
+    try:
+        S.write_ivf_index(assigned, cents, path)
+        mmr = S.mmr_topk(
+            emb,
+            QUERY_IDS,
+            k=TOP_K,
+            pool=20,
+            lam_tenths=7,
+            index_path=path,
+            n_probe=IVF_PROBE,
+        )
+        scored = S._index_scored(spark, path, QUERY_IDS, IVF_PROBE)
+        ivf_pool = top_k_per_group(
+            scored.select("query_id", "neighbor_id", "cosine"),
+            ["query_id"],
+            [F.col("cosine").desc(), F.col("neighbor_id").asc()],
+            20,
+            rank_col="__pr",
+        ).select("query_id", "neighbor_id")
+        brute_pool = S.cosine_topk_bruteforce(emb, QUERY_IDS, k=20).select(
+            "query_id", "neighbor_id"
+        )
+        hits = (
+            ivf_pool.join(brute_pool, ["query_id", "neighbor_id"], "leftsemi")
+            .groupBy("query_id")
+            .agg(F.count(F.lit(1)).cast("int").alias("pool_hits20"))
+        )
+        result = (
+            mmr.join(F.broadcast(hits), "query_id", "left")
+            .select(
+                "query_id",
+                "neighbor_id",
+                "mmr_rank",
+                F.coalesce(F.col("pool_hits20"), F.lit(0))
+                .cast("int")
+                .alias("pool_hits20"),
+            )
+            .orderBy("query_id", "mmr_rank")
+        )
+        rows = result.collect()
+        return spark.createDataFrame(rows, schema=result.schema)
+    finally:
+        shutil.rmtree(path, ignore_errors=True)
+
+
+def _mmr_indexed_sql(k: int = TOP_K, pool: int = 20, lam: int = 7) -> str:
+    """Oracle twin of simsearch_mmr_indexed: replays seeded centroids,
+    argmax cell assignment (ties to the lower cell), per-query probe
+    selection, the in-cell candidate pool, and the unrolled greedy — all
+    on fold-dot unit-vector doubles — then the brute-pool overlap audit.
+    Called at module bottom (after IVF_CELLS/IVF_PROBE are defined)."""
+    unit_norm = _FOLD_DOT.format(
+        a="(embedding::DOUBLE[])", b="(embedding::DOUBLE[])"
+    )
+    prefix = f"""
+WITH u AS MATERIALIZED (
+  SELECT vec_id,
+         list_transform(embedding::DOUBLE[],
+                        x -> x / sqrt({unit_norm})) AS v
+  FROM embeddings
+), cent AS (
+  SELECT CAST(vec_id AS INT) AS cell, v AS c FROM u WHERE vec_id < {IVF_CELLS}
+), assigned AS MATERIALIZED (
+  SELECT vec_id, cell FROM (
+    SELECT u.vec_id, cent.cell,
+           ROW_NUMBER() OVER (PARTITION BY u.vec_id
+                              ORDER BY {_FOLD_DOT.format(a="u.v", b="cent.c")} DESC,
+                                       cent.cell ASC) AS r
+    FROM u CROSS JOIN cent) WHERE r = 1
+), q AS (
+  SELECT vec_id AS query_id, v AS qv FROM u WHERE vec_id < 10
+), probes AS (
+  SELECT query_id, cell FROM (
+    SELECT q.query_id, cent.cell,
+           ROW_NUMBER() OVER (PARTITION BY q.query_id
+                              ORDER BY {_FOLD_DOT.format(a="q.qv", b="cent.c")} DESC,
+                                       cent.cell ASC) AS r
+    FROM q CROSS JOIN cent) WHERE r <= {IVF_PROBE}
+), sc AS (
+  SELECT q.query_id, u.vec_id AS cand,
+         {_FOLD_DOT.format(a="q.qv", b="u.v")} AS cosine
+  FROM q
+  JOIN probes p ON p.query_id = q.query_id
+  JOIN assigned a ON a.cell = p.cell
+  JOIN u ON u.vec_id = a.vec_id
+  WHERE u.vec_id <> q.query_id
+), pool AS MATERIALIZED (
+  SELECT query_id, cand,
+         CAST(ROUND(1000000.0 * cosine) AS BIGINT) AS rel
+  FROM (
+    SELECT query_id, cand, cosine,
+           ROW_NUMBER() OVER (PARTITION BY query_id
+                              ORDER BY cosine DESC, cand ASC) AS pr
+    FROM sc) WHERE pr <= {pool}
+), psim AS MATERIALIZED (
+  SELECT p1.query_id, p1.cand AS ca, p2.cand AS cb,
+         CAST(ROUND(1000000.0 * {_FOLD_DOT.format(a="v1.v", b="v2.v")})
+              AS BIGINT) AS sim
+  FROM pool p1
+  JOIN pool p2 ON p2.query_id = p1.query_id AND p2.cand <> p1.cand
+  JOIN u v1 ON v1.vec_id = p1.cand
+  JOIN u v2 ON v2.vec_id = p2.cand
+)"""
+    audit_final = f"""
+, bsc AS (
+  SELECT q.query_id, u.vec_id AS cand,
+         {_FOLD_DOT.format(a="q.qv", b="u.v")} AS cosine
+  FROM q JOIN u ON u.vec_id <> q.query_id
+), bpool AS MATERIALIZED (
+  SELECT query_id, cand FROM (
+    SELECT query_id, cand,
+           ROW_NUMBER() OVER (PARTITION BY query_id
+                              ORDER BY cosine DESC, cand ASC) AS pr
+    FROM bsc) WHERE pr <= {pool}
+), hits AS (
+  SELECT p.query_id, COUNT(*) AS n_hits
+  FROM pool p JOIN bpool b ON b.query_id = p.query_id AND b.cand = p.cand
+  GROUP BY p.query_id
+)
+SELECT s.query_id, CAST(s.cand AS BIGINT) AS neighbor_id,
+       CAST(s.mmr_rank AS INT) AS mmr_rank,
+       CAST(COALESCE(h.n_hits, 0) AS INT) AS pool_hits20
+FROM selall{k} s LEFT JOIN hits h ON h.query_id = s.query_id
+"""
+    return prefix + _mmr_greedy_sql(k, lam) + audit_final
 
 
 def simsearch_topk_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -262,7 +430,7 @@ def simsearch_ann_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 SIMSEARCH_ANN_IVF_RECALL_SQL = f"""
-WITH u AS (
+WITH u AS MATERIALIZED (
   SELECT vec_id,
          list_transform(
            embedding::DOUBLE[],
@@ -272,7 +440,7 @@ WITH u AS (
   FROM embeddings
 ), cent AS (
   SELECT CAST(vec_id AS INT) AS cell, unit AS c FROM u WHERE vec_id < {IVF_CELLS}
-), assigned AS (
+), assigned AS MATERIALIZED (
   SELECT vec_id, cell FROM (
     SELECT u.vec_id, cent.cell,
            ROW_NUMBER() OVER (
@@ -331,7 +499,7 @@ ORDER BY eq.query_id
 
 
 SIMSEARCH_ANN_IVF_SQL = f"""
-WITH u AS (
+WITH u AS MATERIALIZED (
   SELECT vec_id,
          list_transform(
            embedding::DOUBLE[],
@@ -341,7 +509,7 @@ WITH u AS (
   FROM embeddings
 ), cent AS (
   SELECT CAST(vec_id AS INT) AS cell, unit AS c FROM u WHERE vec_id < {IVF_CELLS}
-), assigned AS (
+), assigned AS MATERIALIZED (
   SELECT vec_id, cell FROM (
     SELECT u.vec_id, cent.cell,
            ROW_NUMBER() OVER (
@@ -386,7 +554,7 @@ PQ_CODES = 8
 # of the 4 subspaces spans 16 dims), and the PQ encoding (per-vector,
 # per-subspace argmin of cc - 2*<x_s, cw>, ties to the lowest code id).
 _PQ_CTES = f"""
-WITH u AS (
+WITH u AS MATERIALIZED (
   SELECT vec_id,
          list_transform(
            embedding::DOUBLE[],
@@ -530,7 +698,7 @@ def simsearch_ann_ivfpq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
 SIMSEARCH_ANN_IVFPQ_RECALL_SQL = f"""{_PQ_CTES}
 , cent AS (
   SELECT CAST(vec_id AS INT) AS cell, unit AS c FROM u WHERE vec_id < {IVF_CELLS}
-), assigned AS (
+), assigned AS MATERIALIZED (
   SELECT vec_id, cell FROM (
     SELECT u.vec_id, cent.cell,
            ROW_NUMBER() OVER (
@@ -992,7 +1160,7 @@ def simsearch_range_search(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 SIMSEARCH_RANGE_SQL = """
-WITH u AS (
+WITH u AS MATERIALIZED (
   SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
 ), q AS (
   SELECT vec_id AS query_id, v AS qv FROM u WHERE vec_id < 10
@@ -1082,7 +1250,7 @@ def embedding_kmeans_step(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 EMBEDDING_KMEANS_STEP_SQL = f"""
-WITH u AS (
+WITH u AS MATERIALIZED (
   SELECT vec_id,
          list_transform(
            embedding::DOUBLE[],
@@ -1133,6 +1301,7 @@ QUERIES: dict[str, QuerySpec] = {
     # -function form at bench SF, identical results/oracle)
     "simsearch_topk": QuerySpec(simsearch_topk, SIMSEARCH_TOPK_SQL),
     "simsearch_mmr": QuerySpec(simsearch_mmr, _mmr_sql()),
+    "simsearch_mmr_indexed": QuerySpec(simsearch_mmr_indexed, _mmr_indexed_sql()),
     "embedding_nearest_centroid": QuerySpec(
         embedding_nearest_centroid, EMBEDDING_NEAREST_CENTROID_SQL
     ),

@@ -52,33 +52,29 @@ def test_every_registered_query_is_prioritized():
     )
 
 
-def test_window_head_is_the_r11_plan():
+def test_window_head_is_the_r12_plan():
     """First 50 registry entries are the driver's certification sample —
-    pin the r11 head so an accidental reorder is caught before the round
-    ends (r11-changed queries first, then the stalest rotation block)."""
+    pin the r12 head so an accidental reorder is caught before the round
+    ends (r12 new/changed queries first, then the r11 block, then the
+    stalest rotation entries)."""
     import sdc_mapreduce_spark.queries as q
 
     head = list(q.REGISTRY)[:50]
-    # plan item 0: the six in-round r11 additions lead (newest certs
-    # first), then the post-freeze r10 addition
-    assert head[:7] == [
-        "dedup_jaccard_prefix",
+    # plan item 0: round-12 additions and changes lead (newest certs first)
+    assert head[:4] == [
+        "simsearch_mmr_indexed",
         "table_psi_drift",
         "simsearch_mmr",
+        "kvtext_streaming_restart_certified",
+    ]
+    # plan item 1: the r11 window block (minus entries promoted to R12)
+    assert head[4:8] == [
+        "dedup_jaccard_prefix",
         "events_streaming_sliding_certified",
         "dedup_sorted_neighborhood",
         "text_heavy_hitters",
-        "text_bpe_segment_batched",
     ]
-    # plan item 1: every query whose code or oracle changed in r11
-    assert head[7:11] == [
-        "text_bpe_merges_batched",
-        "events_sessionize_auto",
-        "kvtext_streaming_restart_certified",
-        "kvtext_scan_certified",
-    ]
-    # plan items 2-3: stalest rotation entries fill the remainder
-    assert head[11] == "q22_global_sales_opportunity"
+    assert "q22_global_sales_opportunity" in head
     assert len(head) == 50
 
 

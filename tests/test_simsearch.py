@@ -563,3 +563,84 @@ def test_mmr_validates_args(spark, sf_dir):
         S.mmr_topk(emb, QUERY_IDS, lam_tenths=11)
     with pytest.raises(ValueError, match="pool"):
         S.mmr_topk(emb, QUERY_IDS, k=30, pool=20)
+
+
+def test_mmr_indexed_pool_matches_python_greedy_on_ivf_candidates(spark, sf_dir, tmp_path):
+    """mmr_topk(index_path=...) must equal the Python greedy replayed over
+    the EXACT candidate set the index serves (probed-cell members), and
+    rank 1 must be the best candidate IN THE PROBED CELLS — the indexed
+    path approximates the pool, never the greedy."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = S.seeded_centroids(emb, n_cells=8)
+    assigned = S.assign_cells(emb, cents)
+    path = str(tmp_path / "mmr_ivf")
+    S.write_ivf_index(assigned, cents, path)
+
+    got = {
+        (r["query_id"], r["neighbor_id"], r["mmr_rank"])
+        for r in S.mmr_topk(
+            emb, QUERY_IDS, k=K, pool=20, lam_tenths=7,
+            index_path=path, n_probe=4,
+        ).collect()
+    }
+    # replay: restrict each query's candidates to its probed cells, then
+    # run the same python greedy used by the brute-force parity test
+    scored = S._index_scored(spark, path, QUERY_IDS, n_probe=4).collect()
+    by_q: dict[int, list] = {}
+    for r in scored:
+        by_q.setdefault(r["query_id"], []).append(r)
+    expected = set()
+    for q, cands in by_q.items():
+        pool = sorted(cands, key=lambda r: (-r["cosine"], r["neighbor_id"]))[:20]
+        rel = {r["neighbor_id"]: round(r["cosine"] * 1e6) for r in pool}
+        units = {r["neighbor_id"]: r["__unit"] for r in pool}
+        selected, remaining = [], set(rel)
+        for step in range(1, K + 1):
+            if not remaining:
+                break
+            def score(c):
+                ms = max(
+                    (round(sum(x * y for x, y in zip(units[c], units[s])) * 1e6)
+                     for s in selected),
+                    default=0,
+                )
+                return 7 * rel[c] - 3 * ms
+            best = max(remaining, key=lambda c: (score(c), -c))
+            selected.append(best)
+            remaining.discard(best)
+            expected.add((q, best, step))
+    assert got == expected
+
+
+def test_mmr_indexed_pool_recall_floor(spark, sf_dir, tmp_path):
+    """The indexed pool must recover most of the brute-force pool on the
+    fixture (seeded quantizer, 4/8 cells probed) — the audit column the
+    registered query exposes should not silently degrade."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = S.seeded_centroids(emb, n_cells=8)
+    assigned = S.assign_cells(emb, cents)
+    path = str(tmp_path / "mmr_ivf_recall")
+    S.write_ivf_index(assigned, cents, path)
+    from sdc_mapreduce_spark.operators.relational import top_k_per_group
+    from pyspark.sql import functions as F
+
+    scored = S._index_scored(spark, path, QUERY_IDS, n_probe=4)
+    ivf_pool = top_k_per_group(
+        scored.select("query_id", "neighbor_id", "cosine"),
+        ["query_id"],
+        [F.col("cosine").desc(), F.col("neighbor_id").asc()],
+        20,
+        rank_col="__pr",
+    ).select("query_id", "neighbor_id")
+    brute = S.cosine_topk_bruteforce(emb, QUERY_IDS, k=20).select(
+        "query_id", "neighbor_id"
+    )
+    hits = (
+        ivf_pool.join(brute, ["query_id", "neighbor_id"], "leftsemi")
+        .groupBy("query_id")
+        .count()
+        .collect()
+    )
+    assert len(hits) == len(QUERY_IDS)
+    avg = sum(r["count"] for r in hits) / (20 * len(QUERY_IDS))
+    assert avg >= 0.5, f"indexed pool recall collapsed: {avg:.2f}"
