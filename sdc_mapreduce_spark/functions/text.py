@@ -1646,3 +1646,177 @@ def _bpe_learn_batched(
         state = _bpe_apply_merges(paired, match, w_ord)
 
     return merges, state
+
+
+def _viterbi_pieces(w: str, lp: dict[str, int], max_piece_len: int) -> list[str]:
+    """Best unigram-LM segmentation of one word: maximize the sum of
+    integer micro-nat log-probs over pieces (length <= max_piece_len),
+    ties broken by the SMALLEST predecessor boundary at every dp cell
+    (equivalently: prefer the longer piece ending at that cell). Pure
+    integer comparisons — deterministic, and exactly replayable by the
+    oracle's unrolled dp CTEs (ROW_NUMBER ... ORDER BY score DESC,
+    bj ASC). Positions with no reachable segmentation stay None; the
+    caller guarantees reachability of the final position (the seed vocab
+    contains every character, and each EM round's vocab contains every
+    piece used by the previous round's paths)."""
+    n = len(w)
+    dp: list[int | None] = [None] * (n + 1)
+    bj = [0] * (n + 1)
+    dp[0] = 0
+    for i in range(1, n + 1):
+        best: int | None = None
+        bestj = -1
+        for j in range(max(0, i - max_piece_len), i):
+            if dp[j] is None:
+                continue
+            p = lp.get(w[j:i])
+            if p is None:
+                continue
+            s = dp[j] + p
+            if best is None or s > best:  # strict: ascending j keeps the
+                best, bestj = s, j  # smallest boundary among maximizers
+        dp[i] = best
+        bj[i] = bestj
+    if dp[n] is None:
+        raise ValueError(f"unigram_lm: word {w!r} not segmentable")
+    pieces: list[str] = []
+    i = n
+    while i > 0:
+        j = bj[i]
+        pieces.append(w[j:i])
+        i = j
+    return pieces[::-1]
+
+
+def unigram_lm(
+    df: DataFrame,
+    text_col: str = "text",
+    max_piece_len: int = 4,
+    max_word_len: int = 12,
+    seed_multi: int = 128,
+    em_iters: int = 2,
+    top_out: int = 60,
+) -> DataFrame:
+    """Unigram-LM tokenizer learner (Kudo, ACL'18 — the SentencePiece
+    training objective), hard-EM/Viterbi variant: the OTHER tokenizer real
+    LLM pipelines train besides BPE (VERDICT r11 ask #8). Learns a
+    subword vocabulary with log-probabilities by alternating
+    (E) Viterbi-segment every word under the current piece probabilities
+    and (B) re-estimate probabilities from the segment counts — Kudo §3.2
+    with Viterbi (1-best) expected counts, the deterministic approximation
+    (SentencePiece itself decodes with Viterbi; hard-EM keeps every count
+    an exact integer so the whole learner is engine-portable).
+
+    Algorithm (every tie-break pinned cross-engine):
+    1. word table: the repo's BPE scope — whitespace tokens restricted to
+       ASCII alphanumerics — further restricted to words of length <=
+       ``max_word_len`` (pins the oracle's dp unroll depth), grouped to
+       (word, freq);
+    2. seed vocabulary: ALL single characters plus the ``seed_multi``
+       highest-weight substrings of length 2..``max_piece_len`` (weight =
+       sum of freq over words containing the substring at each position;
+       ties piece ASC). Seed probability = weight / total seed weight;
+    3. per EM round: Viterbi-segment each distinct word (maximize summed
+       micro-nat log-probs, integer arithmetic, ties to the smaller
+       boundary), count pieces on the 1-best paths weighted by word freq,
+       re-normalize to new log-probs. Unused pieces drop out (standard
+       hard-EM pruning); every word stays segmentable because its own
+       previous path's pieces survive by construction;
+    4. output: the ``top_out`` pieces by (final count DESC, piece ASC)
+       with ``logprob_micro`` = ROUND(1e6 * ln(count/total)) — the repo's
+       micro-nat quantization discipline (PSI/MMR), computed JVM-side so
+       the ln parity matches the DuckDB oracle.
+
+    Scale design: the corpus appears ONLY as the distinct-word frame (the
+    BPE learner's working set); EM state is the vocabulary — O(chars +
+    seed_multi) rows — collected to the driver per round behind that
+    structural bound and broadcast into ONE Arrow mapInPandas pass per
+    round (integer Viterbi per word, no per-row JVM crossings). Each
+    round costs one distinct-word scan + one O(pieces) shuffle; nothing
+    corpus-sized ever reaches the driver. At a 32k-vocab production
+    build, rounds stay identical — only seed_multi grows.
+    """
+    import pandas as pd
+
+    spark = df.sparkSession
+    words = (
+        df.select(F.explode(tokens(text_col)).alias("w"))
+        .filter(F.col("w").rlike("^[A-Za-z0-9]+$"))
+        .filter(F.length("w") <= max_word_len)
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .localCheckpoint(eager=True)  # reused by seed + every EM round
+    )
+    sub_expr = F.expr(
+        "flatten(transform(sequence(1, length(w)), i -> "
+        f"transform(sequence(1, least({int(max_piece_len)}, length(w) - i + 1)), "
+        "l -> substring(w, i, l))))"
+    )
+    subs = (
+        words.select("freq", F.explode(sub_expr).alias("piece"))
+        .groupBy("piece")
+        .agg(F.sum("freq").alias("c"))
+    )
+    chars = subs.filter(F.length("piece") == 1)
+    multi = (
+        subs.filter(F.length("piece") >= 2)
+        .orderBy(F.col("c").desc(), F.col("piece").asc())
+        .limit(seed_multi)
+    )
+    seed = chars.unionByName(multi)
+
+    def _lp_rows(counts: DataFrame) -> list:
+        """(piece, lp_micro) with lp computed JVM-side (ln parity with the
+        oracle); bounded collect — O(chars + seed_multi) rows by
+        construction (counts only ever shrinks from the seed)."""
+        total = counts.agg(F.sum("c").alias("__t"))
+        return (
+            counts.crossJoin(F.broadcast(total))
+            .select(
+                "piece",
+                F.round(F.log(F.col("c") / F.col("__t")) * 1e6)
+                .cast("bigint")
+                .alias("lp"),
+            )
+            .collect()
+        )
+
+    vocab = {r["piece"]: int(r["lp"]) for r in _lp_rows(seed)}
+    counts = None
+    for t in range(em_iters):
+        bc = spark.sparkContext.broadcast(vocab)
+
+        def kernel(batches, _lpmap=bc, _m=int(max_piece_len)):
+            lp = _lpmap.value
+            for pdf in batches:
+                out_p: list[str] = []
+                out_f: list[int] = []
+                for w, freq in zip(pdf["w"], pdf["freq"]):
+                    for piece in _viterbi_pieces(str(w), lp, _m):
+                        out_p.append(piece)
+                        out_f.append(int(freq))
+                yield pd.DataFrame({"piece": out_p, "freq": out_f})
+
+        counts = (
+            words.mapInPandas(kernel, "piece string, freq long")
+            .groupBy("piece")
+            .agg(F.sum("freq").alias("c"))
+            .localCheckpoint(eager=True)  # O(vocab) rows; truncates the
+            # Arrow-kernel lineage so later consumers don't re-segment
+        )
+        if t < em_iters - 1:
+            vocab = {r["piece"]: int(r["lp"]) for r in _lp_rows(counts)}
+
+    total = counts.agg(F.sum("c").alias("__t"))
+    return (
+        counts.crossJoin(F.broadcast(total))
+        .select(
+            "piece",
+            F.col("c").cast("bigint").alias("cnt"),
+            F.round(F.log(F.col("c") / F.col("__t")) * 1e6)
+            .cast("bigint")
+            .alias("logprob_micro"),
+        )
+        .orderBy(F.col("cnt").desc(), F.col("piece").asc())
+        .limit(top_out)
+    )

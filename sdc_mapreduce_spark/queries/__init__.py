@@ -196,6 +196,7 @@ for _name in _MODULE_ORDER:
 _WINDOW_R12: tuple[str, ...] = (
     # (0) added or changed in round 12 — certify the freshest code first
     "simsearch_mmr_indexed",  # NEW r12: MMR pool from persisted IVF index + recall audit
+    "text_unigram_lm",  # NEW r12: unigram-LM (SentencePiece-objective) tokenizer learner
     "table_psi_drift",  # changed r12: Laplace +1 smoothing (ADVICE r11)
     "simsearch_mmr",  # changed r12: oracle fold-dot parity + degenerate pools
     "kvtext_streaming_restart_certified",  # changed r12: bounded multi-batch drain

@@ -61,14 +61,15 @@ def test_window_head_is_the_r12_plan():
 
     head = list(q.REGISTRY)[:50]
     # plan item 0: round-12 additions and changes lead (newest certs first)
-    assert head[:4] == [
+    assert head[:5] == [
         "simsearch_mmr_indexed",
+        "text_unigram_lm",
         "table_psi_drift",
         "simsearch_mmr",
         "kvtext_streaming_restart_certified",
     ]
     # plan item 1: the r11 window block (minus entries promoted to R12)
-    assert head[4:8] == [
+    assert head[5:9] == [
         "dedup_jaccard_prefix",
         "events_streaming_sliding_certified",
         "dedup_sorted_neighborhood",
