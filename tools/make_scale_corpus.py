@@ -18,8 +18,20 @@ Usage:
         [--dest /tmp/sdcms_sfscale10] [--replicas 10]
 
 Determinism: no RNG anywhere — ids shift by replica * (max_id + 1), text
-tokens get a fixed "r{i}:" prefix, embedding component (vec_id % dim)
-shifts by replica * 1e-3. Replica 0 is byte-identical to the source rows.
+tokens get a fixed "r{i}:" prefix, and embeddings get a PER-REPLICA
+ORTHOGONAL TRANSFORM (cyclic dimension shift by r + a multiplicative-hash
+sign pattern). Replica 0 is byte-identical to the source rows.
+
+Why a transform and not a perturbation (VERDICT r11 ask #1): r11's
+fixture shifted one component by r*1e-3, which left every replica of a
+vector a GENUINE near-dup of every other replica — true output pairs grew
+~quadratically in replicas (9.5x pairs for 3x data), so scaling slopes of
+near-dup operators measured fixture pair density, not the engine. An
+orthogonal transform preserves every INTRA-replica cosine exactly (the
+planted near-dup structure replicates 1:1, totals scale linearly — the
+embedding analog of the text side's disjoint "r{i}:" shingle prefixes)
+while cross-replica cosines collapse to generic inner products (measured
+< 0.5 on the fixture vs the 0.9+ dedup thresholds).
 """
 
 from __future__ import annotations
@@ -45,19 +57,6 @@ def scale_documents(src: str, dest: str, replicas: int) -> int:
     source = tbl.column("source").to_pylist()
     n_chars = tbl.column("n_chars").to_pylist()
     shift = max(doc_id) + 1
-    out = {"doc_id": [], "text": [], "lang": [], "source": [], "n_chars": []}
-    for r in range(replicas):
-        for i in range(len(doc_id)):
-            out["doc_id"].append(doc_id[i] + r * shift)
-            if r == 0:
-                t = text[i]
-                out["n_chars"].append(n_chars[i])
-            else:
-                t = " ".join(f"r{r}:{tok}" for tok in text[i].split())
-                out["n_chars"].append(len(t))
-            out["text"].append(t)
-            out["lang"].append(lang[i])
-            out["source"].append(source[i])
     schema = pa.schema(
         [
             ("doc_id", pa.int64()),
@@ -67,8 +66,35 @@ def scale_documents(src: str, dest: str, replicas: int) -> int:
             ("n_chars", pa.int64()),
         ]
     )
-    pq.write_table(pa.table(out, schema=schema), table_path(dest, "documents"))
-    return len(out["doc_id"])
+    total = 0
+    # stream one row group per replica: the 100x corpus must not hold
+    # every replica's text in python lists at once
+    with pq.ParquetWriter(table_path(dest, "documents"), schema) as writer:
+        for r in range(replicas):
+            out = {"doc_id": [], "text": [], "lang": [], "source": [], "n_chars": []}
+            for i in range(len(doc_id)):
+                out["doc_id"].append(doc_id[i] + r * shift)
+                if r == 0:
+                    t = text[i]
+                    out["n_chars"].append(n_chars[i])
+                else:
+                    t = " ".join(f"r{r}:{tok}" for tok in text[i].split())
+                    out["n_chars"].append(len(t))
+                out["text"].append(t)
+                out["lang"].append(lang[i])
+                out["source"].append(source[i])
+            writer.write_table(pa.table(out, schema=schema))
+            total += len(out["doc_id"])
+    return total
+
+
+def _replica_signs(dim: int, r: int) -> list[int]:
+    """Deterministic ±1 pattern for replica r (Knuth multiplicative hash
+    over (component, replica) — pure integer arithmetic, engine-free)."""
+    return [
+        -1 if (((i + dim * r) * 2654435761) >> 16) & 1 else 1
+        for i in range(dim)
+    ]
 
 
 def scale_embeddings(src: str, dest: str, replicas: int) -> int:
@@ -77,15 +103,6 @@ def scale_embeddings(src: str, dest: str, replicas: int) -> int:
     emb = tbl.column("embedding").to_pylist()
     label = tbl.column("label").to_pylist()
     shift = max(vec_id) + 1
-    out_id, out_emb, out_label = [], [], []
-    for r in range(replicas):
-        for i in range(len(vec_id)):
-            out_id.append(vec_id[i] + r * shift)
-            v = list(emb[i])
-            if r:
-                v[vec_id[i] % len(v)] += r * 1e-3
-            out_emb.append(v)
-            out_label.append(label[i])
     schema = pa.schema(
         [
             ("vec_id", pa.int64()),
@@ -93,12 +110,38 @@ def scale_embeddings(src: str, dest: str, replicas: int) -> int:
             ("label", pa.int32()),
         ]
     )
-    pq.write_table(
-        pa.table({"vec_id": out_id, "embedding": out_emb, "label": out_label},
-                 schema=schema),
-        table_path(dest, "embeddings"),
-    )
-    return len(out_id)
+    total = 0
+    with pq.ParquetWriter(table_path(dest, "embeddings"), schema) as writer:
+        for r in range(replicas):
+            out_id, out_emb, out_label = [], [], []
+            if r and emb:
+                dim = len(emb[0])
+                rot = r % dim
+                signs = _replica_signs(dim, r)
+            for i in range(len(vec_id)):
+                out_id.append(vec_id[i] + r * shift)
+                v = list(emb[i])
+                if r:
+                    # per-replica ORTHOGONAL transform: cyclic shift + sign
+                    # flips. Exact float reordering/negation (no FP error):
+                    # intra-replica cosines are preserved bit-for-bit, so
+                    # planted near-dup pairs replicate 1:1 and totals scale
+                    # linearly; cross-replica cosines become generic inner
+                    # products far below near-dup thresholds.
+                    v = [
+                        s * x
+                        for s, x in zip(signs, v[rot:] + v[:rot])
+                    ]
+                out_emb.append(v)
+                out_label.append(label[i])
+            writer.write_table(
+                pa.table(
+                    {"vec_id": out_id, "embedding": out_emb, "label": out_label},
+                    schema=schema,
+                )
+            )
+            total += len(out_id)
+    return total
 
 
 def _replicate_with_key_shift(
@@ -113,20 +156,26 @@ def _replicate_with_key_shift(
     import pyarrow.compute as pc
 
     tbl = pq.read_table(src_path)
-    parts = [tbl]
-    for r in range(1, replicas):
-        cols = {}
-        for name in tbl.schema.names:
-            col = tbl.column(name)
-            if name in shifts:
-                col = pc.add(col, r * shifts[name]).cast(
-                    tbl.schema.field(name).type
-                )
-            cols[name] = col
-        parts.append(pa.table(cols, schema=tbl.schema))
-    out = pa.concat_tables(parts)
-    pq.write_table(out, dest_path)
-    return out.num_rows
+    total = 0
+    # one row group per replica, streamed (a 100x fact table must not be
+    # concatenated in memory)
+    with pq.ParquetWriter(dest_path, tbl.schema) as writer:
+        for r in range(replicas):
+            if r == 0:
+                part = tbl
+            else:
+                cols = {}
+                for name in tbl.schema.names:
+                    col = tbl.column(name)
+                    if name in shifts:
+                        col = pc.add(col, r * shifts[name]).cast(
+                            tbl.schema.field(name).type
+                        )
+                    cols[name] = col
+                part = pa.table(cols, schema=tbl.schema)
+            writer.write_table(part)
+            total += part.num_rows
+    return total
 
 
 def main() -> int:
