@@ -996,13 +996,66 @@ def dedup_embedding_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("vec_id")
 
 
+def _min_label_rounds_sql(n_rounds: int, nodes: str, edges: str) -> str:
+    """Connected components as UNROLLED min-label rounds with pointer
+    jumping — replaces the old transitive-closure recursive CTE, which
+    materialized O(component_size^2) rows (1,640 s and ~30 GB at the 10x
+    corpus once the fixed embedding fixture made the 0.4-threshold pair
+    graph one giant sparse random component; impossible at 100x).
+
+    Round update: l'(v) = min(l(v), l(l(v)), min over in-neighbors' l) —
+    neighbor propagation plus label-chain shortcutting, O(nodes + edges)
+    rows per round, converging in O(log diameter) rounds. Non-convergence
+    is IMPOSSIBLE to pass silently: a poison row (-1, -1) is emitted if
+    one more round would still change any label, which breaks the row
+    count against the Spark side — raise ``n_rounds`` if that ever fires.
+    Requires CTEs ``{nodes}(v)`` and ``{edges}(s, t)`` (directed both
+    ways) in scope; defines ``labfin(v, l)``."""
+    parts = [
+        f""", lab0 AS MATERIALIZED (
+  SELECT v, v AS l FROM {nodes}
+)"""
+    ]
+    for k in range(1, n_rounds + 1):
+        parts.append(
+            f""", lab{k} AS MATERIALIZED (
+  SELECT v, MIN(l) AS l FROM (
+    SELECT v, l FROM lab{k - 1}
+    UNION ALL
+    SELECT a.v, b.l FROM lab{k - 1} a JOIN lab{k - 1} b ON b.v = a.l
+    UNION ALL
+    SELECT e.t AS v, a.l FROM lab{k - 1} a JOIN {edges} e ON e.s = a.v
+  ) GROUP BY v
+)"""
+        )
+    last, prev = f"lab{n_rounds}", f"lab{n_rounds - 1}"
+    parts.append(
+        f""", labfin AS (
+  SELECT v, l FROM {last}
+  UNION ALL
+  -- poison: fires only if round {n_rounds} still changed something,
+  -- i.e. convergence is not proven; breaks row count loudly
+  SELECT -1 AS v, -1 AS l
+  WHERE EXISTS (
+    SELECT 1 FROM {last} c JOIN {prev} p ON p.v = c.v AND p.l <> c.l
+  )
+)"""
+    )
+    return "".join(parts)
+
+
 def _dedup_embedding_clusters_sql() -> str:
     from sdc_mapreduce_spark.queries.simsearch_queries import _planes_values_sql
 
+    # u/pairs MATERIALIZED: referenced from the label rounds below, DuckDB
+    # 1.0 otherwise re-evaluates the unit-normalization lambda per
+    # candidate inside the verify join (810 s / 30+ GB at the 10x corpus;
+    # 38 s materialized). The old transitive-closure `reach` CTE is gone —
+    # see _min_label_rounds_sql.
     return f"""
 WITH RECURSIVE planes(pid, h) AS (
   VALUES {_planes_values_sql()}
-), u AS (
+), u AS MATERIALIZED (
   SELECT vec_id,
          list_transform(
            embedding::DOUBLE[],
@@ -1025,7 +1078,7 @@ WITH RECURSIVE planes(pid, h) AS (
   SELECT DISTINCT p.vec_id AS id_a, b2.vec_id AS id_b
   FROM probes p JOIN b b2 ON b2.bucket = p.probe
   WHERE p.vec_id < b2.vec_id
-), pairs AS (
+), pairs AS MATERIALIZED (
   SELECT c.id_a, c.id_b
   FROM cands c
   JOIN u ua ON ua.vec_id = c.id_a
@@ -1035,12 +1088,10 @@ WITH RECURSIVE planes(pid, h) AS (
   SELECT id_a AS s, id_b AS t FROM pairs
   UNION ALL
   SELECT id_b, id_a FROM pairs
-), reach AS (
-  SELECT vec_id AS s, vec_id AS t FROM embeddings
-  UNION
-  SELECT r.s, e.t FROM reach r JOIN edges e ON r.t = e.s
-)
-SELECT s AS vec_id, MIN(t) AS rep_id FROM reach GROUP BY s ORDER BY vec_id
+), nodes AS (
+  SELECT vec_id AS v FROM embeddings
+){_min_label_rounds_sql(24, "nodes", "edges")}
+SELECT v AS vec_id, l AS rep_id FROM labfin ORDER BY vec_id
 """
 
 
