@@ -1233,11 +1233,16 @@ def jaccard_prefix_pairs(
         F.lit(1),
         F.col("__sz") - F.ceil(F.col("__sz") * threshold - eps) + 1,
     )
-    prefix = (
+    # pin: the prefix frame (df join + per-doc rank window — the most
+    # expensive linear stage) is consumed twice by the candidate
+    # self-join's two sides; unpinned, the whole rank pipeline ran 2x
+    # (r12 30x profile, VERDICT r11 ask #6)
+    prefix = pin(
         inv.join(dfreq, "__h")
         .withColumn("__rn", F.row_number().over(w))
         .filter(F.col("__rn") <= prefix_len)
-        .select("__id", "__sz", "__h")
+        .select("__id", "__sz", "__h"),
+        StorageLevel.MEMORY_AND_DISK,
     )
     a = prefix.select(
         F.col("__id").alias("id_a"), F.col("__sz").alias("__pa"), "__h"
@@ -1331,10 +1336,14 @@ def sorted_neighborhood_pairs(
         key.alias("__k"),
         F.array_distinct(tokens(text_col)).alias("__t"),
     ).withColumn("__one", F.lit(1))
+    # checkpoint: ranked is consumed THREE times (rank probes + both
+    # verify sides); unpinned, the whole range-partition + cumsum + key
+    # normalization pipeline ran 3x (r12 30x profile, VERDICT r11 ask #6).
+    # O(N) slim rows (id, token array, rank) on executor disk.
     ranked = global_running_sum(
         base, order_col="__k", value_col="__one", out_col="__r",
         num_partitions=num_partitions,
-    ).select("__id", "__t", "__r")
+    ).select("__id", "__t", "__r").localCheckpoint(eager=True)
     slim = ranked.select("__id", "__r")
     probes = slim.select(
         F.col("__id").alias("__id_x"),
