@@ -8,7 +8,13 @@ stdout tail window — a compact summary {"metric": ..., "value": total_sec,
 Each query is executed to completion (noop sink — forces the full plan)
 REPEATS times back-to-back after a session warm-up; the reported per-query
 number is the median, which makes a single noisy/contended run invisible
-in the headline while the raw runs stay inspectable under "runs".
+in the headline while the raw runs stay inspectable under "runs". Since
+r13 the headline set (like the skew suites since r12) runs under the
+stall-retry settle protocol: an unsettled sample set (spread > SPREAD_MAX
+after MAX_REPEATS) is discarded as a measurement and re-taken in a fresh
+pass, up to SKEW_SETTLE_PASSES; per-query {settled, passes} is recorded
+under "settle" and a top-level "settled" flag says whether the whole
+headline is trustworthy.
 """
 
 from __future__ import annotations
@@ -95,9 +101,18 @@ SPREAD_MAX = 2.0
 # accompanies. Headline timings are unaffected (the suites run after and
 # are reported separately from "value").
 RUN_SKEW = os.environ.get("SPARK_GRAFT_BENCH_SKEW", "1") != "0"
-# VERDICT r11 ask #2: max fresh re-measurement passes for a skew-suite
-# query that stays unsettled (spread > SPREAD_MAX even at MAX_REPEATS).
+# VERDICT r11 ask #2: max fresh re-measurement passes for a query that
+# stays unsettled (spread > SPREAD_MAX even at MAX_REPEATS). Applied to
+# the skew suites (r12) AND the headline set (r13, VERDICT r12 ask #1:
+# the official r12 headline read 162.5 s in a contended window while the
+# same-HEAD re-run read 37.99 s — the settle protocol existed but only
+# guarded the skew suites). Validated >= 1 (ADVICE r12): a value <= 0
+# would make _settled_runs skip its loop and crash on best[0].
 SKEW_SETTLE_PASSES = int(os.environ.get("SPARK_GRAFT_BENCH_SKEW_PASSES", "3"))
+if SKEW_SETTLE_PASSES < 1:
+    raise SystemExit(
+        f"SPARK_GRAFT_BENCH_SKEW_PASSES must be >= 1, got {SKEW_SETTLE_PASSES}"
+    )
 
 
 def _median(xs: list[float]) -> float:
@@ -150,11 +165,15 @@ def _timed_runs(
     return samples
 
 
-def _settled_runs(run_once, name: str, stalls: list) -> tuple[list[float], bool, int]:
-    """Stall-robust sampling for the skew suite (VERDICT r11 ask #2): in
-    r11's official artifact one contended host window left every skew query
-    unsettled (samples 1.4-238 s) and INVERTED the suite's conclusion
-    (auto behind the winner) versus the verified quiet-session result.
+def _settled_runs(
+    run_once, name: str, stalls: list, after_run=None
+) -> tuple[list[float], bool, int]:
+    """Stall-robust sampling (VERDICT r11 ask #2, extended to the headline
+    set by VERDICT r12 ask #1): in r11's official artifact one contended
+    host window left every skew query unsettled (samples 1.4-238 s) and
+    INVERTED the suite's conclusion (auto behind the winner) versus the
+    verified quiet-session result; in r12 the same failure hit the
+    HEADLINE set (official 162.5 s vs 37.99 s same-HEAD re-run).
     Host stalls only ever INFLATE samples, so the steady-state signal is
     recoverable: if a full ``_timed_runs`` set ends unsettled, throw it
     away as a measurement (it stays inspectable in ``stalls``) and take a
@@ -165,7 +184,10 @@ def _settled_runs(run_once, name: str, stalls: list) -> tuple[list[float], bool,
     for p in range(SKEW_SETTLE_PASSES):
         evs: list = []
         samples = _timed_runs(
-            run_once, name=f"{name}#pass{p + 1}", stall_events=evs
+            run_once,
+            after_run=after_run,
+            name=f"{name}#pass{p + 1}",
+            stall_events=evs,
         )
         stalls.extend(evs)
         settled = not evs or bool(evs[-1]["settled"])
@@ -280,11 +302,18 @@ def _skew_suite(spark, path: str, fixture_desc: str) -> dict:
         )
         runs[name] = samples
         settle[name] = {"settled": settled, "passes": passes}
+    # Suite-level conclusion flag (VERDICT r12 ask #8): a winner published
+    # from unsettled medians is contention noise, not a measurement — when
+    # ANY query's passes all stayed unsettled, the suite's plain-vs-chunked
+    # vs-auto comparison is marked unsettled so readers don't rank plans
+    # from a contaminated window. Per-query medians stay reported either
+    # way (they are still min-median-of-passes, the least contaminated).
     return {
         "fixture": fixture_desc,
         "queries": {name: round(_median(s), 3) for name, s in runs.items()},
         "runs": runs,
         "settle": settle,
+        "settled": all(v["settled"] for v in settle.values()),
         "stall_reruns": stalls,
     }
 
@@ -305,6 +334,7 @@ def main() -> None:
     ).write.format("noop").mode("overwrite").save()
 
     runs: dict[str, list[float]] = {}
+    settle: dict[str, dict] = {}
     stalls: list = []
     for name, fn in bench.items():
         # untimed per-query warm-up (matching the skew suite): the first
@@ -321,12 +351,20 @@ def main() -> None:
         # report honestly higher medians from r11 on; compare r10-and-
         # earlier numbers with that in mind.
         drain_pins(spark)
-        runs[name] = _timed_runs(
+        # Stall-retry settle protocol (VERDICT r12 ask #1): the headline
+        # loop previously took a plain possibly-unsettled median — one
+        # contended host window poisoned the official r12 number 6.1x.
+        # Unsettled sample sets are discarded and re-measured in fresh
+        # passes exactly like the skew suites; per-query settle status is
+        # recorded below under "settle".
+        samples, settled, passes = _settled_runs(
             lambda: fn(spark, SF_DIR).write.format("noop").mode("overwrite").save(),
-            after_run=lambda: drain_pins(spark),
             name=name,
-            stall_events=stalls,
+            stalls=stalls,
+            after_run=lambda: drain_pins(spark),
         )
+        runs[name] = samples
+        settle[name] = {"settled": settled, "passes": passes}
 
     timings = {name: round(_median(s), 3) for name, s in runs.items()}
     total = round(sum(timings.values()), 3)
@@ -356,6 +394,8 @@ def main() -> None:
             "unit": "sec",
             "queries": timings,
             "runs": runs,
+            "settle": settle,
+            "settled": all(v["settled"] for v in settle.values()),
             "stall_reruns": stalls,
             "skew": skew,
             "skew_hot_user": skew_hot_user,

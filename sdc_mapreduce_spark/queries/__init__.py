@@ -193,6 +193,39 @@ for _name in _MODULE_ORDER:
 #     still certifies the stalest first): (0) any query added or changed
 #     in round 12; (1) the rotation head (events_sessionize_salted ..),
 #     oldest-first; (2) the r10-window block (freshest, rotation tail).
+# round 13 plan, in priority order (pre-sequenced so a truncated round
+#   still certifies the stalest-and-least-certified first): (0) any query
+#   added or changed in round 13; (1) the r12-changed connected-components
+#   family (ADVICE r12 medium: min_label_propagation gained pointer
+#   jumping + a pair-source checkpoint and its DuckDB oracle was rewritten
+#   from a transitive-closure CTE to unrolled min-label rounds in r12, but
+#   every consumer sat outside the 50-entry certification head — only the
+#   judge's ad-hoc re-run covered them; certify them officially now); (2)
+#   the r11-window tail squeezed out of the r12 head (stalest official
+#   certs: last sampled r11); (3) the old-rotation block (_ROTATED_OUT,
+#   stalest-first); (4) the r12-certified head block (freshest, last).
+_WINDOW_R13: tuple[str, ...] = (
+    # (0) added or changed in round 13 — certify the freshest code first
+    # (1) the r12-changed CC family, officially uncertified at r12 HEAD
+    "dedup_embedding_clusters",  # oracle rewritten r12 (_min_label_rounds_sql)
+    "dedup_clusters",  # pointer-jumping Spark path r12
+    "dedup_cluster_labels",
+    "dedup_cluster_sizes",
+    "dedup_cluster_safe_split",
+    "dedup_keep_best",
+    "dedup_source_leakage_matrix",
+    "graph_pagerank_neardup",
+    "graph_triangle_stats",
+    # (2) the r11-window tail squeezed out of the r12 50-entry head
+    "corpus_shuffle_shards",
+    "embedding_quantize_audit",
+    "dedup_incremental",
+    "q11_important_stock",
+    "q20_potential_promotion",
+    "events_resample_gapfill",
+    "events_streaming_tumbling_certified",
+    "kv_sink_certified",
+)
 _WINDOW_R12: tuple[str, ...] = (
     # (0) added or changed in round 12 — certify the freshest code first
     "simsearch_mmr_indexed",  # NEW r12: MMR pool from persisted IVF index + recall audit
@@ -445,11 +478,20 @@ _ROTATED_OUT: tuple[str, ...] = (
     "q18_large_volume",
     "q19_disjunctive_filters",
 )
-_PRIORITY: tuple[str, ...] = (
-    *_WINDOW_R12,
-    *_WINDOW_R11,
-    *_ROTATED_OUT,
+# Assembly order realizes the r13 plan: r13 head, then the stalest
+# old-rotation block, then the r12-certified blocks (freshest) last.
+# Names the r13 head PROMOTES out of the later tuples (the CC family
+# lives in _ROTATED_OUT; the r11 tail in _WINDOW_R11) are deduped here
+# order-preserving — first occurrence wins — so the older tuples stay
+# intact as historical record while _PRIORITY stays duplicate-free
+# (tests/test_registry.py::test_every_registered_query_is_prioritized).
+_seen: set = set()
+_PRIORITY: tuple[str, ...] = tuple(
+    n
+    for n in (*_WINDOW_R13, *_ROTATED_OUT, *_WINDOW_R12, *_WINDOW_R11)
+    if not (n in _seen or _seen.add(n))
 )
+del _seen
 if not IMPORT_QUARANTINE:
     # Only enforce plan completeness on a healthy import — with a module
     # quarantined, its plan entries are expected to be missing and the

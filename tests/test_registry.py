@@ -52,30 +52,41 @@ def test_every_registered_query_is_prioritized():
     )
 
 
-def test_window_head_is_the_r12_plan():
+def test_window_head_is_the_r13_plan():
     """First 50 registry entries are the driver's certification sample —
-    pin the r12 head so an accidental reorder is caught before the round
-    ends (r12 new/changed queries first, then the r11 block, then the
-    stalest rotation entries)."""
+    pin the r13 head so an accidental reorder is caught before the round
+    ends (r13 new/changed queries first, then the r12-changed CC family
+    that missed official certification — ADVICE r12 medium — then the
+    r11 tail squeezed out of the r12 head, then the stalest rotation
+    entries)."""
     import sdc_mapreduce_spark.queries as q
 
     head = list(q.REGISTRY)[:50]
-    # plan item 0: round-12 additions and changes lead (newest certs first)
-    assert head[:5] == [
-        "simsearch_mmr_indexed",
-        "text_unigram_lm",
-        "table_psi_drift",
-        "simsearch_mmr",
-        "kvtext_streaming_restart_certified",
+    r13_new = list(q._WINDOW_R13)[: len(q._WINDOW_R13) - 17]
+    # plan item 0: round-13 additions/changes lead (newest certs first)
+    assert head[: len(r13_new)] == r13_new
+    # plan item 1: the r12-changed connected-components family, whose
+    # rewritten oracle + pointer-jumping path were outside the r12 window
+    cc = [
+        "dedup_embedding_clusters",
+        "dedup_clusters",
+        "dedup_cluster_labels",
+        "dedup_cluster_sizes",
+        "dedup_cluster_safe_split",
+        "dedup_keep_best",
+        "dedup_source_leakage_matrix",
+        "graph_pagerank_neardup",
+        "graph_triangle_stats",
     ]
-    # plan item 1: the r11 window block (minus entries promoted to R12)
-    assert head[5:9] == [
-        "dedup_jaccard_prefix",
-        "events_streaming_sliding_certified",
-        "dedup_sorted_neighborhood",
-        "text_heavy_hitters",
+    assert head[len(r13_new) : len(r13_new) + 9] == cc
+    # plan item 2: the r11 tail squeezed out of the r12 50-entry head
+    assert head[len(r13_new) + 9 : len(r13_new) + 12] == [
+        "corpus_shuffle_shards",
+        "embedding_quantize_audit",
+        "dedup_incremental",
     ]
-    assert "q22_global_sales_opportunity" in head
+    # plan item 3: the stalest old-rotation entries fill the remainder
+    assert "events_sessionize_salted" in head
     assert len(head) == 50
 
 

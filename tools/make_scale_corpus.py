@@ -19,8 +19,9 @@ Usage:
 
 Determinism: no RNG anywhere — ids shift by replica * (max_id + 1), text
 tokens get a fixed "r{i}:" prefix, and embeddings get a PER-REPLICA
-ORTHOGONAL TRANSFORM (cyclic dimension shift by r + a multiplicative-hash
-sign pattern). Replica 0 is byte-identical to the source rows.
+ORTHOGONAL TRANSFORM (a multiplicative-hash sign pattern; signs ONLY, no
+dimension rotation — see scale_embeddings). Replica 0 is byte-identical
+to the source rows.
 
 Why a transform and not a perturbation (VERDICT r11 ask #1): r11's
 fixture shifted one component by r*1e-3, which left every replica of a
@@ -116,22 +117,25 @@ def scale_embeddings(src: str, dest: str, replicas: int) -> int:
             out_id, out_emb, out_label = [], [], []
             if r and emb:
                 dim = len(emb[0])
-                rot = r % dim
                 signs = _replica_signs(dim, r)
             for i in range(len(vec_id)):
                 out_id.append(vec_id[i] + r * shift)
                 v = list(emb[i])
                 if r:
-                    # per-replica ORTHOGONAL transform: cyclic shift + sign
-                    # flips. Exact float reordering/negation (no FP error):
-                    # intra-replica cosines are preserved bit-for-bit, so
-                    # planted near-dup pairs replicate 1:1 and totals scale
-                    # linearly; cross-replica cosines become generic inner
-                    # products far below near-dup thresholds.
-                    v = [
-                        s * x
-                        for s, x in zip(signs, v[rot:] + v[:rot])
-                    ]
+                    # per-replica ORTHOGONAL transform: sign flips ONLY.
+                    # Negation is exact in IEEE float AND preserves the
+                    # term ORDER of every downstream dot product (s_i^2=1
+                    # term-by-term), so intra-replica cosines are truly
+                    # bit-exact — planted near-dup pairs replicate 1:1 and
+                    # totals scale linearly. (r12 additionally rotated the
+                    # dimensions; ADVICE r12: the rotation reordered the
+                    # FP summation inside engine dot products, so replica
+                    # cosines could drift ~1 ulp and a threshold-boundary
+                    # pair could flip per replica — dropped.) Cross-replica
+                    # cosines collapse to random-sign sums far below
+                    # near-dup thresholds; distinct replicas get distinct
+                    # hash sign patterns, so no two replicas coincide.
+                    v = [s * x for s, x in zip(signs, v)]
                 out_emb.append(v)
                 out_label.append(label[i])
             writer.write_table(
