@@ -1170,6 +1170,7 @@ def jaccard_prefix_pairs(
     threshold: float = 0.8,
     text_col: str = "text",
     id_col: str = "doc_id",
+    pin_prefix: bool = True,
 ) -> DataFrame:
     """Exact n-gram Jaccard pairs via AllPairs/PPJoin prefix filtering —
     a LOSSLESS alternative to the full inverted-index self-join of
@@ -1235,15 +1236,19 @@ def jaccard_prefix_pairs(
     )
     # pin: the prefix frame (df join + per-doc rank window — the most
     # expensive linear stage) is consumed twice by the candidate
-    # self-join's two sides; unpinned, the whole rank pipeline ran 2x
-    # (r12 30x profile, VERDICT r11 ask #6)
-    prefix = pin(
+    # self-join's two sides; unpinned, the whole rank pipeline ran 2x.
+    # ``pin_prefix`` exists for the committed on/off A/B
+    # (CHECKS_r13/pin_ab_10x.md, VERDICT r12 ask #4): at 10x the pin
+    # wins (see the table); it trades one linear recompute for
+    # MEMORY_AND_DISK storage of O(N·prefix) slim rows.
+    prefix = (
         inv.join(dfreq, "__h")
         .withColumn("__rn", F.row_number().over(w))
         .filter(F.col("__rn") <= prefix_len)
-        .select("__id", "__sz", "__h"),
-        StorageLevel.MEMORY_AND_DISK,
+        .select("__id", "__sz", "__h")
     )
+    if pin_prefix:
+        prefix = pin(prefix, StorageLevel.MEMORY_AND_DISK)
     a = prefix.select(
         F.col("__id").alias("id_a"), F.col("__sz").alias("__pa"), "__h"
     )
@@ -1291,6 +1296,7 @@ def sorted_neighborhood_pairs(
     text_col: str = "text",
     id_col: str = "doc_id",
     num_partitions: int = 32,
+    checkpoint_ranked: bool = True,
 ) -> DataFrame:
     """Sorted-neighborhood (SNM) near-dup blocking: sort the corpus by a
     blocking key, slide a window of ``window`` ranks, and exactly verify
@@ -1338,12 +1344,16 @@ def sorted_neighborhood_pairs(
     ).withColumn("__one", F.lit(1))
     # checkpoint: ranked is consumed THREE times (rank probes + both
     # verify sides); unpinned, the whole range-partition + cumsum + key
-    # normalization pipeline ran 3x (r12 30x profile, VERDICT r11 ask #6).
-    # O(N) slim rows (id, token array, rank) on executor disk.
+    # normalization pipeline ran 3x. O(N) slim rows (id, token array,
+    # rank) on executor disk. ``checkpoint_ranked`` exists for the
+    # committed on/off A/B (CHECKS_r13/pin_ab_10x.md, VERDICT r12
+    # ask #4): at 10x the checkpoint wins (see the table).
     ranked = global_running_sum(
         base, order_col="__k", value_col="__one", out_col="__r",
         num_partitions=num_partitions,
-    ).select("__id", "__t", "__r").localCheckpoint(eager=True)
+    ).select("__id", "__t", "__r")
+    if checkpoint_ranked:
+        ranked = ranked.localCheckpoint(eager=True)
     slim = ranked.select("__id", "__r")
     probes = slim.select(
         F.col("__id").alias("__id_x"),

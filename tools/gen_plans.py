@@ -88,6 +88,16 @@ EXTRA_SHAPES = [
     "multimodal_neardup_recall",
     # round-10 additions
     "text_bpe_merges_batched",
+    # round-11 additions (dedup_jaccard_prefix / text_heavy_hitters are in
+    # the bench set and appear via bench_queries())
+    "dedup_sorted_neighborhood",
+    "simsearch_mmr",
+    "table_psi_drift",
+    # round-12 additions: indexed MMR pool, unigram-LM learner, and the
+    # pointer-jumping connected-components consumers (VERDICT r12 ask #6)
+    "simsearch_mmr_indexed",
+    "text_unigram_lm",
+    "dedup_clusters",
 ]  # (multimodal_encoder_topk moved into the bench set in r9)
 
 HEADER = """# PLANS — formatted physical plans of the headline bench queries plus the
