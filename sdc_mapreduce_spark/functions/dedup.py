@@ -973,22 +973,48 @@ def exact_substring_dedup(
     base = df.select(
         F.col(id_col).alias("__id"), t.alias("__t"), n_chunks.alias("n_chunks")
     )
-    chunks = base.select(
-        "__id",
-        F.posexplode(
-            F.transform(
-                F.sequence(F.lit(0), F.col("n_chunks") - 1),
-                lambda i: F.md5(F.concat_ws(" ", F.slice(F.col("__t"), i * cs + 1, cs))),
-            )
-        ).alias("chunk_id", "chunk_fp"),
+    # r13 optimization-round notes (guide §2.3/§5):
+    # - the chunk inventory is PINNED: it previously fed the stats
+    #   aggregate and the drops join as two separate subtrees, so the
+    #   tokenize + per-chunk md5 Generate ran TWICE per execution;
+    # - chunk_fp is unhex(md5(...)) — 16-byte binary instead of the
+    #   32-char hex string, halving the inventory's exchange/persist key
+    #   bytes (cleaned_fp below stays the hex md5 the oracle computes);
+    # - min(struct(__id, chunk_id)) is not hash-aggregable, so the old
+    #   single stats aggregate compiled to a SortAggregate that SORTED THE
+    #   FULL INVENTORY by fingerprint. The count is now a plain
+    #   HashAggregate over everything, and the globally-first-occurrence
+    #   winner is computed with a window over ONLY the duplicated sliver
+    #   (plan diff: SortAggregate x2 over all chunks -> HashAggregate x2
+    #   + Window over cnt>=2 rows).
+    chunks = pin(
+        base.select(
+            "__id",
+            F.posexplode(
+                F.transform(
+                    F.sequence(F.lit(0), F.col("n_chunks") - 1),
+                    lambda i: F.unhex(
+                        F.md5(F.concat_ws(" ", F.slice(F.col("__t"), i * cs + 1, cs)))
+                    ),
+                )
+            ).alias("chunk_id", "chunk_fp"),
+        ),
+        StorageLevel.MEMORY_AND_DISK,
     )
-    # Globally-first occurrence per duplicated fingerprint: min (doc, chunk).
-    stats = chunks.groupBy("chunk_fp").agg(
-        F.count(F.lit(1)).alias("__cnt"),
-        F.min(F.struct("__id", "chunk_id")).alias("__w"),
+    dup = (
+        chunks.groupBy("chunk_fp")
+        .agg(F.count(F.lit(1)).alias("__cnt"))
+        .filter(F.col("__cnt") >= 2)
+        .select("chunk_fp")
     )
+    # Globally-first occurrence per duplicated fingerprint: min (doc, chunk)
+    # over the duplicated occurrences only.
+    from pyspark.sql import Window
+
+    w_fp = Window.partitionBy("chunk_fp")
     drops = (
-        chunks.join(stats.filter(F.col("__cnt") >= 2), "chunk_fp")
+        chunks.join(dup, "chunk_fp")
+        .withColumn("__w", F.min(F.struct("__id", "chunk_id")).over(w_fp))
         .filter(
             ~(
                 (F.col("__id") == F.col("__w.__id"))

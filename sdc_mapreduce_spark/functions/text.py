@@ -508,11 +508,34 @@ def boilerplate_strip(
     md5 of the surviving segments rejoined in document order — the cleaned
     body verified byte-for-byte without shuffling text.
 
-    Scale shape: the segment-frequency aggregate shuffles 16-byte md5 keys
-    with map-side partial counts; the over-threshold "hot" set is by
-    construction small (only corpus-wide repeats exceed max_df), so the
-    removal is a broadcast anti-join — the full corpus is never shuffled,
-    and the reassembly groupBy is the only row-weight exchange.
+    Scale shape: the segment-frequency aggregate shuffles 16-byte binary
+    md5 keys with map-side partial counts; the over-threshold "hot" set is
+    by construction small (only corpus-wide repeats exceed max_df), so the
+    removal is a broadcast join — the full corpus is never shuffled, and
+    the single fused per-doc aggregation is the only row-weight exchange.
+
+    Plan notes (r13 optimization round, guide §2.4/§4.4-analog):
+
+    - ``posexplode_outer`` instead of ``posexplode``: Catalyst's
+      InferFiltersFromGenerate pushes a ``size(__segs) > 0 AND
+      isnotnull(__segs)`` filter below an INNER Generate, and because the
+      segment array is a fresh projection the pushed condition inlines the
+      full tokenize+segment ``transform`` expression TWICE — the pin build
+      evaluated the most expensive expression in the query three times per
+      row. The outer Generate has no such implicit filter. Row-for-row
+      identical here: every doc yields >= 1 segment (split('') is [''])
+      and the fixture has no NULL/empty text, so the outer form's extra
+      null-row case never fires.
+    - totals / kept-aggregate / final join FUSED into one aggregation:
+      the hot set joins as a broadcast LEFT join marker and one
+      ``groupBy(doc_id)`` computes n_segments (all rows), n_kept and
+      cleaned_fp (marker-null rows only — collect_list skips the NULLs the
+      ``when`` emits for hot segments). Replaces two walks of the pinned
+      frame + two exchanges + a final broadcast join with one walk + one
+      exchange (plan diff: 3 InMemoryTableScan -> 2, 14 Exchange -> 12).
+    - ``__h`` is unhex(md5(seg)) — 16-byte binary instead of the 32-char
+      hex string: halves the segment-frequency exchange's key bytes and
+      the pinned column. cleaned_fp stays the hex md5 the oracle computes.
     """
     if window < 1 or max_df < 1:
         raise ValueError("window and max_df must be >= 1")
@@ -524,7 +547,7 @@ def boilerplate_strip(
         lambda i: F.array_join(F.slice(t, i * window + 1, window), " "),
     )
     with_segs = base.select(F.col(id_col), segarr.alias("__segs"))
-    # Three consumers walk the segment rows (df count, anti-join, totals);
+    # Two consumers walk the segment rows (df count, fused per-doc agg);
     # the tokenize + interpreted-lambda segment build is the expensive part,
     # so persist the narrow exploded form rather than recompute it per
     # branch (same discipline as the MinHash/SimHash signature stages).
@@ -534,39 +557,37 @@ def boilerplate_strip(
 
     seg_rows = pin(
         with_segs.select(
-            F.col(id_col), F.posexplode("__segs").alias("seg_idx", "seg")
-        ).withColumn("__h", F.md5("seg")),
+            F.col(id_col), F.posexplode_outer("__segs").alias("seg_idx", "seg")
+        ).withColumn("__h", F.unhex(F.md5("seg"))),
         StorageLevel.MEMORY_AND_DISK,
     )
     hot = (
         seg_rows.groupBy("__h")
         .agg(F.countDistinct(id_col).alias("__df"))
         .filter(F.col("__df") > max_df)
-        .select("__h")
+        .select("__h", F.lit(1).alias("__hot"))
     )
-    kept = seg_rows.join(F.broadcast(hot), "__h", "left_anti")
-    cleaned = kept.groupBy(id_col).agg(
-        F.count(F.lit(1)).cast("int").alias("n_kept"),
-        F.md5(
-            F.concat_ws(
-                " ",
-                F.transform(
-                    F.sort_array(F.collect_list(F.struct("seg_idx", "seg"))),
-                    lambda s: s["seg"],
-                ),
-            )
-        ).alias("cleaned_fp"),
-    )
-    # every doc yields >= 1 segment (split('') is ['']), so totals can come
-    # from the persisted rows instead of re-walking the segment build
-    totals = seg_rows.groupBy(id_col).agg(
-        F.count(F.lit(1)).cast("int").alias("n_segments")
-    )
-    return totals.join(cleaned, id_col, "left").select(
-        id_col,
-        "n_segments",
-        F.coalesce(F.col("n_kept"), F.lit(0)).alias("n_kept"),
-        F.coalesce(F.col("cleaned_fp"), F.md5(F.lit(""))).alias("cleaned_fp"),
+    keep = F.col("__hot").isNull()
+    return (
+        seg_rows.join(F.broadcast(hot), "__h", "left")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("int").alias("n_segments"),
+            F.count(F.when(keep, 1)).cast("int").alias("n_kept"),
+            F.md5(
+                F.concat_ws(
+                    " ",
+                    F.transform(
+                        F.sort_array(
+                            F.collect_list(
+                                F.when(keep, F.struct("seg_idx", "seg"))
+                            )
+                        ),
+                        lambda s: s["seg"],
+                    ),
+                )
+            ).alias("cleaned_fp"),
+        )
     )
 
 

@@ -341,6 +341,44 @@ def extract_features(df: DataFrame) -> DataFrame:
     return df.select("media_id", "content").mapInPandas(kernel, schema=FEATURE_SCHEMA)
 
 
+def synthesize_and_extract(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Fused ``extract_features(synthesize_framed_media(df))`` — identical
+    output bit-for-bit, one Arrow kernel instead of two stacked
+    ``mapInPandas`` nodes (r13 optimization round, guide §4.1).
+
+    The stacked form pays Python→JVM→Python serialization of every framed
+    payload between the two kernels — the heaviest column in the pipeline
+    crosses the boundary twice just to be discarded after feature
+    extraction. Fused, the content bytes never cross at all. Equivalence:
+    a synthesized header always parses (magic/version/kind are valid by
+    construction), so ``extract_features``'s offset strips it and the
+    histogram is over exactly ``text.encode('utf-8')`` — the header
+    contributes nothing to the features; the fused kernel therefore skips
+    header packing entirely (asserted against the stacked path in
+    tests/test_multimodal.py)."""
+    R = PROJECTION_MATRIX
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            feats = [
+                (
+                    R
+                    @ np.bincount(
+                        np.frombuffer(t.encode("utf-8"), dtype=np.uint8) >> 4,
+                        minlength=PROJECTION_BINS,
+                    ).astype(np.int64)
+                ).astype(np.float32)
+                for t in pdf[text_col]
+            ]
+            yield pd.DataFrame(
+                {"media_id": pdf[id_col].astype("int64"), "feature": feats}
+            )
+
+    return df.select(id_col, text_col).mapInPandas(kernel, schema=FEATURE_SCHEMA)
+
+
 def sample_frames(df: DataFrame, n_frames: int = 4) -> DataFrame:
     """'Frame sampling' for video payloads: emit n evenly-spaced byte slices
     per row — a row-expanding mapInPandas (1 → N rows per input), the exact

@@ -702,14 +702,13 @@ def multimodal_encoder_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     replays hist → proj → cosine relationally — reproduces every score
     bit-for-bit."""
     from sdc_mapreduce_spark.functions.simsearch import dot
-    from sdc_mapreduce_spark.multimodal import (
-        extract_features,
-        synthesize_framed_media,
-    )
+    from sdc_mapreduce_spark.multimodal import synthesize_and_extract
     from sdc_mapreduce_spark.operators.relational import top_k_per_group
 
-    media = synthesize_framed_media(load_table(spark, sf_dir, "documents"))
-    feats = extract_features(media)
+    # r13: fused synthesize+extract kernel — the framed payload bytes never
+    # cross the JVM<->Python boundary (was 2 stacked MapInPandas nodes);
+    # output is bit-identical (see synthesize_and_extract's docstring)
+    feats = synthesize_and_extract(load_table(spark, sf_dir, "documents"))
     v = F.col("feature").cast("array<double>")
     # pin the bounded (media_id, vector, norm) feature frame: it feeds
     # BOTH the query side and the corpus side of the theta-join, and

@@ -125,6 +125,23 @@ def framed(spark, sf_dir):
     return M.synthesize_framed_media(docs).cache()
 
 
+def test_synthesize_and_extract_matches_stacked_pipeline(spark, sf_dir):
+    """r13 fused kernel: synthesize_and_extract must be bit-identical to
+    extract_features(synthesize_framed_media(df)) — the fusion only removes
+    the JVM<->Python round trip of the framed payload, never a bit of the
+    feature math."""
+    docs = load_table(spark, sf_dir, "documents").limit(40)
+    stacked = {
+        r["media_id"]: list(r["feature"])
+        for r in M.extract_features(M.synthesize_framed_media(docs)).collect()
+    }
+    fused = {
+        r["media_id"]: list(r["feature"])
+        for r in M.synthesize_and_extract(docs).collect()
+    }
+    assert fused == stacked and len(fused) == 40
+
+
 def test_framed_header_roundtrip():
     hdr = M.frame_header("video", 320, 200, 3)
     assert len(hdr) == M.HEADER_LEN

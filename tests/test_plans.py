@@ -189,14 +189,22 @@ def test_ivf_index_probe_prunes_partitions_and_matches_memory(spark, sf_dir, tmp
     assert any("__cell" in c[:300] for c in clauses)
 
 
-def test_boilerplate_strip_uses_broadcast_anti_join(spark, sf_dir):
+def test_boilerplate_strip_uses_broadcast_marker_join(spark, sf_dir):
     from sdc_mapreduce_spark.queries.text_queries import text_boilerplate_strip
 
     plan = _plan(text_boilerplate_strip(spark, sf_dir))
-    # the hot-segment removal must be a broadcast LEFT ANTI, never a
-    # shuffled join of the full segment table against the hot set
-    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
+    # r13 fused shape: the hot-segment removal is a broadcast LEFT OUTER
+    # marker join feeding ONE per-doc aggregation (totals/kept/fp fused),
+    # never a shuffled join of the full segment table against the hot set
+    assert "BroadcastHashJoin" in plan and "LeftOuter" in plan
     assert "SortMergeJoin" not in plan
+    # the fusion removed the totals-vs-cleaned second aggregation walk:
+    # exactly one row-weight exchange partitioned by doc_id
+    assert plan.count("hashpartitioning(doc_id") == 1
+    # the inner-Generate pushed filter (which re-evaluated the segment
+    # transform twice per row) must not come back
+    assert "posexplode_outer" in plan or "Generate" in plan
+    assert "Condition : ((size(transform(" not in plan
 
 
 def test_bloom_prefilter_broadcasts_bitmap_and_index(spark, sf_dir):
