@@ -407,10 +407,14 @@ def main() -> None:
     # ("parsed": null). So: detail goes to a sidecar file + an EARLIER
     # stdout line, and the LAST line is a compact summary (headline value
     # + per-query medians, no runs/skew) guaranteed to fit the tail window.
-    with open(
+    # Detail sidecar: non-default corpora (10x/30x replicas) must never
+    # clobber the committed sf0.1 headline artifact — scale runs set
+    # SPARK_GRAFT_BENCH_DETAIL_PATH to a CHECKS_ file instead.
+    detail_path = os.environ.get(
+        "SPARK_GRAFT_BENCH_DETAIL_PATH",
         os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"),
-        "w",
-    ) as f:
+    )
+    with open(detail_path, "w") as f:
         f.write(detail + "\n")
     compact = json.dumps(
         {
