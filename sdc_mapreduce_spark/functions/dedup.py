@@ -1363,24 +1363,29 @@ def sorted_neighborhood_pairs(
         F.lit("#"),
         F.lpad(F.col(id_col).cast("string"), 12, "0"),
     )
-    base = df.select(
-        F.col(id_col).alias("__id"),
-        key.alias("__k"),
-        F.array_distinct(tokens(text_col)).alias("__t"),
-    ).withColumn("__one", F.lit(1))
-    # checkpoint: ranked is consumed THREE times (rank probes + both
-    # verify sides); unpinned, the whole range-partition + cumsum + key
-    # normalization pipeline ran 3x. O(N) slim rows (id, token array,
-    # rank) on executor disk. ``checkpoint_ranked`` exists for the
-    # committed on/off A/B (CHECKS_r13/pin_ab_10x.md, VERDICT r12
-    # ask #4): at 10x the checkpoint wins (see the table).
+    # r13 (guide §2.3, narrower shuffles): rank ONLY the 40-byte
+    # (__id, __k, __one) projection. global_running_sum internally
+    # localCheckpoints its range-partitioned input (relational.py), so
+    # whatever enters the rank pipeline is serialized to executor disk —
+    # the previous shape fed the token arrays through it, paying a
+    # heavy-column range shuffle + checkpoint that the rank math never
+    # needed, and checkpoint_ranked=True then serialized the same arrays
+    # a SECOND time (measured loser at 10x: 10.2 s vs 7.1 s off —
+    # CHECKS_r13/pin_ab_10x.md). Token arrays now come straight from the
+    # scan, per verify side, and never enter a shuffle at all (the
+    # verify joins stream them against the broadcast candidate set).
+    narrow = df.select(F.col(id_col).alias("__id"), key.alias("__k")).withColumn(
+        "__one", F.lit(1)
+    )
     ranked = global_running_sum(
-        base, order_col="__k", value_col="__one", out_col="__r",
+        narrow, order_col="__k", value_col="__one", out_col="__r",
         num_partitions=num_partitions,
-    ).select("__id", "__t", "__r")
+    ).select("__id", "__r")
     if checkpoint_ranked:
+        # now 16-byte rows — cheap; saves the cumsum recompute for the
+        # second consumer below
         ranked = ranked.localCheckpoint(eager=True)
-    slim = ranked.select("__id", "__r")
+    slim = ranked
     probes = slim.select(
         F.col("__id").alias("__id_x"),
         F.explode(
@@ -1391,8 +1396,11 @@ def sorted_neighborhood_pairs(
         slim.select(F.col("__id").alias("__id_y"), F.col("__r").alias("__r2")),
         "__r2",
     ).select("__id_x", "__id_y")
-    tx = ranked.select(F.col("__id").alias("__id_x"), F.col("__t").alias("__tx"))
-    ty = ranked.select(F.col("__id").alias("__id_y"), F.col("__t").alias("__ty"))
+    toks = df.select(
+        F.col(id_col).alias("__id"), F.array_distinct(tokens(text_col)).alias("__t")
+    )
+    tx = toks.select(F.col("__id").alias("__id_x"), F.col("__t").alias("__tx"))
+    ty = toks.select(F.col("__id").alias("__id_y"), F.col("__t").alias("__ty"))
     c = F.size(F.array_intersect("__tx", "__ty"))
     jac = F.col("__c") / (
         F.size("__tx") + F.size("__ty") - F.col("__c")
