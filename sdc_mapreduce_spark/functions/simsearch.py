@@ -151,6 +151,62 @@ def _hyperplanes(dim: int, n_planes: int) -> list[list[float]]:
     return rng.standard_normal((n_planes, dim)).tolist()
 
 
+# Fold-order-exact threshold decisions from a BLAS score (r13, guide §4.2).
+#
+# The verify kernels must decide cosine >= threshold with the SAME result
+# as the JVM left-fold ``dot()`` and DuckDB's list_inner_product — the
+# cross-engine hash contract. The old kernels reproduced the fold's IEEE
+# add order directly (one ``acc += a[:, d] * b[:, d]`` pass per dimension),
+# which is memory-bandwidth-bound: dim full passes over the score matrix.
+# Instead: score with one BLAS matmul (any summation order), and recompute
+# the exact fold order ONLY for pairs inside an eps-band of the threshold,
+# where the two orders could disagree.
+#
+# Bound: for unit vectors, sum_d |a_d * b_d| <= ||a||*||b|| = 1
+# (Cauchy-Schwarz), so the forward error of ANY summation order of the
+# dim rounded products vs the exact value is <= (dim+1) * u * 1 with
+# u = 2^-53 — about 7.2e-15 at dim=64 — and two orders differ by at most
+# ~1.5e-14. _FOLD_EPS = 1e-9 leaves 4+ orders of magnitude of margin
+# (inputs are unit-normalized in every caller; norms are 1 +/- O(u)).
+_FOLD_EPS = 1e-9
+
+
+def _fold_refine_matrix(
+    S: "np.ndarray", V: "np.ndarray", H: "np.ndarray", threshold: float
+) -> "np.ndarray":
+    """Boolean keep-matrix for ``S = V @ H.T`` vs ``threshold``, bitwise
+    identical to deciding with the IEEE left-fold dot of each (V_i, H_j):
+    BLAS decides everything outside the +/- _FOLD_EPS band; band pairs are
+    re-scored in exact fold order (ascending d, one add per dim)."""
+    keep = S >= threshold + _FOLD_EPS
+    band = (S >= threshold - _FOLD_EPS) & ~keep
+    if band.any():
+        vi, hi = np.nonzero(band)
+        acc = np.zeros(len(vi), dtype=np.float64)
+        for d in range(V.shape[1]):
+            acc += V[vi, d] * H[hi, d]
+        ok = acc >= threshold
+        keep[vi[ok], hi[ok]] = True
+    return keep
+
+
+def _fold_refine_rows(
+    S: "np.ndarray", A: "np.ndarray", B: "np.ndarray", threshold: float
+) -> "np.ndarray":
+    """Row-wise variant of :func:`_fold_refine_matrix` for paired rows:
+    ``S[i]`` approximates ``dot(A[i], B[i])``; returns the keep mask the
+    exact left-fold would produce."""
+    keep = S >= threshold + _FOLD_EPS
+    band = (S >= threshold - _FOLD_EPS) & ~keep
+    if band.any():
+        idx = np.nonzero(band)[0]
+        acc = np.zeros(len(idx), dtype=np.float64)
+        for d in range(A.shape[1]):
+            acc += A[idx, d] * B[idx, d]
+        keep[idx[acc >= threshold]] = True
+    return keep
+
+
 def srp_bucket(vec_col, planes: list[list[float]]) -> "F.Column":
     """Sign-random-projection bucket id: one bit per hyperplane —
     sign(v . h_i) — packed into a long. Deterministic (seeded planes baked
@@ -817,10 +873,10 @@ def _near_pairs_bucket_verify(
     unit vectors back on. The only shuffle is the group-by on the bucket
     id over (1 home + 1 + multi-probe flips) rows per vector — LINEAR in
     the corpus — while the quadratic visitors x homes scoring happens as
-    chunked per-dimension numpy accumulation (BLAS-grade throughput, and
-    the same IEEE left-fold add order as ``dot()`` / DuckDB
-    list_inner_product, so results are bitwise identical to the 'jvm' and
-    'arrow' verifies).
+    one BLAS matmul per visitor chunk, with threshold-band pairs re-scored
+    in the exact IEEE left-fold add order of ``dot()`` / DuckDB
+    list_inner_product (:func:`_fold_refine_matrix`), so results are
+    bitwise identical to the 'jvm' and 'arrow' verifies.
 
     Pair-meets-once argument (same as the narrow-join formulation): a
     probing visitor's buckets {home, home^bit_i} are distinct values and
@@ -866,13 +922,17 @@ def _near_pairs_bucket_verify(
         out_a, out_b = [], []
         for lo in range(0, len(v_ids), chunk):
             vb = V[lo : lo + chunk]
-            # per-dimension accumulation: one IEEE add per dim per pair,
-            # ascending d — bitwise the left-fold (((0+p0)+p1)+...) order
-            acc = np.zeros((vb.shape[0], H.shape[0]), dtype=np.float64)
-            for d in range(vb.shape[1]):
-                acc += vb[:, d][:, None] * H[:, d][None, :]
+            # r13 (guide §4.2): one BLAS matmul scores the whole
+            # visitors-x-homes block; the exact left-fold order — the
+            # cross-engine hash contract — is recomputed only for pairs
+            # inside the _FOLD_EPS threshold band (see _fold_refine_matrix
+            # for the rounding-error bound). The old shape paid dim full
+            # passes over the score matrix to reproduce the fold order for
+            # EVERY pair; measured 6.8x-superlinear at 30x because this
+            # block is the quadratic part of the operator.
+            keep = _fold_refine_matrix(vb @ H.T, vb, H, threshold)
             ai, bi = np.nonzero(
-                (acc >= threshold) & (v_ids[lo : lo + chunk][:, None] < h_ids[None, :])
+                keep & (v_ids[lo : lo + chunk][:, None] < h_ids[None, :])
             )
             out_a.append(v_ids[lo : lo + chunk][ai])
             out_b.append(h_ids[bi])
@@ -911,18 +971,18 @@ def embedding_near_pairs_blocked(
 
     ``verify_impl``: 'jvm' scores candidates with the declarative left-fold
     ``dot()``; 'arrow' runs the same verify in a vectorized mapInPandas
-    kernel whose per-dimension accumulation reproduces the fold's IEEE
-    operation order BITWISE (see inline note), so both paths — and the
-    DuckDB oracle — agree on every threshold-boundary pair; 'bucket' skips
-    the candidate materialization entirely and verifies INSIDE each bucket
-    group (applyInPandas), which is the dense-bucket scale path — see
-    :func:`_near_pairs_bucket_verify`. All three are result-identical
-    bitwise. Measured on the 10x replica corpus (20k vectors, 64 buckets,
-    23.1M candidates): jvm 162 s — the two candidate-side shuffle joins
-    ship 64-double arrays per pair and the fold is per-row — vs bucket
-    ~its candidate-gen cost: the shuffle stays linear in the corpus
-    ((1 + planes + 1) rows x 512 B per vector) and the quadratic part runs
-    as chunked per-dimension numpy accumulation."""
+    kernel that decides thresholds BITWISE like the fold (BLAS score +
+    fold-order refine of the eps-band — see :func:`_fold_refine_rows`), so
+    both paths — and the DuckDB oracle — agree on every threshold-boundary
+    pair; 'bucket' skips the candidate materialization entirely and
+    verifies INSIDE each bucket group (applyInPandas), which is the
+    dense-bucket scale path — see :func:`_near_pairs_bucket_verify`. All
+    three are result-identical bitwise. Measured on the 10x replica corpus
+    (20k vectors, 64 buckets, 23.1M candidates): jvm 162 s — the two
+    candidate-side shuffle joins ship 64-double arrays per pair and the
+    fold is per-row — vs bucket ~its candidate-gen cost: the shuffle stays
+    linear in the corpus ((1 + planes + 1) rows x 512 B per vector) and
+    the quadratic part runs as one BLAS matmul per visitor chunk."""
     from pyspark import StorageLevel
 
     if verify_impl == "bucket":
@@ -982,14 +1042,11 @@ def embedding_near_pairs_blocked(
     ub = prepared.select(F.col(id_col).alias("id_b"), F.col("__unit").alias("__ub"))
     cands = cand_hinted.join(ua, "id_a").join(ub, "id_b")
     if verify_impl == "arrow":
-        # Vectorized verify with BIT-IDENTICAL floats: `dot()` is a
-        # left-fold (((0+p0)+p1)+...), and numpy's np.dot/np.sum use
-        # pairwise/SIMD summation whose different rounding would break the
-        # cross-engine hash on threshold-boundary pairs. The kernel instead
-        # accumulates one dimension at a time across the whole candidate
-        # batch (acc += a[:, d] * b[:, d]) — the same IEEE add sequence per
-        # pair as the JVM fold and the DuckDB list_inner_product, just
-        # executed for every pair at once.
+        # Vectorized verify with BIT-IDENTICAL threshold decisions: `dot()`
+        # is a left-fold (((0+p0)+p1)+...); numpy's fast reductions use
+        # pairwise/SIMD summation whose different rounding could disagree
+        # on threshold-boundary pairs — so pairs inside the _FOLD_EPS band
+        # are re-scored in exact fold order (_fold_refine_rows).
         import pandas as pd
 
         def kernel(batches):
@@ -998,10 +1055,12 @@ def embedding_near_pairs_blocked(
                     continue
                 a = np.asarray(list(pdf["__ua"]), dtype=np.float64)
                 b = np.asarray(list(pdf["__ub"]), dtype=np.float64)
-                acc = np.zeros(len(pdf), dtype=np.float64)
-                for d in range(a.shape[1]):
-                    acc += a[:, d] * b[:, d]
-                keep = acc >= threshold
+                # r13: vectorized row-dot + fold-order refine of the
+                # threshold band only (see _fold_refine_rows) — replaces
+                # the dim-pass accumulation loop, same bitwise decisions
+                keep = _fold_refine_rows(
+                    np.einsum("ij,ij->i", a, b), a, b, threshold
+                )
                 yield pd.DataFrame(
                     {"id_a": pdf["id_a"][keep], "id_b": pdf["id_b"][keep]}
                 )
