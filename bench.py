@@ -121,6 +121,37 @@ def _median(xs: list[float]) -> float:
     return s[n // 2] if n % 2 else (s[n // 2 - 1] + s[n // 2]) / 2
 
 
+def _read_steal():
+    """Cumulative hypervisor steal jiffies (/proc/stat cpu field 8,
+    0-indexed after the 'cpu' tag). The r13 contention postmortem: this
+    sandbox shares a physical host with other VMs, so loadavg — which sees
+    only in-VM runnables — CANNOT detect cross-VM CPU steal; a bench can
+    read 2x slow at loadavg ~0. Steal jiffies can: bracketing the run and
+    reporting stolen-core-time / available-core-time gives every artifact
+    its own interference evidence (observed: a certified-quiet run at
+    ~0.3% steal vs a visibly inflated one at ~4.8%)."""
+    try:
+        with open("/proc/stat") as f:
+            parts = f.readline().split()
+        return int(parts[8])
+    except Exception:
+        return None
+
+
+def _steal_summary(steal_start, wall_start: float):
+    steal_end = _read_steal()
+    if steal_start is None or steal_end is None:
+        return None
+    wall = max(time.time() - wall_start, 1e-9)
+    hz = os.sysconf("SC_CLK_TCK") if hasattr(os, "sysconf") else 100
+    stolen_s = (steal_end - steal_start) / float(hz)
+    cores = os.cpu_count() or 1
+    return {
+        "stolen_core_sec": round(stolen_s, 1),
+        "pct_of_core_time": round(100.0 * stolen_s / (wall * cores), 2),
+    }
+
+
 def _timed_runs(
     run_once,
     after_run=None,
@@ -329,6 +360,8 @@ def main() -> None:
     # every measurement lets a reader (and the judge) distinguish a quiet
     # artifact from a contaminated one without re-running it.
     load_start = [round(x, 2) for x in os.getloadavg()]
+    steal_start = _read_steal()
+    wall_start = time.time()
     spark = get_spark("sdc-bench")
     spark.sparkContext.setLogLevel("ERROR")
 
@@ -418,6 +451,7 @@ def main() -> None:
                 "start": load_start,
                 "end": [round(x, 2) for x in os.getloadavg()],
             },
+            "host_steal": _steal_summary(steal_start, wall_start),
         }
     )
     # The driver keeps only the LAST 2,000 bytes of stdout and parses the
