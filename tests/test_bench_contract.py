@@ -190,3 +190,37 @@ def test_bench_order_is_pinned_canonical():
     # END of _BENCH_ORDER (never reorder the established series)
     assert len(benchmod._BENCH_ORDER) == 23
     assert flagged == set(benchmod._BENCH_ORDER)
+
+
+def test_steal_audit_reads_and_summarizes(monkeypatch):
+    """r13 steal audit: _read_steal returns the cumulative steal-jiffies
+    counter (monotonic across reads) and _steal_summary converts a
+    bracketed delta into stolen-core-seconds and percent-of-core-time —
+    the per-artifact interference evidence loadavg cannot provide
+    (cross-VM steal is invisible to in-VM load)."""
+    import bench as benchmod
+
+    s1 = benchmod._read_steal()
+    s2 = benchmod._read_steal()
+    assert s1 is not None and s2 >= s1 >= 0
+
+    # deterministic summary math: 10 stolen core-seconds over a 100 s
+    # window on N cores
+    hz = 100
+    monkeypatch.setattr(
+        benchmod.os, "sysconf", lambda name: hz, raising=False
+    )
+    wall = 100.0
+    t0 = 1000.0
+    monkeypatch.setattr(benchmod.time, "time", lambda: t0 + wall)
+    monkeypatch.setattr(benchmod, "_read_steal", lambda: 5000 + 10 * hz)
+    out = benchmod._steal_summary(5000, t0)
+    cores = benchmod.os.cpu_count() or 1
+    assert out["stolen_core_sec"] == 10.0
+    assert out["pct_of_core_time"] == round(100.0 * 10.0 / (wall * cores), 2)
+
+
+def test_steal_summary_handles_missing_counter():
+    import bench as benchmod
+
+    assert benchmod._steal_summary(None, 0.0) is None
