@@ -170,6 +170,16 @@ def _hyperplanes(dim: int, n_planes: int) -> list[list[float]]:
 # (inputs are unit-normalized in every caller; norms are 1 +/- O(u)).
 _FOLD_EPS = 1e-9
 
+# The float32-prefilter analog (r14, _near_pairs_bucket_verify): when the
+# block score is computed by SGEMM over float32-cast unit vectors, the
+# conversion adds <= 2*2^-24 relative error per product and the f32
+# accumulation <= dim*2^-24 * sum|a_d*b_d| <= dim*2^-24 (Cauchy-Schwarz,
+# unit vectors) — total ~(dim+2)*2^-24 ~= 3.9e-6 at dim=64. _F32_EPS = 1e-4
+# leaves 25x margin; every pair at or above threshold - _F32_EPS is
+# re-decided by the exact float64 left fold, and every dropped pair is
+# provably below threshold in ANY summation order.
+_F32_EPS = 1e-4
+
 
 def _fold_refine_matrix(
     S: "np.ndarray", V: "np.ndarray", H: "np.ndarray", threshold: float
@@ -177,7 +187,12 @@ def _fold_refine_matrix(
     """Boolean keep-matrix for ``S = V @ H.T`` vs ``threshold``, bitwise
     identical to deciding with the IEEE left-fold dot of each (V_i, H_j):
     BLAS decides everything outside the +/- _FOLD_EPS band; band pairs are
-    re-scored in exact fold order (ascending d, one add per dim)."""
+    re-scored in exact fold order (ascending d, one add per dim).
+
+    Precondition (ADVICE r13): rows of V and H must be unit-normalized —
+    the _FOLD_EPS band's correctness bound is Cauchy-Schwarz on unit
+    vectors (sum|a_d*b_d| <= 1); unnormalized inputs would need a band
+    scaled by max||V_i||*max||H_j||. Every current caller normalizes."""
     keep = S >= threshold + _FOLD_EPS
     band = (S >= threshold - _FOLD_EPS) & ~keep
     if band.any():
@@ -195,7 +210,8 @@ def _fold_refine_rows(
 ) -> "np.ndarray":
     """Row-wise variant of :func:`_fold_refine_matrix` for paired rows:
     ``S[i]`` approximates ``dot(A[i], B[i])``; returns the keep mask the
-    exact left-fold would produce."""
+    exact left-fold would produce. Same unit-norm precondition on the
+    rows of A and B (see :func:`_fold_refine_matrix`)."""
     keep = S >= threshold + _FOLD_EPS
     band = (S >= threshold - _FOLD_EPS) & ~keep
     if band.any():
@@ -866,81 +882,195 @@ def _near_pairs_bucket_verify(
     vec_col: str,
     dim: int,
     chunk: int = 2048,
+    n_salts: int | None = None,
 ) -> DataFrame:
     """Dense-bucket scale path for ``embedding_near_pairs_blocked``: the
     exact-cosine verify runs INSIDE each SRP bucket group (applyInPandas)
     instead of materializing (id_a, id_b) candidate rows and joining the
-    unit vectors back on. The only shuffle is the group-by on the bucket
-    id over (1 home + 1 + multi-probe flips) rows per vector — LINEAR in
-    the corpus — while the quadratic visitors x homes scoring happens as
-    one BLAS matmul per visitor chunk, with threshold-band pairs re-scored
-    in the exact IEEE left-fold add order of ``dot()`` / DuckDB
-    list_inner_product (:func:`_fold_refine_matrix`), so results are
-    bitwise identical to the 'jvm' and 'arrow' verifies.
+    unit vectors back on. The only shuffle is the group-by over a handful
+    of narrow rows per vector — LINEAR in the corpus — while the quadratic
+    visitors x homes scoring happens as BLAS matmuls inside the kernel.
 
-    Pair-meets-once argument (same as the narrow-join formulation): a
-    probing visitor's buckets {home, home^bit_i} are distinct values and
-    the home side sits only in its own bucket, so every surviving pair is
-    produced by exactly one group; id_a < id_b kills mirrors and
-    self-pairs. Per-group memory is bounded by ``chunk`` x |homes| doubles
-    (visitors are processed in blocks); hot buckets degrade to longer —
-    not wider — loops. At 1000-executor scale the group count is 2^planes:
-    raise n_planes with corpus size (the collision-probability tuning the
-    caller already owns) and parallelism follows."""
+    r14 shape (the r13 version was the #1 query at the 100x corpus, 30.4 s,
+    5.7x slope per 3.33x data; the changes below brought it to ~7 s):
+
+    - **Shuffle raw float32 rows** (guide §2.3 narrower types): group rows
+      carry the source ``array<float>`` embedding (256 B) instead of the
+      r13 float64 unit vector (512 B); the kernel casts to float64 (exact)
+      and unit-normalizes with the same IEEE ops as the JVM expression
+      (left-fold sum of squares from 0.0, correctly-rounded sqrt,
+      elementwise divide), so every downstream double is bit-identical.
+    - **Up-probes only, triangle in-kernel** (guide §2.3/§2.4): a vector's
+      shuffled rows are its home row plus — with multi-probe — one visitor
+      row per flip ABOVE its bucket (``probe > bucket``; expected
+      planes/2). The r13 shape shipped 1 + planes visitor rows per vector
+      and scored every cross-bucket pair in BOTH directions, discarding
+      half through the ``id_a < id_b`` filter; now a cross pair is scored
+      once (id order normalized after extraction) and same-bucket pairs
+      come from the home block scored against itself with the ascending-id
+      half kept. ~2.6 rows per vector instead of 8, ~55% of the BLAS.
+    - **float32 prefilter, float64 left-fold decision** (guide §4.2): each
+      block is scored by one SGEMM; only pairs with ``S32 >= threshold -
+      _F32_EPS`` are extracted, and every extracted pair is re-scored with
+      the exact IEEE left-fold add order of ``dot()`` / DuckDB
+      list_inner_product — the fold IS the keep decision, so results are
+      bitwise identical to the 'jvm' and 'arrow' verifies by construction.
+      Soundness of the drop side: for unit vectors Cauchy-Schwarz bounds
+      sum|a_d*b_d| by 1, so the f32 score differs from the exact dot by at
+      most ~(dim+2)*2^-24 ~= 4e-6 at dim=64 — 25x inside the 1e-4 band.
+      This also kills the r13 kernel's full-matrix band/id masks (two
+      extra G-scale boolean passes at the 100x corpus).
+    - **JVM prep, norm as a column** (the shingle_sets lesson, dedup.py):
+      ``transform(v, x -> x / l2_norm(v))`` inlines the fold-norm per
+      ELEMENT — 64 norms per row, measured 30 s for the unit projection
+      alone at the 100x corpus; materializing ``__n`` in its own
+      projection first makes it once per row. The (id, raw, bucket) frame
+      is pinned so the home and visitor branches share one build.
+    - **Salted sub-groups only past 2^planes cores** (guide §2.5):
+      ``n_salts`` defaults to ``max(1, cores // 2^planes)`` — visitors
+      salt by ``xxhash64(id) % n_salts`` (deterministic), homes replicate
+      per salt, and the same-bucket triangle runs in salt 0 only, so each
+      pair still lives in exactly one (bucket, salt) group. Measured at
+      the 100x corpus on 32 cores: byte volume dominates balance
+      (n_salts=2 cost +50% over n_salts=1), so salting stays OFF until
+      the executor count exceeds the group count; on a 1000-core cluster
+      the default becomes 15 and group grains follow the hardware.
+
+    Pair-meets-once argument: a same-bucket pair is scored once in its
+    bucket's salt-0 triangle (ascending-id half); a cross-bucket pair
+    (buckets x < y, differing in exactly one probed bit) is generated only
+    by the x-side vector's up-probe into y's group. Per-group memory is
+    bounded by ``chunk`` x |homes| floats (visitors are processed in
+    blocks); hot buckets degrade to longer — not wider — loops."""
+    from pyspark import StorageLevel
+
+    if n_salts is None:
+        cores = corpus.sparkSession.sparkContext.defaultParallelism
+        n_salts = max(1, cores // (1 << n_planes))
     v = _as_double(F.col(vec_col))
-    n = l2_norm(v)
-    prepared = corpus.select(
-        F.col(id_col).alias("__id"), F.transform(v, lambda x: x / n).alias("__unit")
-    ).withColumn("__bucket", srp_bucket(F.col("__unit"), _hyperplanes(dim, n_planes)))
-    probes = [F.col("__bucket")]
-    if multi_probe_bits >= 1:
-        probes += [
-            F.col("__bucket").bitwiseXOR(F.lit(1 << i).cast("long"))
-            for i in range(n_planes)
-        ]
-    visitors = prepared.select(
-        "__id",
-        "__unit",
-        F.explode(F.array(*probes)).alias("__bucket"),
-        F.lit(False).alias("__home"),
+    base = corpus.select(
+        F.col(id_col).alias("__id"), F.col(vec_col).alias("__e"), v.alias("__v")
+    ).withColumn("__n", l2_norm(F.col("__v")))
+    prepared = pin(
+        base.select(
+            "__id",
+            "__e",
+            srp_bucket(
+                F.transform(F.col("__v"), lambda x: x / F.col("__n")),
+                _hyperplanes(dim, n_planes),
+            ).alias("__bucket"),
+        ),
+        StorageLevel.MEMORY_AND_DISK,
     )
+    if n_salts > 1:
+        h_salt = F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1)))
+        v_salt = F.pmod(F.xxhash64(F.col("__id")), F.lit(n_salts)).cast("int")
+    else:
+        h_salt = F.lit(0)
+        v_salt = F.lit(0)
     homes = prepared.select(
-        "__id", "__unit", "__bucket", F.lit(True).alias("__home")
+        "__id",
+        "__e",
+        F.col("__bucket").alias("__g"),
+        h_salt.alias("__salt"),
+        F.lit(True).alias("__home"),
     )
-    rows = visitors.unionByName(homes)
+    if multi_probe_bits >= 1:
+        flips = F.array(
+            *[
+                F.col("__bucket").bitwiseXOR(F.lit(1 << i).cast("long"))
+                for i in range(n_planes)
+            ]
+        )
+        visitors = prepared.select(
+            "__id",
+            "__e",
+            F.explode(F.filter(flips, lambda p: p > F.col("__bucket"))).alias(
+                "__g"
+            ),
+            v_salt.alias("__salt"),
+            F.lit(False).alias("__home"),
+        )
+        rows = homes.unionByName(visitors)
+    else:
+        rows = homes
+    f32_cut = np.float32(threshold - _F32_EPS)
 
-    def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+    def _unitize(raw_objs) -> "np.ndarray":
+        # float32 -> float64 cast is exact; the norm accumulates in the
+        # exact left-fold order (ascending d from 0.0) and sqrt/divide are
+        # single correctly-rounded IEEE ops — bitwise what the JVM
+        # transform(v, x -> x / l2_norm(v)) produces.
+        M = np.asarray(list(raw_objs), dtype=np.float64)
+        acc = np.zeros(len(M), dtype=np.float64)
+        for d in range(M.shape[1]):
+            acc += M[:, d] * M[:, d]
+        return M / np.sqrt(acc)[:, None]
+
+    def kernel(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({"id_a": [], "id_b": []}).astype(
+            {"id_a": "int64", "id_b": "int64"}
+        )
         home_mask = pdf["__home"].to_numpy()
-        h_ids = pdf["__id"].to_numpy()[home_mask]
-        v_ids = pdf["__id"].to_numpy()[~home_mask]
-        if len(h_ids) == 0 or len(v_ids) == 0:
-            return pd.DataFrame({"id_a": [], "id_b": []}).astype(
-                {"id_a": "int64", "id_b": "int64"}
-            )
-        H = np.asarray(list(pdf["__unit"][home_mask]), dtype=np.float64)
-        V = np.asarray(list(pdf["__unit"][~home_mask]), dtype=np.float64)
+        ids = pdf["__id"].to_numpy()
+        h_ids = ids[home_mask]
+        if len(h_ids) == 0:
+            return empty
+        raw = pdf["__e"].to_numpy()
+        H = _unitize(raw[home_mask])
+        # Visitor block: cross-bucket up-probe rows, plus — in salt 0 —
+        # the homes themselves for the same-bucket triangle.
+        c_ids = ids[~home_mask]
+        triangle = int(key[1]) == 0
+        if len(c_ids):
+            C = _unitize(raw[~home_mask])
+            V = np.vstack([H, C]) if triangle else C
+            v_ids = np.concatenate([h_ids, c_ids]) if triangle else c_ids
+        elif triangle:
+            V, v_ids = H, h_ids
+        else:
+            return empty
+        n_tri = len(h_ids) if triangle else 0
+        H32 = H.astype(np.float32)
         out_a, out_b = [], []
         for lo in range(0, len(v_ids), chunk):
             vb = V[lo : lo + chunk]
-            # r13 (guide §4.2): one BLAS matmul scores the whole
-            # visitors-x-homes block; the exact left-fold order — the
-            # cross-engine hash contract — is recomputed only for pairs
-            # inside the _FOLD_EPS threshold band (see _fold_refine_matrix
-            # for the rounding-error bound). The old shape paid dim full
-            # passes over the score matrix to reproduce the fold order for
-            # EVERY pair; measured 6.8x-superlinear at 30x because this
-            # block is the quadratic part of the operator.
-            keep = _fold_refine_matrix(vb @ H.T, vb, H, threshold)
-            ai, bi = np.nonzero(
-                keep & (v_ids[lo : lo + chunk][:, None] < h_ids[None, :])
-            )
-            out_a.append(v_ids[lo : lo + chunk][ai])
-            out_b.append(h_ids[bi])
+            vi, hi = np.nonzero(vb.astype(np.float32) @ H32.T >= f32_cut)
+            if len(vi) == 0:
+                continue
+            ia = v_ids[lo : lo + chunk][vi]
+            ib = h_ids[hi]
+            # triangle rows meet every co-member in both orders (and
+            # themselves) — keep the ascending one; cross rows occur once
+            # in arbitrary id order — keep all, normalize order below.
+            m = (vi + lo >= n_tri) | (ia < ib)
+            if not m.all():
+                vi, hi, ia, ib = vi[m], hi[m], ia[m], ib[m]
+                if len(vi) == 0:
+                    continue
+            # THE keep decision: exact left-fold (ascending d, one add per
+            # dim from acc=0.0) over the extracted survivors only — the
+            # same IEEE add sequence as dot() / DuckDB list_inner_product.
+            A = vb[vi]
+            B = H[hi]
+            acc = np.zeros(len(vi), dtype=np.float64)
+            for d in range(A.shape[1]):
+                acc += A[:, d] * B[:, d]
+            ok = acc >= threshold
+            if not ok.any():
+                continue
+            ia, ib = ia[ok], ib[ok]
+            out_a.append(np.minimum(ia, ib))
+            out_b.append(np.maximum(ia, ib))
+        if not out_a:
+            return empty
         return pd.DataFrame(
             {"id_a": np.concatenate(out_a), "id_b": np.concatenate(out_b)}
         ).astype({"id_a": "int64", "id_b": "int64"})
 
-    return rows.groupBy("__bucket").applyInPandas(kernel, schema="id_a long, id_b long")
+    return rows.groupBy("__g", "__salt").applyInPandas(
+        kernel, schema="id_a long, id_b long"
+    )
 
 
 def embedding_near_pairs_blocked(

@@ -21,6 +21,20 @@ import os
 
 from pyspark.sql import SparkSession
 
+# One BLAS thread per task (guide §4.2/§4.5): every Arrow kernel in this
+# engine hands whole batches to numpy/OpenBLAS, and OpenBLAS defaults to
+# one thread PER CORE — with 32 concurrent tasks that is 32x32 threads
+# fighting for 32 cores. Measured on this host (skinny f64 matmul,
+# 2048x64 @ 64x5000): 620 ms/iter multithreaded vs 155 ms/iter
+# single-threaded — the unpinned default is 4x SLOWER even for ONE task,
+# and pathological for a full stage. Set before the JVM launches so local
+# Python workers (forked from this process) inherit it; on a cluster the
+# same keys go out via spark.executorEnv below. Respect explicit operator
+# overrides from the environment.
+_BLAS_ENV = ("OPENBLAS_NUM_THREADS", "OMP_NUM_THREADS", "MKL_NUM_THREADS")
+for _k in _BLAS_ENV:
+    os.environ.setdefault(_k, "1")
+
 DEFAULT_CONF: dict[str, str] = {
     # Adaptive execution: coalesce small shuffle partitions, split skewed ones,
     # convert to broadcast join at runtime when a side turns out small.
@@ -77,6 +91,10 @@ def get_spark(
     # is per-executor memory instead.
     conf["spark.driver.memory"] = os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g")
     conf["spark.sql.shuffle.partitions"] = str(shuffle_partitions or max(cpus, 8))
+    # Cluster-mode twin of the process-env pin above (local workers inherit
+    # the driver env; remote executors need the conf).
+    for k in _BLAS_ENV:
+        conf.setdefault(f"spark.executorEnv.{k}", os.environ[k])
     if extra_conf:
         conf.update(extra_conf)
     for k, v in conf.items():
