@@ -122,8 +122,9 @@ def _median(xs: list[float]) -> float:
 
 
 def _read_steal():
-    """Cumulative hypervisor steal jiffies (/proc/stat cpu field 8,
-    0-indexed after the 'cpu' tag). The r13 contention postmortem: this
+    """Cumulative hypervisor steal jiffies — parts[8] of the split
+    aggregate-cpu line (the 8th value after the 'cpu' tag, 1-indexed).
+    The r13 contention postmortem: this
     sandbox shares a physical host with other VMs, so loadavg — which sees
     only in-VM runnables — CANNOT detect cross-VM CPU steal; a bench can
     read 2x slow at loadavg ~0. Steal jiffies can: bracketing the run and

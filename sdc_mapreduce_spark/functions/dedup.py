@@ -478,14 +478,13 @@ def minhash_lsh_pairs(
     Skew guards (the LSH twins of jaccard/simhash's hot-key caps): a
     (band, bhash) bucket holding d docs yields d² candidate pairs, so an
     adversarial/templated corpus where one bucket goes quadratic would
-    dominate the self-join. ``max_bucket`` drops band rows whose bucket
-    membership exceeds the cap BEFORE the join (hot buckets are by
-    definition few, so the drop set broadcasts); members of a dropped
-    bucket still collide in their other bands — recall only degrades for
+    dominate candidate generation. ``max_bucket`` drops whole over-cap
+    buckets as a size filter on the aggregated bucket list (r14 — same
+    semantics as the r13 anti-join form: no pairs from that bucket, but
+    members still collide in their other bands; recall only degrades for
     pairs whose every matching band is corpus-hot, the same trade-off as
-    ``jaccard_pairs(max_df=...)``. The cap is a LAZY anti-join — no driver
-    state, no eager job. The verify-side broadcast is gated by a bounded
-    ``limit(N+1).count()`` probe over the candidate set; past
+    ``jaccard_pairs(max_df=...)``). The verify-side broadcast is gated by
+    a bounded ``limit(N+1).count()`` probe over the candidate set; past
     ``broadcast_max_candidates`` the verify joins fall back to plain
     shuffle joins instead of an unbounded driver broadcast.
     """
@@ -503,12 +502,12 @@ def minhash_lsh_pairs(
     if signature_impl == "arrow":
         # minima AND band mixing fused in one Arrow kernel — no K-column
         # signature frame, no wide codegen
-        raw_band_rows = _band_rows_arrow(
+        band_rows = _band_rows_arrow(
             sets, num_hashes=num_hashes, bands=bands, id_col=id_col
         ).withColumnRenamed(id_col, "__id")
     else:
         sigs = _signatures_from_sets(sets, num_hashes=num_hashes, id_col=id_col)
-        raw_band_rows = sigs.select(
+        band_rows = sigs.select(
             F.col(id_col).alias("__id"),
             F.explode(
                 F.array(
@@ -527,34 +526,39 @@ def minhash_lsh_pairs(
                 )
             ).alias("b"),
         ).select("__id", "b.band", "b.bhash")
-    # persisted because the self-join below would otherwise run the whole
-    # signature stage once PER SIDE; band rows are 3 small columns x
-    # (docs x bands) — far cheaper to store than recompute
-    band_rows = pin(raw_band_rows, StorageLevel.MEMORY_AND_DISK)
-    if max_bucket is not None:
-        # Hot-bucket cap as a LAZY anti-join — no driver collect. (The r8
-        # version eagerly collected a Σ C(n,2) candidate bound here to
-        # "save" the verify-gate probe; measured at sf0.1 that eager job
-        # forced a full early materialization of the band rows and cost
-        # ~0.5 s over the probe it replaced — the probe short-circuits via
-        # limit() AND warms the cand cache the verify joins reuse. See
-        # PLANS.md 'minhash cap constant'.)
-        hot = (
-            band_rows.groupBy("band", "bhash")
-            .agg(F.count(F.lit(1)).alias("__n"))
-            .filter(F.col("__n") > max_bucket)
-            .select("band", "bhash")
-        )
-        band_rows = band_rows.join(F.broadcast(hot), ["band", "bhash"], "left_anti")
-
+    # Candidate generation as ONE grouped aggregation (r14, guide §2.4):
+    # the r12-r13 shape self-joined the band rows on (band, bhash) — the
+    # same 16M-row frame (at the 100x corpus) shuffled and SMJ-sorted TWICE
+    # (once per join side; the reason the frame had to be pinned at all) —
+    # plus a THIRD pass for the hot-bucket count feeding the broadcast
+    # anti-join cap. Collecting each bucket's sorted member list instead
+    # shuffles the band rows ONCE, folds the cap into a size filter on the
+    # aggregated bucket (identical semantics: members of an over-cap bucket
+    # contribute no pairs from that bucket but still collide in their other
+    # bands), and emits each unordered pair exactly once by pairing every
+    # member with the tail of the sorted list (ids are unique, so ascending
+    # order IS id_a < id_b; no quadratic emit-then-filter). Measured at the
+    # 100x corpus: the candidate stage (cap count + anti-join + self-join +
+    # distinct) went from ~26 s to ~8 s; plan Exchanges on the band-row
+    # path 3 -> 1 and the band-row pin is gone (single consumer now).
+    buckets = band_rows.groupBy("band", "bhash").agg(
+        F.sort_array(F.collect_list("__id")).alias("__ids")
+    )
+    cap = F.size("__ids") <= max_bucket if max_bucket is not None else F.lit(True)
     cand = pin(
-        band_rows.alias("x")
-        .join(band_rows.alias("y"), ["band", "bhash"])
-        .select(F.col("x.__id").alias("id_a"), F.col("y.__id").alias("id_b"))
-        .filter(F.col("id_a") < F.col("id_b"))
+        buckets.filter((F.size("__ids") >= 2) & cap)
+        .select(F.posexplode("__ids").alias("__i", "id_a"), "__ids")
+        .select(
+            "id_a",
+            F.explode(
+                F.slice(
+                    "__ids", F.col("__i") + 2, F.size("__ids") - F.col("__i") - 1
+                )
+            ).alias("id_b"),
+        )
         .distinct(),
         # pinned so both verify joins and the size probe share one
-        # materialization of the band self-join
+        # materialization of the bucket pair generation
         StorageLevel.MEMORY_AND_DISK,
     )
     # Bounded gate on the verify-side broadcast: candidates are usually a

@@ -7,6 +7,8 @@ from __future__ import annotations
 
 import json
 
+import pytest
+
 
 def test_bench_compact_line_fits_driver_tail_window():
     """A compact line built from the CURRENT bench query set with
@@ -201,8 +203,10 @@ def test_steal_audit_reads_and_summarizes(monkeypatch):
     import bench as benchmod
 
     s1 = benchmod._read_steal()
+    if s1 is None:  # ADVICE r13: hosts without /proc/stat (e.g. macOS)
+        pytest.skip("no /proc/stat steal counter on this host")
     s2 = benchmod._read_steal()
-    assert s1 is not None and s2 >= s1 >= 0
+    assert s2 >= s1 >= 0
 
     # deterministic summary math: 10 stolen core-seconds over a 100 s
     # window on N cores
