@@ -197,9 +197,31 @@ def bloom_prefilter_dedup(
 def shingle_sets(
     df: DataFrame, n: int = 3, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:
-    """Distinct token n-gram shingles per document: (id, shingles array).
-    Documents shorter than n tokens get a single whole-text shingle so they
-    still participate."""
+    """Distinct token n-gram shingles per document, each represented by
+    its 64-bit hash: (id, shingles array<long>). Documents shorter than n
+    tokens get a single whole-text shingle so they still participate.
+
+    r14 (guide §1.2 — fix the per-task work): this formerly BUILT every
+    shingle as a string (an interpreted array_join over a slice per
+    position, then array_distinct over strings) and every consumer then
+    re-hashed those strings with xxhash64. At the 100x corpus that
+    build+re-hash pass was the single largest stage of every token-dedup
+    operator (202 of dedup_jaccard_prefix's 317 core-seconds). Tokens come
+    from a whitespace split, so no token contains whitespace and the
+    ' '-join of a token n-gram is INJECTIVE over token tuples — hashing
+    the tuple directly (one n-ary xxhash64 per position: no string
+    allocation, no join, no second hashing pass, distinct over longs)
+    identifies exactly the same shingle universe, up to 64-bit hash
+    collisions, which the old string-hash representation was equally
+    subject to. The whole-text branch (< n tokens) cannot alias an n-gram
+    either way: both are whitespace-joins of token tuples of different
+    arity. Every consumer is a function of hash-set equality only
+    (Jaccard/containment intersections and sizes, MinHash signature bases,
+    prefix-filter df ranks), and every oracle replays STRING shingles in
+    DuckDB, so declared outputs are unchanged; MinHash signature VALUES
+    change (a different base family with the same collision statistics) —
+    banding recall is re-verified against the exhaustive-Jaccard oracles
+    at every fixture SF and the replica corpora."""
     # Materialize the token array in its own projection first: higher-order
     # lambdas are interpreted (not codegen'd), so referencing the split()
     # expression inside the gram lambda would re-tokenize the document for
@@ -210,9 +232,9 @@ def shingle_sets(
         F.size(t) >= n,
         F.transform(
             F.sequence(F.lit(1), F.size(t) - n + 1),
-            lambda i: F.array_join(F.slice(t, i, n), " "),
+            lambda i: F.xxhash64(*[F.element_at(t, i + j) for j in range(n)]),
         ),
-    ).otherwise(F.array(F.array_join(t, " ")))
+    ).otherwise(F.array(F.xxhash64(F.array_join(t, " "))))
     return toked.select(F.col(id_col), F.array_distinct(grams).alias("shingles"))
 
 
@@ -259,9 +281,9 @@ def jaccard_pairs(
         sets = pin(sets, StorageLevel.MEMORY_AND_DISK)
     inv = sets.select(
         F.col(id_col).alias("__id"),
-        F.explode(
-            F.transform("shingles", lambda s: F.xxhash64(s))
-        ).alias("__shingle"),
+        # shingles are already 8-byte hashes (shingle_sets, r14) — the
+        # index explodes them directly; no per-element re-hash
+        F.explode("shingles").alias("__shingle"),
     )
     if max_df is not None:
         # Hot-shingle anti-join: the hot set is tiny (shingles above the
@@ -327,15 +349,15 @@ def _signatures_from_sets(
 ) -> DataFrame:
     """(id, shingles) → (id, shingles, mh_0..mh_{K-1}), map-side only.
 
-    Each shingle string is hashed ONCE (xxhash64 of the text); the K seeded
-    hashes derive from that 8-byte base via xxhash64(seed, base) — fixed-
-    width rehashing is ~an order of magnitude cheaper than re-hashing the
-    string K times, and the family is still pairwise-independent enough for
-    MinHash collision estimates."""
+    Each shingle IS an 8-byte base hash (shingle_sets, r14); the K seeded
+    hashes derive from it via xxhash64(seed, base) — fixed-width rehashing
+    is ~an order of magnitude cheaper than re-hashing a string K times, and
+    the family is still pairwise-independent enough for MinHash collision
+    estimates."""
     based = sets.select(
         id_col,
         "shingles",
-        F.transform("shingles", lambda s: F.xxhash64(s)).alias("__base"),
+        F.col("shingles").alias("__base"),
     )
 
     # NOTE: the lambda must take exactly ONE argument — a two-arg lambda is
@@ -376,10 +398,10 @@ def _signatures_from_sets_arrow(
     based = sets.select(
         id_col,
         "shingles",
-        F.transform("shingles", lambda s: F.xxhash64(s)).alias("__base"),
+        F.col("shingles").alias("__base"),
     )
     out_schema = ", ".join(
-        [f"{id_col} long", "shingles array<string>"]
+        [f"{id_col} long", "shingles array<long>"]
         + [f"mh_{i} long" for i in range(num_hashes)]
     )
 
@@ -427,11 +449,19 @@ def _band_rows_arrow(
         | np.uint64(1)
     )
 
-    based = sets.select(
-        id_col, F.transform("shingles", lambda s: F.xxhash64(s)).alias("__base")
-    )
+    based = sets.select(id_col, F.col("shingles").alias("__base"))
 
     def kernel(batches):
+        # NOTE (r14): a slab-vectorized rewrite of this loop (whole-doc
+        # groups flattened into preallocated buffers, minimum.reduceat per
+        # doc, Mersenne shift-add fold instead of %) was built, verified
+        # bit-identical, and A/B-measured 1.5-1.8x SLOWER single-threaded
+        # on this host (0.45-0.53 s vs 0.79-0.95 s per 10k docs) — the
+        # K x ~50 per-doc matrices live in L2 while any slab big enough to
+        # amortize numpy dispatch thrashes cache, and the arithmetic is
+        # only ~20% of the stage anyway (Arrow/pandas boundary + the band
+        # row exchange dominate). Kept per-doc deliberately; the math is
+        # pinned by test_band_rows_arrow_vectorization_is_bitwise.
         band_idx = np.tile(np.arange(bands, dtype=np.int32), 1)
         for pdf in batches:
             n = len(pdf)
@@ -1076,9 +1106,8 @@ def containment_pairs(
     (id_a, id_b, containment) with id_a < id_b."""
     inv = shingle_sets(df, n=n, text_col=text_col, id_col=id_col).select(
         F.col(id_col).alias("__id"),
-        F.explode(F.transform("shingles", lambda s: F.xxhash64(s))).alias(
-            "__shingle"
-        ),
+        # shingles are already hashes (shingle_sets, r14)
+        F.explode("shingles").alias("__shingle"),
     )
     if max_df is not None:
         hot = (
@@ -1241,6 +1270,21 @@ def jaccard_prefix_pairs(
     The epsilon in ceil(t·s - 1e-9) biases the prefix LONGER whenever t·s
     sits on a float boundary — more candidates, never a missed pair; the
     exact verify step makes over-generation harmless.
+
+    r14 (guide §2.3, VERDICT r13 ask #4): the candidate stage additionally
+    applies PPJoin's POSITIONAL filter (Xiao et al. WWW'08 §3.2) before
+    any token array travels. Ranks are a strict total order ((df, xxhash64)
+    — shingles are identified by their hash everywhere, including the
+    verify, so equal hash IS the same element), hence the globally
+    smallest token shared by a pair attains the minimum matched rank on
+    BOTH sides simultaneously, and no common token precedes it. Therefore
+    |A∩B| <= 1 + min(|A| - i, |B| - j) with i = min matched rank in A,
+    j = min matched rank in B; J >= t further requires
+    |A∩B| >= t/(1+t)·(|A|+|B|). Candidates whose bound falls below that
+    are provably sub-threshold and are dropped BEFORE the verify join —
+    the exact verify is unchanged, so results are bit-identical; the
+    filter only shrinks the pair set whose token arrays get shipped and
+    intersected (the dominant verify-stage cost at the 100x corpus).
     """
     from pyspark import StorageLevel
     from pyspark.sql import Window
@@ -1250,7 +1294,8 @@ def jaccard_prefix_pairs(
     hashed = pin(
         sets.select(
             F.col(id_col).alias("__id"),
-            F.transform("shingles", lambda s: F.xxhash64(s)).alias("__sh"),
+            # shingles are already hashes (shingle_sets, r14)
+            F.col("shingles").alias("__sh"),
             F.size("shingles").alias("__sz"),
         ),
         StorageLevel.MEMORY_AND_DISK,
@@ -1275,16 +1320,29 @@ def jaccard_prefix_pairs(
         inv.join(dfreq, "__h")
         .withColumn("__rn", F.row_number().over(w))
         .filter(F.col("__rn") <= prefix_len)
-        .select("__id", "__sz", "__h")
+        .select("__id", "__sz", "__h", "__rn")
     )
     if pin_prefix:
         prefix = pin(prefix, StorageLevel.MEMORY_AND_DISK)
     a = prefix.select(
-        F.col("__id").alias("id_a"), F.col("__sz").alias("__pa"), "__h"
+        F.col("__id").alias("id_a"),
+        F.col("__sz").alias("__pa"),
+        "__h",
+        F.col("__rn").alias("__ra"),
     )
     b = prefix.select(
-        F.col("__id").alias("id_b"), F.col("__sz").alias("__pb"), "__h"
+        F.col("__id").alias("id_b"),
+        F.col("__sz").alias("__pb"),
+        "__h",
+        F.col("__rn").alias("__rb"),
     )
+    # The former `.distinct()` is now a groupBy over the same key — the
+    # identical single exchange — that additionally aggregates the MIN
+    # matched rank per side for the positional filter (docstring): the
+    # globally smallest shared token attains both minima at once, so
+    # 1 + min(|A| - i, |B| - j) is a sound overlap upper bound and the
+    # J >= t requirement |A∩B| >= t/(1+t)·(|A|+|B|) prunes pairs that
+    # cannot reach the threshold before their arrays are verified.
     cand = (
         a.join(b, "__h")
         .filter(
@@ -1292,8 +1350,22 @@ def jaccard_prefix_pairs(
             & (F.col("__pb") >= F.col("__pa") * threshold - eps)
             & (F.col("__pa") >= F.col("__pb") * threshold - eps)
         )
+        .groupBy("id_a", "id_b")
+        .agg(
+            F.min("__ra").alias("__ia"),
+            F.min("__rb").alias("__ib"),
+            F.first("__pa").alias("__fpa"),
+            F.first("__pb").alias("__fpb"),
+        )
+        .filter(
+            F.lit(1)
+            + F.least(
+                F.col("__fpa") - F.col("__ia"), F.col("__fpb") - F.col("__ib")
+            )
+            >= (F.col("__fpa") + F.col("__fpb")) * (threshold / (1.0 + threshold))
+            - eps
+        )
         .select("id_a", "id_b")
-        .distinct()
     )
     va = hashed.select(
         F.col("__id").alias("id_a"),

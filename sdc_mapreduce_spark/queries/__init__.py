@@ -193,6 +193,49 @@ for _name in _MODULE_ORDER:
 #     still certifies the stalest first): (0) any query added or changed
 #     in round 12; (1) the rotation head (events_sessionize_salted ..),
 #     oldest-first; (2) the r10-window block (freshest, rotation tail).
+# round 14 plan, in priority order (VERDICT r13 ask #2 — the r13 window
+#   violated its own slot-(0) rule: zero r13-changed queries sat in the
+#   head, so the driver's official oracle never saw 5 of the 6 rewritten
+#   queries; this head is rebuilt around exactly that rule): (0) every
+#   query whose OPERATOR changed in r14 — the SRP verify/prep family
+#   (e48c507: raw-f32 group rows, up-probes, SGEMM prefilter + fold-band,
+#   pinned unit-norm prep) feeding dedup_embedding_ann/_clusters/_cosine,
+#   the incremental/streaming embedding paths and both simsearch_ann_*
+#   consumers; the minhash_lsh_pairs grouped candidate generation
+#   (408d888) feeding dedup_minhash_lsh, the near_dup_clusters family,
+#   dedup_source_leakage_matrix and dedup_cluster_safe_split; and the
+#   jaccard_prefix positional-filter rewrite (this round); (1) the queries
+#   rewritten in r13 that the r13 window missed (VERDICT r13 flaw #1):
+#   dedup_exact_substring, dedup_sorted_neighborhood,
+#   multimodal_encoder_topk (dedup_jaccard_prefix and dedup_embedding_ann
+#   already lead in slot 0); (2) the stalest rotation entries — everything
+#   the r13 window did NOT officially certify, in rotation order; (3) the
+#   r13-certified block (freshest certs) last.
+_WINDOW_R14: tuple[str, ...] = (
+    # (0a) r14: SRP bucket-verify/prep kernel consumers (e48c507)
+    "dedup_embedding_ann",
+    "dedup_embedding_clusters",
+    "dedup_embedding_cosine",
+    "dedup_incremental_embedding",
+    "dedup_incremental_embedding_index",
+    "dedup_streaming_embedding_certified",
+    "simsearch_ann_srp",
+    "simsearch_ann_recall",
+    # (0b) r14: minhash_lsh_pairs one-pass grouped candidates (408d888)
+    "dedup_minhash_lsh",
+    "dedup_clusters",
+    "dedup_cluster_labels",
+    "dedup_cluster_sizes",
+    "dedup_cluster_safe_split",
+    "dedup_keep_best",
+    "dedup_source_leakage_matrix",
+    # (0c) r14: jaccard_prefix verify-path work this round
+    "dedup_jaccard_prefix",
+    # (1) r13 rewrites the r13 window never sampled (VERDICT r13 #1)
+    "dedup_exact_substring",
+    "dedup_sorted_neighborhood",
+    "multimodal_encoder_topk",
+)
 # round 13 plan, in priority order (pre-sequenced so a truncated round
 #   still certifies the stalest-and-least-certified first): (0) any query
 #   added or changed in round 13; (1) the r12-changed connected-components
@@ -486,9 +529,21 @@ _ROTATED_OUT: tuple[str, ...] = (
 # intact as historical record while _PRIORITY stays duplicate-free
 # (tests/test_registry.py::test_every_registered_query_is_prioritized).
 _seen: set = set()
-_PRIORITY: tuple[str, ...] = tuple(
+_R13_PRIORITY: tuple[str, ...] = tuple(
     n
     for n in (*_WINDOW_R13, *_ROTATED_OUT, *_WINDOW_R12, *_WINDOW_R11)
+    if not (n in _seen or _seen.add(n))
+)
+del _seen
+# r14 assembly: the r14 head (operator-changed queries) first, then the
+# entries the r13 driver window did NOT certify (= r13 priority past the
+# 50-entry sample), stalest-first in their existing rotation order, then
+# the r13-certified block (freshest official certs) last.
+_R13_CERT_HEAD: tuple[str, ...] = _R13_PRIORITY[:50]
+_seen = set()
+_PRIORITY: tuple[str, ...] = tuple(
+    n
+    for n in (*_WINDOW_R14, *_R13_PRIORITY[50:], *_R13_CERT_HEAD)
     if not (n in _seen or _seen.add(n))
 )
 del _seen

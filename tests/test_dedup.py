@@ -845,3 +845,44 @@ def test_sorted_neighborhood_rejects_degenerate_window(spark, sf_dir):
     docs = load_table(spark, sf_dir, "documents")
     with pytest.raises(ValueError, match="window"):
         D.sorted_neighborhood_pairs(docs, window=1)
+
+
+def test_band_rows_arrow_vectorization_is_bitwise(spark, sf_dir):
+    """The r14 slab-vectorized band kernel (flat concat + minimum.reduceat)
+    must reproduce the per-document formulation BIT-FOR-BIT: min is exact
+    and the (a*h+b) % M / band-mix arithmetic is elementwise uint64, so any
+    divergence is a bug (wrong reduceat boundaries, dtype drift)."""
+    import numpy as np
+
+    from sdc_mapreduce_spark.functions.dedup import (
+        RNG_SEED_MINHASH,
+        shingle_sets,
+    )
+
+    num_hashes, bands = 128, 32
+    rows_per_band = num_hashes // bands
+    MERSENNE = (1 << 61) - 1
+    rng = np.random.RandomState(RNG_SEED_MINHASH)
+    a = rng.randint(1, MERSENNE, size=num_hashes, dtype=np.int64).astype(np.uint64)
+    b = rng.randint(0, MERSENNE, size=num_hashes, dtype=np.int64).astype(np.uint64)
+    mix = (
+        rng.randint(1, MERSENNE, size=rows_per_band, dtype=np.int64).astype(np.uint64)
+        | np.uint64(1)
+    )
+
+    docs = load_table(spark, sf_dir, "documents").limit(200)
+    sets = shingle_sets(docs, n=3)
+    expected = {}
+    for r in sets.collect():
+        h = np.asarray(r["shingles"], dtype=np.int64).astype(np.uint64)
+        mins = ((a[:, None] * h[None, :] + b[:, None]) % MERSENNE).min(axis=1)
+        per_band = mins.reshape(bands, rows_per_band)
+        bh = (per_band * mix[None, :]).sum(axis=1).astype(np.int64)
+        for band in range(bands):
+            expected[(r["doc_id"], band)] = int(bh[band])
+
+    got = {
+        (r["doc_id"], r["band"]): r["bhash"]
+        for r in D._band_rows_arrow(sets, num_hashes=num_hashes, bands=bands).collect()
+    }
+    assert got == expected

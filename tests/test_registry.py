@@ -52,41 +52,37 @@ def test_every_registered_query_is_prioritized():
     )
 
 
-def test_window_head_is_the_r13_plan():
+def test_window_head_is_the_r14_plan():
     """First 50 registry entries are the driver's certification sample —
-    pin the r13 head so an accidental reorder is caught before the round
-    ends (r13 new/changed queries first, then the r12-changed CC family
-    that missed official certification — ADVICE r12 medium — then the
-    r11 tail squeezed out of the r12 head, then the stalest rotation
-    entries)."""
+    pin the r14 head so an accidental reorder is caught before the round
+    ends. VERDICT r13 ask #2: every query whose operator changed in r13
+    or r14 must sit inside the head; the r13 window missed 5 of the 6
+    r13 rewrites, so the r14 plan leads with the full changed-operator
+    set (SRP verify family, minhash candidate family, jaccard_prefix,
+    plus the uncertified r13 rewrites), then fills with the stalest
+    rotation entries (everything the r13 window did not certify)."""
     import sdc_mapreduce_spark.queries as q
 
     head = list(q.REGISTRY)[:50]
-    r13_new = list(q._WINDOW_R13)[: len(q._WINDOW_R13) - 17]
-    # plan item 0: round-13 additions/changes lead (newest certs first)
-    assert head[: len(r13_new)] == r13_new
-    # plan item 1: the r12-changed connected-components family, whose
-    # rewritten oracle + pointer-jumping path were outside the r12 window
-    cc = [
+    # plan item 0/1: the full r14 window leads, in order
+    assert head[: len(q._WINDOW_R14)] == list(q._WINDOW_R14)
+    # every r13/r14 operator-changed query is inside the certified head
+    for name in (
+        "dedup_embedding_ann",
         "dedup_embedding_clusters",
-        "dedup_clusters",
-        "dedup_cluster_labels",
-        "dedup_cluster_sizes",
-        "dedup_cluster_safe_split",
-        "dedup_keep_best",
-        "dedup_source_leakage_matrix",
-        "graph_pagerank_neardup",
-        "graph_triangle_stats",
-    ]
-    assert head[len(r13_new) : len(r13_new) + 9] == cc
-    # plan item 2: the r11 tail squeezed out of the r12 50-entry head
-    assert head[len(r13_new) + 9 : len(r13_new) + 12] == [
-        "corpus_shuffle_shards",
-        "embedding_quantize_audit",
-        "dedup_incremental",
-    ]
-    # plan item 3: the stalest old-rotation entries fill the remainder
-    assert "events_sessionize_salted" in head
+        "dedup_minhash_lsh",
+        "dedup_jaccard_prefix",
+        "dedup_exact_substring",
+        "dedup_sorted_neighborhood",
+        "multimodal_encoder_topk",
+    ):
+        assert name in head[: len(q._WINDOW_R14)], name
+    # plan item 2: stalest rotation entries (never certified in r13) fill
+    # the remainder — spot-pin the boundary so the assembly stays honest
+    tail = head[len(q._WINDOW_R14) :]
+    assert set(tail) & set(q._R13_CERT_HEAD) == set(), (
+        "r13-certified entries must not displace stale ones in the head"
+    )
     assert len(head) == 50
 
 
