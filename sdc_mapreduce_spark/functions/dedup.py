@@ -599,6 +599,18 @@ def minhash_lsh_pairs(
 
     sa = sets.select(F.col(id_col).alias("id_a"), F.col("shingles").alias("__sh_a"))
     sb = sets.select(F.col(id_col).alias("id_b"), F.col("shingles").alias("__sh_b"))
+    if probe <= broadcast_max_candidates:
+        # r14 (guide §2.4): the planner cannot know the first verify
+        # join's output (candidates + arrays) is small, so it planned the
+        # second join as SMJ and AQE's late BHJ conversion still
+        # materialized the probe-side exchange — the ENTIRE corpus shingle
+        # table reshuffled (219 MiB at the 100x corpus) to serve 26k
+        # candidate rows. Semi-filtering the b-side to candidate ids first
+        # (ids broadcast; same inner-join semantics) makes that exchange
+        # carry only the docs that appear in some pair.
+        sb = sb.join(
+            F.broadcast(cand.select("id_b").distinct()), "id_b", "semi"
+        )
     verified = (
         cand_hinted.join(sa, "id_a")
         .join(sb, "id_b")
@@ -1229,7 +1241,7 @@ def jaccard_prefix_pairs(
     threshold: float = 0.8,
     text_col: str = "text",
     id_col: str = "doc_id",
-    pin_prefix: bool = True,
+    pin_prefix: bool = False,
 ) -> DataFrame:
     """Exact n-gram Jaccard pairs via AllPairs/PPJoin prefix filtering —
     a LOSSLESS alternative to the full inverted-index self-join of
@@ -1309,13 +1321,11 @@ def jaccard_prefix_pairs(
         F.lit(1),
         F.col("__sz") - F.ceil(F.col("__sz") * threshold - eps) + 1,
     )
-    # pin: the prefix frame (df join + per-doc rank window — the most
-    # expensive linear stage) is consumed twice by the candidate
-    # self-join's two sides; unpinned, the whole rank pipeline ran 2x.
-    # ``pin_prefix`` exists for the committed on/off A/B
-    # (CHECKS_r13/pin_ab_10x.md, VERDICT r12 ask #4): at 10x the pin
-    # wins (see the table); it trades one linear recompute for
-    # MEMORY_AND_DISK storage of O(N·prefix) slim rows.
+    # pin_prefix: under the r13 self-join shape the prefix frame was
+    # consumed twice and the pin won its committed A/B
+    # (CHECKS_r13/pin_ab_10x.md). The r14 grouped candidate generation
+    # below reads the frame ONCE, so the pin now only costs storage —
+    # default flipped to False; the toggle stays for A/B evidence.
     prefix = (
         inv.join(dfreq, "__h")
         .withColumn("__rn", F.row_number().over(w))
@@ -1324,38 +1334,54 @@ def jaccard_prefix_pairs(
     )
     if pin_prefix:
         prefix = pin(prefix, StorageLevel.MEMORY_AND_DISK)
-    a = prefix.select(
-        F.col("__id").alias("id_a"),
-        F.col("__sz").alias("__pa"),
-        "__h",
-        F.col("__rn").alias("__ra"),
+    # Candidate generation as ONE grouped pass (r14, guide §2.4 — the
+    # minhash_lsh_pairs bucket shape): the r13 form self-joined the prefix
+    # frame on __h, which at the 100x corpus meant a 384 MiB broadcast
+    # build of one side plus a second full walk of the pinned frame for
+    # the probe side. Collecting each prefix token's posting list instead
+    # shuffles the prefix rows ONCE; sort_array orders the (id, sz, rn)
+    # structs by id first, so pairing each member with the tail of the
+    # list emits every unordered pair exactly once with id_a < id_b.
+    # The pair filters are unchanged: the size filter, then the groupBy
+    # over the same (id_a, id_b) key the former .distinct() used, now
+    # additionally aggregating the MIN matched rank per side for PPJoin's
+    # positional filter (docstring): the globally smallest shared token
+    # attains both minima at once, so 1 + min(|A| - i, |B| - j) bounds the
+    # overlap and J >= t needs |A∩B| >= t/(1+t)·(|A|+|B|) — pairs below
+    # are dropped before any token array is verified.
+    buckets = (
+        prefix.groupBy("__h")
+        .agg(F.sort_array(F.collect_list(F.struct("__id", "__sz", "__rn"))).alias("__ps"))
+        .filter(F.size("__ps") >= 2)
     )
-    b = prefix.select(
-        F.col("__id").alias("id_b"),
-        F.col("__sz").alias("__pb"),
-        "__h",
-        F.col("__rn").alias("__rb"),
-    )
-    # The former `.distinct()` is now a groupBy over the same key — the
-    # identical single exchange — that additionally aggregates the MIN
-    # matched rank per side for the positional filter (docstring): the
-    # globally smallest shared token attains both minima at once, so
-    # 1 + min(|A| - i, |B| - j) is a sound overlap upper bound and the
-    # J >= t requirement |A∩B| >= t/(1+t)·(|A|+|B|) prunes pairs that
-    # cannot reach the threshold before their arrays are verified.
+    pa = F.col("__pa")
+    pb = F.col("__pb")
     cand = (
-        a.join(b, "__h")
+        buckets.select(F.posexplode("__ps").alias("__i", "__pa"), "__ps")
+        .select(
+            "__pa",
+            F.explode(
+                F.slice("__ps", F.col("__i") + 2, F.size("__ps") - F.col("__i") - 1)
+            ).alias("__pb"),
+        )
         .filter(
-            (F.col("id_a") < F.col("id_b"))
-            & (F.col("__pb") >= F.col("__pa") * threshold - eps)
-            & (F.col("__pa") >= F.col("__pb") * threshold - eps)
+            (pb["__sz"] >= pa["__sz"] * threshold - eps)
+            & (pa["__sz"] >= pb["__sz"] * threshold - eps)
+        )
+        .select(
+            pa["__id"].alias("id_a"),
+            pb["__id"].alias("id_b"),
+            pa["__sz"].alias("__sza"),
+            pb["__sz"].alias("__szb"),
+            pa["__rn"].alias("__ra"),
+            pb["__rn"].alias("__rb"),
         )
         .groupBy("id_a", "id_b")
         .agg(
             F.min("__ra").alias("__ia"),
             F.min("__rb").alias("__ib"),
-            F.first("__pa").alias("__fpa"),
-            F.first("__pb").alias("__fpb"),
+            F.first("__sza").alias("__fpa"),
+            F.first("__szb").alias("__fpb"),
         )
         .filter(
             F.lit(1)

@@ -758,21 +758,34 @@ def heavy_hitters_twopass(
         import numpy as np
         import pandas as pd
 
-        counters: dict[str, int] = {}
+        # r14 (guide §4.2): the counter store is a pandas Series merged
+        # with vectorized index-aligned adds instead of a per-token Python
+        # dict loop — the loop was 158 of text_heavy_hitters' ~300
+        # core-seconds at the 100x corpus. The merge schedule, the
+        # (m+1)-th-largest trim delta and the drop-non-positive rule are
+        # unchanged statement for statement, so the per-partition summary
+        # CONTENTS are identical to the dict form (only row order within
+        # the emitted summary differs, and the consumer aggregates it).
+        acc = pd.Series(dtype="int64")
         n_p = 0
         for pdf in batches:
             vc = pdf["tok"].value_counts()
             n_p += int(vc.sum())
-            for t, c in vc.items():
-                counters[t] = counters.get(t, 0) + int(c)
-            if len(counters) > m:
-                vals = np.sort(np.fromiter(counters.values(), dtype=np.int64))
+            # astype: pandas upcasts aligned adds to float64; counts are
+            # far below 2^53 so the cast back is exact
+            acc = (
+                acc.add(vc, fill_value=0).astype("int64")
+                if len(acc)
+                else vc.astype("int64")
+            )
+            if len(acc) > m:
+                vals = np.sort(acc.to_numpy(dtype=np.int64))
                 delta = int(vals[-(m + 1)])
-                counters = {t: c - delta for t, c in counters.items() if c > delta}
+                acc = acc[acc > delta] - delta
         out = pd.DataFrame(
             {
-                "tok": list(counters.keys()) + [None],
-                "cnt": list(counters.values()) + [n_p],
+                "tok": list(acc.index) + [None],
+                "cnt": list(acc.to_numpy()) + [n_p],
             }
         )
         yield out.astype({"cnt": "int64"})
